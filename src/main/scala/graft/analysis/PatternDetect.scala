@@ -1,0 +1,113 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas._
+import graft.enrich.Metrics
+
+/** detect_pattern (SURVEY §2.4 A10; pipit/trace.py:806-863) — time-series
+  * motif discovery over one process's metric series.
+  *
+  * The reference delegates to stumpy (STOMP matrix profile + motif
+  * extraction). We reimplement the kernel in Scala: after the heavy
+  * distributed filter (one process, the span between the first Enter and
+  * last Leave of `startEvent`, non-null metric) the series is collected to
+  * the driver — same locality decision as the reference, which is
+  * single-node throughout; the distributed part is the filtering, the
+  * O(n²) kernel runs on a small residual series.
+  *
+  * Motif semantics: z-normalized Euclidean distance between all
+  * length-`windowSize` subsequences (matrix profile); the motif seed is the
+  * subsequence with the minimal profile value; matches are the
+  * `iterations` nearest non-overlapping subsequences to the seed
+  * (exclusion zone = windowSize/2, matching stumpy's default).
+  */
+object PatternDetect {
+
+  /** Matrix profile by brute-force z-normalized distance (O(n² m); fine for
+    * the post-filter series sizes this is meant for). */
+  private[analysis] def matrixProfile(y: Array[Double], m: Int): Array[Double] = {
+    val n = y.length - m + 1
+    val mu = new Array[Double](n); val sig = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0; var s2 = 0.0; var j = 0
+      while (j < m) { val v = y(i + j); s += v; s2 += v * v; j += 1 }
+      mu(i) = s / m
+      sig(i) = math.sqrt(math.max(s2 / m - mu(i) * mu(i), 1e-18))
+      i += 1
+    }
+    val excl = math.max(m / 2, 1)
+    val mp = Array.fill(n)(Double.PositiveInfinity)
+    i = 0
+    while (i < n) {
+      var k = i + excl
+      while (k < n) {
+        var dot = 0.0; var j = 0
+        while (j < m) { dot += y(i + j) * y(k + j); j += 1 }
+        val d2 = 2.0 * m * math.max(0.0,
+          1.0 - (dot - m * mu(i) * mu(k)) / (m * sig(i) * sig(k)))
+        val d = math.sqrt(d2)
+        if (d < mp(i)) mp(i) = d
+        if (d < mp(k)) mp(k) = d
+        k += 1
+      }
+      i += 1
+    }
+    mp
+  }
+
+  def detectPattern(events0: DataFrame, startEvent: String,
+                    iterations: Option[Int] = None, windowSize: Option[Int] = None,
+                    process: Int = 0, metric: String = TimeExc): Seq[DataFrame] = {
+    val events = Metrics.calcExcMetrics(events0, Seq(TimestampNs))
+    val marker = events.filter(col(Name) === startEvent && col(Process) === process)
+    val span = marker.agg(
+      min(when(col(EventType) === Enter, col(TimestampNs))).as("t0"),
+      max(when(col(EventType) === Leave, col(TimestampNs))).as("t1")).head()
+    if (span.isNullAt(0) || span.isNullAt(1)) return Seq.empty
+    val (t0, t1) = (span.getLong(0), span.getLong(1))
+
+    val iters = iterations.getOrElse(
+      marker.filter(col(EventType) === Enter).count().toInt)
+
+    // distributed part: filter to the investigated span + collect the series
+    val filtered = events
+      .filter(col(Process) === process && col(TimestampNs) > t0 &&
+        col(TimestampNs) < t1 && col(metric).isNotNull)
+      .select(col(TimestampNs), col(metric).cast("double"))
+      .orderBy(col(TimestampNs))
+      .collect()
+    val y = filtered.map(_.getDouble(1))
+    if (y.length < 4) return Seq.empty
+
+    val m = windowSize.getOrElse(math.max(y.length / math.max(iters, 1), 2))
+    if (y.length < m + 1) return Seq.empty
+    val mp = matrixProfile(y, m)
+    val seed = mp.indexOf(mp.min)
+
+    // nearest non-overlapping matches to the seed window
+    val n = y.length - m + 1
+    val seedW = java.util.Arrays.copyOfRange(y, seed, seed + m)
+    val sMu = seedW.sum / m
+    val sSig = math.sqrt(math.max(seedW.map(v => v * v).sum / m - sMu * sMu, 1e-18))
+    val dists = (0 until n).map { k =>
+      var dot = 0.0; var j = 0
+      var s = 0.0; var s2 = 0.0
+      while (j < m) { val v = y(k + j); dot += seedW(j) * v; s += v; s2 += v * v; j += 1 }
+      val mu = s / m
+      val sig = math.sqrt(math.max(s2 / m - mu * mu, 1e-18))
+      k -> math.sqrt(2.0 * m * math.max(0.0, 1.0 - (dot - m * sMu * mu) / (m * sSig * sig)))
+    }.sortBy { case (k, d) => (d, k) }
+    val excl = math.max(m / 2, 1)
+    val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+    for ((k, _) <- dists if chosen.size < iters
+         if chosen.forall(c => math.abs(c - k) >= excl)) chosen += k
+
+    chosen.toSeq.map { k =>
+      val ts = filtered.slice(k, k + m).map(_.getLong(0))
+      events.filter(col(TimestampNs).isin(ts: _*))
+    }
+  }
+}

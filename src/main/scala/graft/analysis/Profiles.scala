@@ -1,0 +1,103 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas._
+import graft.enrich.Metrics
+
+/** Profile-family operators (SURVEY §2.4 A5/A6/A7/A9).
+  *
+  * All outputs are long-form DataFrames (one row per group) — the dense /
+  * pivoted presentation the reference returns is a driver-side concern and
+  * available via `.groupBy(...).pivot(...)` at the collect boundary.
+  */
+object Profiles {
+
+  private def ensureMetrics(events: DataFrame, metrics: Seq[String]): DataFrame = {
+    // map requested metric column names back to their source columns, mirroring
+    // pipit's on-demand calc (trace.py:529-535)
+    var out = events
+    val needInc = metrics.collect { case TimeInc => TimestampNs
+                                    case m if m.endsWith("_inc") => m.stripSuffix("_inc") }
+    val needExc = metrics.collect { case TimeExc => TimestampNs
+                                    case m if m.endsWith("_exc") => m.stripSuffix("_exc") }
+    if (needExc.nonEmpty) out = Metrics.calcExcMetrics(out, needExc)
+    if (needInc.nonEmpty) out = Metrics.calcIncMetrics(out, needInc)
+    out
+  }
+
+  /** flat_profile (pipit/trace.py:514-553): per-function aggregate.
+    * Two-level: sum per (groupCol, process), then — unless perProcess —
+    * mean over the processes *that have the function* (pandas groupby mean
+    * over present rows). Catalyst plans partial+final aggregation; the
+    * second level is a cheap re-agg of the first's output. */
+  def flatProfile(events0: DataFrame, metrics: Seq[String] = Seq(TimeExc),
+                  groupCol: String = Name, perProcess: Boolean = false): DataFrame = {
+    val events = ensureMetrics(events0, metrics)
+    val perProc = events
+      .filter(col(EventType) === Enter)
+      .groupBy(col(groupCol), col(Process))
+      .agg(sum(col(metrics.head)).as(metrics.head),
+        metrics.tail.map(m => sum(col(m)).as(m)): _*)
+    if (perProcess) perProc
+    else perProc.groupBy(col(groupCol))
+      .agg(avg(col(metrics.head)).as(metrics.head),
+        metrics.tail.map(m => avg(col(m)).as(m)): _*)
+  }
+
+  /** load_imbalance (pipit/trace.py:555-598): per function,
+    * imbalance = max(per-process metric) / mean(per-process metric), the
+    * mean, and the top-k processes by metric (ties broken by ascending
+    * process id — the reference's tie order is pandas-internal and
+    * unspecified; ours is deterministic). Sorted by mean desc. */
+  def loadImbalance(events0: DataFrame, metric: String = TimeExc,
+                    numProcesses: Int = 1): DataFrame = {
+    val perProc = flatProfile(events0, Seq(metric), Name, perProcess = true)
+    perProc.groupBy(col(Name))
+      .agg(
+        (max(col(metric)) / avg(col(metric))).as(metric + "_imbalance"),
+        avg(col(metric)).as(metric + "_mean"),
+        expr(s"transform(slice(sort_array(collect_list(struct(`$metric` as m, " +
+          s"`$Process` as p)), false), 1, $numProcesses), x -> x.p)")
+          .as("top_processes"))
+      .orderBy(col(metric + "_mean").desc)
+  }
+  // note on top-k ties: sort_array on struct(m desc) orders by (m, p) lexi-
+  // cographically descending, so equal metrics give *descending* p; queries
+  // needing ascending tie-break should rank explicitly (see SparkEntry).
+
+  /** idle_time (pipit/trace.py:600-631): Σ time_inc of Enter rows whose name
+    * is in idleFunctions, per process. Processes with no such rows get 0
+    * (the reference sums an empty series → 0.0), hence the join against the
+    * full process list. */
+  def idleTime(events0: DataFrame, idleFunctions: Seq[String] = Seq("Idle"),
+               mpiEvents: Boolean = false): DataFrame = {
+    val fns = if (mpiEvents) idleFunctions ++ Seq("MPI_Wait", "MPI_Waitall", "MPI_Recv")
+              else idleFunctions
+    val events = ensureMetrics(events0, Seq(TimeInc))
+    val perProc = events
+      .filter(col(EventType) === Enter && col(Name).isin(fns: _*))
+      .groupBy(col(Process)).agg(sum(TimeInc).as("idle_time"))
+    val allProcs = events.select(col(Process)).distinct()
+    allProcs.join(perProc, Seq(Process), "left")
+      .select(col(Process), coalesce(col("idle_time"), lit(0L)).as("idle_time"))
+  }
+
+  /** multirun_analysis (pipit/trace.py:766-804): union of per-trace flat
+    * profiles tagged by process count, long-form (the reference pivots to
+    * functions-as-columns ordered by total; that ordering is recoverable
+    * from the `total` window column here). */
+  def multirunAnalysis(traces: Seq[DataFrame], metric: String = TimeExc,
+                       groupCol: String = Name): DataFrame = {
+    val profiles = traces.map { t =>
+      val nProc = t.select(col(Process)).distinct().count()
+      flatProfile(t, Seq(metric), groupCol)
+        .withColumn("num_processes", lit(nProc))
+    }
+    val unioned = profiles.reduce(_ unionByName _)
+    unioned.withColumn("total", sum(col(metric)).over(Window.partitionBy(col(groupCol))))
+      .select(col("num_processes"), col(groupCol), col(metric), col("total"))
+  }
+}

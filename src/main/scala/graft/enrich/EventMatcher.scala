@@ -1,0 +1,209 @@
+package graft.enrich
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Schemas._
+
+/** Enter/Leave matching + caller/callee linking + callpath hashing — the one
+  * genuinely custom physical operator of the engine (SURVEY §2.3 M1/M2/M5).
+  *
+  * Reference semantics reproduced exactly:
+  *  - matching (pipit/trace.py:106-191): per execution location
+  *    (Process[,Thread]), walk Enter/Leave rows in (timestamp, event_id)
+  *    order with an explicit stack. A Leave matches the nearest stack entry
+  *    with the same name, scanning from the top; that entry is removed (any
+  *    entries *above* it stay — tolerance for unbalanced traces,
+  *    trace.py:168-186); a Leave with no matching name on the stack is left
+  *    unmatched. Both rows of a pair get each other's id/timestamp.
+  *  - caller/callee (pipit/trace.py:193-292): a second walk over *matched*
+  *    Enter/Leave rows only; Enter records depth = current stack height and
+  *    parent = enclosing Enter; Leave pops unconditionally. depth/parent are
+  *    set on Enter rows only (Leave rows carry null, as in the reference).
+  *  - callpath (pipit/util/cct.py:9-118): instead of pointer `Node` objects
+  *    we emit a 64-bit `path_hash` chained as
+  *    mix(parent_path_hash, fnv1a64(name)) on matched Enter rows; the CCT
+  *    table is recovered relationally in [[graft.cct.Cct]].
+  *
+  * Spark shape: one `repartition(process[,thread])` +
+  * `sortWithinPartitions(location, timestamp_ns, event_id)` shuffle, then a
+  * single `mapPartitions` pass with group-change detection. Parallelism =
+  * number of execution locations; memory = O(events of one location) per
+  * task (the reference buffers the *whole* trace on one node; we buffer one
+  * location per task — at cluster scale partition counts equal location
+  * counts, which for HPC traces is the natural sharding).
+  *
+  * All other event rows (Instant etc.) pass through with null enrichment,
+  * so downstream operators see the full events table plus the new columns
+  * — no join back is needed.
+  */
+object EventMatcher {
+
+  val enrichmentColumns: Seq[StructField] = Seq(
+    StructField(MatchingEventId, LongType, nullable = true),
+    StructField(MatchingTs, LongType, nullable = true),
+    StructField(Depth, IntegerType, nullable = true),
+    StructField(ParentEventId, LongType, nullable = true),
+    StructField(PathHash, LongType, nullable = true)
+  )
+
+  /** FNV-1a 64-bit over UTF-8 bytes — stable, dependency-free name hash. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — chains parent path hash with a child name hash. */
+  def mix(parent: Long, nameHash: Long): Long = {
+    var z = parent + 0x9e3779b97f4a7c15L + nameHash
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Root sentinel for path hash chaining. */
+  val RootHash: Long = 0x6772616674000000L // "graft" seed
+
+  def isEnriched(events: DataFrame): Boolean =
+    events.columns.contains(MatchingEventId)
+
+  /** Idempotent (column-presence memoization, like pipit trace.py:111). */
+  def enrich(events: DataFrame): DataFrame = {
+    if (isEnriched(events)) return events
+    val schema = events.schema
+    val hasThread = events.columns.contains(Thread)
+    val outSchema = StructType(schema.fields ++ enrichmentColumns)
+
+    val idIdx = schema.fieldIndex(EventId)
+    val tsIdx = schema.fieldIndex(TimestampNs)
+    val typeIdx = schema.fieldIndex(EventType)
+    val nameIdx = schema.fieldIndex(Name)
+    val procIdx = schema.fieldIndex(Process)
+    val thrIdx = if (hasThread) schema.fieldIndex(Thread) else -1
+
+    val locCols = if (hasThread) Seq(col(Process), col(Thread)) else Seq(col(Process))
+    val sorted = events
+      .repartition(locCols: _*)
+      .sortWithinPartitions(locCols ++ Seq(col(TimestampNs), col(EventId)): _*)
+
+    sorted.mapPartitions { iter =>
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        private var pending: Row = null
+
+        private def locKey(r: Row): (Int, Int) = {
+          val p = r.getInt(procIdx)
+          val t = if (thrIdx >= 0 && !r.isNullAt(thrIdx)) r.getInt(thrIdx) else -1
+          (p, t)
+        }
+
+        private def processGroup(rows: ArrayBuffer[Row]): Iterator[Row] = {
+          val n = rows.length
+          val matchId = new Array[Long](n)
+          val matchTs = new Array[Long](n)
+          val matched = new Array[Boolean](n)
+          val depthArr = new Array[Int](n)
+          val parentArr = new Array[Long](n)
+          val hasParent = new Array[Boolean](n)
+          val hasDepth = new Array[Boolean](n)
+          val pathArr = new Array[Long](n)
+
+          // pass 1: matching (trace.py:106-191)
+          val stack = new ArrayBuffer[Int]()
+          var i = 0
+          while (i < n) {
+            val r = rows(i)
+            val et = r.getString(typeIdx)
+            if (et == Enter) {
+              stack += i
+            } else if (et == Leave) {
+              val nm = r.getString(nameIdx)
+              var j = stack.length - 1
+              while (j >= 0 && rows(stack(j)).getString(nameIdx) != nm) j -= 1
+              if (j >= 0) {
+                val e = stack.remove(j)
+                matched(e) = true; matched(i) = true
+                matchId(e) = rows(i).getLong(idIdx)
+                matchId(i) = rows(e).getLong(idIdx)
+                matchTs(e) = rows(i).getLong(tsIdx)
+                matchTs(i) = rows(e).getLong(tsIdx)
+              }
+            }
+            i += 1
+          }
+
+          // pass 2: depth/parent/path over matched rows (trace.py:193-292)
+          stack.clear()
+          val pathStack = new ArrayBuffer[Long]()
+          i = 0
+          while (i < n) {
+            if (matched(i)) {
+              val et = rows(i).getString(typeIdx)
+              if (et == Enter) {
+                depthArr(i) = stack.length
+                hasDepth(i) = true
+                if (stack.nonEmpty) {
+                  parentArr(i) = rows(stack.last).getLong(idIdx)
+                  hasParent(i) = true
+                }
+                val parentHash = if (pathStack.isEmpty) RootHash else pathStack.last
+                pathArr(i) = mix(parentHash, fnv1a64(rows(i).getString(nameIdx)))
+                stack += i
+                pathStack += pathArr(i)
+              } else { // Leave pops unconditionally (matched stream is balanced)
+                if (stack.nonEmpty) { stack.remove(stack.length - 1); pathStack.remove(pathStack.length - 1) }
+              }
+            }
+            i += 1
+          }
+
+          rows.iterator.zipWithIndex.map { case (r, k) =>
+            val vals = new Array[Any](outSchema.length)
+            var c = 0
+            while (c < schema.length) { vals(c) = r.get(c); c += 1 }
+            val b = schema.length
+            if (matched(k)) {
+              vals(b) = matchId(k)
+              vals(b + 1) = matchTs(k)
+              val isEnter = r.getString(typeIdx) == Enter
+              vals(b + 2) = if (hasDepth(k)) Int.box(depthArr(k)) else null
+              vals(b + 3) = if (hasParent(k)) Long.box(parentArr(k)) else null
+              vals(b + 4) = if (isEnter) Long.box(pathArr(k)) else null
+            }
+            new GenericRowWithSchema(vals, outSchema): Row
+          }
+        }
+
+        private def advance(): Unit = {
+          if (out.hasNext) return
+          if (pending == null && !iter.hasNext) return
+          val buf = new ArrayBuffer[Row]()
+          if (pending != null) { buf += pending; pending = null }
+          var key = if (buf.nonEmpty) locKey(buf(0)) else null
+          var done = false
+          while (!done && iter.hasNext) {
+            val r = iter.next()
+            if (key == null) { key = locKey(r); buf += r }
+            else if (locKey(r) == key) buf += r
+            else { pending = r; done = true }
+          }
+          if (buf.nonEmpty) out = processGroup(buf)
+        }
+
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): Row = { advance(); out.next() }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.Trace
+
+/** Minimal end-to-end example: load a CSV trace, enrich it, print the core
+  * analyses. Usage: runMain graft.examples.Demo <trace.csv> */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse(sys.error("usage: Demo <trace.csv>"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val trace = Trace.fromCsv(spark, path).enriched
+    println("=== events (enriched) ===")
+    trace.events.orderBy("process", "timestamp_ns").show(50, truncate = false)
+    println("=== flat profile (time_exc, mean over processes) ===")
+    trace.flatProfile().orderBy("name").show(false)
+    println("=== load imbalance (time_inc) ===")
+    trace.loadImbalance("time_inc").show(false)
+    println("=== idle time ===")
+    trace.idleTime().orderBy("process").show(false)
+    println("=== time profile (5 bins) ===")
+    trace.timeProfile(5).orderBy("bin", "name").show(100, truncate = false)
+    println("=== CCT ===")
+    val withCct = trace.createCct()
+    withCct.cct.get.orderBy("node_id").show(false)
+    println("=== chrome projection ===")
+    trace.chromeProjection.show(5, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas._
+
+/** Chrome Tracing JSON sink (SURVEY §2.2 K1; pipit/writers/chrome_writer.py:4-50).
+  *
+  * Projects events to the Trace Event Format: `name`, `ph` (Enter→"B",
+  * Leave→"E", Instant→"i"), `ts` (ns→µs, double), `pid`, `tid`. The
+  * projection is a pure columnar select — usable as a DataFrame (for tests
+  * and oracles) or written as JSON lines.
+  */
+object ChromeWriter {
+
+  def project(events: DataFrame): DataFrame = {
+    val tid = if (events.columns.contains(Thread)) col(Thread) else col(Process)
+    events.select(
+      col(Name).as("name"),
+      when(col(EventType) === Enter, "B")
+        .when(col(EventType) === Leave, "E")
+        .otherwise("i").as("ph"),
+      (col(TimestampNs).cast("double") / 1000.0).as("ts"),
+      col(Process).as("pid"),
+      tid.as("tid"))
+  }
+
+  /** Write as a JSON-lines directory (Spark-native). For a single
+    * Perfetto-openable file, coalesce(1) or post-concatenate. */
+  def write(events: DataFrame, path: String): Unit =
+    project(events).write.mode("overwrite").json(path)
+}

@@ -1,0 +1,63 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Schemas._
+
+/** CSV trace reader (SURVEY §2.1 S1; pipit/trace.py:69-97 `Trace.from_csv`).
+  *
+  * Input format: header `Timestamp (s)|Timestamp (ns), Event Type, Name,
+  * Process` (+ optional extra numeric metric columns), values possibly
+  * space-padded. Seconds are converted to ns (×1e9); rows are globally
+  * sorted by timestamp and assigned dense `event_id`s.
+  *
+  * Tie-breaking: equal timestamps keep *file order* (the reference's stable
+  * sort keeps input order, trace.py:92-95). We capture file order with
+  * `monotonically_increasing_id()` before any shuffle — within an input
+  * partition row order equals file order, and partition ids are ordered by
+  * file offset, so the id is globally file-order consistent.
+  */
+object CsvReader {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+      .option("inferSchema", "false")
+      .csv(path)
+
+    val cols = raw.columns.map(_.trim)
+    val renamed = raw.toDF(cols: _*)
+    val hasSeconds = cols.contains("Timestamp (s)")
+    val tsCol = if (hasSeconds) "Timestamp (s)" else "Timestamp (ns)"
+
+    val ts =
+      if (hasSeconds) (col(tsCol).cast(DoubleType) * 1e9).cast(LongType)
+      else col(tsCol).cast(LongType)
+
+    // extra columns (metrics etc.) pass through as doubles
+    val extras = cols.filterNot(Seq(tsCol, "Event Type", "Name", "Process").contains)
+    // single select (a rename-then-drop pipeline would collide with Spark's
+    // case-insensitive resolution: dropping "Name" also drops "name")
+    val canonical = renamed
+      .withColumn("__src_order", monotonically_increasing_id())
+      .select(Seq(
+        ts.as(TimestampNs),
+        col("`Event Type`").cast(StringType).as(EventType),
+        col("Name").cast(StringType).as(Name),
+        col("Process").cast(IntegerType).as(Process),
+        col("__src_order")) ++
+        extras.map(c => col(s"`$c`").cast(DoubleType).as(c)): _*)
+
+    canonical
+      .withColumn(EventId,
+        row_number().over(Window.orderBy(col(TimestampNs), col("__src_order")))
+          .cast(LongType) - 1)
+      .drop("__src_order")
+      .select((Seq(EventId, TimestampNs, EventType, Name, Process) ++ extras).map(col): _*)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analysis.{CommOps, Profiles, TimeProfile, PatternDetect}
+import graft.cct.Cct
+import graft.enrich.{EventMatcher, Metrics}
+import graft.ingest.{ChromeWriter, CsvReader, NsightReader}
+
+/** User-facing trace container + method surface, mirroring the reference's
+  * `Trace` API (pipit/trace.py:11; pipit/__init__.py:6-7 exports `Trace`).
+  *
+  * Thin immutable wrapper over DataFrames: every operator returns a
+  * DataFrame (long-form) or a new enriched Trace. The reference memoizes
+  * derived columns in place (trace.py:111,202,...); here enrichment is
+  * column-presence-idempotent and `enriched` returns a new Trace whose
+  * events carry the derived columns — `.persist()` it (or write to Parquet)
+  * when running several analyses, exactly where the reference relies on
+  * in-place mutation.
+  */
+case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
+                 cct: Option[DataFrame] = None) {
+
+  // ---- enrichment (M1/M2/M3/M4) ----
+  def matchEvents(): Trace = copy(events = EventMatcher.enrich(events))
+  def calcIncMetrics(columns: Seq[String] = null): Trace =
+    copy(events = Metrics.calcIncMetrics(events, columns))
+  def calcExcMetrics(columns: Seq[String] = null): Trace =
+    copy(events = Metrics.calcExcMetrics(events, columns))
+  def enriched: Trace = calcExcMetrics(Seq(Schemas.TimestampNs))
+
+  // ---- CCT (M5) ----
+  def createCct(): Trace = {
+    val c = Cct.buildCct(events)
+    copy(events = Cct.withNodeIds(events, c), cct = Some(c))
+  }
+
+  // ---- analyses (A1–A10) ----
+  def commMatrix(output: String = "size"): DataFrame = CommOps.commMatrix(events, output)
+  def commMatrixDense(output: String = "size"): Array[Array[Long]] =
+    CommOps.commMatrixDense(events, output)
+  def messageHistogram(bins: Int = 20): DataFrame = CommOps.messageHistogram(events, bins)
+  def commOverTime(output: String = "size", messageType: String = "send",
+                   bins: Int = 50): DataFrame =
+    CommOps.commOverTime(events, output, messageType, bins)
+  def commByProcess(output: String = "size"): DataFrame =
+    CommOps.commByProcess(events, output)
+  def flatProfile(metrics: Seq[String] = Seq(Schemas.TimeExc),
+                  groupCol: String = Schemas.Name,
+                  perProcess: Boolean = false): DataFrame =
+    Profiles.flatProfile(events, metrics, groupCol, perProcess)
+  def loadImbalance(metric: String = Schemas.TimeExc, numProcesses: Int = 1): DataFrame =
+    Profiles.loadImbalance(events, metric, numProcesses)
+  def idleTime(idleFunctions: Seq[String] = Seq("Idle"),
+               mpiEvents: Boolean = false): DataFrame =
+    Profiles.idleTime(events, idleFunctions, mpiEvents)
+  def timeProfile(numBins: Int = 50, normalized: Boolean = false): DataFrame =
+    TimeProfile.timeProfile(events, numBins, normalized)
+  def detectPattern(startEvent: String, iterations: Option[Int] = None,
+                    windowSize: Option[Int] = None, process: Int = 0,
+                    metric: String = Schemas.TimeExc): Seq[DataFrame] =
+    PatternDetect.detectPattern(events, startEvent, iterations, windowSize, process, metric)
+
+  // ---- sinks ----
+  def toChrome(path: String): Unit = ChromeWriter.write(events, path)
+  def chromeProjection: DataFrame = ChromeWriter.project(events)
+}
+
+object Trace {
+  def fromCsv(spark: SparkSession, path: String): Trace =
+    Trace(CsvReader.read(spark, path))
+  def fromNsight(spark: SparkSession, path: String): Trace =
+    Trace(NsightReader.read(spark, path))
+  def fromIntervals(intervals: DataFrame): Trace =
+    Trace(NsightReader.fromIntervals(intervals))
+
+  def multirunAnalysis(traces: Seq[Trace], metric: String = Schemas.TimeExc,
+                       groupCol: String = Schemas.Name): DataFrame =
+    Profiles.multirunAnalysis(traces.map(_.events), metric, groupCol)
+}
