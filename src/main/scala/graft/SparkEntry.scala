@@ -1,13 +1,651 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{CommOps, Profiles, Sessionize, TimeProfile}
+import graft.cct.Cct
+import graft.demo.TraceGen
+import graft.enrich.{EventMatcher, Metrics}
+import graft.model.Schemas._
+import graft.scale.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2 +
+  * scale extensions), each with a DuckDB oracle over the same parquet
+  * tables where SQL can express the semantics.
+  *
+  * Conventions shared by every query/oracle pair (hash-compare safety):
+  *  - identical column names and order on both sides, all lowercase;
+  *  - float outputs rounded (sum-order FP noise ≪ rounding step);
+  *  - integral aggregates cast to BIGINT on both sides (DuckDB SUM returns
+  *    HUGEINT otherwise);
+  *  - deterministic ORDER BY on a unique prefix in both engines.
+  *
+  * Trace-operator queries run the real engine on deterministic traces
+  * derived from orders/lineitem/events ([[TraceGen]]) whose ground truth
+  * is relationally known — the oracle recomputes the answer straight from
+  * the base tables, never re-implementing the stack semantics.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full enrichment spine (match → inc/exc → profile) on the
+    * sf0.001 call trace. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Profiles.flatProfile(TraceGen.callTrace(spark, "/root/testdata/sf0.001"))
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def callEnriched(s: SparkSession, dir: String): DataFrame =
+    Metrics.calcExcMetrics(TraceGen.callTrace(s, dir), Seq(TimestampNs))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- M1/M2: event matching, depth, parent ---
+    "trace_match" -> ((s, dir) => EventMatcher.enrich(TraceGen.callTrace(s, dir))
+      .filter(col(EventType) === Enter && col(MatchingEventId).isNotNull)
+      .select(col(EventId), col(MatchingEventId), col(MatchingTs))
+      .orderBy(col(EventId))),
+
+    "trace_depth" -> ((s, dir) => EventMatcher.enrich(TraceGen.callTrace(s, dir))
+      .filter(col(EventType) === Enter)
+      .select(col(EventId), col(Depth), col(ParentEventId))
+      .orderBy(col(EventId))),
+
+    // --- M3/M4: inclusive/exclusive metrics ---
+    "trace_inc" -> ((s, dir) => Metrics.calcIncMetrics(
+        TraceGen.callTrace(s, dir), Seq(TimestampNs))
+      .filter(col(EventType) === Enter)
+      .select(col(EventId), col(TimeInc)).orderBy(col(EventId))),
+
+    "trace_exc" -> ((s, dir) => callEnriched(s, dir)
+      .filter(col(EventType) === Enter)
+      .select(col(EventId), col(TimeExc)).orderBy(col(EventId))),
+
+    // --- A5: flat profile (two-level agg) ---
+    "trace_flat_profile" -> ((s, dir) =>
+      Profiles.flatProfile(callEnriched(s, dir), Seq(TimeExc))
+        .select(col(Name), round(col(TimeExc), 4).as("mean_exc"))
+        .orderBy(col(Name))),
+
+    "trace_flat_profile_pp" -> ((s, dir) =>
+      Profiles.flatProfile(callEnriched(s, dir), Seq(TimeExc), perProcess = true)
+        .select(col(Name), col(Process), col(TimeExc).cast("long").as("sum_exc"))
+        .orderBy(col(Name), col(Process))),
+
+    // --- A6: load imbalance ---
+    "trace_load_imbalance" -> ((s, dir) => {
+      val pp = Profiles.flatProfile(callEnriched(s, dir), Seq(TimeExc), perProcess = true)
+      val w = Window.partitionBy(col(Name)).orderBy(col(TimeExc).desc, col(Process))
+      val top = pp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col(Name), col(Process).as("top_process"))
+      pp.groupBy(col(Name))
+        .agg(round(max(col(TimeExc)) / avg(col(TimeExc)), 6).as("imbalance"),
+          round(avg(col(TimeExc)), 4).as("mean_exc"))
+        .join(top, Seq(Name)).orderBy(col(Name))
+    }),
+
+    // --- A7: idle time ---
+    "trace_idle_time" -> ((s, dir) =>
+      Profiles.idleTime(callEnriched(s, dir), Seq("item_R"))
+        .select(col(Process), col("idle_time")).orderBy(col(Process))),
+
+    // --- A8: time profile ---
+    "trace_time_profile" -> ((s, dir) =>
+      TimeProfile.timeProfile(TraceGen.callTrace(s, dir), 50)
+        .select(col("bin"), col(Name), round(col("time"), 2).as("time"))
+        .orderBy(col("bin"), col(Name))),
+
+    // --- A9: multirun analysis (two sub-traces by orderkey parity) ---
+    "trace_multirun" -> ((s, dir) => {
+      val t = TraceGen.callTrace(s, dir)
+      val runs = Seq(0, 1).map(p => Metrics.calcExcMetrics(
+          t.filter(((col(EventId) / lit(1000000L)).cast("long") % 2).cast("int") === p),
+          Seq(TimestampNs)))
+      runs.zipWithIndex.map { case (r, i) =>
+        Profiles.flatProfile(r, Seq(TimeExc)).withColumn("run", lit(i))
+      }.reduce(_ unionByName _)
+        .select(col("run"), col(Name), round(col(TimeExc), 4).as("mean_exc"))
+        .orderBy(col("run"), col(Name))
+    }),
+
+    // --- M5: calling context tree ---
+    "trace_cct" -> ((s, dir) => Cct.buildCct(TraceGen.callTrace(s, dir))
+      .select(col("path"), col("depth"), col("name")).orderBy(col("path"))),
+
+    // --- K1: chrome tracing projection ---
+    "trace_chrome" -> ((s, dir) =>
+      graft.ingest.ChromeWriter.project(TraceGen.callTrace(s, dir))
+        .select(col("name"), col("ph"), col("ts"), col("pid"))
+        .orderBy(col("ts"), col("ph"), col("name"), col("pid"))),
+
+    // --- A1: comm matrix (size + count) ---
+    "comm_matrix" -> ((s, dir) => CommOps.commMatrix(TraceGen.commTrace(s, dir))
+      .orderBy(col("sender"), col("receiver"))),
+    "comm_matrix_count" -> ((s, dir) =>
+      CommOps.commMatrix(TraceGen.commTrace(s, dir), "count")
+        .orderBy(col("sender"), col("receiver"))),
+
+    // --- A4: comm by process ---
+    "comm_by_process" -> ((s, dir) =>
+      CommOps.commByProcess(TraceGen.commTrace(s, dir)).orderBy(col(Process))),
+
+    // --- A3: comm over time ---
+    "comm_over_time" -> ((s, dir) =>
+      CommOps.commOverTime(TraceGen.commTrace(s, dir), "size", "send", 50)
+        .select(col("bin"), col("volume")).orderBy(col("bin"))),
+
+    // --- A2: message histogram ---
+    "msg_histogram" -> ((s, dir) =>
+      CommOps.messageHistogram(TraceGen.commTrace(s, dir), 20)
+        .select(col("bin"), col("count")).orderBy(col("bin"))),
+
+    // --- relational coverage (Catalyst-planned aggregates/joins/windows) ---
+    "q1_pricing" -> ((s, dir) => T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q3_topk" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      rev.groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => Sessionize.sessionCounts(
+        TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")),
+        "user_id", "t_us", "event_id", 1800000000L)
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_id"))),
+
+    // --- text analysis ---
+    "text_stats" -> ((s, dir) => TextOps.textStats(T(s, dir, "documents"))
+      .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) => TextOps.qualityScore(T(s, dir, "documents"))
+      .orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val profiles = TextOps.learnLanguageProfiles(docs.filter(col("doc_id") % 5 === 0))
+      TextOps.languageId(docs, profiles)
+        .select(col("doc_id"), col("predicted_lang")).orderBy(col("doc_id"))
+    }),
+
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(T(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("pos"))),
+
+    // --- dedup family ---
+    "dedup_exact" -> ((s, dir) => Dedup.exact(T(s, dir, "documents"))
+      .orderBy(col("representative"))),
+
+    "minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(T(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("seed"))),
+
+    "minhash_pairs" -> ((s, dir) => Dedup.minhashLsh(T(s, dir, "documents"))
+      .orderBy(col("a"), col("b"))),
+
+    "simhash" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))
+      .orderBy(col("doc_id"))),
+
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.1)
+        .orderBy(col("a"), col("b"))),
+
+    // --- similarity search ---
+    "ann_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "emb_neardup" -> ((s, dir) =>
+      Similarity.cosinePairs(T(s, dir, "embeddings"), 0.3)
+        .orderBy(col("a"), col("b"))),
+
+    // --- multimodal plumbing (stubbed decode; real schema/partitioning) ---
+    "multimodal_features" -> ((s, dir) => {
+      val withPayload = T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val feats = Multimodal.extractFeatures(withPayload)
+        .select(col("doc_id"), col("features.width").as("width"),
+          col("features.height").as("height"),
+          col("features.n_frames").as("n_frames"),
+          round(col("features.mean_luma"), 6).as("mean_luma"))
+      Multimodal.sampleFrames(feats, "n_frames", 2)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("mean_luma"), size(col("sampled_frames")).as("n_sampled"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  private val callCte = TraceGen.callTraceSqlCte
+  private val commCte = TraceGen.commTraceSqlCte
+
+  def oracleSql: Map[String, String] = Map(
+    "trace_match" -> (callCte +
+      """SELECT * FROM (
+        |  SELECT t0 AS event_id, t1 AS matching_event_id, t1 AS matching_ts FROM ord
+        |  UNION ALL SELECT t0, t1, t1 FROM item
+        |  UNION ALL SELECT s0, s1, s1 FROM item
+        |) ORDER BY event_id""".stripMargin),
+
+    "trace_depth" -> (callCte +
+      """SELECT * FROM (
+        |  SELECT t0 AS event_id, CAST(0 AS INT) AS depth, CAST(NULL AS BIGINT) AS parent_event_id FROM ord
+        |  UNION ALL SELECT t0, 1, ok * 1000000 FROM item
+        |  UNION ALL SELECT s0, 2, t0 FROM item
+        |) ORDER BY event_id""".stripMargin),
+
+    "trace_inc" -> (callCte +
+      """SELECT * FROM (
+        |  SELECT t0 AS event_id, CAST(999000 AS BIGINT) AS time_inc FROM ord
+        |  UNION ALL SELECT t0, qty * 1000 - 10 FROM item
+        |  UNION ALL SELECT s0, qty * 500 - 100 FROM item
+        |) ORDER BY event_id""".stripMargin),
+
+    "trace_exc" -> (callCte +
+      """, osum AS (SELECT ok, CAST(SUM(qty * 1000 - 10) AS BIGINT) AS child FROM item GROUP BY ok)
+        |SELECT * FROM (
+        |  SELECT o.t0 AS event_id,
+        |         CAST(999000 - COALESCE(s.child, 0) AS BIGINT) AS time_exc
+        |  FROM ord o LEFT JOIN osum s ON o.ok = s.ok
+        |  UNION ALL SELECT t0, qty * 500 + 90 FROM item
+        |  UNION ALL SELECT s0, qty * 500 - 100 FROM item
+        |) ORDER BY event_id""".stripMargin),
+
+    "trace_flat_profile" -> (callCte + excByNameProcSql +
+      """SELECT name, ROUND(AVG(CAST(sum_exc AS DOUBLE)), 4) AS mean_exc
+        |FROM pp GROUP BY name ORDER BY name""".stripMargin),
+
+    "trace_flat_profile_pp" -> (callCte + excByNameProcSql +
+      "SELECT name, process, sum_exc FROM pp ORDER BY name, process"),
+
+    "trace_load_imbalance" -> (callCte + excByNameProcSql +
+      """, agg AS (
+        |  SELECT name, ROUND(MAX(CAST(sum_exc AS DOUBLE)) / AVG(CAST(sum_exc AS DOUBLE)), 6) AS imbalance,
+        |         ROUND(AVG(CAST(sum_exc AS DOUBLE)), 4) AS mean_exc
+        |  FROM pp GROUP BY name),
+        |top AS (
+        |  SELECT name, process AS top_process FROM pp
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY name ORDER BY sum_exc DESC, process) = 1)
+        |SELECT a.name, a.imbalance, a.mean_exc, t.top_process
+        |FROM agg a JOIN top t ON a.name = t.name ORDER BY a.name""".stripMargin),
+
+    "trace_idle_time" -> (callCte +
+      """, idle AS (
+        |  SELECT process, CAST(SUM(qty * 1000 - 10) AS BIGINT) AS s FROM item WHERE name = 'item_R'
+        |  GROUP BY process)
+        |SELECT p.process, CAST(COALESCE(i.s, 0) AS BIGINT) AS idle_time
+        |FROM (SELECT DISTINCT process FROM ord) p
+        |LEFT JOIN idle i ON p.process = i.process ORDER BY p.process""".stripMargin),
+
+    "trace_time_profile" -> (callCte + timeProfileSql),
+
+    "trace_multirun" -> (callCte +
+      """, ev AS (
+        |  SELECT ok, process, name,
+        |         999000 - COALESCE((SELECT CAST(SUM(qty * 1000 - 10) AS BIGINT) FROM item i WHERE i.ok = o.ok), 0) AS exc
+        |  FROM ord o
+        |  UNION ALL SELECT ok, process, name, qty * 500 + 90 FROM item
+        |  UNION ALL SELECT ok, process, ship_name, qty * 500 - 100 FROM item),
+        |pp AS (
+        |  SELECT CAST(ok % 2 AS INT) AS run, name, process, SUM(exc) AS s
+        |  FROM ev GROUP BY 1, 2, 3)
+        |SELECT run, name, ROUND(AVG(CAST(s AS DOUBLE)), 4) AS mean_exc
+        |FROM pp GROUP BY run, name ORDER BY run, name""".stripMargin),
+
+    "trace_cct" -> (callCte +
+      """SELECT * FROM (
+        |  SELECT DISTINCT name AS path, 0 AS depth, name FROM ord
+        |  UNION
+        |  SELECT DISTINCT 'order_' || prio || '->' || name, 1, name FROM item
+        |  UNION
+        |  SELECT DISTINCT 'order_' || prio || '->' || name || '->' || ship_name, 2, ship_name
+        |  FROM item
+        |) ORDER BY path""".stripMargin),
+
+    "trace_chrome" -> (callCte +
+      """SELECT * FROM (
+        |  SELECT name, 'B' AS ph, CAST(t0 AS DOUBLE) / 1000 AS ts, process AS pid FROM ord
+        |  UNION ALL SELECT name, 'E', CAST(t1 AS DOUBLE) / 1000, process FROM ord
+        |  UNION ALL SELECT name, 'B', CAST(t0 AS DOUBLE) / 1000, process FROM item
+        |  UNION ALL SELECT name, 'E', CAST(t1 AS DOUBLE) / 1000, process FROM item
+        |  UNION ALL SELECT ship_name, 'B', CAST(s0 AS DOUBLE) / 1000, process FROM item
+        |  UNION ALL SELECT ship_name, 'E', CAST(s1 AS DOUBLE) / 1000, process FROM item
+        |) ORDER BY ts, ph, name, pid""".stripMargin),
+
+    "comm_matrix" -> (commCte +
+      """SELECT process AS sender, attr_receiver AS receiver,
+        |       CAST(SUM(attr_msg_length) AS BIGINT) AS volume
+        |FROM comm WHERE name IN ('MpiSend', 'MpiIsend')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "comm_matrix_count" -> (commCte +
+      """SELECT process AS sender, attr_receiver AS receiver,
+        |       CAST(COUNT(*) AS BIGINT) AS volume
+        |FROM comm WHERE name IN ('MpiSend', 'MpiIsend')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "comm_by_process" -> (commCte +
+      """, cm AS (
+        |  SELECT process AS sender, attr_receiver AS receiver,
+        |         CAST(SUM(attr_msg_length) AS BIGINT) AS volume
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend') GROUP BY 1, 2),
+        |s AS (SELECT sender AS process, CAST(SUM(volume) AS BIGINT) AS sent FROM cm GROUP BY 1),
+        |r AS (SELECT receiver AS process, CAST(SUM(volume) AS BIGINT) AS received FROM cm GROUP BY 1)
+        |SELECT COALESCE(s.process, r.process) AS process,
+        |       COALESCE(sent, 0) AS sent, COALESCE(received, 0) AS received
+        |FROM s FULL OUTER JOIN r ON s.process = r.process ORDER BY 1""".stripMargin),
+
+    "comm_over_time" -> (commCte +
+      """, ext AS (SELECT CAST(MIN(timestamp_ns) AS DOUBLE) lo,
+        |                 CAST(MAX(timestamp_ns) AS DOUBLE) hi FROM comm),
+        |binned AS (
+        |  SELECT CAST(LEAST(FLOOR((CAST(timestamp_ns AS DOUBLE) - lo) / ((hi - lo) / 50)), 49) AS INT) AS bin,
+        |         attr_msg_length AS sz
+        |  FROM comm, ext WHERE name IN ('MpiSend', 'MpiIsend')),
+        |agg AS (SELECT bin, CAST(SUM(sz) AS BIGINT) AS volume FROM binned GROUP BY 1)
+        |SELECT g.i AS bin, COALESCE(a.volume, 0) AS volume
+        |FROM generate_series(0, 49) g(i) LEFT JOIN agg a ON g.i = a.bin
+        |ORDER BY 1""".stripMargin),
+
+    "msg_histogram" -> (commCte +
+      """, sz AS (SELECT CAST(attr_msg_length AS DOUBLE) AS v FROM comm
+        |          WHERE name IN ('MpiSend', 'MpiIsend')),
+        |ext AS (SELECT MIN(v) lo, MAX(v) hi FROM sz),
+        |binned AS (
+        |  SELECT CAST(LEAST(FLOOR((v - lo) / ((hi - lo) / 20)), 19) AS INT) AS bin
+        |  FROM sz, ext),
+        |agg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS count FROM binned GROUP BY 1)
+        |SELECT g.i AS bin, COALESCE(a.count, 0) AS count
+        |FROM generate_series(0, 19) g(i) LEFT JOIN agg a ON g.i = a.bin
+        |ORDER BY 1""".stripMargin),
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  ROUND(CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), ' +')), 4) AS avg_token_len,
+        |  ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / GREATEST(length(text), 1), 4) AS alpha_ratio,
+        |  ROUND(CAST(len(regexp_split_to_array(trim(text), ' +')) - 1 AS DOUBLE)
+        |        / GREATEST(length(text), 1), 4) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, ROUND(
+        |    LEAST(CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE) / 20, 1.0) * 0.4
+        |  + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(length(text), 1) * 0.4
+        |  + CASE WHEN CAST(length(text) AS DOUBLE)
+        |              / GREATEST(len(regexp_split_to_array(trim(text), ' +')), 1)
+        |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" -> (shinglesCte +
+      """, hashed AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(concat('0x', substr(md5('0:' || shingle), 1, 15)) AS BIGINT) AS h
+        |  FROM sh)
+        |SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS INT) AS pos,
+        |       h AS fingerprint
+        |FROM hashed QUALIFY pos <= 8 ORDER BY doc_id, pos""".stripMargin),
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS representative,
+        |       CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY representative""".stripMargin,
+
+    "minhash_sig" -> (shinglesCte +
+      """SELECT doc_id, seed,
+        |       MIN(CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
+        |FROM sh, generate_series(0, 15) g(seed)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "minhash_pairs" -> (shinglesCte +
+      """, sig AS (
+        |  SELECT doc_id, seed,
+        |         MIN(CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
+        |  FROM sh, generate_series(0, 15) g(seed) GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed)) AS band_key
+        |  FROM sig GROUP BY 1, 2)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+        |WHERE x.doc_id < y.doc_id ORDER BY 1, 2""".stripMargin),
+
+    "simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |             CAST(concat('0x', substr(md5('0:' || tok), 1, 15)) AS BIGINT) AS h
+        |      FROM tok),
+        |bits AS (
+        |  SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS s
+        |  FROM h, generate_series(0, 59) g(bit) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ngram_jaccard" -> (shinglesCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        |  FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        |             JOIN sizes sb ON inter.b = sb.doc_id)
+        |WHERE jaccard >= 0.1 ORDER BY a, b""".stripMargin),
+
+    "ann_topk" ->
+      """SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id) AS INT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      """SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id) AS INT) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id != c.vec_id AND q.label = c.label
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_neardup" ->
+      """SELECT a, b, sim FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                                      CAST(y.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM embeddings x JOIN embeddings y
+        |    ON x.label = y.label AND x.vec_id < y.vec_id)
+        |WHERE sim >= 0.3 ORDER BY a, b""".stripMargin,
+
+    "multimodal_features" ->
+      """WITH luma AS (
+        |  SELECT doc_id, SUM(ascii(text[i])) AS s
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(640 + length(text) % 640 AS INT) AS width,
+        |       CAST(360 + length(text) % 360 AS INT) AS height,
+        |       CAST(1 + length(text) % 16 AS INT) AS n_frames,
+        |       ROUND(CAST(l.s AS DOUBLE) / length(text) / 255, 6) AS mean_luma,
+        |       CAST((1 + length(text) % 16 + 1) // 2 AS INT) AS n_sampled
+        |FROM documents d JOIN luma l ON d.doc_id = l.doc_id ORDER BY d.doc_id""".stripMargin
+  )
+
+  /** Shared oracle CTE: per-(name,process) exclusive-time sums of the call
+    * trace. */
+  private def excByNameProcSql: String =
+    """, osum AS (SELECT ok, CAST(SUM(qty * 1000 - 10) AS BIGINT) AS child FROM item GROUP BY ok),
+      |ev AS (
+      |  SELECT o.process, o.name, 999000 - COALESCE(s.child, 0) AS exc
+      |  FROM ord o LEFT JOIN osum s ON o.ok = s.ok
+      |  UNION ALL SELECT process, name, qty * 500 + 90 FROM item
+      |  UNION ALL SELECT process, ship_name, qty * 500 - 100 FROM item),
+      |pp AS (
+      |  SELECT name, process, CAST(SUM(exc) AS BIGINT) AS sum_exc
+      |  FROM ev GROUP BY 1, 2)
+      |""".stripMargin
+
+  /** Oracle for A8 on the call trace: 50 equal bins over the full extent,
+    * interval-overlap inclusive time, direct-child subtraction per bin,
+    * idle remainder, <0.01 threshold — mirroring pipit/trace.py:633-764. */
+  private def timeProfileSql: String =
+    """, ev AS (
+      |  SELECT t0 AS id, CAST(NULL AS BIGINT) AS parent, name,
+      |         CAST(t0 AS DOUBLE) AS d0, CAST(t1 AS DOUBLE) AS d1 FROM ord
+      |  UNION ALL SELECT t0, ok * 1000000, name, CAST(t0 AS DOUBLE), CAST(t1 AS DOUBLE) FROM item
+      |  UNION ALL SELECT s0, t0, ship_name, CAST(s0 AS DOUBLE), CAST(s1 AS DOUBLE) FROM item),
+      |ext AS (
+      |  SELECT CAST(MIN(t0) AS DOUBLE) AS lo, CAST(MAX(t1) AS DOUBLE) AS hi,
+      |         CAST(COUNT(DISTINCT process) AS DOUBLE) AS nproc FROM ord),
+      |binned AS (
+      |  SELECT e.id, e.parent, e.name, g.i AS bin,
+      |         LEAST(e.d1, lo + (g.i + 1) * (hi - lo) / 50)
+      |           - GREATEST(e.d0, lo + g.i * (hi - lo) / 50) AS inc
+      |  FROM ev e, ext, generate_series(0, 49) g(i)
+      |  WHERE e.d1 > lo + g.i * (hi - lo) / 50
+      |    AND e.d0 < lo + (g.i + 1) * (hi - lo) / 50),
+      |csum AS (
+      |  SELECT parent, bin, SUM(inc) AS s FROM binned
+      |  WHERE parent IS NOT NULL GROUP BY 1, 2),
+      |exc AS (
+      |  SELECT b.bin, b.name, b.inc - COALESCE(c.s, 0) AS e
+      |  FROM binned b LEFT JOIN csum c ON b.id = c.parent AND b.bin = c.bin),
+      |perbin AS (SELECT bin, name, SUM(e) AS t FROM exc GROUP BY 1, 2),
+      |busy AS (SELECT bin, SUM(t) AS bt FROM perbin GROUP BY 1),
+      |idle AS (
+      |  SELECT g.i AS bin, 'idle_time' AS name,
+      |         (hi - lo) / 50 * nproc - COALESCE(b.bt, 0) AS t
+      |  FROM generate_series(0, 49) g(i) CROSS JOIN ext
+      |  LEFT JOIN busy b ON g.i = b.bin)
+      |SELECT bin, name, ROUND(CASE WHEN t < 0.01 THEN 0 ELSE t END, 2) AS time
+      |FROM (SELECT * FROM perbin UNION ALL SELECT * FROM idle)
+      |ORDER BY bin, name""".stripMargin
+
+  /** Shared oracle CTE: word 3-shingles of documents (mirrors
+    * [[graft.scale.Shingles.wordShingles]]: windows clamped like
+    * slice/concat_ws for short docs). */
+  private def shinglesCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+      |        FROM t))
+      |""".stripMargin
 }

@@ -1,7 +1,8 @@
 package graft.cct
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas._
@@ -17,63 +18,48 @@ import graft.enrich.EventMatcher
   * hash emitted by [[EventMatcher]]), `parent_path_hash`, name, depth, and
   * the full path string. Events already carry `path_hash` as the foreign key.
   *
-  * node_id assignment: dense ids via `row_number()` ordered by (depth, path)
-  * — deterministic across runs and partitionings. (The reference's ids are
-  * visit-order dependent and not deterministic across runs; SURVEY §7.4.)
+  * Scale shape: the heavy part — deduplicating callpaths across billions of
+  * events — is one distributed `distinct()` over four small columns. The
+  * result is the CCT itself, which is tiny by construction (distinct call
+  * paths, not events), so the final path-string assembly and dense-id
+  * assignment run on the driver; the node table then broadcasts back for
+  * event→node joins. (An earlier level-by-level join formulation exploded
+  * the Catalyst plan — the driver assembly is both faster and simpler.)
+  *
+  * node_id assignment: dense ids ordered by (depth, path) — deterministic
+  * across runs and partitionings. (The reference's ids are visit-order
+  * dependent and not deterministic across runs; SURVEY §7.4.)
   */
 object Cct {
 
-  /** Distinct callpath table from enriched events. */
+  /** Distinct callpath table from (enriched) events. */
   def buildCct(events0: DataFrame): DataFrame = {
     val events = EventMatcher.enrich(events0)
+    val spark = events.sparkSession
     val nodes = events
       .filter(col(EventType) === Enter && col(PathHash).isNotNull)
-      .select(col(PathHash).as("path_hash"), col(Name).as("name"), col(Depth).as("depth"))
+      .select(col(PathHash), col(ParentPathHash), col(Name), col(Depth))
       .distinct()
+      .collect()
 
-    // recover parent hash + path string by walking depth levels down from the
-    // roots; depth is bounded by call depth (small), so this loop is short
-    // and each step is a broadcast-joinable level (#nodes per level is tiny
-    // relative to events).
-    val maxDepth = nodes.agg(max(col("depth"))).head() match {
-      case r if r.isNullAt(0) => -1
-      case r => r.getInt(0)
-    }
-    if (maxDepth < 0) return events.sparkSession.createDataFrame(
-      events.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], cctSchema)
+    val byHash = nodes.map(r => r.getLong(0) -> r).toMap
+    val pathMemo = mutable.Map[Long, String]()
+    def path(h: Long): String = pathMemo.getOrElseUpdate(h, {
+      val r = byHash(h)
+      if (r.isNullAt(1)) r.getString(2)
+      else path(r.getLong(1)) + "->" + r.getString(2)
+    })
 
-    // each node's parent link comes from the events: a child Enter's
-    // parent_event_id points at the parent Enter, whose path_hash is the
-    // parent's node key — one self-join on events recovers (child hash →
-    // parent hash) pairs.
-    val enters = events.filter(col(EventType) === Enter && col(PathHash).isNotNull)
-    val links = enters.alias("c")
-      .join(enters.select(col(EventId).as("__pid"), col(PathHash).as("parent_path_hash")).alias("p"),
-        col(s"c.$ParentEventId") === col("__pid"), "left")
-      .select(col(s"c.$PathHash").as("path_hash"), col("parent_path_hash"))
-      .distinct()
+    val rows = nodes.map { r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+        r.getString(2), r.getInt(3), path(r.getLong(0)))
+    }.sortBy { case (_, _, _, depth, p) => (depth, p) }
+      .zipWithIndex.map { case ((ph, pph, name, depth, p), i) =>
+        Row(i.toLong, ph, pph, name, depth, p)
+      }
 
-    var level = nodes.filter(col("depth") === 0)
-      .join(links, Seq("path_hash"), "left")
-      .withColumn("path", col("name"))
-    var acc = level
-    var d = 1
-    while (d <= maxDepth) {
-      val parents = acc.filter(col("depth") === d - 1)
-        .select(col("path_hash").as("__ph"), col("path").as("__ppath"))
-      level = nodes.filter(col("depth") === d)
-        .join(links, Seq("path_hash"), "left")
-        .join(broadcast(parents), col("parent_path_hash") === col("__ph"), "left")
-        .withColumn("path", concat_ws("->", col("__ppath"), col("name")))
-        .drop("__ph", "__ppath")
-      acc = acc.unionByName(level)
-      d += 1
-    }
-
-    acc.withColumn("node_id",
-        row_number().over(Window.orderBy(col("depth"), col("path"))).cast("long") - 1)
-      .select(col("node_id"), col("path_hash"), col("parent_path_hash"),
-        col("name"), col("depth"), col("path"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), cctSchema)
   }
 
   /** Attach node_id to events (the reference's `Graph_Node` column,

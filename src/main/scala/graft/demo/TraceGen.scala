@@ -1,0 +1,136 @@
+package graft.demo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Schemas._
+
+/** Deterministic synthetic traces derived from the driver testdata
+  * (TESTDATA.md) — used by SparkEntry's correctness queries.
+  *
+  * The derivations are chosen so the *right answers* are relationally known
+  * (DuckDB can compute them straight from orders/lineitem/events), while
+  * the Spark side runs the real trace operators on the derived event
+  * stream. If the operators are correct, the two agree.
+  *
+  * Call trace (well-nested, 3 levels, all timestamps unique,
+  * event_id := timestamp):
+  *   per order   o:  Enter/Leave  "order_<o_orderpriority>"
+  *                   [ok·1e6, ok·1e6 + 999_000]
+  *   per item  l∈o:  Enter/Leave  "item_<l_returnflag>"
+  *                   [ok·1e6 + rn·50_000, ok·1e6 + rn·50_000 + qty·1000 − 10]
+  *   per item ship:  Enter/Leave  "ship_<l_linestatus>"
+  *                   [ok·1e6 + rn·50_000 + 100, ok·1e6 + rn·50_000 + qty·500]
+  *   process = o_custkey % 64.
+  *   rn = row_number per order over (l_linenumber, l_partkey, l_suppkey,
+  *   l_quantity, l_extendedprice) — l_linenumber alone is NOT unique in
+  *   this synthetic data (and would collide timestamps); rn ≤ 17 keeps
+  *   items inside the order's 1e6-ns slot, qty ∈ [1,50] keeps each item in
+  *   its 50k slot (leave at qty·1000−10 dodges the next slot boundary) and
+  *   its ship strictly inside the item.
+  *
+  * Comm trace (Instant events with promoted comm attributes):
+  *   process    = user_id % 16
+  *   name       = click→MpiSend, view→MpiIsend, purchase→MpiRecv,
+  *                error→MpiIrecv, else Other
+  *   timestamp  = unix_micros(ts)·1000
+  *   receiver   = (json props.k) % 16,  msg_length = floor(value·100)
+  */
+object TraceGen {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def callTrace(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        col("o_orderpriority").as("prio"))
+    val itemRank = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+    val items = table(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(itemRank).cast(LongType))
+      .join(orders, col("l_orderkey") === col("ok"))
+      .select(col("ok"), col("ck"), col("rn"),
+        col("l_quantity").cast(LongType).as("qty"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+
+    val proc = (col("ck") % 64).cast(IntegerType)
+    def ev(ts: org.apache.spark.sql.Column, et: String, nm: org.apache.spark.sql.Column,
+           src: DataFrame) =
+      src.select(ts.cast(LongType).as(EventId), ts.cast(LongType).as(TimestampNs),
+        lit(et).as(EventType), nm.as(Name), proc.as(Process))
+
+    val oEnter = ev(col("ok") * 1000000L, Enter, concat(lit("order_"), col("prio")), orders)
+    val oLeave = ev(col("ok") * 1000000L + 999000L, Leave, concat(lit("order_"), col("prio")), orders)
+    val iBase = col("ok") * 1000000L + col("rn") * 50000L
+    val iEnter = ev(iBase, Enter, concat(lit("item_"), col("rf")), items)
+    val iLeave = ev(iBase + col("qty") * 1000L - 10L, Leave, concat(lit("item_"), col("rf")), items)
+    val sEnter = ev(iBase + 100L, Enter, concat(lit("ship_"), col("ls")), items)
+    val sLeave = ev(iBase + col("qty") * 500L, Leave, concat(lit("ship_"), col("ls")), items)
+
+    oEnter.unionByName(oLeave).unionByName(iEnter).unionByName(iLeave)
+      .unionByName(sEnter).unionByName(sLeave)
+  }
+
+  /** events.ts is a nanosecond parquet timestamp — Spark only reads those
+    * with the nanosAsLong legacy conf (as a ns Long, which is exactly the
+    * canonical trace timestamp). Values are µs-aligned, so DuckDB's
+    * µs-truncated TIMESTAMP agrees: ns == epoch_us(ts)·1000. */
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+  }
+
+  def commTrace(spark: SparkSession, sfDir: String): DataFrame = {
+    eventsTable(spark, sfDir).select(
+      col("event_id").as(EventId),
+      col("ts").cast(LongType).as(TimestampNs),
+      lit(Instant).as(EventType),
+      when(col("event_type") === "click", "MpiSend")
+        .when(col("event_type") === "view", "MpiIsend")
+        .when(col("event_type") === "purchase", "MpiRecv")
+        .when(col("event_type") === "error", "MpiIrecv")
+        .otherwise("Other").as(Name),
+      (col("user_id") % 16).cast(IntegerType).as(Process),
+      (get_json_object(col("props"), "$.k").cast(IntegerType) % 16).as(AttrReceiver),
+      floor(col("value") * 100).cast(LongType).as(AttrMsgLength))
+  }
+
+  /** SQL fragments (DuckDB) mirroring the derivations above — prepended to
+    * oracle queries via WITH clauses. */
+  val callTraceSqlCte: String =
+    """WITH ord AS (
+      |  SELECT o_orderkey AS ok, CAST(o_custkey % 64 AS INT) AS process,
+      |         'order_' || o_orderpriority AS name,
+      |         o_orderkey * 1000000 AS t0, o_orderkey * 1000000 + 999000 AS t1
+      |  FROM orders),
+      |item AS (
+      |  SELECT o.o_orderkey AS ok, CAST(o.o_custkey % 64 AS INT) AS process,
+      |         o.o_orderpriority AS prio, CAST(l.l_quantity AS BIGINT) AS qty,
+      |         'item_' || l.l_returnflag AS name,
+      |         'ship_' || l.l_linestatus AS ship_name,
+      |         o.o_orderkey * 1000000 + l.rn * 50000 AS t0,
+      |         o.o_orderkey * 1000000 + l.rn * 50000 + CAST(l.l_quantity AS BIGINT) * 1000 - 10 AS t1,
+      |         o.o_orderkey * 1000000 + l.rn * 50000 + 100 AS s0,
+      |         o.o_orderkey * 1000000 + l.rn * 50000 + CAST(l.l_quantity AS BIGINT) * 500 AS s1
+      |  FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |          ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+      |          AS BIGINT) AS rn FROM lineitem) l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |""".stripMargin
+
+  val commTraceSqlCte: String =
+    """WITH comm AS (
+      |  SELECT event_id, epoch_us(ts) * 1000 AS timestamp_ns,
+      |         CASE event_type WHEN 'click' THEN 'MpiSend' WHEN 'view' THEN 'MpiIsend'
+      |              WHEN 'purchase' THEN 'MpiRecv' WHEN 'error' THEN 'MpiIrecv'
+      |              ELSE 'Other' END AS name,
+      |         CAST(user_id % 16 AS INT) AS process,
+      |         CAST(json_extract_string(props, '$.k') AS INT) % 16 AS attr_receiver,
+      |         CAST(FLOOR(value * 100) AS BIGINT) AS attr_msg_length
+      |  FROM events)
+      |""".stripMargin
+}

@@ -48,7 +48,8 @@ object EventMatcher {
     StructField(MatchingTs, LongType, nullable = true),
     StructField(Depth, IntegerType, nullable = true),
     StructField(ParentEventId, LongType, nullable = true),
-    StructField(PathHash, LongType, nullable = true)
+    StructField(PathHash, LongType, nullable = true),
+    StructField(ParentPathHash, LongType, nullable = true)
   )
 
   /** FNV-1a 64-bit over UTF-8 bytes — stable, dependency-free name hash. */
@@ -118,6 +119,8 @@ object EventMatcher {
           val hasParent = new Array[Boolean](n)
           val hasDepth = new Array[Boolean](n)
           val pathArr = new Array[Long](n)
+          val parentPathArr = new Array[Long](n)
+          val hasParentPath = new Array[Boolean](n)
 
           // pass 1: matching (trace.py:106-191)
           val stack = new ArrayBuffer[Int]()
@@ -158,6 +161,7 @@ object EventMatcher {
                   hasParent(i) = true
                 }
                 val parentHash = if (pathStack.isEmpty) RootHash else pathStack.last
+                if (pathStack.nonEmpty) { parentPathArr(i) = parentHash; hasParentPath(i) = true }
                 pathArr(i) = mix(parentHash, fnv1a64(rows(i).getString(nameIdx)))
                 stack += i
                 pathStack += pathArr(i)
@@ -180,6 +184,7 @@ object EventMatcher {
               vals(b + 2) = if (hasDepth(k)) Int.box(depthArr(k)) else null
               vals(b + 3) = if (hasParent(k)) Long.box(parentArr(k)) else null
               vals(b + 4) = if (isEnter) Long.box(pathArr(k)) else null
+              vals(b + 5) = if (isEnter && hasParentPath(k)) Long.box(parentPathArr(k)) else null
             }
             new GenericRowWithSchema(vals, outSchema): Row
           }

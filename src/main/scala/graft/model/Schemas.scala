@@ -48,6 +48,7 @@ object Schemas {
   val Depth = "depth"
   val ParentEventId = "parent_event_id"
   val PathHash = "path_hash"
+  val ParentPathHash = "parent_path_hash"
 
   // metric columns
   val TimeInc = "time_inc"

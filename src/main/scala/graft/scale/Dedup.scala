@@ -1,0 +1,108 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus curation at 100 TB scale.
+  *
+  * All variants are pure DataFrame pipelines — hash/group/join shapes that
+  * Catalyst plans with map-side partial aggregation — and all hashing is
+  * md5-derived ([[TextOps.md5Hash60]]) so results are deterministic and
+  * replicable by any SQL engine (the correctness oracle recomputes them).
+  *
+  *  - exact: hash-groupBy on content digest.
+  *  - minhash + LSH: shingle → k minhashes → b bands → bucket-join for
+  *    candidate pairs. Scales as O(docs × shingles) + a skew-safe
+  *    self-join on band buckets (never all-pairs).
+  *  - simhash: 64-bit sign-aggregated token hashes; near-dup = small
+  *    Hamming distance, candidate generation by 16-bit chunk banding.
+  *  - n-gram Jaccard: exact pairwise Jaccard restricted to pairs sharing
+  *    ≥1 shingle (inverted-index join — sparse, not all-pairs).
+  *  - embedding cosine near-dup: see [[Similarity.cosinePairs]].
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct content, keeping the minimal id as
+    * representative plus the duplicate count. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("representative"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures: (id, seed, minhash) long-form, `numHashes` rows
+    * per document. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleK: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+    sh.select(col(idCol), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col(idCol), col("seed"),
+        TextOps.md5Hash60(col("shingle"), col("seed").cast("string")).as("h"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(col("h")).as("minhash"))
+  }
+
+  /** LSH banding over minhash signatures → candidate near-duplicate pairs
+    * (a < b). bands × rowsPerBand must equal numHashes of the signatures. */
+  def minhashLshPairs(signatures: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
+                      idCol: String = "doc_id"): DataFrame = {
+    val banded = signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      // deterministic band key: ':'-joined decimal minhashes in seed order
+      // (replicable in SQL as md5(string_agg(minhash, ':' ORDER BY seed)))
+      .agg(md5(concat_ws(":", transform(
+        sort_array(collect_list(struct(col("seed"), col("minhash")))),
+        x => x.getField("minhash").cast("string")))).as("band_key"))
+    val a = banded.select(col(idCol).as("a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Full minhash+LSH dedup: candidate pairs from banding. */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                 shingleK: Int = 3, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    minhashLshPairs(minhashSignatures(docs, numHashes, shingleK, textCol, idCol),
+      bands, numHashes / bands, idCol)
+
+  /** 64-bit SimHash per document: bit j of the signature is 1 iff the sum
+    * over tokens of ±1 (sign of bit j of the token's hash) is positive.
+    * Pure explode + aggregate pipeline (no UDF). */
+  def simhash(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), TextOps.md5Hash60(col("tok"), 0).as("h"))
+    tok.select(col(idCol), col("h"),
+        explode(sequence(lit(0), lit(59))).as("bit"))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(expr("(shiftright(h, bit) & CAST(1 AS BIGINT)) * 2 - 1")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(expr(
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing at least one
+    * shingle (inverted-index join; sparse). Returns pairs with
+    * jaccard ≥ minJaccard. */
+  def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, minJaccard: Double = 0.2,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}

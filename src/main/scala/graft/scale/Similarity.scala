@@ -1,0 +1,107 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * - brute-force cosine top-k: exact baseline. The query side is small →
+  *   broadcast; the corpus side streams — one scan, no shuffle of the
+  *   corpus. Dot products are codegen'd `aggregate`/`zip_with` expressions
+  *   (no UDF; stays inside whole-stage codegen).
+  * - bucketed (IVF-style) variant: restrict the search to a coarse
+  *   partition (a cluster/bucket id column — any coarse quantizer works);
+  *   at 100 TB this turns a full-corpus scan into a partition-pruned one
+  *   when the bucket column is also the storage partition key.
+  * - cosine near-dup pairs: all pairs above a threshold within buckets
+  *   (never unrestricted all-pairs).
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns, computed in
+    * double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * `queries` is expected to be small (it is broadcast). Ties broken by
+    * ascending corpus id for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF-style bucketed top-k: same as [[bruteForceTopK]] but only corpus
+    * vectors in the same coarse bucket as the query are scored. */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                   bucketCol: String = "label", idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(bucketCol).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col(bucketCol).as("bucket"))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket ids (deterministic planes derived from
+    * md5 of (plane, dim) — engine-replicable). `numPlanes` sign bits →
+    * bucket in [0, 2^numPlanes). Candidate near-dups share a bucket. */
+  def lshBuckets(vectors: DataFrame, numPlanes: Int = 8,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // plane p component for dim d: uniform in [-1,1) from md5Hash60(p:d)
+    val planeComponent = (p: Column, d: Column) =>
+      TextOps.md5Hash60(d.cast("string"), p.cast("string"))
+        .cast("double") / lit(1L << 59).cast("double") - 1.0
+    val withBits = vectors.select(col(idCol), col(vecCol),
+        explode(sequence(lit(0), lit(numPlanes - 1))).as("plane"))
+      .withColumn("dotp",
+        aggregate(zip_with(col(vecCol),
+            sequence(lit(0), size(col(vecCol)) - 1),
+            (x, d) => x.cast("double") * planeComponent(col("plane"), d)),
+          lit(0.0), (acc, x) => acc + x))
+    withBits
+      .groupBy(col(idCol))
+      .agg(sum(expr("CASE WHEN dotp > 0 THEN shiftleft(CAST(1 AS BIGINT), plane) ELSE CAST(0 AS BIGINT) END"))
+        .as("bucket"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
+    * restricted to a bucket column to avoid all-pairs. */
+  def cosinePairs(vectors: DataFrame, threshold: Double = 0.9,
+                  bucketCol: String = "label", idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("a"), col(vecCol).as("va"),
+      col(bucketCol).as("bucket"))
+    val b = vectors.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      col(bucketCol).as("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas._
+
+/** Structured Streaming counterparts of the batch analyses (SURVEY §1.4
+  * noted streaming as the natural extension; pipit itself is batch-only —
+  * these are graft's additions for live-trace pipelines).
+  *
+  * Input contract: a streaming DataFrame in canonical events shape with an
+  * additional `event_time: timestamp` column (trace ns mapped onto a
+  * wall-clock epoch, or real ingest time). All operators are watermarked,
+  * incremental, and shuffle on the same keys as their batch twins — the
+  * plan shape survives a 1000-executor deployment unchanged.
+  */
+object StreamingOps {
+
+  /** Streaming comm_over_time: per-tumbling-window send volume (size and
+    * count), grouped like the batch A3 but windowed on event time. */
+  def commOverTime(events: DataFrame, window: String = "10 seconds",
+                   watermark: String = "30 seconds"): DataFrame =
+    events
+      .filter(col(Name).isin(graft.analysis.CommOps.SendNames: _*))
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window))
+      .agg(sum(col(AttrMsgLength)).as("volume"), count(lit(1)).as("n_messages"))
+      .select(col("window.start").as("window_start"), col("volume"), col("n_messages"))
+
+  /** Streaming comm matrix deltas: (window, sender, receiver, volume). */
+  def commMatrix(events: DataFrame, window: String = "10 seconds",
+                 watermark: String = "30 seconds"): DataFrame =
+    events
+      .filter(col(Name).isin(graft.analysis.CommOps.SendNames: _*))
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window),
+        col(Process).as("sender"), col(AttrReceiver).as("receiver"))
+      .agg(sum(col(AttrMsgLength)).as("volume"))
+      .select(col("window.start").as("window_start"), col("sender"),
+        col("receiver"), col("volume"))
+
+  /** Gap-based session windows per process (the streaming twin of
+    * [[graft.analysis.Sessionize]]) via Spark's native session_window —
+    * state is managed by the engine, sessions close at watermark. */
+  def sessions(events: DataFrame, keyCol: String = Process,
+               gap: String = "30 minutes",
+               watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(AttrMsgLength)).as("volume"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"), col("volume"))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.{Dedup, Multimodal, Shingles, Similarity, TextOps}
+
+/** Behavior checks for the training-data-pipeline operators on planted
+  * inputs (the value-level cross-engine checks run via the DuckDB oracle;
+  * here we assert the *semantics*: planted duplicates are found, planted
+  * languages are recovered, stubs are deterministic). */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the very lazy dog again and again"), // near dup
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "another unrelated document mentioning matrices and kernels only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs).collect()
+    assert(d.length == 4)
+    val dup = d.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dup.getAs[Long]("representative") == 0L)
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs agree; unrelated docs differ") {
+    val h = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(0L) == h(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L), h(2L)) < hamming(h(0L), h(3L)))
+  }
+
+  test("ngram jaccard: dup pair 1.0, near-dup high, cross pairs absent") {
+    val p = Dedup.ngramJaccardPairs(docs, 3, 0.1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(p((0L, 1L)) == 1.0)
+    assert(p((0L, 2L)) > 0.3 && p((0L, 2L)) < 1.0)
+    assert(!p.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("fingerprint: equal docs share sketch; sketch size bounded") {
+    val fp = TextOps.fingerprint(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(fp(0L).map(_.getAs[Long]("fingerprint")).toSet ==
+      fp(1L).map(_.getAs[Long]("fingerprint")).toSet)
+    assert(fp.values.forall(_.length <= 8))
+  }
+
+  test("brute-force ann: self-similar vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.98f, 0.2f), 0),
+      (4L, Array(0.0f, 0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), 2)
+      .collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Double]("sim") > 0.99)
+    // bucketed variant restricted to label 0 never returns vec 4
+    val ivf = Similarity.bucketedTopK(vecs, vecs.filter($"vec_id" === 0L), 4)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!ivf.contains(4L))
+  }
+
+  test("cosine near-dup pairs: planted pair found within bucket") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.99f, 0.11f), 0),
+      (2L, Array(-1.0f, 0.5f), 0), (3L, Array(1.0f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosinePairs(vecs, 0.9).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs == Set((0L, 1L))) // cross-bucket (0,3) excluded by design
+  }
+
+  test("language id recovers planted languages") {
+    val labeled = Seq(
+      (0L, "the cat and the dog walk in the park with the children", "en"),
+      (1L, "el gato y el perro caminan en el parque con los ninos", "es"),
+      (2L, "the house and the garden are near the river and the trees", "en"),
+      (3L, "la casa y el jardin estan cerca del rio y los arboles", "es")
+    ).toDF("doc_id", "text", "lang")
+    val profiles = TextOps.learnLanguageProfiles(labeled, 100)
+    val pred = TextOps.languageId(labeled, profiles).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(pred(0L) == "en" && pred(2L) == "en")
+    assert(pred(1L) == "es" && pred(3L) == "es")
+  }
+
+  test("multimodal stub features are deterministic and schema-complete") {
+    val withPayload = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val f1 = Multimodal.extractFeatures(withPayload).select("doc_id", "features.*")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    val f2 = Multimodal.extractFeatures(withPayload).select("doc_id", "features.*")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+    assert(f1.forall(r => r.getAs[Int]("width") >= 640 && r.getAs[Double]("mean_luma") > 0))
+  }
+
+  test("shingles: k-token windows with clamped tail") {
+    val sh = Shingles.wordShingles(Seq((0L, "a b c d")).toDF("doc_id", "text"), 3)
+      .collect().map(_.getString(1)).toSeq
+    assert(sh == Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming operators driven through MemoryStream with
+  * processAllAvailable — verifies the incremental plans produce the same
+  * aggregates as their batch twins. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: Seq[(Long, String, Int, Int, Long)]) =
+    rows.toDF("t_ms", "name", "process", "attr_receiver", "attr_msg_length")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+
+  test("streaming comm_over_time windows match batch totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Int, Int, Long)]
+    val events = stream.toDF()
+      .toDF("t_ms", "name", "process", "attr_receiver", "attr_msg_length")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+
+    val q = StreamingOps.commOverTime(events, "10 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("cot").outputMode("update").start()
+    try {
+      stream.addData(
+        (1000L, "MpiSend", 0, 1, 100L), (2000L, "MpiSend", 1, 0, 200L),
+        (11000L, "MpiIsend", 0, 1, 50L), (12000L, "MpiRecv", 1, 0, 999L))
+      q.processAllAvailable()
+      val out = spark.table("cot").collect()
+        .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out(0L) == (300L, 2L))     // window [0,10s): two sends
+      assert(out(10000L) == (50L, 1L))  // recv excluded
+    } finally q.stop()
+  }
+
+  test("streaming sessions split on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Int, Int, Long)]
+    val events = stream.toDF()
+      .toDF("t_ms", "name", "process", "attr_receiver", "attr_msg_length")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+
+    val q = StreamingOps.sessions(events, "process", "5 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      // p0: two bursts 20s apart -> 2 sessions; p1: one burst
+      stream.addData(
+        (1000L, "a", 0, 0, 1L), (2000L, "a", 0, 0, 1L),
+        (30000L, "a", 0, 0, 1L),
+        (5000L, "a", 1, 0, 1L))
+      q.processAllAvailable()
+      val bySess = spark.table("sess").collect()
+        .groupBy(_.getAs[Int]("process")).view.mapValues(_.length).toMap
+      assert(bySess(0) == 2 && bySess(1) == 1)
+    } finally q.stop()
+  }
+}
