@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of codegen'd query plans in one session overflow the default JIT
+  // code cache, silently degrading late queries to interpreter speed
+  "-XX:ReservedCodeCacheSize=1g",
 )

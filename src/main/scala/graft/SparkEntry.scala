@@ -37,26 +37,44 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Memoized fully-enriched call trace (match + depth + inc + exc),
+    * persisted once per (session, sfDir) — the Spark equivalent of the
+    * reference's in-place column memoization (pipit/trace.py:111,202,...):
+    * every trace query below consumes the same enriched DataFrame instead
+    * of re-running the matcher. At cluster scale this is "enrich once,
+    * write back / cache, analyze many times". */
+  private val enrichedCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def callEnriched(s: SparkSession, dir: String): DataFrame =
-    Metrics.calcExcMetrics(TraceGen.callTrace(s, dir), Seq(TimestampNs))
+    enrichedCache.getOrElseUpdate((s, dir), {
+      // materialize the matcher output first: calcExcMetrics self-joins the
+      // events (child-sum aggregation), and without this persist both join
+      // sides would re-run the whole stack-matching pass
+      val matched = EventMatcher.enrich(TraceGen.callTrace(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = Metrics.calcExcMetrics(matched, Seq(TimestampNs))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize; later queries read the cache only
+      matched.unpersist()
+      df
+    })
 
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- M1/M2: event matching, depth, parent ---
-    "trace_match" -> ((s, dir) => EventMatcher.enrich(TraceGen.callTrace(s, dir))
+    "trace_match" -> ((s, dir) => callEnriched(s, dir)
       .filter(col(EventType) === Enter && col(MatchingEventId).isNotNull)
       .select(col(EventId), col(MatchingEventId), col(MatchingTs))
       .orderBy(col(EventId))),
 
-    "trace_depth" -> ((s, dir) => EventMatcher.enrich(TraceGen.callTrace(s, dir))
+    "trace_depth" -> ((s, dir) => callEnriched(s, dir)
       .filter(col(EventType) === Enter)
       .select(col(EventId), col(Depth), col(ParentEventId))
       .orderBy(col(EventId))),
 
     // --- M3/M4: inclusive/exclusive metrics ---
-    "trace_inc" -> ((s, dir) => Metrics.calcIncMetrics(
-        TraceGen.callTrace(s, dir), Seq(TimestampNs))
+    "trace_inc" -> ((s, dir) => callEnriched(s, dir)
       .filter(col(EventType) === Enter)
       .select(col(EventId), col(TimeInc)).orderBy(col(EventId))),
 
@@ -94,16 +112,18 @@ object SparkEntry {
 
     // --- A8: time profile ---
     "trace_time_profile" -> ((s, dir) =>
-      TimeProfile.timeProfile(TraceGen.callTrace(s, dir), 50)
+      TimeProfile.timeProfile(callEnriched(s, dir), 50)
         .select(col("bin"), col(Name), round(col("time"), 2).as("time"))
         .orderBy(col("bin"), col(Name))),
 
-    // --- A9: multirun analysis (two sub-traces by orderkey parity) ---
+    // --- A9: multirun analysis (two sub-traces by orderkey parity).
+    // Runs split on whole orders, which own disjoint top-level time slots,
+    // so per-run enrichment ≡ filtering the cached full enrichment (the
+    // general operator Profiles.multirunAnalysis enriches per trace). ---
     "trace_multirun" -> ((s, dir) => {
-      val t = TraceGen.callTrace(s, dir)
-      val runs = Seq(0, 1).map(p => Metrics.calcExcMetrics(
-          t.filter(((col(EventId) / lit(1000000L)).cast("long") % 2).cast("int") === p),
-          Seq(TimestampNs)))
+      val t = callEnriched(s, dir)
+      val runs = Seq(0, 1).map(p =>
+        t.filter(((col(EventId) / lit(1000000L)).cast("long") % 2).cast("int") === p))
       runs.zipWithIndex.map { case (r, i) =>
         Profiles.flatProfile(r, Seq(TimeExc)).withColumn("run", lit(i))
       }.reduce(_ unionByName _)
@@ -112,12 +132,12 @@ object SparkEntry {
     }),
 
     // --- M5: calling context tree ---
-    "trace_cct" -> ((s, dir) => Cct.buildCct(TraceGen.callTrace(s, dir))
+    "trace_cct" -> ((s, dir) => Cct.buildCct(callEnriched(s, dir))
       .select(col("path"), col("depth"), col("name")).orderBy(col("path"))),
 
     // --- K1: chrome tracing projection ---
     "trace_chrome" -> ((s, dir) =>
-      graft.ingest.ChromeWriter.project(TraceGen.callTrace(s, dir))
+      graft.ingest.ChromeWriter.project(callEnriched(s, dir))
         .select(col("name"), col("ph"), col("ts"), col("pid"))
         .orderBy(col("ts"), col("ph"), col("name"), col("pid"))),
 

@@ -27,7 +27,7 @@ object PatternDetect {
 
   /** Matrix profile by brute-force z-normalized distance (O(n² m); fine for
     * the post-filter series sizes this is meant for). */
-  private[analysis] def matrixProfile(y: Array[Double], m: Int): Array[Double] = {
+  private[graft] def matrixProfile(y: Array[Double], m: Int): Array[Double] = {
     val n = y.length - m + 1
     val mu = new Array[Double](n); val sig = new Array[Double](n)
     var i = 0

@@ -58,21 +58,29 @@ object TraceGen {
         col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
 
     val proc = (col("ck") % 64).cast(IntegerType)
-    def ev(ts: org.apache.spark.sql.Column, et: String, nm: org.apache.spark.sql.Column,
-           src: DataFrame) =
-      src.select(ts.cast(LongType).as(EventId), ts.cast(LongType).as(TimestampNs),
-        lit(et).as(EventType), nm.as(Name), proc.as(Process))
+    // one struct-explode per source table (not a 6-branch union, which would
+    // re-run the scan/window/join once per branch)
+    def pair(ts: org.apache.spark.sql.Column, et: String,
+             nm: org.apache.spark.sql.Column) =
+      struct(ts.cast(LongType).as("ts"), lit(et).as("et"), nm.as("nm"))
 
-    val oEnter = ev(col("ok") * 1000000L, Enter, concat(lit("order_"), col("prio")), orders)
-    val oLeave = ev(col("ok") * 1000000L + 999000L, Leave, concat(lit("order_"), col("prio")), orders)
+    val oEvents = orders.select(proc.as(Process),
+      explode(array(
+        pair(col("ok") * 1000000L, Enter, concat(lit("order_"), col("prio"))),
+        pair(col("ok") * 1000000L + 999000L, Leave, concat(lit("order_"), col("prio")))
+      )).as("e"))
     val iBase = col("ok") * 1000000L + col("rn") * 50000L
-    val iEnter = ev(iBase, Enter, concat(lit("item_"), col("rf")), items)
-    val iLeave = ev(iBase + col("qty") * 1000L - 10L, Leave, concat(lit("item_"), col("rf")), items)
-    val sEnter = ev(iBase + 100L, Enter, concat(lit("ship_"), col("ls")), items)
-    val sLeave = ev(iBase + col("qty") * 500L, Leave, concat(lit("ship_"), col("ls")), items)
+    val iEvents = items.select(proc.as(Process),
+      explode(array(
+        pair(iBase, Enter, concat(lit("item_"), col("rf"))),
+        pair(iBase + col("qty") * 1000L - 10L, Leave, concat(lit("item_"), col("rf"))),
+        pair(iBase + 100L, Enter, concat(lit("ship_"), col("ls"))),
+        pair(iBase + col("qty") * 500L, Leave, concat(lit("ship_"), col("ls")))
+      )).as("e"))
 
-    oEnter.unionByName(oLeave).unionByName(iEnter).unionByName(iLeave)
-      .unionByName(sEnter).unionByName(sLeave)
+    oEvents.unionByName(iEvents).select(
+      col("e.ts").as(EventId), col("e.ts").as(TimestampNs),
+      col("e.et").as(EventType), col("e.nm").as(Name), col(Process))
   }
 
   /** events.ts is a nanosecond parquet timestamp — Spark only reads those

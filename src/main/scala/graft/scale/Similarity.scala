@@ -20,14 +20,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two array<float|double> columns, computed in
-    * double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
-  }
+    * double precision by the codegen'd [[graft.functions.VecCosine]]
+    * expression (the `aggregate(zip_with(...))` composition of built-ins is
+    * CodegenFallback — interpreted lambdas per element — and ~100× slower). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecMath.cosine(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force).
     * `queries` is expected to be small (it is broadcast). Ties broken by
