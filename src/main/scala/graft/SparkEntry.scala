@@ -47,15 +47,11 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def callEnriched(s: SparkSession, dir: String): DataFrame =
     enrichedCache.getOrElseUpdate((s, dir), {
-      // materialize the matcher output first: calcExcMetrics self-joins the
-      // events (child-sum aggregation), and without this persist both join
-      // sides would re-run the whole stack-matching pass
-      val matched = EventMatcher.enrich(TraceGen.callTrace(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val df = Metrics.calcExcMetrics(matched, Seq(TimestampNs))
+      // the matcher emits matching/depth/parent AND time_inc/time_exc in its
+      // single pass, so full enrichment is one shuffle + one mapPartitions
+      val df = Metrics.calcExcMetrics(TraceGen.callTrace(s, dir), Seq(TimestampNs))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize; later queries read the cache only
-      matched.unpersist()
       df
     })
 

@@ -49,7 +49,14 @@ object EventMatcher {
     StructField(Depth, IntegerType, nullable = true),
     StructField(ParentEventId, LongType, nullable = true),
     StructField(PathHash, LongType, nullable = true),
-    StructField(ParentPathHash, LongType, nullable = true)
+    StructField(ParentPathHash, LongType, nullable = true),
+    // time metrics computed in the same pass: matching and parent links are
+    // already in hand, so inclusive time (leave ts − enter ts,
+    // pipit/trace.py:318-325) and exclusive time (inc − Σ direct children's
+    // inc, trace.py:357-363) cost nothing extra here — computing them later
+    // would need an aggregation shuffle plus a self-join over all events
+    StructField(TimeInc, LongType, nullable = true),
+    StructField(TimeExc, LongType, nullable = true)
   )
 
   /** FNV-1a 64-bit over UTF-8 bytes — stable, dependency-free name hash. */
@@ -146,9 +153,11 @@ object EventMatcher {
             i += 1
           }
 
-          // pass 2: depth/parent/path over matched rows (trace.py:193-292)
+          // pass 2: depth/parent/path + time metrics over matched rows
+          // (trace.py:193-292; inc/exc per trace.py:318-325,357-363)
           stack.clear()
           val pathStack = new ArrayBuffer[Long]()
+          val childIncSum = new Array[Long](n) // Σ direct children's inc per enter
           i = 0
           while (i < n) {
             if (matched(i)) {
@@ -156,9 +165,12 @@ object EventMatcher {
               if (et == Enter) {
                 depthArr(i) = stack.length
                 hasDepth(i) = true
+                val inc = matchTs(i) - rows(i).getLong(tsIdx)
                 if (stack.nonEmpty) {
-                  parentArr(i) = rows(stack.last).getLong(idIdx)
+                  val p = stack.last
+                  parentArr(i) = rows(p).getLong(idIdx)
                   hasParent(i) = true
+                  childIncSum(p) += inc
                 }
                 val parentHash = if (pathStack.isEmpty) RootHash else pathStack.last
                 if (pathStack.nonEmpty) { parentPathArr(i) = parentHash; hasParentPath(i) = true }
@@ -185,6 +197,11 @@ object EventMatcher {
               vals(b + 3) = if (hasParent(k)) Long.box(parentArr(k)) else null
               vals(b + 4) = if (isEnter) Long.box(pathArr(k)) else null
               vals(b + 5) = if (isEnter && hasParentPath(k)) Long.box(parentPathArr(k)) else null
+              if (isEnter) {
+                val inc = matchTs(k) - r.getLong(tsIdx)
+                vals(b + 6) = Long.box(inc)
+                vals(b + 7) = Long.box(inc - childIncSum(k))
+              }
             }
             new GenericRowWithSchema(vals, outSchema): Row
           }
