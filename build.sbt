@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}", // local mode: driver heap is the only memory knob
   // dozens of codegen'd query plans in one session overflow the default JIT
   // code cache, silently degrading late queries to interpreter speed
   "-XX:ReservedCodeCacheSize=1g",

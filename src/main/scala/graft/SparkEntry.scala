@@ -158,6 +158,26 @@ object SparkEntry {
       CommOps.messageHistogram(TraceGen.commTrace(s, dir), 20)
         .select(col("bin"), col("count")).orderBy(col("bin"))),
 
+    // --- S5: Nsight-style interval unpivot through the real reader path ---
+    "nsight_unpivot" -> ((s, dir) => {
+      val intervals = TraceGen.itemIntervals(s, dir)
+      graft.ingest.NsightReader.fromIntervals(intervals)
+        .orderBy(col(EventId))
+    }),
+
+    // --- A10: motif discovery (no SQL oracle; rows-only check) ---
+    "trace_pattern" -> ((s, dir) => {
+      val bounded = TraceGen.callTrace(s, dir)
+        .filter(col(EventId) < 2000L * 1000000L)
+      val patterns = graft.analysis.PatternDetect.detectPattern(
+        bounded, "order_1-URGENT", process = 1, metric = TimeExc)
+      if (patterns.isEmpty)
+        s.range(0).select(col("id").as("occurrence"), col("id").as(EventId))
+      else patterns.zipWithIndex.map { case (p, i) =>
+        p.select(lit(i).cast("int").as("occurrence"), col(EventId))
+      }.reduce(_ unionByName _).orderBy(col("occurrence"), col(EventId))
+    }),
+
     // --- relational coverage (Catalyst-planned aggregates/joins/windows) ---
     "q1_pricing" -> ((s, dir) => T(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -373,6 +393,18 @@ object SparkEntry {
         |  UNION ALL SELECT ship_name, 'E', CAST(s1 AS DOUBLE) / 1000, process FROM item
         |) ORDER BY ts, ph, name, pid""".stripMargin),
 
+    "nsight_unpivot" -> (callCte +
+      """, renum AS (
+        |  SELECT name, t0, t1,
+        |         CAST(DENSE_RANK() OVER (ORDER BY process * 10 + 3) - 1 AS INT) AS p
+        |  FROM item),
+        |ev AS (
+        |  SELECT t0 AS timestamp_ns, 'Enter' AS event_type, name, p FROM renum
+        |  UNION ALL SELECT t1, 'Leave', name, p FROM renum)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY timestamp_ns) - 1 AS BIGINT) AS event_id,
+        |       timestamp_ns, event_type, name, p AS process, CAST(0 AS INT) AS thread
+        |FROM ev ORDER BY event_id""".stripMargin),
+
     "comm_matrix" -> (commCte +
       """SELECT process AS sender, attr_receiver AS receiver,
         |       CAST(SUM(attr_msg_length) AS BIGINT) AS volume
@@ -506,16 +538,24 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY representative""".stripMargin,
 
     "minhash_sig" -> (shinglesCte +
-      """SELECT doc_id, seed,
-        |       MIN(CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
-        |FROM sh, generate_series(0, 15) g(seed)
+      """, hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh)
+        |SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |FROM hashed, generate_series(0, 15) g(seed)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "minhash_pairs" -> (shinglesCte +
-      """, sig AS (
-        |  SELECT doc_id, seed,
-        |         MIN(CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
-        |  FROM sh, generate_series(0, 15) g(seed) GROUP BY 1, 2),
+      """, hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |  FROM hashed, generate_series(0, 15) g(seed) GROUP BY 1, 2),
         |band AS (
         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
         |         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed)) AS band_key

@@ -83,6 +83,29 @@ object TraceGen {
       col("e.et").as(EventType), col("e.nm").as(Name), col(Process))
   }
 
+  /** Item spans as Nsight-style interval rows (name, start_ns, end_ns,
+    * pid, tid) — same derivation as the call trace's item level, with a
+    * scrambled pid (process·10+3) so the reader's dense-rank renumbering is
+    * actually exercised. */
+  def itemIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val itemRank = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+    table(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(itemRank).cast(LongType))
+      .join(orders, col("l_orderkey") === col("ok"))
+      .select(
+        concat(lit("item_"), col("l_returnflag")).as("name"),
+        (col("ok") * 1000000L + col("rn") * 50000L).as("start_ns"),
+        (col("ok") * 1000000L + col("rn") * 50000L +
+          col("l_quantity").cast(LongType) * 1000L - 10L).as("end_ns"),
+        ((col("ck") % 64) * 10 + 3).as("pid"),
+        lit(0L).as("tid"))
+  }
+
   /** events.ts is a nanosecond parquet timestamp — Spark only reads those
     * with the nanosAsLong legacy conf (as a ns Long, which is exactly the
     * canonical trace timestamp). Values are µs-aligned, so DuckDB's

@@ -17,7 +17,15 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val trace = Trace.fromCsv(spark, path).enriched
+    val trace0 = Trace.fromCsv(spark, path)
+    // optional canonical-Parquet round trip (the converter landing path)
+    val trace =
+      if (args.contains("--parquet")) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-demo-pq").toString
+        graft.ingest.ParquetTraceIO.write(trace0.events, dir)
+        println(s"=== round-tripped through canonical parquet at $dir ===")
+        Trace.fromParquet(spark, dir).enriched
+      } else trace0.enriched
     println("=== events (enriched) ===")
     trace.events.orderBy("process", "timestamp_ns").show(50, truncate = false)
     println("=== flat profile (time_exc, mean over processes) ===")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analysis.{CommOps, Profiles, TimeProfile, PatternDetect}
 import graft.cct.Cct
 import graft.enrich.{EventMatcher, Metrics}
-import graft.ingest.{ChromeWriter, CsvReader, NsightReader}
+import graft.ingest.{ChromeWriter, CsvReader, HpctoolkitReader, NsightReader, ParquetTraceIO, ProjectionsReader}
 
 /** User-facing trace container + method surface, mirroring the reference's
   * `Trace` API (pipit/trace.py:11; pipit/__init__.py:6-7 exports `Trace`).
@@ -73,6 +73,14 @@ object Trace {
     Trace(NsightReader.read(spark, path))
   def fromIntervals(intervals: DataFrame): Trace =
     Trace(NsightReader.fromIntervals(intervals))
+  def fromProjections(spark: SparkSession, dir: String): Trace =
+    Trace(ProjectionsReader.read(spark, dir))
+  def fromHpctoolkit(spark: SparkSession, dir: String): Trace =
+    Trace(HpctoolkitReader.read(spark, dir))
+  /** Canonical-Parquet ingest — the landing path for offline converters
+    * (e.g. OTF2→Parquet; see [[graft.ingest.ParquetTraceIO]]). */
+  def fromParquet(spark: SparkSession, path: String): Trace =
+    Trace(ParquetTraceIO.read(spark, path))
 
   def multirunAnalysis(traces: Seq[Trace], metric: String = Schemas.TimeExc,
                        groupCol: String = Schemas.Name): DataFrame =

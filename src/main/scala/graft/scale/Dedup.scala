@@ -30,16 +30,25 @@ object Dedup {
       .agg(min(col(idCol)).as("representative"), count(lit(1)).as("dup_count"))
 
   /** MinHash signatures: (id, seed, minhash) long-form, `numHashes` rows
-    * per document. */
+    * per document.
+    *
+    * One md5 per shingle, not per (shingle, seed): the Kirsch-Mitzenmacher
+    * construction g_i(x) = h1(x) + i·h2(x) derives the hash family from two
+    * independent halves of a single digest (h1 = 60 bits, h2 = 56 bits, so
+    * h1 + 15·h2 < 2^61 never overflows a signed 64-bit value in any
+    * engine). Hashing is the dominant cost of minhash at corpus scale —
+    * this is a numHashes× reduction — and the arithmetic stays exactly
+    * replicable in SQL for the oracle. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleK: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
-    sh.select(col(idCol), col("shingle"),
+    val hashed = sh.select(col(idCol),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("shingle")), 17, 14), 16, 10).cast("long").as("h2"))
+    hashed.select(col(idCol), col("h1"), col("h2"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col(idCol), col("seed"),
-        TextOps.md5Hash60(col("shingle"), col("seed").cast("string")).as("h"))
       .groupBy(col(idCol), col("seed"))
-      .agg(min(col("h")).as("minhash"))
+      .agg(min(col("h1") + col("seed") * col("h2")).as("minhash"))
   }
 
   /** LSH banding over minhash signatures → candidate near-duplicate pairs

@@ -112,6 +112,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(f1.forall(r => r.getAs[Int]("width") >= 640 && r.getAs[Double]("mean_luma") > 0))
   }
 
+  test("lsh buckets: identical vectors share a bucket, orthogonal ones may not") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f, 0.8f)),
+      (1L, Array(1.0f, 0.2f, -0.3f, 0.8f)),   // identical to 0
+      (2L, Array(-1.0f, -0.2f, 0.3f, -0.8f))  // antipodal to 0
+    ).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(vecs, 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // antipodal flips every sign bit
+    assert((b(0L) ^ b(2L)) == 255L)
+  }
+
+  test("bpe-ish tokens split punctuation from word pieces") {
+    val toks = Seq((0L, "don't stop, world!")).toDF("doc_id", "text")
+      .select(TextOps.bpeishTokens($"text").as("t")).head().getSeq[String](0)
+    assert(toks == Seq("don", "'", "t", "stop", ",", "world", "!"))
+  }
+
   test("shingles: k-token windows with clamped tail") {
     val sh = Shingles.wordShingles(Seq((0L, "a b c d")).toDF("doc_id", "text"), 3)
       .collect().map(_.getString(1)).toSeq
