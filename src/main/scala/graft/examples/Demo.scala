@@ -17,7 +17,15 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val trace0 = Trace.fromCsv(spark, path)
+    val f = new java.io.File(path)
+    val trace0 =
+      if (f.isDirectory && f.listFiles().exists(_.getName.endsWith(".otf2")))
+        Trace.fromOtf2(spark, path)
+      else if (f.isDirectory && f.listFiles().exists(_.getName.endsWith(".sts")))
+        Trace.fromProjections(spark, path)
+      else if (f.isDirectory && new java.io.File(f, "meta.db").isFile)
+        Trace.fromHpctoolkit(spark, path)
+      else Trace.fromCsv(spark, path)
     // optional canonical-Parquet round trip (the converter landing path)
     val trace =
       if (args.contains("--parquet")) {

@@ -1,0 +1,24 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans of representative queries to
+  * audit pushdown / pruning / codegen / join strategies (see NOTES in the
+  * repo docs; the brief's ".explain until it's the plan you'd want"). */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (name <- args.drop(1).headOption.map(Seq(_)).getOrElse(
+        Seq("q1_pricing", "q3_topk", "comm_matrix", "trace_flat_profile",
+            "ann_topk", "minhash_sig", "trace_time_profile"))) {
+      println(s"\n=============== $name ===============")
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,234 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Schemas._
+
+/** OTF2 (Score-P) trace reader (SURVEY §2.1 S2).
+  *
+  * The reference delegates to the `otf2` Python bindings
+  * (pipit/readers/otf2_reader.py:13-524); no OTF2 JVM library exists in
+  * this environment, so this is a from-scratch decoder of the subset of
+  * the OTF2 on-disk format that carries the canonical event stream,
+  * reverse-engineered from the public format (Score-P/OTF2 is BSD and the
+  * archive layout is documented) and validated byte-for-byte against the
+  * reference's ping-pong fixture goldens:
+  *
+  *  - archive: `<name>.otf2` anchor, `<name>.def` global definitions,
+  *    `traces/<loc>.evt` + `traces/<loc>.def` per location;
+  *  - every file: 18-byte chunk header, then records
+  *    `[type u8][length u8 | 0xff + u64][payload]`;
+  *  - payload integers: `[n: u8][n bytes little-endian]` (0xff =
+  *    undefined), enum fields are raw u8;
+  *  - event files: record type 0x05 is a raw little-endian u64 timestamp
+  *    that applies to subsequent events; 0x0c/0x0d are Enter/Leave
+  *    (region), 0x0e MpiSend (receiver, communicator, tag, length),
+  *    0x12 MpiRecv (sender, communicator, tag, length),
+  *    0x53/0x54 ProgramBegin/ProgramEnd; unknown records are skipped by
+  *    length (they are not trace events);
+  *  - global defs: 0x05 ClockProperties (resolution, globalOffset,
+  *    traceLength), 0x0a String, 0x0f Region (name = 2nd field),
+  *    0x0e Location (name, type, #events, group), 0x0d LocationGroup.
+  *
+  * Timestamps are normalized exactly like the reference
+  * (otf2_reader.py:467-471): (ticks − globalOffset) · 1e9 / resolution.
+  * Per-location clock-offset interpolation and local→global mapping
+  * tables are not applied (Score-P writes identity mappings for these;
+  * documented limitation).
+  *
+  * Spark shape: global defs are a small dimension → parsed on the driver,
+  * broadcast; one Spark task per location event file (the archive's
+  * natural sharding, same as the reference's per-location pool).
+  */
+object Otf2Reader {
+
+  // ---- low-level decoding --------------------------------------------
+
+  private def compressed(p: Array[Byte], j0: Int): (Long, Int) = {
+    val n = p(j0) & 0xff
+    if (n == 0xff) return (-1L, j0 + 1) // OTF2 "undefined"
+    var v = 0L
+    var i = 0
+    while (i < n) { v |= (p(j0 + 1 + i) & 0xffL) << (8 * i); i += 1 }
+    (v, j0 + 1 + n)
+  }
+
+  private def records(bytes: Array[Byte], isEvt: Boolean = false): Iterator[(Int, Array[Byte])] =
+    new Iterator[(Int, Array[Byte])] {
+      private var i = 18 // skip chunk header
+      override def hasNext: Boolean = i < bytes.length
+      override def next(): (Int, Array[Byte]) = {
+        val t = bytes(i) & 0xff
+        if (t == 0x05 && isEvt) { // timestamp: raw u64, no length byte
+          val p = java.util.Arrays.copyOfRange(bytes, i + 1, i + 9)
+          i += 9
+          (0x05, p)
+        } else {
+          var l = bytes(i + 1) & 0xff
+          var off = i + 2
+          if (l == 0xff) {
+            l = java.nio.ByteBuffer.wrap(bytes, i + 2, 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+            off = i + 10
+          }
+          val p = java.util.Arrays.copyOfRange(bytes, off, off + l)
+          i = off + l
+          (t, p)
+        }
+      }
+    }
+
+  /** Region ref in Enter/Leave payloads: length-delimited record makes the
+    * count byte redundant for single-field records, so Score-P writes the
+    * minimal form — accept both `[value-bytes]` (whole payload) and
+    * `[n][bytes]`. */
+  private def regionRef(p: Array[Byte]): Long = {
+    if (p.length > 1 && (p(0) & 0xff) == p.length - 1) compressed(p, 0)._1
+    else {
+      var v = 0L; var i = 0
+      while (i < p.length) { v |= (p(i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+  }
+
+  // ---- global definitions --------------------------------------------
+
+  case class Otf2Meta(regionNames: Map[Long, String],
+                      locations: Seq[(Long, Long)], // (location ref, group/rank)
+                      resolution: Long, globalOffset: Long) extends Serializable
+
+  private[ingest] def parseGlobalDefs(path: String): Otf2Meta = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val strings = mutable.Map[Long, String]()
+    val regions = mutable.Map[Long, Long]()
+    val locations = mutable.ArrayBuffer[(Long, Long)]()
+    var resolution = 1L; var offset = 0L
+    for ((t, p) <- records(bytes)) t match {
+      case 0x0a => // String: [ref][chars...\0]
+        val (ref, j) = compressed(p, 0)
+        strings(ref) = new String(p, j, p.length - j - 1, "UTF-8")
+      case 0x0f => // Region: [ref][name][...]
+        val (ref, j) = compressed(p, 0)
+        val (name, _) = compressed(p, j)
+        regions(ref) = name
+      case 0x0e => // Location: [ref][name][type u8][#events][group]
+        val (ref, j0) = compressed(p, 0)
+        val (_, j1) = compressed(p, j0)
+        val j2 = j1 + 1 // type enum (raw u8)
+        val (_, j3) = compressed(p, j2)
+        val (grp, _) = compressed(p, j3)
+        locations += ((ref, grp))
+      case 0x05 => // ClockProperties: [resolution][globalOffset][traceLength]
+        val (res, j) = compressed(p, 0)
+        val (off, _) = compressed(p, j)
+        resolution = res; offset = off
+      case _ =>
+    }
+    Otf2Meta(regions.map { case (r, nameRef) =>
+      r -> strings.getOrElse(nameRef, s"region_$r") }.toMap,
+      locations.toSeq.sortBy(_._1), resolution, offset)
+  }
+
+  // ---- events ---------------------------------------------------------
+
+  private val outSchema = StructType(Seq(
+    StructField("loc", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField(TimestampNs, LongType, nullable = false),
+    StructField(EventType, StringType, nullable = false),
+    StructField(Name, StringType, nullable = false),
+    StructField(Process, IntegerType, nullable = false),
+    StructField(Thread, IntegerType, nullable = false),
+    StructField(Attributes, MapType(StringType, StringType), nullable = true),
+    StructField(AttrReceiver, IntegerType, nullable = true),
+    StructField(AttrMsgLength, LongType, nullable = true)
+  ))
+
+  private[ingest] def parseEvents(meta: Otf2Meta, bytes: Array[Byte],
+                                  loc: Long, process: Int, thread: Int): Iterator[Row] = {
+    def toNs(ticks: Long): Long =
+      ((ticks - meta.globalOffset).toDouble * 1e9 / meta.resolution).toLong
+    var ts = 0L
+    var seq = 0L
+    def row(et: String, nm: String, attrs: Map[String, String] = null,
+            recv: Integer = null, msgLen: java.lang.Long = null): Row = {
+      seq += 1
+      Row(loc, seq, toNs(ts), et, nm, process, thread, attrs, recv, msgLen)
+    }
+    records(bytes, isEvt = true).flatMap { case (t, p) =>
+      t match {
+        case 0x05 =>
+          ts = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+          Nil
+        case 0x0c =>
+          Seq(row(Enter, meta.regionNames.getOrElse(regionRef(p), "unknown")))
+        case 0x0d =>
+          Seq(row(Leave, meta.regionNames.getOrElse(regionRef(p), "unknown")))
+        case 0x0e => // MpiSend: [receiver][communicator][tag][length]
+          val (recv, j0) = compressed(p, 0)
+          val (comm, j1) = compressed(p, j0)
+          val (tag, j2) = compressed(p, j1)
+          val (len, _) = compressed(p, j2)
+          Seq(row(Instant, "MpiSend",
+            Map("receiver" -> recv.toString, "communicator" -> comm.toString,
+              "msg_tag" -> tag.toString, "msg_length" -> len.toString),
+            Int.box(recv.toInt), Long.box(len)))
+        case 0x12 => // MpiRecv: [sender][communicator][tag][length]
+          val (send, j0) = compressed(p, 0)
+          val (comm, j1) = compressed(p, j0)
+          val (tag, j2) = compressed(p, j1)
+          val (len, _) = compressed(p, j2)
+          Seq(row(Instant, "MpiRecv",
+            Map("sender" -> send.toString, "communicator" -> comm.toString,
+              "msg_tag" -> tag.toString, "msg_length" -> len.toString),
+            null, Long.box(len)))
+        case 0x53 => // ProgramBegin: [name][#args][args...]
+          Seq(row(Instant, "ProgramBegin"))
+        case 0x54 => // ProgramEnd: [exitStatus]
+          Seq(row(Instant, "ProgramEnd"))
+        case _ => Nil // non-event records (buffer markers, measurement state)
+      }
+    }
+  }
+
+  /** Read an OTF2 archive directory (containing `<name>.otf2`,
+    * `<name>.def`, `traces/<loc>.evt`) into canonical events. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val d = new java.io.File(dir)
+    val anchor = d.listFiles().find(_.getName.endsWith(".otf2"))
+      .getOrElse(throw new IllegalArgumentException(s"no .otf2 anchor in $dir"))
+    val base = anchor.getName.stripSuffix(".otf2")
+    val meta = parseGlobalDefs(s"$dir/$base.def")
+    val metaBc = spark.sparkContext.broadcast(meta)
+
+    // process = location group (MPI rank); thread = location renumbered
+    // within its group (otf2_reader.py:282-290)
+    val byGroup = meta.locations.groupBy(_._2)
+    val threadOf: Map[Long, Int] = byGroup.values.flatMap { locs =>
+      locs.map(_._1).sorted.zipWithIndex.map { case (l, i) => l -> i }
+    }.toMap
+    val locSpecs = meta.locations.map { case (loc, grp) =>
+      (loc, grp.toInt, threadOf(loc), s"$dir/traces/$loc.evt")
+    }
+
+    val rows = spark.sparkContext
+      .parallelize(locSpecs.toIndexedSeq, math.max(locSpecs.size, 1))
+      .flatMap { case (loc, proc, thr, path) =>
+        val bytes = Files.readAllBytes(Paths.get(path))
+        parseEvents(metaBc.value, bytes, loc, proc, thr)
+      }
+
+    spark.createDataFrame(rows, outSchema)
+      .withColumn(EventId, row_number().over(
+        Window.orderBy(col(TimestampNs), col("loc"), col("seq"))).cast(LongType) - 1)
+      .select(col(EventId), col(TimestampNs), col(EventType), col(Name),
+        col(Process), col(Thread), col(Attributes), col(AttrReceiver), col(AttrMsgLength))
+  }
+}

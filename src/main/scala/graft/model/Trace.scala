@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analysis.{CommOps, Profiles, TimeProfile, PatternDetect}
 import graft.cct.Cct
 import graft.enrich.{EventMatcher, Metrics}
-import graft.ingest.{ChromeWriter, CsvReader, HpctoolkitReader, NsightReader, ParquetTraceIO, ProjectionsReader}
+import graft.ingest.{ChromeWriter, CsvReader, HpctoolkitReader, NsightReader, Otf2Reader, ParquetTraceIO, ProjectionsReader}
 
 /** User-facing trace container + method surface, mirroring the reference's
   * `Trace` API (pipit/trace.py:11; pipit/__init__.py:6-7 exports `Trace`).
@@ -75,6 +75,8 @@ object Trace {
     Trace(NsightReader.fromIntervals(intervals))
   def fromProjections(spark: SparkSession, dir: String): Trace =
     Trace(ProjectionsReader.read(spark, dir))
+  def fromOtf2(spark: SparkSession, dir: String): Trace =
+    Trace(Otf2Reader.read(spark, dir))
   def fromHpctoolkit(spark: SparkSession, dir: String): Trace =
     Trace(HpctoolkitReader.read(spark, dir))
   /** Canonical-Parquet ingest — the landing path for offline converters
