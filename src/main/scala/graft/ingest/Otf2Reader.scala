@@ -198,6 +198,57 @@ object Otf2Reader {
     }
   }
 
+  /** Global definition type names (public OTF2_GlobalDef enum — these ids
+    * independently confirm the reverse-engineered record codes above:
+    * STRING=10, LOCATION_GROUP=13, LOCATION=14, REGION=15 match what the
+    * fixture bytes decode as). */
+  private val defTypeNames: Map[Int, String] = Map(
+    5 -> "ClockProperties", 6 -> "Paradigm", 7 -> "ParadigmProperty",
+    8 -> "IoParadigm", 10 -> "String", 11 -> "Attribute",
+    12 -> "SystemTreeNode", 13 -> "LocationGroup", 14 -> "Location",
+    15 -> "Region", 16 -> "Callsite", 17 -> "Callpath", 18 -> "Group",
+    19 -> "MetricMember", 20 -> "MetricClass", 21 -> "MetricInstance",
+    22 -> "Comm", 23 -> "Parameter", 24 -> "RmaWin",
+    25 -> "MetricClassRecorder", 26 -> "SystemTreeNodeProperty",
+    27 -> "SystemTreeNodeDomain", 28 -> "LocationGroupProperty",
+    29 -> "LocationProperty", 30 -> "CartDimension", 31 -> "CartTopology",
+    32 -> "CartCoordinate", 33 -> "SourceCodeLocation",
+    34 -> "CallingContext", 35 -> "CallingContextProperty",
+    36 -> "InterruptGenerator", 37 -> "IoFileProperty", 38 -> "IoRegularFile",
+    39 -> "IoDirectory", 40 -> "IoHandle", 41 -> "IoPreCreatedHandleState",
+    42 -> "CallpathParameter")
+
+  /** Definitions table (the reference's `Trace.definitions`,
+    * otf2_reader.py:424-434): one row per global definition record with
+    * `(def_type, id, name)`; ids/names populated for the types this reader
+    * resolves, type names from the public enum. Buffer end markers
+    * (type 2) are not definitions. */
+  def definitions(spark: SparkSession, dir: String): DataFrame = {
+    val d = new java.io.File(dir)
+    val anchor = d.listFiles().find(_.getName.endsWith(".otf2"))
+      .getOrElse(throw new IllegalArgumentException(s"no .otf2 anchor in $dir"))
+    val base = anchor.getName.stripSuffix(".otf2")
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/$base.def"))
+    val meta = parseGlobalDefs(s"$dir/$base.def")
+    val rows = records(bytes).collect {
+      case (t, p) if t != 2 =>
+        val id = if (p.nonEmpty && (p(0) & 0xff) <= 8 && p.length > (p(0) & 0xff))
+          compressed(p, 0)._1 else -1L
+        val name = t match {
+          case 15 => meta.regionNames.getOrElse(id, null)
+          case 10 => // string: re-resolve inline
+            val (ref, j) = compressed(p, 0)
+            new String(p, j, p.length - j - 1, "UTF-8")
+          case _ => null
+        }
+        Row(defTypeNames.getOrElse(t, s"Unknown_$t"), id, name)
+    }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("def_type", StringType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true))))
+  }
+
   /** Read an OTF2 archive directory (containing `<name>.otf2`,
     * `<name>.def`, `traces/<loc>.evt`) into canonical events. */
   def read(spark: SparkSession, dir: String): DataFrame = {

@@ -46,6 +46,16 @@ class Otf2Spec extends SparkSpec {
     assert(count(0)(1) == 8L && count(1)(0) == 8L)
   }
 
+  test("definitions table: 533 records, 17 definition types") {
+    assume(available)
+    val defs = Otf2Reader.definitions(spark, fixture)
+    assert(defs.count() == 533)
+    assert(defs.select("def_type").distinct().count() == 17)
+    assert(defs.filter(col("def_type") === "Region").count() == 235)
+    assert(defs.filter(col("def_type") === "String").count() == 267)
+    assert(defs.filter(col("def_type") === "Location").count() == 2)
+  }
+
   test("timestamps strictly increasing in event order; matching clean") {
     assume(available)
     val ts = events.orderBy(col(EventId)).select(TimestampNs).collect().map(_.getLong(0))
