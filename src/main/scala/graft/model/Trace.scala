@@ -76,7 +76,8 @@ object Trace {
   def fromProjections(spark: SparkSession, dir: String): Trace =
     Trace(ProjectionsReader.read(spark, dir))
   def fromOtf2(spark: SparkSession, dir: String): Trace =
-    Trace(Otf2Reader.read(spark, dir))
+    Trace(Otf2Reader.read(spark, dir),
+      definitions = Some(Otf2Reader.definitions(spark, dir)))
   def fromHpctoolkit(spark: SparkSession, dir: String): Trace =
     Trace(HpctoolkitReader.read(spark, dir))
   /** Canonical-Parquet ingest — the landing path for offline converters

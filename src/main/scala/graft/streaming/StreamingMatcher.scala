@@ -1,0 +1,86 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Schemas._
+
+/** Streaming Enter/Leave matching — the stateful-streaming twin of the
+  * batch [[graft.enrich.EventMatcher]] (graft's extension; the reference
+  * is batch-only, SURVEY §2.6).
+  *
+  * Per-process state is the open-frame stack (function name, enter ts,
+  * enter id) — exactly the matcher's in-pass state, kept between
+  * micro-batches via `flatMapGroupsWithState`. On each Leave the matching
+  * Enter is popped with the reference's backward-scan tolerance and one
+  * *completed-call* record is emitted: (process, name, enter/leave ids and
+  * timestamps, depth at entry, inclusive ns). Exclusive time needs the
+  * children's inclusive sums, which close before their parent — the state
+  * carries per-frame child accumulators, so exc is exact too.
+  *
+  * Caveats of the streaming setting (documented, inherent): events must
+  * arrive in timestamp order per process (use a sorted source or
+  * micro-batch alignment); state size is O(open frames per process) =
+  * O(call depth).
+  */
+object StreamingMatcher {
+
+  case class InEvent(process: Int, event_id: Long, timestamp_ns: Long,
+                     event_type: String, name: String)
+  case class Frame(name: String, enterId: Long, enterTs: Long,
+                   var childInc: Long)
+  case class MatchState(stack: List[Frame])
+  case class CompletedCall(process: Int, name: String, enter_id: Long,
+                           leave_id: Long, enter_ts: Long, leave_ts: Long,
+                           depth: Int, time_inc: Long, time_exc: Long)
+
+  /** events: streaming DataFrame with canonical columns. Returns a stream
+    * of completed calls (append mode). */
+  def completedCalls(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(
+      col(Process).cast("int").as("process"),
+      col(EventId).cast("long").as("event_id"),
+      col(TimestampNs).cast("long").as("timestamp_ns"),
+      col(EventType).as("event_type"),
+      col(Name).as("name")).as[InEvent]
+
+    typed.groupByKey(_.process)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        processGroup)(Encoders.product[MatchState], Encoders.product[CompletedCall])
+      .toDF()
+  }
+
+  private[streaming] def processGroup(process: Int, events: Iterator[InEvent],
+                                      state: GroupState[MatchState]): Iterator[CompletedCall] = {
+    // restore the open-frame stack (top = head)
+    val stack = mutable.ArrayBuffer[Frame]()
+    state.getOption.foreach(s => stack ++= s.stack.reverse) // stored top-first
+    val out = mutable.ArrayBuffer[CompletedCall]()
+
+    for (e <- events.toSeq.sortBy(ev => (ev.timestamp_ns, ev.event_id))) {
+      e.event_type match {
+        case Enter =>
+          stack += Frame(e.name, e.event_id, e.timestamp_ns, 0L)
+        case Leave =>
+          // backward scan for the matching name (reference tolerance,
+          // pipit/trace.py:168-186); unmatched Leave is skipped
+          var j = stack.length - 1
+          while (j >= 0 && stack(j).name != e.name) j -= 1
+          if (j >= 0) {
+            val f = stack.remove(j)
+            val inc = e.timestamp_ns - f.enterTs
+            if (j > 0) stack(j - 1).childInc += inc // parent = frame below
+            out += CompletedCall(process, f.name, f.enterId, e.event_id,
+              f.enterTs, e.timestamp_ns, j, inc, inc - f.childInc)
+          }
+        case _ =>
+      }
+    }
+    state.update(MatchState(stack.reverseIterator.toList))
+    out.iterator
+  }
+}

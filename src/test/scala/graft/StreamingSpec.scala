@@ -38,6 +38,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming matcher emits completed calls with inc/exc across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, Long, String, String)]
+    val events = stream.toDF()
+      .toDF("process", "event_id", "timestamp_ns", "event_type", "name")
+
+    val q = graft.streaming.StreamingMatcher.completedCalls(events)
+      .writeStream.format("memory").queryName("calls").outputMode("append").start()
+    try {
+      // batch 1: main enters, child a enters+leaves — a completes, main open
+      stream.addData((0, 1L, 0L, "Enter", "main"), (0, 2L, 10L, "Enter", "a"),
+        (0, 3L, 30L, "Leave", "a"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("calls").collect()
+      assert(afterB1.length == 1 && afterB1.head.getAs[String]("name") == "a")
+      assert(afterB1.head.getAs[Long]("time_inc") == 20L)
+      assert(afterB1.head.getAs[Int]("depth") == 1)
+      // batch 2: main leaves — completes with exc = 100 − 20 (state carried)
+      stream.addData((0, 4L, 100L, "Leave", "main"))
+      q.processAllAvailable()
+      val calls = spark.table("calls").collect()
+        .map(r => r.getAs[String]("name") -> r).toMap
+      assert(calls("main").getAs[Long]("time_inc") == 100L)
+      assert(calls("main").getAs[Long]("time_exc") == 80L)
+      assert(calls("main").getAs[Int]("depth") == 0)
+    } finally q.stop()
+  }
+
   test("streaming sessions split on gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Int, Int, Long)]
