@@ -169,8 +169,10 @@ object SparkEntry {
     "trace_pattern" -> ((s, dir) => {
       val bounded = TraceGen.callTrace(s, dir)
         .filter(col(EventId) < 2000L * 1000000L)
+      // explicit iterations/window bound the O(n²·m) kernel regardless of SF
       val patterns = graft.analysis.PatternDetect.detectPattern(
-        bounded, "order_1-URGENT", process = 1, metric = TimeExc)
+        bounded, "order_1-URGENT", iterations = Some(5), windowSize = Some(50),
+        process = 1, metric = TimeExc)
       if (patterns.isEmpty)
         s.range(0).select(col("id").as("occurrence"), col("id").as(EventId))
       else patterns.zipWithIndex.map { case (p, i) =>

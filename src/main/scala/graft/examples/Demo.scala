@@ -26,6 +26,22 @@ object Demo {
       else if (f.isDirectory && new java.io.File(f, "meta.db").isFile)
         Trace.fromHpctoolkit(spark, path)
       else Trace.fromCsv(spark, path)
+    if (args.contains("--stream")) {
+      // live Structured Streaming drive: replay the trace through a file
+      // source and match it incrementally
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      trace0.events.write.mode("overwrite").json(dir)
+      val streamed = spark.readStream.schema(trace0.events.schema)
+        .option("maxFilesPerTrigger", "1").json(dir)
+      val q = graft.streaming.StreamingMatcher.completedCalls(streamed)
+        .writeStream.format("memory").queryName("live_calls")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      println("=== streaming matcher: completed calls ===")
+      spark.table("live_calls").orderBy("process", "enter_ts").show(50, truncate = false)
+      spark.stop(); return
+    }
+
     // optional canonical-Parquet round trip (the converter landing path)
     val trace =
       if (args.contains("--parquet")) {
