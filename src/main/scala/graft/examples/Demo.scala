@@ -65,6 +65,14 @@ object Demo {
     withCct.cct.get.orderBy("node_id").show(false)
     println("=== chrome projection ===")
     trace.chromeProjection.show(5, truncate = false)
+    if (trace.events.columns.contains(graft.model.Schemas.Attributes)) {
+      // demonstrate map-bag → typed-column promotion feeding the comm ops
+      import graft.model.Schemas._
+      val bagOnly = trace.events.drop(AttrReceiver, AttrMsgLength, AttrFromPe, AttrSendTime)
+      val promoted = graft.enrich.AttrPromote.promoteCommAttrs(bagOnly)
+      println("=== comm matrix (promoted from attributes bag) ===")
+      graft.analysis.CommOps.commMatrix(promoted).orderBy("sender", "receiver").show(false)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.AttrPromote
+import graft.model.Schemas._
+
+/** Driver-contract smoke: entry() on sf0.001 must return rows; attr
+  * promotion turns map-bag traces into comm-operator-ready columns. */
+class EntrySmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entry() returns rows on sf0.001") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("attr promotion lifts map keys to typed columns (comm ops ready)") {
+    val events = Seq(
+      (0L, 10L, Instant, "MpiSend", 0, Map("receiver" -> "3", "msg_length" -> "1024")),
+      (1L, 20L, Instant, "MpiSend", 1, Map("receiver" -> "0", "msg_length" -> "2048")),
+      (2L, 30L, Enter, "f", 0, null.asInstanceOf[Map[String, String]])
+    ).toDF(EventId, TimestampNs, EventType, Name, Process, Attributes)
+    val promoted = AttrPromote.promoteCommAttrs(events)
+    val cm = graft.analysis.CommOps.commMatrix(promoted).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cm == Map((0, 3) -> 1024L, (1, 0) -> 2048L))
+    // idempotent; enter row gets nulls
+    val again = AttrPromote.promoteCommAttrs(promoted)
+    assert(again.columns.count(_ == AttrReceiver) == 1)
+    assert(again.filter(col(EventType) === Enter).head().isNullAt(
+      again.schema.fieldIndex(AttrReceiver)))
+  }
+}
