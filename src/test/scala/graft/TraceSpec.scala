@@ -67,6 +67,23 @@ class TraceSpec extends SparkSpec {
     assert(inc(0, 3) == 2 * S && exc(0, 3) == 2 * S)     // leaf: exc == inc
   }
 
+  test("generic metric columns: inc = leave − enter, exc subtracts children") {
+    // PAPI-style counter riding on the events (monotonic per process):
+    // value = timestamp in µs, so metric inc/exc == time inc/exc ÷ 1000
+    import spark.implicits._
+    val withCounter = Trace.fromCsv(spark, resourcePath("foo-bar.csv")).events
+      .withColumn("papi_tot_ins", (col(TimestampNs) / 1000).cast("double"))
+    val t = graft.model.Trace(withCounter)
+      .calcExcMetrics(Seq("papi_tot_ins"))
+    val rows2 = t.events.collect().map(r => (
+      r.getAs[Int](Process), r.getAs[Long](TimestampNs), r.getAs[String](EventType)
+    ) -> r).toMap
+    def m(p: Int, ts: Long, c: String) = rows2((p, ts * S, Enter)).getAs[Double](c)
+    assert(m(0, 2, "papi_tot_ins_inc") == 24e9 / 1000)   // foo inc
+    assert(m(0, 2, "papi_tot_ins_exc") == 12e9 / 1000)   // foo exc
+    assert(m(1, 1, "papi_tot_ins_exc") == 26e9 / 1000)   // bar exc
+  }
+
   test("flat profile: mean over processes of per-process sums") {
     val fp = trace.flatProfile(Seq(TimeInc, TimeExc)).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
