@@ -1,7 +1,6 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,10 +52,7 @@ object CsvReader {
         col("__src_order")) ++
         extras.map(c => col(s"`$c`").cast(DoubleType).as(c)): _*)
 
-    canonical
-      .withColumn(EventId,
-        row_number().over(Window.orderBy(col(TimestampNs), col("__src_order")))
-          .cast(LongType) - 1)
+    Ingest.assignDenseIds(canonical, EventId, col(TimestampNs), col("__src_order"))
       .drop("__src_order")
       .select((Seq(EventId, TimestampNs, EventType, Name, Process) ++ extras).map(col): _*)
   }

@@ -6,7 +6,6 @@ import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -328,8 +327,7 @@ object HpctoolkitReader {
       }
 
     val df = spark.createDataFrame(rows, outSchema)
-    df.withColumn(EventId, row_number().over(
-        Window.orderBy(col(TimestampNs), col("line_idx"), col("seq"))).cast(LongType) - 1)
+    Ingest.assignDenseIds(df, EventId, col(TimestampNs), col("line_idx"), col("seq"))
       .select(col(EventId), col(TimestampNs), col(EventType), col(Name),
         col(Process), col(Thread), col("host"), col("core"),
         col("source_file"), col("source_line"), col("calling_context_id"))

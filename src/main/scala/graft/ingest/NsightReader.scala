@@ -1,7 +1,6 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,8 +12,15 @@ import graft.model.Schemas._
   * `PID`, `TID`; each row unpivots into an Enter and a Leave event
   * (nsight_reader.py:58-70). PID→Process and TID→Thread are renumbered to
   * dense 0..n-1 ids (PID globally, TID within each PID;
-  * nsight_reader.py:28-56) — `dense_rank()` windows. Result is globally
-  * sorted with dense event ids.
+  * nsight_reader.py:28-56). The distinct (pid, tid) set is tiny (ranks ×
+  * threads), so the renumbering is a driver-side map + broadcast join —
+  * not an unpartitioned `dense_rank` window, which would funnel all rows
+  * through one task.
+  *
+  * Tie-break at equal timestamps: Enter before Leave (`event_type` asc),
+  * then name. The reference's unstable pandas sort leaves this
+  * unspecified; Enter-first keeps zero-duration intervals matchable
+  * (a Leave ordered before its own Enter would leave both unmatched).
   */
 object NsightReader {
 
@@ -33,12 +39,23 @@ object NsightReader {
     * canonical Enter/Leave events. Exposed separately so any interval-shaped
     * DataFrame (not just Nsight CSV exports) can be lifted into a trace. */
   def fromIntervals(intervals: DataFrame): DataFrame = {
-    val renumbered = intervals
-      .withColumn(Process,
-        (dense_rank().over(Window.orderBy(col("pid"))) - 1).cast(IntegerType))
-      .withColumn(Thread,
-        (dense_rank().over(Window.partitionBy(col("pid")).orderBy(col("tid"))) - 1)
-          .cast(IntegerType))
+    val spark = intervals.sparkSession
+    import spark.implicits._
+
+    // dense pid→Process (global) and tid→Thread (within pid) renumbering:
+    // the distinct id set is bounded by #ranks × #threads — collect once,
+    // map on the driver, broadcast-join back (no global window).
+    val idPairs = intervals.select(col("pid"), col("tid")).distinct()
+      .as[(Long, Long)].collect()
+    val pidRank: Map[Long, Int] =
+      idPairs.map(_._1).distinct.sorted.zipWithIndex.toMap
+    val mapping = idPairs.groupBy(_._1).toSeq.flatMap { case (pid, pairs) =>
+      pairs.map(_._2).distinct.sorted.zipWithIndex.map { case (tid, tIdx) =>
+        (pid, tid, pidRank(pid), tIdx)
+      }
+    }.toDF("pid", "tid", Process, Thread)
+
+    val renumbered = intervals.join(broadcast(mapping), Seq("pid", "tid"))
 
     val unpivoted = renumbered.select(
       col("name"), col(Process), col(Thread),
@@ -49,10 +66,8 @@ object NsightReader {
         col("e." + EventType).as(EventType),
         col("name").as(Name), col(Process), col(Thread))
 
-    unpivoted
-      .withColumn(EventId,
-        row_number().over(Window.orderBy(col(TimestampNs), col(EventType).desc, col(Name)))
-          .cast(LongType) - 1)
+    Ingest.assignDenseIds(unpivoted, EventId,
+        col(TimestampNs), col(EventType), col(Name))
       .select(col(EventId), col(TimestampNs), col(EventType), col(Name),
         col(Process), col(Thread))
   }

@@ -5,7 +5,6 @@ import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -276,9 +275,8 @@ object Otf2Reader {
         parseEvents(metaBc.value, bytes, loc, proc, thr)
       }
 
-    spark.createDataFrame(rows, outSchema)
-      .withColumn(EventId, row_number().over(
-        Window.orderBy(col(TimestampNs), col("loc"), col("seq"))).cast(LongType) - 1)
+    Ingest.assignDenseIds(spark.createDataFrame(rows, outSchema),
+        EventId, col(TimestampNs), col("loc"), col("seq"))
       .select(col(EventId), col(TimestampNs), col(EventType), col(Name),
         col(Process), col(Thread), col(Attributes), col(AttrReceiver), col(AttrMsgLength))
   }

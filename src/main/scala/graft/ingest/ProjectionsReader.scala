@@ -239,9 +239,7 @@ object ProjectionsReader {
         lit(null).cast(LongType))
 
     val all = parsed.unionByName(lastPerPe.toDF(parsed.columns.toIndexedSeq: _*))
-    all
-      .withColumn(EventId, row_number().over(
-        Window.orderBy(col(TimestampNs), col("pe"), col("seq"))).cast(LongType) - 1)
+    Ingest.assignDenseIds(all, EventId, col(TimestampNs), col("pe"), col("seq"))
       .select(col(EventId), col(TimestampNs), col(EventType), col(Name),
         col("pe").cast(IntegerType).as(Process), col(Attributes),
         col(AttrFromPe), col(AttrMsgLength), col(AttrSendTime), col("attr_event_id"))
