@@ -29,10 +29,10 @@ object Metrics {
     * enrichment columns). */
   def numericMetricCols(events: DataFrame): Seq[String] = {
     val excluded = Set(EventId, Process, Thread, MatchingEventId, MatchingTs,
-      Depth, ParentEventId, PathHash, AttrReceiver, AttrMsgLength, AttrFromPe,
-      AttrSendTime)
+      Depth, ParentEventId, PathHash, ParentPathHash)
     events.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] && !excluded.contains(f.name) &&
+        !f.name.startsWith("attr_") && // promoted attribute/id columns
         !f.name.endsWith("_inc") && !f.name.endsWith("_exc") => f.name
     }.toSeq
   }

@@ -29,7 +29,10 @@ import graft.model.Schemas._
   *  - event files: record type 0x05 is a raw little-endian u64 timestamp
   *    that applies to subsequent events; 0x0c/0x0d are Enter/Leave
   *    (region), 0x0e MpiSend (receiver, communicator, tag, length),
-  *    0x12 MpiRecv (sender, communicator, tag, length),
+  *    0x12 MpiRecv (sender, communicator, tag, length), 0x0f/0x13
+  *    MpiIsend/MpiIrecv (same + requestID), 0x10/0x11 Isend-complete/
+  *    Irecv-request, 0x16/0x17 collective begin/end, 0x1f Metric
+  *    (type-tagged values, joined to the next same-tick event),
   *    0x53/0x54 ProgramBegin/ProgramEnd; unknown records are skipped by
   *    length (they are not trace events);
   *  - global defs: 0x05 ClockProperties (resolution, globalOffset,
@@ -101,13 +104,21 @@ object Otf2Reader {
 
   case class Otf2Meta(regionNames: Map[Long, String],
                       locations: Seq[(Long, Long)], // (location ref, group/rank)
-                      resolution: Long, globalOffset: Long) extends Serializable
+                      resolution: Long, globalOffset: Long,
+                      // PAPI/metric support (otf2_reader.py:204-231): column
+                      // order = members of the FIRST MetricClass (as the
+                      // reference takes `metric_members[0]`).
+                      metricNames: Seq[String] = Nil,
+                      metricClassMembers: Map[Long, Seq[Long]] = Map.empty,
+                      memberColIdx: Map[Long, Int] = Map.empty) extends Serializable
 
   private[ingest] def parseGlobalDefs(path: String): Otf2Meta = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val strings = mutable.Map[Long, String]()
     val regions = mutable.Map[Long, Long]()
     val locations = mutable.ArrayBuffer[(Long, Long)]()
+    val memberNameRef = mutable.LinkedHashMap[Long, Long]()
+    val classMembers = mutable.LinkedHashMap[Long, Seq[Long]]()
     var resolution = 1L; var offset = 0L
     for ((t, p) <- records(bytes)) t match {
       case 0x0a => // String: [ref][chars...\0]
@@ -128,16 +139,33 @@ object Otf2Reader {
         val (res, j) = compressed(p, 0)
         val (off, _) = compressed(p, j)
         resolution = res; offset = off
+      case 0x13 => // MetricMember: [ref][name][desc][type u8][mode u8][valueType u8][base u8][exp][unit]
+        val (ref, j0) = compressed(p, 0)
+        val (nameRef, _) = compressed(p, j0)
+        memberNameRef(ref) = nameRef
+      case 0x14 => // MetricClass: [ref][#members u8][member refs...][occurrence u8][recorderKind u8]
+        val (ref, j0) = compressed(p, 0)
+        val n = p(j0) & 0xff
+        var j = j0 + 1
+        val ms = (0 until n).map { _ =>
+          val (m, jn) = compressed(p, j); j = jn; m
+        }
+        classMembers(ref) = ms
       case _ =>
     }
+    // column order = first MetricClass's member order (otf2_reader.py:204-210)
+    val firstMembers = classMembers.headOption.map(_._2).getOrElse(Nil)
+    val names = firstMembers.map(m =>
+      strings.getOrElse(memberNameRef.getOrElse(m, -1L), s"metric_$m"))
     Otf2Meta(regions.map { case (r, nameRef) =>
       r -> strings.getOrElse(nameRef, s"region_$r") }.toMap,
-      locations.toSeq.sortBy(_._1), resolution, offset)
+      locations.toSeq.sortBy(_._1), resolution, offset,
+      names, classMembers.toMap, firstMembers.zipWithIndex.toMap)
   }
 
   // ---- events ---------------------------------------------------------
 
-  private val outSchema = StructType(Seq(
+  private def outSchema(metricNames: Seq[String]): StructType = StructType(Seq(
     StructField("loc", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField(TimestampNs, LongType, nullable = false),
@@ -148,7 +176,15 @@ object Otf2Reader {
     StructField(Attributes, MapType(StringType, StringType), nullable = true),
     StructField(AttrReceiver, IntegerType, nullable = true),
     StructField(AttrMsgLength, LongType, nullable = true)
-  ))
+  ) ++ metricNames.map(StructField(_, DoubleType, nullable = false)))
+
+  /** Decode one OTF2 metric value: type-tagged compressed u64
+    * (float/double are bit patterns, public OTF2_Type enum). */
+  private def metricValue(tpe: Int, raw: Long): Double = tpe match {
+    case 9  => java.lang.Float.intBitsToFloat(raw.toInt).toDouble
+    case 10 => java.lang.Double.longBitsToDouble(raw)
+    case _  => raw.toDouble // integer types (signed fit in the Long)
+  }
 
   private[ingest] def parseEvents(meta: Otf2Meta, bytes: Array[Byte],
                                   loc: Long, process: Int, thread: Int): Iterator[Row] = {
@@ -156,10 +192,22 @@ object Otf2Reader {
       ((ticks - meta.globalOffset).toDouble * 1e9 / meta.resolution).toLong
     var ts = 0L
     var seq = 0L
+    val nMetrics = meta.metricNames.size
+    // metric events are synchronous: their values attach to the next
+    // non-metric event at the SAME tick time, else NaN
+    // (otf2_reader.py:246-275)
+    var pendTicks = Long.MinValue
+    var pend: Array[Any] = null
+    val nanRow: Seq[Any] = Seq.fill(nMetrics)(Double.NaN)
     def row(et: String, nm: String, attrs: Map[String, String] = null,
             recv: Integer = null, msgLen: java.lang.Long = null): Row = {
       seq += 1
-      Row(loc, seq, toNs(ts), et, nm, process, thread, attrs, recv, msgLen)
+      val metrics =
+        if (nMetrics == 0) Nil
+        else if (pend != null && pendTicks == ts) { val m = pend.toSeq; pend = null; m }
+        else { pend = null; nanRow }
+      Row.fromSeq(Seq(loc, seq, toNs(ts), et, nm, process, thread,
+        attrs, recv, msgLen) ++ metrics)
     }
     records(bytes, isEvt = true).flatMap { case (t, p) =>
       t match {
@@ -188,6 +236,63 @@ object Otf2Reader {
             Map("sender" -> send.toString, "communicator" -> comm.toString,
               "msg_tag" -> tag.toString, "msg_length" -> len.toString),
             null, Long.box(len)))
+        case 0x0f => // MpiIsend: [receiver][communicator][tag][length][requestID]
+          val (recv, j0) = compressed(p, 0)
+          val (comm, j1) = compressed(p, j0)
+          val (tag, j2) = compressed(p, j1)
+          val (len, j3) = compressed(p, j2)
+          val (req, _) = compressed(p, j3)
+          Seq(row(Instant, "MpiIsend",
+            Map("receiver" -> recv.toString, "communicator" -> comm.toString,
+              "msg_tag" -> tag.toString, "msg_length" -> len.toString,
+              "request_id" -> req.toString),
+            Int.box(recv.toInt), Long.box(len)))
+        case 0x13 => // MpiIrecv: [sender][communicator][tag][length][requestID]
+          val (send, j0) = compressed(p, 0)
+          val (comm, j1) = compressed(p, j0)
+          val (tag, j2) = compressed(p, j1)
+          val (len, j3) = compressed(p, j2)
+          val (req, _) = compressed(p, j3)
+          Seq(row(Instant, "MpiIrecv",
+            Map("sender" -> send.toString, "communicator" -> comm.toString,
+              "msg_tag" -> tag.toString, "msg_length" -> len.toString,
+              "request_id" -> req.toString),
+            null, Long.box(len)))
+        case 0x10 => // MpiIsendComplete: [requestID]
+          val (req, _) = compressed(p, 0)
+          Seq(row(Instant, "MpiIsendComplete", Map("request_id" -> req.toString)))
+        case 0x11 => // MpiIrecvRequest: [requestID]
+          val (req, _) = compressed(p, 0)
+          Seq(row(Instant, "MpiIrecvRequest", Map("request_id" -> req.toString)))
+        case 0x16 => // MpiCollectiveBegin (no payload fields)
+          Seq(row(Instant, "MpiCollectiveBegin"))
+        case 0x17 => // MpiCollectiveEnd: [collectiveOp u8][communicator][root][sizeSent][sizeReceived]
+          val op = p(0) & 0xff
+          val (comm, j1) = compressed(p, 1)
+          val (root, j2) = compressed(p, j1)
+          val (sent, j3) = compressed(p, j2)
+          val (recvd, _) = compressed(p, j3)
+          Seq(row(Instant, "MpiCollectiveEnd",
+            Map("collective_op" -> op.toString, "communicator" -> comm.toString,
+              "root" -> root.toString, "size_sent" -> sent.toString,
+              "size_received" -> recvd.toString)))
+        case 0x1f => // Metric: [classRef][#values u8][(type u8)(value)]...
+          val (classRef, j0) = compressed(p, 0)
+          val n = p(j0) & 0xff
+          var j = j0 + 1
+          val members = meta.metricClassMembers.getOrElse(classRef, Nil)
+          val vals = Array.fill[Any](nMetrics)(Double.NaN)
+          var k = 0
+          while (k < n) {
+            val tpe = p(j) & 0xff; j += 1
+            val (raw, jn) = compressed(p, j); j = jn
+            if (k < members.size)
+              meta.memberColIdx.get(members(k))
+                .foreach(ci => vals(ci) = metricValue(tpe, raw))
+            k += 1
+          }
+          pend = vals; pendTicks = ts
+          Nil
         case 0x53 => // ProgramBegin: [name][#args][args...]
           Seq(row(Instant, "ProgramBegin"))
         case 0x54 => // ProgramEnd: [exitStatus]
@@ -275,9 +380,10 @@ object Otf2Reader {
         parseEvents(metaBc.value, bytes, loc, proc, thr)
       }
 
-    Ingest.assignDenseIds(spark.createDataFrame(rows, outSchema),
+    Ingest.assignDenseIds(spark.createDataFrame(rows, outSchema(meta.metricNames)),
         EventId, col(TimestampNs), col("loc"), col("seq"))
-      .select(col(EventId), col(TimestampNs), col(EventType), col(Name),
-        col(Process), col(Thread), col(Attributes), col(AttrReceiver), col(AttrMsgLength))
+      .select((Seq(EventId, TimestampNs, EventType, Name,
+        Process, Thread, Attributes, AttrReceiver, AttrMsgLength) ++
+        meta.metricNames).map(col): _*)
   }
 }
