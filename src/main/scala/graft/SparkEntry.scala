@@ -261,7 +261,7 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
 
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.1)
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.1, maxShingleDf = 1000)
         .orderBy(col("a"), col("b"))),
 
     // --- similarity search ---
@@ -280,6 +280,10 @@ object SparkEntry {
     "emb_neardup" -> ((s, dir) =>
       Similarity.cosinePairs(T(s, dir, "embeddings"), 0.3)
         .orderBy(col("a"), col("b"))),
+
+    "lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(T(s, dir, "embeddings"), 8)
+        .orderBy(col("vec_id"))),
 
     // --- multimodal plumbing (stubbed decode; real schema/partitioning) ---
     "multimodal_features" -> ((s, dir) => {
@@ -582,10 +586,13 @@ object SparkEntry {
 
     "ngram_jaccard" -> (shinglesCte +
       """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY 1),
+        |kept AS (SELECT doc_id, shingle FROM dsh
+        |         WHERE shingle IN (SELECT shingle FROM dsh
+        |                           GROUP BY shingle HAVING COUNT(*) <= 1000)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-        |  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, jaccard FROM (
         |  SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
@@ -628,6 +635,19 @@ object SparkEntry {
         |  FROM embeddings x JOIN embeddings y
         |    ON x.label = y.label AND x.vec_id < y.vec_id)
         |WHERE sim >= 0.3 ORDER BY a, b""".stripMargin,
+
+    "lsh_buckets" ->
+      """WITH planes AS (
+        |  SELECT p.generate_series AS p, d.generate_series AS d,
+        |         CAST(CAST('0x' || substring(md5(p.generate_series || ':' || d.generate_series), 1, 15) AS BIGINT)
+        |              AS DOUBLE) / 576460752303423488 - 1.0 AS v
+        |  FROM generate_series(0, 7) p, generate_series(0, 63) d),
+        |dots AS (
+        |  SELECT e.vec_id, pl.p, SUM(e.embedding[pl.d + 1] * pl.v) AS dotp
+        |  FROM embeddings e, planes pl GROUP BY 1, 2)
+        |SELECT vec_id,
+        |       CAST(SUM(CASE WHEN dotp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |FROM dots GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     "multimodal_features" ->
       """WITH luma AS (

@@ -96,14 +96,31 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for pairs sharing at least one
     * shingle (inverted-index join; sparse). Returns pairs with
-    * jaccard ≥ minJaccard. */
+    * jaccard ≥ minJaccard.
+    *
+    * `maxShingleDf` caps the document frequency of shingles admitted to
+    * the join: a single stop-shingle shared by 10⁵ docs would contribute
+    * 10¹⁰ inverted-index join rows, so at corpus scale high-df shingles
+    * must be dropped (standard practice, analogous to stopword removal).
+    * Semantics with a cap: exact Jaccard over the capped shingle universe
+    * — set sizes and intersections both exclude stop-level shingles, so
+    * identical documents still score 1.0. Recall is lost only for pairs
+    * whose ONLY shared shingles are stop-level, which are overwhelmingly
+    * non-duplicates. Default (Int.MaxValue) disables the cap. */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, minJaccard: Double = 0.2,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
       .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("a"), col("shingle"))
-    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    val kept =
+      if (maxShingleDf == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select(col("shingle")),
+        Seq("shingle"), "leftsemi")
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = kept.select(col(idCol).as("a"), col("shingle"))
+    val b = kept.select(col(idCol).as("b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter

@@ -65,26 +65,36 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
-  /** Random-hyperplane LSH bucket ids (deterministic planes derived from
-    * md5 of (plane, dim) — engine-replicable). `numPlanes` sign bits →
-    * bucket in [0, 2^numPlanes). Candidate near-dups share a bucket. */
+  /** The plane-p, dim-d component of the deterministic random-hyperplane
+    * family: uniform in [-1, 1) from the first 15 hex digits of
+    * md5("p:d") — the same value any SQL engine computes, so LSH buckets
+    * are oracle-replicable. */
+  private[scale] def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0
+  }
+
+  /** Random-hyperplane LSH bucket ids: `numPlanes` sign bits → bucket in
+    * [0, 2^numPlanes). Candidate near-dups share a bucket.
+    *
+    * The planes are deterministic (md5-derived), so they are materialized
+    * ONCE on the driver (numPlanes × dim doubles) and embedded as array
+    * literals; each sign bit is one codegen'd [[graft.functions.VecDot]]
+    * over the embedding — a single fused scan, no explode, no interpreted
+    * `aggregate(zip_with(...))` lambdas (CodegenFallback, ~100× slower). */
   def lshBuckets(vectors: DataFrame, numPlanes: Int = 8,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // plane p component for dim d: uniform in [-1,1) from md5Hash60(p:d)
-    val planeComponent = (p: Column, d: Column) =>
-      TextOps.md5Hash60(d.cast("string"), p.cast("string"))
-        .cast("double") / lit(1L << 59).cast("double") - 1.0
-    val withBits = vectors.select(col(idCol), col(vecCol),
-        explode(sequence(lit(0), lit(numPlanes - 1))).as("plane"))
-      .withColumn("dotp",
-        aggregate(zip_with(col(vecCol),
-            sequence(lit(0), size(col(vecCol)) - 1),
-            (x, d) => x.cast("double") * planeComponent(col("plane"), d)),
-          lit(0.0), (acc, x) => acc + x))
-    withBits
-      .groupBy(col(idCol))
-      .agg(sum(expr("CASE WHEN dotp > 0 THEN shiftleft(CAST(1 AS BIGINT), plane) ELSE CAST(0 AS BIGINT) END"))
-        .as("bucket"))
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else vectors.select(size(col(vecCol))).head().getInt(0)
+    val bucket = (0 until numPlanes).map { p =>
+      val plane = array((0 until d).map(i => lit(planeComponent(p, i))): _*)
+      when(graft.functions.VecMath.dot(col(vecCol), plane) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.select(col(idCol), bucket.as("bucket"))
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,

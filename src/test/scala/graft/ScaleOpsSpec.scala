@@ -52,6 +52,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!p.keySet.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("ngram jaccard df cap: stop-shingle pairs dropped, work bounded") {
+    // 60 docs all sharing one stop-shingle; pairs exist ONLY through it
+    val skewed = (0L until 60L).map(i => (i, s"the quick fox token$i tail$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(skewed, 3, 0.05)
+    assert(uncapped.count() == 60L * 59 / 2) // quadratic blowup without cap
+    val capped = Dedup.ngramJaccardPairs(skewed, 3, 0.05, maxShingleDf = 10)
+    assert(capped.count() == 0) // stop-shingle excluded → no candidate pairs
+    // cap must not change found-pair scores: a true near-dup pair under the cap
+    val mixed = skewed.union(Seq((100L, "the quick fox token0 tail0"))
+      .toDF("doc_id", "text"))
+    val p = Dedup.ngramJaccardPairs(mixed, 3, 0.05, maxShingleDf = 10).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(p((0L, 100L)) == 1.0) // identical docs, exact jaccard survives cap
+  }
+
   test("fingerprint: equal docs share sketch; sketch size bounded") {
     val fp = TextOps.fingerprint(docs).collect()
       .groupBy(_.getAs[Long]("doc_id"))
