@@ -529,6 +529,29 @@ object SparkEntry {
         |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 4) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_langid" ->
+      """WITH grams AS (
+        |  SELECT doc_id, substring(text, i, 3) AS gram
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, GREATEST(length(text) - 2, 1))) AS i
+        |        FROM documents)),
+        |train AS (
+        |  SELECT d.lang, g.gram, COUNT(*) AS cnt
+        |  FROM grams g JOIN documents d USING (doc_id)
+        |  WHERE d.doc_id % 5 = 0 GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT gram, lang, CAST(cnt AS DOUBLE) / 200 AS weight
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |                    ORDER BY cnt DESC, gram) AS rn FROM train)
+        |  WHERE rn <= 200),
+        |scored AS (
+        |  SELECT g.doc_id, p.lang, SUM(p.weight) AS score
+        |  FROM grams g JOIN prof p USING (gram) GROUP BY 1, 2)
+        |SELECT doc_id, lang AS predicted_lang
+        |FROM (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, lang) AS rn FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "doc_fingerprint" -> (shinglesCte +
       """, hashed AS (
         |  SELECT DISTINCT doc_id,
