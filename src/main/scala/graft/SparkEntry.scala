@@ -165,18 +165,37 @@ object SparkEntry {
         .orderBy(col(EventId))
     }),
 
-    // --- A10: motif discovery (no SQL oracle; rows-only check) ---
+    // --- A10: motif discovery, verified against a planted ground truth ---
+    // A flat 1000-leaf trace under one root: leaf i runs for v_i ns, where
+    // v_i is an exact repeating 50-length pattern at i%200<50 (occurrences
+    // at 0,200,400,600,800) and md5-derived noise elsewhere. The time_exc
+    // series the kernel sees IS (v_i), so the motif set is relationally
+    // known and the oracle enumerates it — a full end-to-end check of
+    // matcher → exc metrics → matrix profile → motif extraction.
     "trace_pattern" -> ((s, dir) => {
-      val bounded = TraceGen.callTrace(s, dir)
-        .filter(col(EventId) < 2000L * 1000000L)
-      // explicit iterations/window bound the O(n²·m) kernel regardless of SF
+      val n = 1000
+      val idx = s.range(n).toDF("i")
+      val v = when(col("i") % 200 < 50,
+          lit(100L) + (col("i") % 200) * 37 % 83 * 10)
+        .otherwise(conv(substring(md5(concat(lit("p:"), col("i"))), 1, 15), 16, 10)
+          .cast("long") % 900 + 1)
+      val enters = idx.select((col("i") * 2 + 1).as(EventId),
+        ((col("i") + 1) * 1000).as(TimestampNs),
+        lit(Enter).as(EventType), lit("work").as(Name), lit(1).as(Process))
+      val leaves = idx.select((col("i") * 2 + 2).as(EventId),
+        ((col("i") + 1) * 1000 + v).as(TimestampNs),
+        lit(Leave).as(EventType), lit("work").as(Name), lit(1).as(Process))
+      val root = s.range(1).select(lit(0L).as(EventId), lit(0L).as(TimestampNs),
+          lit(Enter).as(EventType), lit("root").as(Name), lit(1).as(Process))
+        .union(s.range(1).select(lit(2L * n + 1), lit(1000L * (n + 2)),
+          lit(Leave), lit("root"), lit(1)))
+      val trace = root.union(enters).union(leaves)
       val patterns = graft.analysis.PatternDetect.detectPattern(
-        bounded, "order_1-URGENT", iterations = Some(5), windowSize = Some(50),
+        trace, "root", iterations = Some(5), windowSize = Some(50),
         process = 1, metric = TimeExc)
-      if (patterns.isEmpty)
-        s.range(0).select(col("id").as("occurrence"), col("id").as(EventId))
-      else patterns.zipWithIndex.map { case (p, i) =>
-        p.select(lit(i).cast("int").as("occurrence"), col(EventId))
+      patterns.zipWithIndex.map { case (p, i) =>
+        p.filter(col(EventType) === Enter)
+          .select(lit(i).cast("int").as("occurrence"), col(EventId))
       }.reduce(_ unionByName _).orderBy(col("occurrence"), col(EventId))
     }),
 
@@ -528,6 +547,14 @@ object SparkEntry {
         |              / GREATEST(len(regexp_split_to_array(trim(text), ' +')), 1)
         |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 4) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // planted motif: occurrences o=0..4 start at series position 200·o and
+    // cover 50 leaves; leaf i's Enter has event_id 2i+1 by construction
+    "trace_pattern" ->
+      """SELECT CAST(o.generate_series AS INT) AS occurrence,
+        |       CAST(2 * (200 * o.generate_series + j.generate_series) + 1 AS BIGINT) AS event_id
+        |FROM generate_series(0, 4) o, generate_series(0, 49) j
+        |ORDER BY occurrence, event_id""".stripMargin,
 
     "text_langid" ->
       """WITH grams AS (
