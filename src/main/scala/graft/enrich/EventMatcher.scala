@@ -86,9 +86,21 @@ object EventMatcher {
   def isEnriched(events: DataFrame): Boolean =
     events.columns.contains(MatchingEventId)
 
-  /** Idempotent (column-presence memoization, like pipit trace.py:111). */
+  /** Idempotent (column-presence memoization, like pipit trace.py:111).
+    *
+    * Dispatches on the `matcher_mode` option: "buffered" (default) holds
+    * one location in memory per task — the fast single-pass path;
+    * "bounded" runs [[enrichBounded]], which keeps only O(stack-depth)
+    * state and survives a pathological trace whose events are
+    * concentrated in one location. */
   def enrich(events: DataFrame): DataFrame = {
     if (isEnriched(events)) return events
+    if (graft.util.GraftConfig.getOption("matcher_mode") == "bounded")
+      enrichBounded(events)
+    else enrichBuffered(events)
+  }
+
+  private def enrichBuffered(events: DataFrame): DataFrame = {
     val schema = events.schema
     val hasThread = events.columns.contains(Thread)
     val outSchema = StructType(schema.fields ++ enrichmentColumns)
@@ -227,5 +239,116 @@ object EventMatcher {
         override def next(): Row = { advance(); out.next() }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Bounded-memory enrichment: identical output to the buffered path, but
+    * no task ever buffers a whole location. Two streaming passes with
+    * O(stack-depth) state plus two equi-joins on `event_id`:
+    *
+    *  1. matching pass — the Enter stack holds (name, id, ts) only; each
+    *     matched pair emits two (event_id → matching id/ts) records at the
+    *     Leave. Joined back to the events.
+    *  2. caller/callee pass over the match-joined rows — matched flags are
+    *     now known per row, so depth/parent/path/inc/exc stream with a
+    *     stack of per-Enter accumulators; each pop emits the popped
+    *     Enter's enrichment record. Joined back on the Enter's id.
+    *
+    * The extra shuffles are the price of boundedness; both joins are on
+    * the unique `event_id`, so they have no skew even when the trace
+    * does. Unmatched-heavy traces degrade to O(unmatched) stack entries
+    * (the reference has the same behavior). */
+  def enrichBounded(events: DataFrame): DataFrame = {
+    if (isEnriched(events)) return events
+    val schema = events.schema
+    val hasThread = events.columns.contains(Thread)
+    val locCols = if (hasThread) Seq(col(Process), col(Thread)) else Seq(col(Process))
+    val sortCols = locCols ++ Seq(col(TimestampNs), col(EventId))
+
+    // ---- pass 1: matching with O(stack) state -------------------------
+    val slim = events.select(locCols ++ Seq(col(EventId), col(TimestampNs),
+      col(EventType), col(Name)): _*)
+    val nLoc = locCols.length
+    val matchSchema = StructType(Seq(
+      StructField(EventId, LongType, nullable = false),
+      StructField(MatchingEventId, LongType, nullable = false),
+      StructField(MatchingTs, LongType, nullable = false)))
+    val matchInfo = slim.repartition(locCols: _*).sortWithinPartitions(sortCols: _*)
+      .mapPartitions { iter =>
+        var curKey: Seq[Any] = null
+        val stack = new ArrayBuffer[(String, Long, Long)]() // (name, id, ts)
+        iter.flatMap { r =>
+          val key = (0 until nLoc).map(r.get)
+          if (key != curKey) { curKey = key; stack.clear() }
+          val id = r.getLong(nLoc)
+          val ts = r.getLong(nLoc + 1)
+          r.getString(nLoc + 2) match {
+            case Enter =>
+              stack += ((r.getString(nLoc + 3), id, ts)); Nil
+            case Leave =>
+              val nm = r.getString(nLoc + 3)
+              var j = stack.length - 1
+              while (j >= 0 && stack(j)._1 != nm) j -= 1
+              if (j < 0) Nil
+              else {
+                val (_, eid, ets) = stack.remove(j)
+                Seq(Row(eid, id, ts), Row(id, eid, ets))
+              }
+            case _ => Nil
+          }
+        }
+      }(Encoders.row(matchSchema))
+
+    val withMatch = events.join(matchInfo, Seq(EventId), "left")
+
+    // ---- pass 2: caller/callee/path/metrics with O(depth) state -------
+    val slim2 = withMatch.select(locCols ++ Seq(col(EventId), col(TimestampNs),
+      col(EventType), col(Name), col(MatchingTs)): _*)
+    val enrichSchema = StructType(Seq(
+      StructField(EventId, LongType, nullable = false),
+      StructField(Depth, IntegerType, nullable = false),
+      StructField(ParentEventId, LongType, nullable = true),
+      StructField(PathHash, LongType, nullable = false),
+      StructField(ParentPathHash, LongType, nullable = true),
+      StructField(TimeInc, LongType, nullable = false),
+      StructField(TimeExc, LongType, nullable = false)))
+    final class Frame(val id: Long, val parent: Any, val path: Long,
+                      val parentPath: Any, val depth: Int, val inc: Long) {
+      var childIncSum: Long = 0L
+    }
+    val enrichInfo = slim2.repartition(locCols: _*).sortWithinPartitions(sortCols: _*)
+      .mapPartitions { iter =>
+        var curKey: Seq[Any] = null
+        val stack = new ArrayBuffer[Frame]()
+        iter.flatMap { r =>
+          val key = (0 until nLoc).map(r.get)
+          if (key != curKey) { curKey = key; stack.clear() }
+          if (r.isNullAt(nLoc + 4)) Nil // unmatched rows pass through
+          else r.getString(nLoc + 2) match {
+            case Enter =>
+              val id = r.getLong(nLoc)
+              val inc = r.getLong(nLoc + 4) - r.getLong(nLoc + 1)
+              val parentHash = if (stack.isEmpty) RootHash else stack.last.path
+              val f = new Frame(id,
+                if (stack.isEmpty) null else Long.box(stack.last.id),
+                mix(parentHash, fnv1a64(r.getString(nLoc + 3))),
+                if (stack.isEmpty) null else Long.box(parentHash),
+                stack.length, inc)
+              if (stack.nonEmpty) stack.last.childIncSum += inc
+              stack += f
+              Nil
+            case Leave => // matched stream is balanced: pop unconditionally
+              if (stack.isEmpty) Nil
+              else {
+                val f = stack.remove(stack.length - 1)
+                Seq(Row(f.id, f.depth, f.parent, f.path, f.parentPath,
+                  f.inc, f.inc - f.childIncSum))
+              }
+            case _ => Nil
+          }
+        }
+      }(Encoders.row(enrichSchema))
+
+    withMatch.join(enrichInfo, Seq(EventId), "left")
+      .select((schema.fieldNames ++ enrichmentColumns.map(_.name)).map(col).toIndexedSeq: _*)
   }
 }

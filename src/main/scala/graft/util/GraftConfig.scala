@@ -9,7 +9,12 @@ object GraftConfig {
     "log_level" -> Opt("INFO",
       v => Seq("DEBUG", "INFO", "WARN", "ERROR").contains(v)),
     "notebook_url" -> Opt("http://localhost:8888",
-      v => v.isInstanceOf[String] && v.asInstanceOf[String].startsWith("http"))
+      v => v.isInstanceOf[String] && v.asInstanceOf[String].startsWith("http")),
+    // "buffered": one in-memory pass per location (fast path; memory =
+    // O(events of the largest location)). "bounded": O(stack-depth) state
+    // with pair-record emission + join-back — survives pathological
+    // single-location traces at the cost of two extra shuffles.
+    "matcher_mode" -> Opt("buffered", v => Seq("buffered", "bounded").contains(v))
   )
 
   private val current = scala.collection.concurrent.TrieMap[String, Any]()
