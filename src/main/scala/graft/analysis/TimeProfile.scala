@@ -41,10 +41,15 @@ object TimeProfile {
                   normalized: Boolean = false): DataFrame = {
     val events = Metrics.calcIncMetrics(EventMatcher.enrich(events0), Seq(TimestampNs))
 
+    // bin edges span ALL events, but the process count is taken over Enter
+    // rows only (trace.py:651-661: `events` is pre-filtered to Enter before
+    // `Process.unique()`) — a rank with only Instant events must not
+    // inflate idle time or the normalization denominator
     val ext = events.agg(
       min(col(TimestampNs)).cast("double").as("lo"),
       max(col(TimestampNs)).cast("double").as("hi"),
-      countDistinct(col(Process)).cast("double").as("nproc"))
+      countDistinct(when(col(EventType) === Enter, col(Process)))
+        .cast("double").as("nproc"))
 
     val w = (col("hi") - col("lo")) / numBins
     val enters = events

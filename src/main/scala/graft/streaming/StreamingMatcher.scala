@@ -13,24 +13,32 @@ import graft.model.Schemas._
   * is batch-only, SURVEY §2.6).
   *
   * Per-process state is the open-frame stack (function name, enter ts,
-  * enter id) — exactly the matcher's in-pass state, kept between
-  * micro-batches via `flatMapGroupsWithState`. On each Leave the matching
-  * Enter is popped with the reference's backward-scan tolerance and one
-  * *completed-call* record is emitted: (process, name, enter/leave ids and
-  * timestamps, depth at entry, inclusive ns). Exclusive time needs the
-  * children's inclusive sums, which close before their parent — the state
-  * carries per-frame child accumulators, so exc is exact too.
+  * enter id, parent frame id) — exactly the matcher's in-pass state, kept
+  * between micro-batches via `flatMapGroupsWithState`. On each Leave the
+  * matching Enter is popped with the reference's backward-scan tolerance
+  * and one *completed-call* record is emitted: (process, name, enter/leave
+  * ids and timestamps, depth at entry, inclusive ns). Exclusive time needs
+  * the children's inclusive sums: each frame records its parent's id at
+  * Enter time (as the batch matcher does) and adds its inc to that frame
+  * at its own Leave — for balanced traces children close before parents,
+  * so exc matches the batch EventMatcher exactly.
   *
   * Caveats of the streaming setting (documented, inherent): events must
   * arrive in timestamp order per process (use a sorted source or
   * micro-batch alignment); state size is O(open frames per process) =
-  * O(call depth).
+  * O(call depth). For UNBALANCED traces (a Leave matching a non-top
+  * frame), a child can outlive its parent; its inc is then attributed to
+  * the nearest still-open ancestor frame (the batch matcher, with the
+  * whole trace in hand, attributes it to the already-closed parent —
+  * append-mode streaming cannot retract an emitted record, so the two
+  * diverge on this degenerate case by design).
   */
 object StreamingMatcher {
 
   case class InEvent(process: Int, event_id: Long, timestamp_ns: Long,
                      event_type: String, name: String)
   case class Frame(name: String, enterId: Long, enterTs: Long,
+                   parentEnterId: Long, // -1 = top-level (no parent)
                    var childInc: Long)
   case class MatchState(stack: List[Frame])
   case class CompletedCall(process: Int, name: String, enter_id: Long,
@@ -64,7 +72,9 @@ object StreamingMatcher {
     for (e <- events.toSeq.sortBy(ev => (ev.timestamp_ns, ev.event_id))) {
       e.event_type match {
         case Enter =>
-          stack += Frame(e.name, e.event_id, e.timestamp_ns, 0L)
+          // parent identity is fixed at Enter time, like the batch matcher
+          val parent = if (stack.isEmpty) -1L else stack.last.enterId
+          stack += Frame(e.name, e.event_id, e.timestamp_ns, parent, 0L)
         case Leave =>
           // backward scan for the matching name (reference tolerance,
           // pipit/trace.py:168-186); unmatched Leave is skipped
@@ -73,7 +83,12 @@ object StreamingMatcher {
           if (j >= 0) {
             val f = stack.remove(j)
             val inc = e.timestamp_ns - f.enterTs
-            if (j > 0) stack(j - 1).childInc += inc // parent = frame below
+            // credit inc to the recorded parent if still open; if it was
+            // closed by an unbalanced mid-stack Leave, fall back to the
+            // nearest open ancestor so Σ exc stays = Σ top-level inc
+            val p = stack.indexWhere(_.enterId == f.parentEnterId)
+            if (p >= 0) stack(p).childInc += inc
+            else if (j > 0) stack(j - 1).childInc += inc
             out += CompletedCall(process, f.name, f.enterId, e.event_id,
               f.enterTs, e.timestamp_ns, j, inc, inc - f.childInc)
           }

@@ -133,6 +133,22 @@ class TraceSpec extends SparkSpec {
     }
   }
 
+  test("time profile: an Instant-only process doesn't inflate idle time") {
+    // reference counts processes over Enter rows only (trace.py:651-661)
+    val extra = trace.events.limit(1).select(
+      (col(EventId) + 1000000L).as(EventId), col(TimestampNs),
+      org.apache.spark.sql.functions.lit(Instant).as(EventType),
+      org.apache.spark.sql.functions.lit("marker").as(Name),
+      org.apache.spark.sql.functions.lit(99).as(Process))
+    val base = trace.events.select(EventId, TimestampNs, EventType, Name, Process)
+    val tp0 = graft.analysis.TimeProfile.timeProfile(base, 10).collect()
+    val tp1 = graft.analysis.TimeProfile.timeProfile(base.union(extra), 10).collect()
+    def idleSum(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getString(3) == "idle_time").map(_.getDouble(4)).sum
+    assert(math.abs(idleSum(tp0) - idleSum(tp1)) < 1.0,
+      s"idle ${idleSum(tp0)} vs ${idleSum(tp1)}")
+  }
+
   test("time profile normalized: each bin sums to 1") {
     // reference divides by bin_size × #processes (trace.py:760), so the
     // per-bin total (functions + idle) normalizes to exactly 1
