@@ -8,7 +8,9 @@ import graft.model.Schemas._
 /** Chrome Tracing JSON sink (SURVEY §2.2 K1; pipit/writers/chrome_writer.py:4-50).
   *
   * Projects events to the Trace Event Format: `name`, `ph` (Enter→"B",
-  * Leave→"E", Instant→"i"), `ts` (ns→µs, double), `pid`, `tid`. The
+  * Leave→"E", Instant→"i"), `ts` (ns→µs, double), `pid`, `tid`, plus
+  * `args` from the event attribute bag when the trace carries one
+  * (chrome_writer.py:44-46 copies `Attributes` into `args`). The
   * projection is a pure columnar select — usable as a DataFrame (for tests
   * and oracles) or written as JSON lines.
   */
@@ -16,7 +18,7 @@ object ChromeWriter {
 
   def project(events: DataFrame): DataFrame = {
     val tid = if (events.columns.contains(Thread)) col(Thread) else col(Process)
-    events.select(
+    val base = Seq(
       col(Name).as("name"),
       when(col(EventType) === Enter, "B")
         .when(col(EventType) === Leave, "E")
@@ -24,6 +26,9 @@ object ChromeWriter {
       (col(TimestampNs).cast("double") / 1000.0).as("ts"),
       col(Process).as("pid"),
       tid.as("tid"))
+    val cols = if (events.columns.contains(Attributes))
+      base :+ col(Attributes).as("args") else base
+    events.select(cols: _*)
   }
 
   /** Write as a JSON-lines directory (Spark-native). For a single

@@ -215,7 +215,11 @@ object Otf2Reader {
           ts = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
           Nil
         case 0x0c =>
-          Seq(row(Enter, meta.regionNames.getOrElse(regionRef(p), "unknown")))
+          // Enter rows carry the attribute bag; Leave rows stay null so a
+          // pair's attributes aren't duplicated (otf2_reader.py:306-326)
+          val ref = regionRef(p)
+          Seq(row(Enter, meta.regionNames.getOrElse(ref, "unknown"),
+            Map("region" -> s"Region $ref")))
         case 0x0d =>
           Seq(row(Leave, meta.regionNames.getOrElse(regionRef(p), "unknown")))
         case 0x0e => // MpiSend: [receiver][communicator][tag][length]
@@ -224,7 +228,7 @@ object Otf2Reader {
           val (tag, j2) = compressed(p, j1)
           val (len, _) = compressed(p, j2)
           Seq(row(Instant, "MpiSend",
-            Map("receiver" -> recv.toString, "communicator" -> comm.toString,
+            Map("receiver" -> recv.toString, "communicator" -> s"Comm $comm",
               "msg_tag" -> tag.toString, "msg_length" -> len.toString),
             Int.box(recv.toInt), Long.box(len)))
         case 0x12 => // MpiRecv: [sender][communicator][tag][length]
@@ -233,7 +237,7 @@ object Otf2Reader {
           val (tag, j2) = compressed(p, j1)
           val (len, _) = compressed(p, j2)
           Seq(row(Instant, "MpiRecv",
-            Map("sender" -> send.toString, "communicator" -> comm.toString,
+            Map("sender" -> send.toString, "communicator" -> s"Comm $comm",
               "msg_tag" -> tag.toString, "msg_length" -> len.toString),
             null, Long.box(len)))
         case 0x0f => // MpiIsend: [receiver][communicator][tag][length][requestID]
@@ -243,7 +247,7 @@ object Otf2Reader {
           val (len, j3) = compressed(p, j2)
           val (req, _) = compressed(p, j3)
           Seq(row(Instant, "MpiIsend",
-            Map("receiver" -> recv.toString, "communicator" -> comm.toString,
+            Map("receiver" -> recv.toString, "communicator" -> s"Comm $comm",
               "msg_tag" -> tag.toString, "msg_length" -> len.toString,
               "request_id" -> req.toString),
             Int.box(recv.toInt), Long.box(len)))
@@ -254,7 +258,7 @@ object Otf2Reader {
           val (len, j3) = compressed(p, j2)
           val (req, _) = compressed(p, j3)
           Seq(row(Instant, "MpiIrecv",
-            Map("sender" -> send.toString, "communicator" -> comm.toString,
+            Map("sender" -> send.toString, "communicator" -> s"Comm $comm",
               "msg_tag" -> tag.toString, "msg_length" -> len.toString,
               "request_id" -> req.toString),
             null, Long.box(len)))
@@ -273,7 +277,7 @@ object Otf2Reader {
           val (sent, j3) = compressed(p, j2)
           val (recvd, _) = compressed(p, j3)
           Seq(row(Instant, "MpiCollectiveEnd",
-            Map("collective_op" -> op.toString, "communicator" -> comm.toString,
+            Map("collective_op" -> op.toString, "communicator" -> s"Comm $comm",
               "root" -> root.toString, "size_sent" -> sent.toString,
               "size_received" -> recvd.toString)))
         case 0x1f => // Metric: [classRef][#values u8][(type u8)(value)]...
@@ -324,9 +328,12 @@ object Otf2Reader {
 
   /** Definitions table (the reference's `Trace.definitions`,
     * otf2_reader.py:424-434): one row per global definition record with
-    * `(def_type, id, name)`; ids/names populated for the types this reader
-    * resolves, type names from the public enum. Buffer end markers
-    * (type 2) are not definitions. */
+    * `(def_type, id, name, attributes)`. The `attributes` bag mirrors the
+    * reference's per-definition field dict (fields_to_dict,
+    * otf2_reader.py:46-76) for every type this decoder parses; other
+    * types keep an empty bag. Definition references inside values use the
+    * reference's "<Type> <id>" string form. Buffer end markers (type 2)
+    * are not definitions. */
   def definitions(spark: SparkSession, dir: String): DataFrame = {
     val d = new java.io.File(dir)
     val anchor = d.listFiles().find(_.getName.endsWith(".otf2"))
@@ -334,23 +341,72 @@ object Otf2Reader {
     val base = anchor.getName.stripSuffix(".otf2")
     val bytes = Files.readAllBytes(Paths.get(s"$dir/$base.def"))
     val meta = parseGlobalDefs(s"$dir/$base.def")
+    val strings = mutable.Map[Long, String]()
+    records(bytes).foreach { case (t, p) =>
+      if (t == 10) {
+        val (ref, j) = compressed(p, 0)
+        strings(ref) = new String(p, j, p.length - j - 1, "UTF-8")
+      }
+    }
+    def str(ref: Long): String = strings.getOrElse(ref, s"String $ref")
     val rows = records(bytes).collect {
       case (t, p) if t != 2 =>
         val id = if (p.nonEmpty && (p(0) & 0xff) <= 8 && p.length > (p(0) & 0xff))
           compressed(p, 0)._1 else -1L
         val name = t match {
           case 15 => meta.regionNames.getOrElse(id, null)
-          case 10 => // string: re-resolve inline
+          case 10 =>
             val (ref, j) = compressed(p, 0)
             new String(p, j, p.length - j - 1, "UTF-8")
           case _ => null
         }
-        Row(defTypeNames.getOrElse(t, s"Unknown_$t"), id, name)
+        val attrs: Map[String, String] = t match {
+          case 5 => // ClockProperties: [resolution][globalOffset][traceLength]
+            val (res, j1) = compressed(p, 0)
+            val (off, j2) = compressed(p, j1)
+            val (len, _) = compressed(p, j2)
+            Map("timer_resolution" -> res.toString,
+              "global_offset" -> off.toString, "trace_length" -> len.toString)
+          case 10 => Map("name" -> name)
+          case 15 => // Region: [ref][name][canonical][...]
+            val (_, j1) = compressed(p, 0)
+            val (nameRef, j2) = compressed(p, j1)
+            val (canonRef, _) = compressed(p, j2)
+            Map("name" -> str(nameRef), "canonical_name" -> str(canonRef))
+          case 13 => // LocationGroup: [ref][name][type u8][systemTreeParent]
+            val (_, j1) = compressed(p, 0)
+            val (nameRef, j2) = compressed(p, j1)
+            val tpe = p(j2) & 0xff
+            val (parent, _) = compressed(p, j2 + 1)
+            Map("name" -> str(nameRef), "location_group_type" -> tpe.toString,
+              "system_tree_parent" -> s"SystemTreeNode $parent")
+          case 14 => // Location: [ref][name][type u8][#events][group]
+            val (_, j1) = compressed(p, 0)
+            val (nameRef, j2) = compressed(p, j1)
+            val tpe = p(j2) & 0xff
+            val (nEvents, j3) = compressed(p, j2 + 1)
+            val (grp, _) = compressed(p, j3)
+            Map("name" -> str(nameRef), "type" -> tpe.toString,
+              "number_of_events" -> nEvents.toString,
+              "location_group" -> s"LocationGroup $grp")
+          case 19 => // MetricMember: [ref][name][desc][...]
+            val (_, j1) = compressed(p, 0)
+            val (nameRef, j2) = compressed(p, j1)
+            val (descRef, _) = compressed(p, j2)
+            Map("name" -> str(nameRef), "description" -> str(descRef))
+          case 20 => // MetricClass: [ref][#members][members...]
+            val members = meta.metricClassMembers.getOrElse(id, Nil)
+            Map("members" ->
+              members.map(m => s"MetricMember $m").mkString("[", ", ", "]"))
+          case _ => Map.empty
+        }
+        Row(defTypeNames.getOrElse(t, s"Unknown_$t"), id, name, attrs)
     }.toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
       StructField("def_type", StringType, nullable = false),
       StructField("id", LongType, nullable = false),
-      StructField("name", StringType, nullable = true))))
+      StructField("name", StringType, nullable = true),
+      StructField(Attributes, MapType(StringType, StringType), nullable = false))))
   }
 
   /** Read an OTF2 archive directory (containing `<name>.otf2`,

@@ -56,6 +56,45 @@ class Otf2Spec extends SparkSpec {
     assert(defs.filter(col("def_type") === "Location").count() == 2)
   }
 
+  test("event attribute bags: Enter carries region, Leave null, sends typed") {
+    assume(available)
+    val enter = events.filter(col(EventType) === Enter).limit(1).collect()(0)
+    val eattrs = enter.getMap[String, String](enter.fieldIndex(Attributes))
+    assert(eattrs.keys.toSet == Set("region"))
+    assert(eattrs("region").startsWith("Region "))
+    assert(events.filter(col(EventType) === Leave &&
+      col(Attributes).isNotNull).count() == 0)
+    val send = events.filter(col(Name) === "MpiSend").limit(1).collect()(0)
+    val sattrs = send.getMap[String, String](send.fieldIndex(Attributes))
+    assert(sattrs("communicator").startsWith("Comm "))
+    assert(sattrs.contains("msg_tag") && sattrs.contains("msg_length"))
+  }
+
+  test("definitions attributes: location/clock/region bags resolved") {
+    assume(available)
+    val defs = Otf2Reader.definitions(spark, fixture).cache()
+    def attrsOf(r: org.apache.spark.sql.Row) =
+      r.getMap[String, String](r.fieldIndex(Attributes))
+    val loc0 = defs.filter(col("def_type") === "Location" && col("id") === 0)
+      .collect()(0)
+    assert(attrsOf(loc0) == Map("name" -> "Master thread", "type" -> "1",
+      "number_of_events" -> "60", "location_group" -> "LocationGroup 0"))
+    val clock = defs.filter(col("def_type") === "ClockProperties").collect()(0)
+    assert(attrsOf(clock)("timer_resolution").toLong > 0)
+    val main = defs.filter(col("def_type") === "Region" &&
+      col("name").startsWith("int main")).collect()(0)
+    assert(attrsOf(main)("name").startsWith("int main"))
+    defs.unpersist()
+  }
+
+  test("chrome projection of OTF2 events carries args from attributes") {
+    assume(available)
+    val chrome = graft.ingest.ChromeWriter.project(events)
+    assert(chrome.columns.contains("args"))
+    val b = chrome.filter(col("ph") === "B").limit(1).collect()(0)
+    assert(b.getMap[String, String](b.fieldIndex("args")).contains("region"))
+  }
+
   test("timestamps strictly increasing in event order; matching clean") {
     assume(available)
     val ts = events.orderBy(col(EventId)).select(TimestampNs).collect().map(_.getLong(0))
