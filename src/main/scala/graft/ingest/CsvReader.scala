@@ -38,8 +38,14 @@ object CsvReader {
       if (hasSeconds) (col(tsCol).cast(DoubleType) * 1e9).cast(LongType)
       else col(tsCol).cast(LongType)
 
+    // optional Thread column becomes part of the execution location
+    // (trace.py:121-126 branches matching on its presence); remaining
     // extra columns (metrics etc.) pass through as doubles
-    val extras = cols.filterNot(Seq(tsCol, "Event Type", "Name", "Process").contains)
+    val hasThread = cols.contains("Thread")
+    val threadCols =
+      if (hasThread) Seq(col("Thread").cast(IntegerType).as(Thread)) else Nil
+    val extras = cols.filterNot(
+      Seq(tsCol, "Event Type", "Name", "Process", "Thread").contains)
     // single select (a rename-then-drop pipeline would collide with Spark's
     // case-insensitive resolution: dropping "Name" also drops "name")
     val canonical = renamed
@@ -48,12 +54,14 @@ object CsvReader {
         ts.as(TimestampNs),
         col("`Event Type`").cast(StringType).as(EventType),
         col("Name").cast(StringType).as(Name),
-        col("Process").cast(IntegerType).as(Process),
-        col("__src_order")) ++
+        col("Process").cast(IntegerType).as(Process)) ++
+        threadCols ++ Seq(col("__src_order")) ++
         extras.map(c => col(s"`$c`").cast(DoubleType).as(c)): _*)
 
+    val ordered = Seq(EventId, TimestampNs, EventType, Name, Process) ++
+      (if (hasThread) Seq(Thread) else Nil) ++ extras
     Ingest.assignDenseIds(canonical, EventId, col(TimestampNs), col("__src_order"))
       .drop("__src_order")
-      .select((Seq(EventId, TimestampNs, EventType, Name, Process) ++ extras).map(col): _*)
+      .select(ordered.map(col): _*)
   }
 }

@@ -76,22 +76,27 @@ object Dedup {
     minhashLshPairs(minhashSignatures(docs, numHashes, shingleK, textCol, idCol),
       bands, numHashes / bands, idCol)
 
-  /** 64-bit SimHash per document: bit j of the signature is 1 iff the sum
+  /** 60-bit SimHash per document: bit j of the signature is 1 iff the sum
     * over tokens of ±1 (sign of bit j of the token's hash) is positive.
-    * Pure explode + aggregate pipeline (no UDF). */
+    *
+    * One token row per (doc, token) and ONE aggregation with 60 codegen'd
+    * per-bit sums — not an explode over bit positions, which would
+    * amplify the token stream 60× before the shuffle. Map-side partial
+    * aggregation reduces each partition to one 60-counter row per doc. */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol),
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col(idCol), TextOps.md5Hash60(col("tok"), 0).as("h"))
-    tok.select(col(idCol), col("h"),
-        explode(sequence(lit(0), lit(59))).as("bit"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(expr("(shiftright(h, bit) & CAST(1 AS BIGINT)) * 2 - 1")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(expr(
-        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    val bitSums = (0 until 60).map { j =>
+      sum(expr(s"(shiftright(h, $j) & CAST(1 AS BIGINT)) * 2 - 1")).as(s"s$j")
+    }
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing at least one

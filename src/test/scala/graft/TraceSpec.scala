@@ -30,6 +30,24 @@ class TraceSpec extends SparkSpec {
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
 
+  test("csv reader: optional Thread column scopes matching per (process, thread)") {
+    // same names interleaved on two threads of one process — matching must
+    // pair within a thread, not across (trace.py:121-126)
+    val csv = java.nio.file.Files.createTempFile("thr", ".csv")
+    java.nio.file.Files.writeString(csv,
+      """Timestamp (ns), Event Type, Name, Process, Thread
+        |0, Enter, f, 0, 0
+        |1, Enter, f, 0, 1
+        |2, Leave, f, 0, 0
+        |3, Leave, f, 0, 1
+        |""".stripMargin)
+    val df = graft.ingest.CsvReader.read(spark, csv.toString)
+    assert(df.columns.contains(Thread))
+    val e = graft.enrich.EventMatcher.enrich(df).collect()
+      .map(r => r.getAs[Long](EventId) -> r.getAs[Long](MatchingEventId)).toMap
+    assert(e(0L) == 2L && e(1L) == 3L) // within-thread pairing
+  }
+
   test("matching: enter/leave pairing is an involution with golden pairs") {
     def m(p: Int, ts: Long) = rows((p, ts * S, Enter)).getAs[Long](MatchingTs)
     assert(m(0, 0) == 100 * S)   // main p0
