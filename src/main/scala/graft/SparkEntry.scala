@@ -304,6 +304,18 @@ object SparkEntry {
       Similarity.lshBuckets(T(s, dir, "embeddings"), 8)
         .orderBy(col("vec_id"))),
 
+    "kmeans_assign" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.kmeansAssign(emb, Similarity.kmeansFit(emb))
+        .orderBy(col("vec_id"))
+    }),
+
+    "ann_ivf_learned" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- multimodal plumbing (stubbed decode; real schema/partitioning) ---
     "multimodal_features" -> ((s, dir) => {
       val withPayload = T(s, dir, "documents")
@@ -677,6 +689,25 @@ object SparkEntry {
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "kmeans_assign" -> (kmeansCte() +
+      "SELECT vec_id, cluster FROM assign ORDER BY vec_id"),
+
+    "ann_ivf_learned" -> (kmeansCte() +
+      """SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                CAST(xe.embedding AS DOUBLE[])) AS sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                           CAST(xe.embedding AS DOUBLE[])) DESC,
+        |                    x.vec_id) AS INT) AS rank
+        |  FROM assign q JOIN assign x
+        |    ON q.cluster = x.cluster AND q.vec_id != x.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+        |  JOIN embeddings xe ON xe.vec_id = x.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     "emb_neardup" ->
       """SELECT a, b, sim FROM (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
@@ -762,6 +793,33 @@ object SparkEntry {
       |SELECT bin, name, ROUND(CASE WHEN t < 0.01 THEN 0 ELSE t END, 2) AS time
       |FROM (SELECT * FROM perbin UNION ALL SELECT * FROM idle)
       |ORDER BY bin, name""".stripMargin
+
+  /** Oracle CTE replicating [[graft.scale.Similarity.kmeansFit]]: the
+    * deterministic Lloyd iterations unroll as CTE stages (assignment by
+    * euclidean distance with ties to the lowest cluster, per-dimension
+    * means, empty clusters keep their centroid); `assign` is the final
+    * nearest-centroid assignment. */
+  private def kmeansCte(k: Int = 8, iters: Int = 5, dim: Int = 64): String = {
+    def assignSql(c: String): String =
+      s"""(SELECT vec_id, j AS cluster FROM (
+         |  SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_distance(e.v, c.v), c.j) AS rn
+         |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    val sb = new StringBuilder
+    sb.append("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n")
+    sb.append(s"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, v\n")
+    sb.append(s"       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),\n")
+    for (i <- 0 until iters) {
+      sb.append(s"a$i AS ${assignSql(s"c$i")},\n")
+      sb.append(s"""u$i AS (SELECT cluster AS j, list(m ORDER BY d) AS v FROM (
+                   |  SELECT a.cluster, g.generate_series AS d, AVG(e.v[g.generate_series]) AS m
+                   |  FROM a$i a JOIN e USING (vec_id), generate_series(1, $dim) g
+                   |  GROUP BY 1, 2) GROUP BY 1),\n""".stripMargin)
+      sb.append(s"c${i + 1} AS (SELECT p.j, COALESCE(u.v, p.v) AS v FROM c$i p LEFT JOIN u$i u USING (j)),\n")
+    }
+    sb.append(s"assign AS ${assignSql(s"c$iters")}\n")
+    sb.toString
+  }
 
   /** Shared oracle CTE: word 3-shingles of documents (mirrors
     * [[graft.scale.Shingles.wordShingles]]: windows clamped like

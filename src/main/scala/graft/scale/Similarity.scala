@@ -97,6 +97,79 @@ object Similarity {
     vectors.select(col(idCol), bucket.as("bucket"))
   }
 
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer: init =
+    * the embeddings of the `k` smallest ids, a FIXED number of Lloyd
+    * iterations, squared-L2 assignment with ties to the lowest cluster
+    * id, empty clusters keep their previous centroid. Every choice is
+    * deterministic so the whole fit is replicable in SQL (the oracle
+    * unrolls the iterations as CTE stages).
+    *
+    * Scale shape: centroids are k×dim doubles — always driver-sized. Each
+    * iteration is one codegen'd assignment scan (k fused VecDot loops, no
+    * crossJoin) plus one groupBy(cluster) with per-dimension partial-agg
+    * means. Cost per iteration ≈ 2 corpus scans regardless of k. */
+  def kmeansFit(vectors: DataFrame, k: Int = 8, iterations: Int = 5,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                dim: Int = -1): Array[Array[Double]] = {
+    val d = if (dim > 0) dim
+      else vectors.select(size(col(vecCol))).head().getInt(0)
+    var cents = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dimAvgs = (0 until d).map(i =>
+      avg(element_at(col(vecCol), i + 1).cast("double")).as(s"m$i"))
+    for (_ <- 0 until iterations) {
+      val assigned = kmeansAssign(vectors, cents, idCol, vecCol)
+      val rows = vectors.join(assigned, idCol)
+        .groupBy(col("cluster")).agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        next(r.getInt(0)) = Array.tabulate(d)(i => r.getDouble(i + 1))
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment (the quantizer's map side): one fused
+    * scan — k codegen'd dot products per row, argmin via a `least` over
+    * (distance, cluster) structs (ties → lowest id). */
+  def kmeansAssign(vectors: DataFrame, centroids: Array[Array[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    // argmin_j ||x−c_j||² = argmin_j (||c_j||² − 2·x·c_j); ||x||² constant
+    val structs = centroids.zipWithIndex.map { case (c, j) =>
+      val dist = lit(c.map(x => x * x).sum) -
+        lit(2.0) * graft.functions.VecMath.dot(col(vecCol), array(c.map(lit).toIndexedSeq: _*))
+      struct(dist.as("d"), lit(j).as("j"))
+    }
+    vectors.select(col(idCol),
+      least(structs.toIndexedSeq: _*).getField("j").as("cluster"))
+  }
+
+  /** IVF top-k with a LEARNED coarse quantizer: fit k-means, bucket the
+    * corpus and queries by nearest centroid, then search only same-bucket
+    * candidates (one probe). Recall tradeoff is the standard IVF one. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              nClusters: Int = 8, iterations: Int = 5,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansFit(corpus, nClusters, iterations, idCol, vecCol)
+    val c = corpus.join(kmeansAssign(corpus, cents, idCol, vecCol), idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cluster"))
+    val q = queries.join(kmeansAssign(queries, cents, idCol, vecCol), idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("cluster"))
+    val joined = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
     * restricted to a bucket column to avoid all-pairs. */
   def cosinePairs(vectors: DataFrame, threshold: Double = 0.9,

@@ -129,6 +129,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(f1.forall(r => r.getAs[Int]("width") >= 640 && r.getAs[Double]("mean_luma") > 0))
   }
 
+  test("kmeans quantizer recovers planted clusters; ivf search stays in-bucket") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(1.1f, -0.1f, 0.0f)), (3L, Array(0.0f, 1.0f, 0.1f)),
+      (4L, Array(0.1f, 0.9f, 0.0f)), (5L, Array(-0.1f, 1.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(vecs, k = 2, iterations = 5)
+    val assign = Similarity.kmeansAssign(vecs, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(Set(assign(0L), assign(1L), assign(2L)).size == 1, s"x-cluster split: $assign")
+    assert(Set(assign(3L), assign(4L), assign(5L)).size == 1, s"y-cluster split: $assign")
+    assert(assign(0L) != assign(3L))
+    // learned-IVF top-k never crosses buckets
+    val top = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), 5,
+      nClusters = 2).collect()
+    val neighbors = top.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neighbors == Set(1L, 2L), s"got $neighbors")
+  }
+
   test("lsh buckets: identical vectors share a bucket, orthogonal ones may not") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.2f, -0.3f, 0.8f)),
