@@ -6,10 +6,16 @@ import org.apache.spark.sql.SparkSession
   * audit pushdown / pruning / codegen / join strategies (see NOTES in the
   * repo docs; the brief's ".explain until it's the plan you'd want"). */
 object ExplainAudit {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    // -nobroadcast simulates beyond-threshold scale: shows the SMJ plans
+    // (and exchange reuse) that a real cluster run would pick
+    val noBroadcast = args0.contains("-nobroadcast")
+    val args = args0.filterNot(_ == "-nobroadcast")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (noBroadcast) "-1" else "10485760")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -123,14 +123,24 @@ object Dedup {
         sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleDf).select(col("shingle")),
         Seq("shingle"), "leftsemi")
-    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = kept.select(col(idCol).as("a"), col("shingle"))
-    val b = kept.select(col(idCol).as("b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+    // set sizes ride along on each shingle row (one window over doc_id)
+    // instead of a separate aggregate pipeline: the self-join's two sides
+    // then share an identical subtree — ONE scan + exchange, reused — and
+    // the pair aggregation picks sizes up via first(), so no join back
+    val withSz = kept.withColumn("sz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))))
+    // true self-join (renames above it, not below) so both sides
+    // canonicalize identically and the scan+shuffle is reused
+    val joined = withSz.as("x").join(withSz.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+    joined
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
