@@ -316,6 +316,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "ann_ivf_probe2" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- multimodal plumbing (stubbed decode; real schema/partitioning) ---
     "multimodal_features" -> ((s, dir) => {
       val withPayload = T(s, dir, "documents")
@@ -706,6 +712,26 @@ object SparkEntry {
         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
         |  JOIN embeddings xe ON xe.vec_id = x.vec_id
         |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "ann_ivf_probe2" -> (kmeansCte() +
+      """, qprobe AS (
+        |  SELECT vec_id, j AS cluster FROM (
+        |    SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.v), c.j) AS rn
+        |    FROM e CROSS JOIN c5 c WHERE e.vec_id < 10) WHERE rn <= 2)
+        |SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                CAST(xe.embedding AS DOUBLE[])) AS sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                           CAST(xe.embedding AS DOUBLE[])) DESC,
+        |                    x.vec_id) AS INT) AS rank
+        |  FROM qprobe q JOIN assign x
+        |    ON q.cluster = x.cluster AND q.vec_id != x.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+        |  JOIN embeddings xe ON xe.vec_id = x.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "emb_neardup" ->

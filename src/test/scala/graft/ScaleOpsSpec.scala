@@ -141,11 +141,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Set(assign(0L), assign(1L), assign(2L)).size == 1, s"x-cluster split: $assign")
     assert(Set(assign(3L), assign(4L), assign(5L)).size == 1, s"y-cluster split: $assign")
     assert(assign(0L) != assign(3L))
-    // learned-IVF top-k never crosses buckets
+    // learned-IVF top-k never crosses buckets at nprobe=1...
     val top = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), 5,
       nClusters = 2).collect()
     val neighbors = top.map(_.getAs[Long]("neighbor_id")).toSet
     assert(neighbors == Set(1L, 2L), s"got $neighbors")
+    // ...and probing both lists recovers the full candidate set
+    val top2 = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), 5,
+      nClusters = 2, nprobe = 2).collect()
+    assert(top2.map(_.getAs[Long]("neighbor_id")).toSet ==
+      Set(1L, 2L, 3L, 4L, 5L))
   }
 
   test("lsh buckets: identical vectors share a bucket, orthogonal ones may not") {
