@@ -73,12 +73,19 @@ object PatternDetect {
       marker.filter(col(EventType) === Enter).count().toInt)
 
     // distributed part: filter to the investigated span + collect the series
+    // (driver-local kernel — the reference makes the same locality call;
+    // the cap fails loudly instead of OOMing on an unexpectedly huge span)
+    val maxSeries = 20000000
     val filtered = events
       .filter(col(Process) === process && col(TimestampNs) > t0 &&
         col(TimestampNs) < t1 && col(metric).isNotNull)
       .select(col(TimestampNs), col(metric).cast("double"))
       .orderBy(col(TimestampNs))
+      .limit(maxSeries + 1)
       .collect()
+    require(filtered.length <= maxSeries,
+      s"detect_pattern series for process $process exceeds $maxSeries points; " +
+        "narrow the span via startEvent or pre-aggregate the metric series")
     val y = filtered.map(_.getDouble(1))
     if (y.length < 4) return Seq.empty
 

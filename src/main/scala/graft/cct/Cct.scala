@@ -32,6 +32,12 @@ import graft.enrich.EventMatcher
   */
 object Cct {
 
+  /** Driver-assembly guard: real CCTs are ~10³–10⁶ nodes; a path-hash
+    * column poisoned by non-callpath data (or a degenerate trace with
+    * unbounded distinct paths) must fail loudly instead of OOMing the
+    * driver. */
+  val MaxNodes: Int = 5000000
+
   /** Distinct callpath table from (enriched) events. */
   def buildCct(events0: DataFrame): DataFrame = {
     val events = EventMatcher.enrich(events0)
@@ -40,7 +46,12 @@ object Cct {
       .filter(col(EventType) === Enter && col(PathHash).isNotNull)
       .select(col(PathHash), col(ParentPathHash), col(Name), col(Depth))
       .distinct()
+      .limit(MaxNodes + 1)
       .collect()
+    require(nodes.length <= MaxNodes,
+      s"CCT has more than $MaxNodes distinct callpaths — refusing driver-side " +
+        "assembly. This usually means the trace's callpaths are degenerate " +
+        "(e.g. data-dependent frame names); dedupe names before createCct.")
 
     val byHash = nodes.map(r => r.getLong(0) -> r).toMap
     val pathMemo = mutable.Map[Long, String]()
