@@ -34,12 +34,13 @@ import graft.model.Schemas._
   */
 object ProjectionsReader {
 
-  private[ingest] case class StsMeta(
+  private[graft] case class StsMeta(
       chares: Map[Int, (String, Int)],
       entries: Map[Int, (String, Int)],
       userEvents: Map[Int, String],
       userStats: Map[Int, String],
-      numPes: Int) extends Serializable {
+      numPes: Int,
+      papiEvents: IndexedSeq[String] = IndexedSeq.empty) extends Serializable {
     // pipit projections_reader.py:100-110
     def entryName(id: Int): String = entries.get(id) match {
       case None => ""
@@ -48,14 +49,20 @@ object ProjectionsReader {
         case None => name
       }
     }
+    // projections_reader.py:112-126: entry → its chare's dimensions;
+    // perf-count arity = #PAPI events when the sts declares them
+    def dimension(entry: Int): Int =
+      entries.get(entry).flatMap(e => chares.get(e._2)).map(_._2).getOrElse(0)
+    def numPerfCounts: Int = papiEvents.length
   }
 
-  private[ingest] def parseSts(lines: Iterator[String]): StsMeta = {
+  private[graft] def parseSts(lines: Iterator[String]): StsMeta = {
     val chares = mutable.Map[Int, (String, Int)]()
     val entries = mutable.Map[Int, (String, Int)]()
     val userEvents = mutable.Map[Int, String]()
     val userStats = mutable.Map[Int, String]()
     var numPes = 0
+    var papi = mutable.ArrayBuffer[String]()
     for (line <- lines) {
       val arr = line.trim.split("\\s+").toBuffer
       if (arr.nonEmpty) arr(0) match {
@@ -76,10 +83,15 @@ object ProjectionsReader {
           userEvents(arr(1).toInt) = arr.drop(2).mkString(" ")
         case "STAT" =>
           userStats(arr(1).toInt) = arr.drop(2).mkString(" ")
+        case "TOTAL_PAPI_EVENTS" => // projections_reader.py:210-219
+          papi = mutable.ArrayBuffer.fill(arr(1).toInt)("")
+        case "PAPI_EVENT" =>
+          papi(arr(1).toInt) = arr(2)
         case _ =>
       }
     }
-    StsMeta(chares.toMap, entries.toMap, userEvents.toMap, userStats.toMap, numPes)
+    StsMeta(chares.toMap, entries.toMap, userEvents.toMap, userStats.toMap,
+      numPes, papi.toIndexedSeq)
   }
 
   private val outSchema = StructType(Seq(
@@ -97,7 +109,7 @@ object ProjectionsReader {
 
   /** Decode one log line into zero or more event rows
     * (pe, seq, ts_ns, type, name, attrs, promoted...). */
-  private[ingest] def parseLine(meta: StsMeta, pe: Int, seq: Long,
+  private[graft] def parseLine(meta: StsMeta, pe: Int, seq: Long,
                                 line: String): Seq[Row] = {
     val f = line.trim.split("\\s+")
     if (f.isEmpty || !f(0).forall(_.isDigit)) return Nil
@@ -112,20 +124,32 @@ object ProjectionsReader {
     f(0).toInt match {
       case 1 => // CREATION (py:477-505)
         Seq(row(L(3) * 1000, Instant, meta.entryName(I(2)),
-          Map("From PE" -> f(5), "MType" -> f(1), "Entry Type" -> "Create",
+          Map("From PE" -> f(5), "Message Type" -> f(1), "Entry Type" -> "Create",
             "Message Length" -> f(6), "Event ID" -> f(4),
             "Send Time" -> (L(7) * 1000).toString),
           I(5), L(6), L(7) * 1000, L(4)))
       case 21 => // CREATION_MULTICAST (py:507-537)
         Seq(row(L(3) * 1000, Instant, meta.entryName(I(2)),
-          Map("From PE" -> f(5), "MType" -> f(1), "Entry Type" -> "Multicast",
+          Map("From PE" -> f(5), "Message Type" -> f(1), "Entry Type" -> "Multicast",
             "Message Length" -> f(6), "Event ID" -> f(4),
             "Send Time" -> (L(7) * 1000).toString),
           I(5), L(6), L(7) * 1000, L(4)))
       case 2 => // BEGIN_PROCESSING (py:539-578)
-        Seq(row(L(3) * 1000, Enter, meta.entryName(I(2)),
-          Map("From PE" -> f(5), "MType" -> f(1), "Entry Type" -> "Processing",
-            "Message Length" -> f(6), "Event ID" -> f(4)),
+        // tail fields: [7]=recv time, [8..8+dims)=object id list,
+        // [8+dims]=cpu start time, then one perf count per PAPI event
+        val dims = meta.dimension(I(2))
+        val idList = (8 until 8 + dims).map(f(_)).mkString("[", ", ", "]")
+        val base = Map(
+          "From PE" -> f(5), "Message Type" -> f(1), "Entry Type" -> "Processing",
+          "Message Length" -> f(6), "Event ID" -> f(4),
+          "Receive Time" -> f(7), "ID List" -> idList,
+          "CPU Start Time" -> f(8 + dims))
+        val attrs =
+          if (meta.numPerfCounts == 0) base
+          else base + ("perf counts list" ->
+            (9 + dims until 9 + dims + meta.numPerfCounts).map(f(_))
+              .mkString("[", ", ", "]"))
+        Seq(row(L(3) * 1000, Enter, meta.entryName(I(2)), attrs,
           I(5), L(6), null, L(4)))
       case 3 => // END_PROCESSING — attrs None in reference (py:580-608)
         Seq(row(L(3) * 1000, Leave, meta.entryName(I(2)), null))
@@ -141,15 +165,15 @@ object ProjectionsReader {
       case 19 => Seq(row(L(1) * 1000, Leave, "Unpack", Map("From PE" -> f(2)), I(2)))
       case 10 => // MESSAGE_RECV (py:662-681)
         Seq(row(L(2) * 1000, Instant, "Message Receive",
-          Map("From PE" -> f(4), "MType" -> f(1), "Message Length" -> f(5),
+          Map("From PE" -> f(4), "Message Type" -> f(1), "Message Length" -> f(5),
             "Event ID" -> f(3)), I(4), L(5), null, L(3)))
       case 4 => // ENQUEUE (py:683-691)
         Seq(row(L(2) * 1000, Instant, "Enque",
-          Map("From PE" -> f(4), "MType" -> f(1), "Event ID" -> f(3)),
+          Map("From PE" -> f(4), "Message Type" -> f(1), "Event ID" -> f(3)),
           I(4), null, null, L(3)))
       case 5 =>
         Seq(row(L(2) * 1000, Instant, "Deque",
-          Map("From PE" -> f(4), "MType" -> f(1), "Event ID" -> f(3)),
+          Map("From PE" -> f(4), "Message Type" -> f(1), "Event ID" -> f(3)),
           I(4), null, null, L(3)))
       case 8 =>
         Seq(row(L(1) * 1000, Enter, "Interrupt",

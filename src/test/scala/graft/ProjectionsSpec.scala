@@ -57,6 +57,27 @@ class ProjectionsSpec extends SparkSpec {
     }
   }
 
+  test("sts PAPI events + BEGIN_PROCESSING perf counts and id list") {
+    val sts = ProjectionsReader.parseSts(Iterator(
+      "PROCESSORS 2",
+      "CHARE 0 \"main\" 2",
+      "ENTRY CHARE 5 \"work()\" 0",
+      "TOTAL_PAPI_EVENTS 2",
+      "PAPI_EVENT 0 PAPI_TOT_CYC",
+      "PAPI_EVENT 1 PAPI_L2_TCM"))
+    assert(sts.papiEvents == Seq("PAPI_TOT_CYC", "PAPI_L2_TCM"))
+    assert(sts.dimension(5) == 2 && sts.numPerfCounts == 2)
+    // type mtype entry time event pe msglen recvtime id0 id1 cpustart pc0 pc1
+    val rows = ProjectionsReader.parseLine(sts, 0, 1L,
+      "2 4 5 100 7 1 64 90 11 22 95 5000 42")
+    val attrs = rows.head.getAs[Map[String, String]](5)
+    assert(attrs("Receive Time") == "90")
+    assert(attrs("ID List") == "[11, 22]")
+    assert(attrs("CPU Start Time") == "95")
+    assert(attrs("perf counts list") == "[5000, 42]")
+    assert(rows.head.getString(4) == "main::work()")
+  }
+
   test("timestamps non-decreasing by event id; attrs promoted") {
     assume(available)
     val ts = events.orderBy(col(EventId)).select(TimestampNs).collect().map(_.getLong(0))
