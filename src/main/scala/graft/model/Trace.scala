@@ -67,17 +67,28 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
 }
 
 object Trace {
+  // The reference's `num_processes` reader knob (worker-pool sizing,
+  // otf2_reader.py:436-455) has no analogue here: read parallelism is
+  // Spark input partitioning (one task per location/PE/trace line) and
+  // is governed by the cluster, not the API. `createCct` is kept for
+  // signature parity (trace.py:38-62).
   def fromCsv(spark: SparkSession, path: String): Trace =
     Trace(CsvReader.read(spark, path))
-  def fromNsight(spark: SparkSession, path: String): Trace =
-    Trace(NsightReader.read(spark, path))
+  def fromNsight(spark: SparkSession, path: String,
+                 createCct: Boolean = false): Trace =
+    withCct(Trace(NsightReader.read(spark, path)), createCct)
   def fromIntervals(intervals: DataFrame): Trace =
     Trace(NsightReader.fromIntervals(intervals))
-  def fromProjections(spark: SparkSession, dir: String): Trace =
-    Trace(ProjectionsReader.read(spark, dir))
-  def fromOtf2(spark: SparkSession, dir: String): Trace =
-    Trace(Otf2Reader.read(spark, dir),
-      definitions = Some(Otf2Reader.definitions(spark, dir)))
+  def fromProjections(spark: SparkSession, dir: String,
+                      createCct: Boolean = false): Trace =
+    withCct(Trace(ProjectionsReader.read(spark, dir)), createCct)
+  def fromOtf2(spark: SparkSession, dir: String,
+               createCct: Boolean = false): Trace =
+    withCct(Trace(Otf2Reader.read(spark, dir),
+      definitions = Some(Otf2Reader.definitions(spark, dir))), createCct)
+
+  private def withCct(t: Trace, createCct: Boolean): Trace =
+    if (createCct) t.createCct() else t
   def fromHpctoolkit(spark: SparkSession, dir: String): Trace =
     Trace(HpctoolkitReader.read(spark, dir))
   /** Canonical-Parquet ingest — the landing path for offline converters
