@@ -46,8 +46,11 @@ object PatternDetect {
       while (k < n) {
         var dot = 0.0; var j = 0
         while (j < m) { dot += y(i + j) * y(k + j); j += 1 }
+        // (mu·mu) and (sig·sig) grouped first so the expression is
+        // evaluation-order symmetric in (i,k) — keeps the distributed
+        // kernel bit-equal
         val d2 = 2.0 * m * math.max(0.0,
-          1.0 - (dot - m * mu(i) * mu(k)) / (m * sig(i) * sig(k)))
+          1.0 - (dot - m * (mu(i) * mu(k))) / (m * (sig(i) * sig(k))))
         val d = math.sqrt(d2)
         if (d < mp(i)) mp(i) = d
         if (d < mp(k)) mp(k) = d
@@ -57,6 +60,60 @@ object PatternDetect {
     }
     mp
   }
+
+  /** Distributed matrix profile: same values as [[matrixProfile]], but
+    * the O(n²·m) pairwise scan fans out over the cluster — each task owns
+    * a contiguous slice of subsequence indexes and scans all candidates
+    * against the broadcast series (µ/σ precomputed once, broadcast too).
+    * Work is 2× the symmetric single-node kernel but embarrassingly
+    * parallel; the series itself must fit in a broadcast (8 B/point —
+    * 10⁸ points ≈ 800 MB is the practical ceiling, far beyond any
+    * post-filter span the operator sees). Distance arithmetic is
+    * identical expression-for-expression, so results are bit-equal to
+    * the local kernel. */
+  private[graft] def matrixProfileDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      y: Array[Double], m: Int, parallelism: Int = 64): Array[Double] = {
+    val n = y.length - m + 1
+    val mu = new Array[Double](n); val sig = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0; var s2 = 0.0; var j = 0
+      while (j < m) { val v = y(i + j); s += v; s2 += v * v; j += 1 }
+      mu(i) = s / m
+      sig(i) = math.sqrt(math.max(s2 / m - mu(i) * mu(i), 1e-18))
+      i += 1
+    }
+    val excl = math.max(m / 2, 1)
+    val yB = spark.sparkContext.broadcast(y)
+    val muB = spark.sparkContext.broadcast(mu)
+    val sigB = spark.sparkContext.broadcast(sig)
+    val mp = spark.sparkContext
+      .parallelize(0 until n, math.min(parallelism, math.max(n, 1)))
+      .map { i =>
+        val yv = yB.value; val muv = muB.value; val sigv = sigB.value
+        var best = Double.PositiveInfinity
+        var k = 0
+        while (k < n) {
+          if (math.abs(k - i) >= excl) {
+            var dot = 0.0; var j = 0
+            while (j < m) { dot += yv(i + j) * yv(k + j); j += 1 }
+            val d = math.sqrt(2.0 * m * math.max(0.0,
+              1.0 - (dot - m * (muv(i) * muv(k))) / (m * (sigv(i) * sigv(k)))))
+            if (d < best) best = d
+          }
+          k += 1
+        }
+        (i, best)
+      }.collect()
+    val out = new Array[Double](n)
+    mp.foreach { case (idx, d) => out(idx) = d }
+    out
+  }
+
+  /** Series length above which [[detectPattern]] switches from the local
+    * O(n²·m) kernel to [[matrixProfileDistributed]]. */
+  val DistributedThreshold: Int = 50000
 
   def detectPattern(events0: DataFrame, startEvent: String,
                     iterations: Option[Int] = None, windowSize: Option[Int] = None,
@@ -91,7 +148,10 @@ object PatternDetect {
 
     val m = windowSize.getOrElse(math.max(y.length / math.max(iters, 1), 2))
     if (y.length < m + 1) return Seq.empty
-    val mp = matrixProfile(y, m)
+    val mp =
+      if (y.length > DistributedThreshold)
+        matrixProfileDistributed(events.sparkSession, y, m)
+      else matrixProfile(y, m)
     val seed = mp.indexOf(mp.min)
 
     // nearest non-overlapping matches to the seed window

@@ -15,6 +15,19 @@ class PatternDetectSpec extends SparkSpec {
     assert(mp.min < 1e-6) // exact repeats → z-norm distance ~0
   }
 
+  test("distributed matrix profile is bit-equal to the local kernel") {
+    val rng = new scala.util.Random(7)
+    val y = Array.tabulate(400)(i =>
+      if (i % 100 < 20) 50.0 + (i % 100) else rng.nextInt(100).toDouble)
+    val local = graft.analysis.PatternDetect.matrixProfile(y, 20)
+    val dist = graft.analysis.PatternDetect
+      .matrixProfileDistributed(spark, y, 20, parallelism = 7)
+    assert(local.length == dist.length)
+    local.zip(dist).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"mp($i): $a != $b")
+    }
+  }
+
   test("detect pattern recovers planted loop iterations") {
     // trace on process 0: loop enter/leave bracketing 6 iterations of
     // (a, b, c) calls with per-iteration-identical durations
