@@ -39,6 +39,7 @@ object StreamingMatcher {
                      event_type: String, name: String)
   case class Frame(name: String, enterId: Long, enterTs: Long,
                    parentEnterId: Long, // -1 = top-level (no parent)
+                   depth: Int, // stack height at Enter, like the batch matcher
                    var childInc: Long)
   case class MatchState(stack: List[Frame])
   case class CompletedCall(process: Int, name: String, enter_id: Long,
@@ -72,9 +73,11 @@ object StreamingMatcher {
     for (e <- events.toSeq.sortBy(ev => (ev.timestamp_ns, ev.event_id))) {
       e.event_type match {
         case Enter =>
-          // parent identity is fixed at Enter time, like the batch matcher
+          // parent identity and depth are fixed at Enter time, like the
+          // batch matcher
           val parent = if (stack.isEmpty) -1L else stack.last.enterId
-          stack += Frame(e.name, e.event_id, e.timestamp_ns, parent, 0L)
+          stack += Frame(e.name, e.event_id, e.timestamp_ns, parent,
+            stack.length, 0L)
         case Leave =>
           // backward scan for the matching name (reference tolerance,
           // pipit/trace.py:168-186); unmatched Leave is skipped
@@ -90,7 +93,7 @@ object StreamingMatcher {
             if (p >= 0) stack(p).childInc += inc
             else if (j > 0) stack(j - 1).childInc += inc
             out += CompletedCall(process, f.name, f.enterId, e.event_id,
-              f.enterTs, e.timestamp_ns, j, inc, inc - f.childInc)
+              f.enterTs, e.timestamp_ns, f.depth, inc, inc - f.childInc)
           }
         case _ =>
       }

@@ -66,6 +66,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events once their window has expired") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Int, Int, Long)]
+    val events = stream.toDF()
+      .toDF("t_ms", "name", "process", "attr_receiver", "attr_msg_length")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+
+    val q = StreamingOps.commOverTime(events, "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("wm").outputMode("update").start()
+    try {
+      stream.addData((1000L, "MpiSend", 0, 1, 100L))
+      q.processAllAvailable()
+      // advance event time far past window [0,10s) + watermark slack
+      stream.addData((60000L, "MpiSend", 0, 1, 10L))
+      q.processAllAvailable()
+      // a send 59s late: its window is expired — must NOT resurface
+      stream.addData((2000L, "MpiSend", 1, 0, 999L))
+      q.processAllAvailable()
+      val w0 = spark.table("wm").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(w0 == Set((100L, 1L)), s"late row leaked into expired window: $w0")
+    } finally q.stop()
+  }
+
+  test("streaming matcher on unbalanced stream: documented divergence semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, Long, String, String)]
+    val events = stream.toDF()
+      .toDF("process", "event_id", "timestamp_ns", "event_type", "name")
+
+    val q = graft.streaming.StreamingMatcher.completedCalls(events)
+      .writeStream.format("memory").queryName("unbal").outputMode("append").start()
+    try {
+      // EnterA, EnterB, LeaveA (mid-stack), LeaveB: A is emitted before
+      // B's inc is known — A.exc stays incA (the documented append-mode
+      // divergence from batch); B still completes with its exact inc
+      stream.addData((0, 1L, 0L, "Enter", "A"), (0, 2L, 10L, "Enter", "B"),
+        (0, 3L, 50L, "Leave", "A"), (0, 4L, 80L, "Leave", "B"))
+      q.processAllAvailable()
+      val calls = spark.table("unbal").collect()
+        .map(r => r.getAs[String]("name") -> r).toMap
+      assert(calls("A").getAs[Long]("time_inc") == 50L)
+      assert(calls("A").getAs[Long]("time_exc") == 50L) // batch would say -20
+      assert(calls("B").getAs[Long]("time_inc") == 70L)
+      assert(calls("B").getAs[Int]("depth") == 1)
+    } finally q.stop()
+  }
+
   test("streaming sessions split on gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Int, Int, Long)]
