@@ -253,6 +253,12 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextOps.textStats(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
+    "token_count" -> ((s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("ws_tokens"),
+        size(TextOps.bpeishTokens(col("text"))).as("bpeish_tokens"))
+      .orderBy(col("doc_id"))),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
@@ -573,6 +579,16 @@ object SparkEntry {
         |       CAST(2 * (200 * o.generate_series + j.generate_series) + 1 AS BIGINT) AS event_id
         |FROM generate_series(0, 4) o, generate_series(0, 49) j
         |ORDER BY occurrence, event_id""".stripMargin,
+
+    // bpeish tokens = alnum runs + each non-space/non-alnum char as its own
+    // token (RE2 has no lookarounds, so the oracle counts the two classes)
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+        |    + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS INT)
+        |    AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH grams AS (
