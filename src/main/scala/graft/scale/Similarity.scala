@@ -191,15 +191,33 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
-    * restricted to a bucket column to avoid all-pairs. */
+    * restricted to a bucket column to avoid all-pairs.
+    *
+    * `blocks` handles bucket skew: with blocks = B > 1, each vector gets
+    * a deterministic block id (md5 of its id, mod B) and the join key
+    * becomes (bucket, blockₐ, block_b) — each side replicated B× so a
+    * pair meets in exactly one of the B² cells. A mega-bucket that would
+    * otherwise pin one task now spreads over B² tasks; total comparison
+    * work is unchanged. */
   def cosinePairs(vectors: DataFrame, threshold: Double = 0.9,
                   bucketCol: String = "label", idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
-    val a = vectors.select(col(idCol).as("a"), col(vecCol).as("va"),
+                  vecCol: String = "embedding", blocks: Int = 1): DataFrame = {
+    val blk = (c: Column) =>
+      pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(blocks.toLong))
+    val a0 = vectors.select(col(idCol).as("a"), col(vecCol).as("va"),
       col(bucketCol).as("bucket"))
-    val b = vectors.select(col(idCol).as("b"), col(vecCol).as("vb"),
+    val b0 = vectors.select(col(idCol).as("b"), col(vecCol).as("vb"),
       col(bucketCol).as("bucket"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+    val (a, b) =
+      if (blocks <= 1) (a0, b0)
+      else (
+        a0.withColumn("ba", blk(col("a")))
+          .withColumn("bb", explode(sequence(lit(0L), lit(blocks - 1L)))),
+        b0.withColumn("bb", blk(col("b")))
+          .withColumn("ba", explode(sequence(lit(0L), lit(blocks - 1L)))))
+    val keys = if (blocks <= 1) Seq("bucket") else Seq("bucket", "ba", "bb")
+    a.join(b, keys).filter(col("a") < col("b"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))

@@ -153,6 +153,22 @@ class ScaleOpsSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("cosine pairs block decomposition: identical results, skew spread") {
+    val rng = new scala.util.Random(3)
+    // one mega-bucket (40 vectors) + a small one
+    val vecs = (0L until 40L).map { i =>
+      (i, Array(1.0f + rng.nextFloat() * 0.1f, rng.nextFloat() * 0.2f), 0)
+    } ++ Seq((100L, Array(0.0f, 1.0f), 1), (101L, Array(0.01f, 1.0f), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    def pairs(blocks: Int) =
+      Similarity.cosinePairs(df, 0.95, blocks = blocks).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("sim")))
+        .toSet
+    val plain = pairs(1)
+    assert(plain.nonEmpty && plain.exists(p => p._1 == 100L && p._2 == 101L))
+    assert(pairs(4) == plain)
+  }
+
   test("lsh buckets: identical vectors share a bucket, orthogonal ones may not") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.2f, -0.3f, 0.8f)),
