@@ -76,6 +76,45 @@ object Dedup {
     minhashLshPairs(minhashSignatures(docs, numHashes, shingleK, textCol, idCol),
       bands, numHashes / bands, idCol)
 
+  /** Connected components over near-duplicate candidate pairs — the
+    * clustering step that turns pairs into dedup groups (component id =
+    * the minimum member id, the canonical representative).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the minimum of its own and its
+    * neighbors' labels, until a fixpoint (≤ graph diameter rounds —
+    * near-dup clusters are shallow, so convergence is fast). Each round
+    * is one join + one aggregation, with `localCheckpoint` truncating the
+    * iterative lineage; work per round is O(edges). Deterministic.
+    *
+    * Returns (node, component) for every node that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("node").as("y"), col("component")), Seq("y"))
+        .select(col("x").as("node"), col("component"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      done = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 60-bit SimHash per document: bit j of the signature is 1 iff the sum
     * over tokens of ±1 (sign of bit j of the token's hash) is positive.
     *

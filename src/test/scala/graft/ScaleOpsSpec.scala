@@ -52,6 +52,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!p.keySet.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("connected components: chains merge, islands stay separate") {
+    // 1-2-3-4 chain (diameter 3), 7-8 pair, 9-10-11 star
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L),
+      (9L, 10L), (9L, 11L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(7L) == 7L && cc(8L) == 7L)
+    assert(Seq(9L, 10L, 11L).forall(cc(_) == 9L))
+    assert(cc.size == 9)
+  }
+
   test("ngram jaccard df cap: stop-shingle pairs dropped, work bounded") {
     // 60 docs all sharing one stop-shingle; pairs exist ONLY through it
     val skewed = (0L until 60L).map(i => (i, s"the quick fox token$i tail$i"))
