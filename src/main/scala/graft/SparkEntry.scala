@@ -293,6 +293,12 @@ object SparkEntry {
       Dedup.connectedComponents(Dedup.minhashLsh(T(s, dir, "documents")))
         .orderBy(col("node"))),
 
+    "dedup_retained" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.dropNearDuplicates(docs, Dedup.minhashLsh(docs))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // --- similarity search ---
     "ann_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -683,6 +689,34 @@ object SparkEntry {
         |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y)
         |SELECT node, MIN(label) AS component FROM reach
         |GROUP BY node ORDER BY node""".stripMargin),
+
+    "dedup_retained" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |  FROM hashed, generate_series(0, 15) g(seed) GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed)) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+        |  WHERE x.doc_id < y.doc_id),
+        |cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM cedges
+        |  UNION
+        |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y),
+        |losers AS (
+        |  SELECT node FROM (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+        |  WHERE node != component)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+        |ORDER BY doc_id""".stripMargin),
 
     "simhash" ->
       """WITH tok AS (

@@ -76,6 +76,26 @@ object Dedup {
     minhashLshPairs(minhashSignatures(docs, numHashes, shingleK, textCol, idCol),
       bands, numHashes / bands, idCol)
 
+  /** The retained corpus after exact dedup: the minimum-id document of
+    * every distinct content survives (semi-join against [[exact]]'s
+    * representatives — no wide row shuffle of the corpus itself). */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame =
+    docs.join(exact(docs, textCol, idCol).select(col("representative").as(idCol)),
+      Seq(idCol), "leftsemi")
+
+  /** The retained corpus after near-dup clustering: each component keeps
+    * only its representative (minimum id); documents in no pair are
+    * untouched. `pairs` comes from any candidate generator (minhash LSH,
+    * simhash banding, ngram Jaccard, embedding cosine). */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "leftanti")
+  }
+
   /** Connected components over near-duplicate candidate pairs — the
     * clustering step that turns pairs into dedup groups (component id =
     * the minimum member id, the canonical representative).
