@@ -9,7 +9,7 @@ import graft.cct.Cct
 import graft.demo.TraceGen
 import graft.enrich.{EventMatcher, Metrics}
 import graft.model.Schemas._
-import graft.scale.{Dedup, Multimodal, Similarity, TextOps}
+import graft.scale.{Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 +
   * scale extensions), each with a DuckDB oracle over the same parquet
@@ -54,6 +54,25 @@ object SparkEntry {
       df.count() // materialize; later queries read the cache only
       df
     })
+
+  /** PII planting for `text_pii`: deterministic doc_id-derived email / IP /
+    * phone occurrences appended to the text, computed identically by Spark
+    * and the DuckDB oracle (same SQL expression semantics), so extraction
+    * and redaction are verified non-trivially. Counts vary per doc:
+    * doc_id%3 emails, doc_id%2 IPs, exactly one phone. */
+  private val PiiPlantExpr =
+    "concat(text, " +
+      "repeat(concat(' user', cast(doc_id as string), '@example.com'), " +
+      "       cast(doc_id % 3 as int)), " +
+      "repeat(concat(' 10.0.', cast(doc_id % 256 as string), '.7'), " +
+      "       cast(doc_id % 2 as int)), " +
+      "' call 555-', lpad(cast(doc_id * 7 % 1000 as string), 3, '0'), " +
+      "'-', lpad(cast(doc_id * 13 % 10000 as string), 4, '0'))"
+
+  /** Target mixture for `sample_mix`: down-weight the over-represented
+    * languages (en is ~44% of the corpus). */
+  private val MixRates =
+    Seq(("en", 0.25), ("de", 1.0), ("es", 0.6), ("fr", 0.6), ("zh", 0.8))
 
   // ---------------------------------------------------------------- queries
 
@@ -289,6 +308,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.1, maxShingleDf = 1000)
         .orderBy(col("a"), col("b"))),
 
+    "minhash_estimate" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(T(s, dir, "documents"))
+      Dedup.minhashEstimate(Dedup.minhashLshPairs(sigs), sigs)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.minhashLsh(T(s, dir, "documents")))
         .orderBy(col("node"))),
@@ -298,6 +323,59 @@ object SparkEntry {
       Dedup.dropNearDuplicates(docs, Dedup.minhashLsh(docs))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+
+    // --- corpus curation: repetition, PII, sampling, quantiles ---
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(T(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_logprob" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextOps.unigramLogProb(docs, docs.filter(col("doc_id") % 5 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_pii" -> ((s, dir) => {
+      // corpus text is digit-free word soup, so PII extraction would be
+      // vacuous on it; plant deterministic doc_id-derived PII in BOTH
+      // engines and verify counts + the md5 of the redacted text
+      val planted = T(s, dir, "documents")
+        .select(col("doc_id"), expr(PiiPlantExpr).as("text"))
+      TextOps.piiStats(planted)
+        .join(planted.select(col("doc_id"),
+          md5(TextOps.redactPii(col("text"))).as("redacted_md5")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sample_hash" -> ((s, dir) =>
+      Curation.hashSample(T(s, dir, "documents"), 0.2)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
+    "sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(T(s, dir, "documents"), "lang", 10)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))),
+
+    "sample_mix" -> ((s, dir) => {
+      val rates = s.createDataFrame(MixRates).toDF("lang", "rate")
+      Curation.mixSample(T(s, dir, "documents"), rates, "lang")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
+    "quality_quantiles" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Curation.groupQuantiles(
+        TextOps.qualityScore(docs)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "quality", "lang", Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy(col("lang"))
+    }),
+
+    "docs_curated" -> ((s, dir) =>
+      Curation.curate(T(s, dir, "documents"), 0.9283, 0.40)
+        .select(col("doc_id"), col("quality"), col("unique_token_ratio"),
+          col("is_near_dup").cast("int").as("is_near_dup"),
+          col("retained").cast("int").as("retained"))
+        .orderBy(col("doc_id"))),
 
     // --- similarity search ---
     "ann_topk" -> ((s, dir) => {
@@ -573,14 +651,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id, ROUND(
-        |    LEAST(CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE) / 20, 1.0) * 0.4
-        |  + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |      / GREATEST(length(text), 1) * 0.4
-        |  + CASE WHEN CAST(length(text) AS DOUBLE)
-        |              / GREATEST(len(regexp_split_to_array(trim(text), ' +')), 1)
-        |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 4) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"SELECT doc_id, $qualitySql AS quality FROM documents ORDER BY doc_id",
 
     // planted motif: occurrences o=0..4 start at series position 200·o and
     // cover 50 leaves; leaf i's Enter has event_id 2i+1 by construction
@@ -691,32 +762,125 @@ object SparkEntry {
         |GROUP BY node ORDER BY node""".stripMargin),
 
     "dedup_retained" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, hashed AS (
-        |  SELECT doc_id,
-        |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
-        |         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
-        |  FROM hashed, generate_series(0, 15) g(seed) GROUP BY 1, 2),
-        |band AS (
-        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-        |         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed)) AS band_key
-        |  FROM sig GROUP BY 1, 2),
-        |prs AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
-        |  WHERE x.doc_id < y.doc_id),
-        |cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
-        |reach(node, label) AS (
-        |  SELECT x, x FROM cedges
-        |  UNION
-        |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y),
-        |losers AS (
-        |  SELECT node FROM (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
-        |  WHERE node != component)
-        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+      lshLosersCte +
+      """SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
         |ORDER BY doc_id""".stripMargin),
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS arr FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(arr) AS tok FROM toks) GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_unique, MAX(c) AS top_c
+        |  FROM tc GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bg
+        |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+        |        FROM toks)),
+        |ba AS (
+        |  SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT bg) AS n_bg_unique
+        |  FROM bg GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(t.n_unique AS DOUBLE) / t.n_tokens, 4) AS unique_token_ratio,
+        |  ROUND(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) AS top_token_fraction,
+        |  COALESCE(ROUND(1.0 - CAST(b.n_bg_unique AS DOUBLE) / b.n_bg, 4), 0.0)
+        |    AS dup_bigram_fraction
+        |FROM ta t LEFT JOIN ba b USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_logprob" ->
+      """WITH tr AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |freq AS (SELECT tok, COUNT(*) AS c FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM freq),
+        |dt AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(-ln(CAST(COALESCE(f.c, 0) + 1 AS DOUBLE)
+        |                / CAST(t.n + t.v AS DOUBLE))), 4) AS mean_nll
+        |FROM dt LEFT JOIN freq f USING (tok) CROSS JOIN tot t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "minhash_estimate" -> (shinglesCte + lshPairsCte +
+      """SELECT p.a, p.b,
+        |  ROUND(AVG(CAST(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END
+        |            AS DOUBLE)), 4) AS est_jaccard
+        |FROM prs p
+        |JOIN sig x ON x.doc_id = p.a
+        |JOIN sig y ON y.doc_id = p.b AND y.seed = x.seed
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin),
+
+    "text_pii" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text
+         |    || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.com',
+         |              CAST(doc_id % 3 AS INT))
+         |    || repeat(' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+         |              CAST(doc_id % 2 AS INT))
+         |    || ' call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+         |    || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |           AS BIGINT) < ${Curation.rateThreshold(0.2)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |             AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    "sample_mix" -> {
+      val cases = MixRates
+        .map { case (l, r) => s"WHEN '$l' THEN ${Curation.rateThreshold(r)}" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |           AS BIGINT) < CASE lang $cases END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_quantiles" ->
+      s"""WITH q AS (SELECT lang, $qualitySql AS quality FROM documents)
+         |SELECT lang,
+         |  ROUND(quantile_cont(quality, 0.25), 4) AS p25,
+         |  ROUND(quantile_cont(quality, 0.5), 4) AS p50,
+         |  ROUND(quantile_cont(quality, 0.75), 4) AS p75,
+         |  ROUND(quantile_cont(quality, 0.9), 4) AS p90
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "docs_curated" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      lshLosersCte +
+      s""", qual AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+         |rep AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), ' +')), 4) AS unique_token_ratio
+         |  FROM documents)
+         |SELECT d.doc_id, q.quality, r.unique_token_ratio,
+         |  CAST(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_near_dup,
+         |  CAST(CASE WHEN q.quality >= 0.9283 AND r.unique_token_ratio >= 0.4
+         |            AND l.node IS NULL THEN 1 ELSE 0 END AS INT) AS retained
+         |FROM documents d JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+         |LEFT JOIN losers l ON d.doc_id = l.node
+         |ORDER BY d.doc_id""".stripMargin),
 
     "simhash" ->
       """WITH tok AS (
@@ -926,6 +1090,54 @@ object SparkEntry {
     sb.append(s"assign AS ${assignSql(s"c$iters")}\n")
     sb.toString
   }
+
+  /** Shared oracle expression: [[graft.scale.TextOps.qualityScore]] as a
+    * single-line DuckDB expression over a `text` column (single line so it
+    * embeds inside stripMargin templates). */
+  private def qualitySql: String =
+    "ROUND(LEAST(CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)" +
+      " / 20, 1.0) * 0.4" +
+      " + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)" +
+      " / GREATEST(length(text), 1) * 0.4" +
+      " + CASE WHEN CAST(length(text) AS DOUBLE)" +
+      " / GREATEST(len(regexp_split_to_array(trim(text), ' +')), 1)" +
+      " BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 4)"
+
+  /** Shared oracle CTE suffix (appended to [[shinglesCte]]): minhash
+    * signatures → LSH bands → candidate pairs `prs`. Mirrors
+    * [[graft.scale.Dedup.minhashLsh]]. */
+  private def lshPairsCte: String =
+    """, hashed AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+      |  FROM hashed, generate_series(0, 15) g(seed) GROUP BY 1, 2),
+      |band AS (
+      |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+      |         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed)) AS band_key
+      |  FROM sig GROUP BY 1, 2),
+      |prs AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+      |  WHERE x.doc_id < y.doc_id)
+      |""".stripMargin
+
+  /** [[lshPairsCte]] + transitive closure → `losers` = every doc that is
+    * not its component's min-id representative (requires the WITH to be
+    * RECURSIVE). Mirrors [[graft.scale.Dedup.connectedComponents]]. */
+  private def lshLosersCte: String = lshPairsCte +
+    """, cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+      |reach(node, label) AS (
+      |  SELECT x, x FROM cedges
+      |  UNION
+      |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y),
+      |losers AS (
+      |  SELECT node FROM (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+      |  WHERE node != component)
+      |""".stripMargin
 
   /** Shared oracle CTE: word 3-shingles of documents (mirrors
     * [[graft.scale.Shingles.wordShingles]]: windows clamped like

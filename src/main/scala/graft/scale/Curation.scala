@@ -1,0 +1,99 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling and curation operators for training-data pipelines.
+  *
+  * All sampling is deterministic: membership is a pure function of
+  * (seed, id) via the md5-derived 60-bit hash ([[TextOps.md5Hash60]]), so
+  *  - results are reproducible run-to-run and engine-to-engine (the DuckDB
+  *    oracle recomputes them exactly — no RNG state anywhere);
+  *  - at 100 TB the sample decision is a scan-local filter (hash-compare
+  *    per row, no shuffle), and stratified/mixed variants add at most one
+  *    broadcast join or one per-stratum window.
+  */
+object Curation {
+
+  /** 2^60 — the hash space of md5Hash60. */
+  val HashSpace: Long = 1L << 60
+
+  /** Keep-threshold for a sampling rate in [0,1]. */
+  def rateThreshold(rate: Double): Long = (rate * HashSpace).toLong
+
+  /** Deterministic Bernoulli(rate) sample: keep rows whose id-hash falls
+    * below rate·2^60. Scan-local filter, no shuffle. */
+  def hashSample(docs: DataFrame, rate: Double, seed: Int = 7,
+                 idCol: String = "doc_id"): DataFrame =
+    docs.filter(
+      TextOps.md5Hash60(col(idCol).cast("string"), seed) < rateThreshold(rate))
+
+  /** Exactly-n-per-stratum sample: rank rows within each stratum by
+    * id-hash (deterministic shuffle order) and keep the first n. One
+    * window over the stratum key — the only shuffle, partitioned by
+    * stratum, so skew is bounded by the largest stratum. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, n: Int,
+                       seed: Int = 7, idCol: String = "doc_id"): DataFrame = {
+    val h = TextOps.md5Hash60(col(idCol).cast("string"), seed)
+    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Data mixing: per-stratum Bernoulli rates (e.g. down-weight an
+    * over-represented language/source to hit a target corpus mixture).
+    * `rates` is a tiny (stratum, rate) table → broadcast join; the keep
+    * decision stays scan-local. Strata absent from `rates` are dropped
+    * (rate 0), the conservative default for an explicit mixture spec. */
+  def mixSample(docs: DataFrame, rates: DataFrame, strataCol: String,
+                seed: Int = 7, idCol: String = "doc_id"): DataFrame =
+    docs.join(broadcast(rates), Seq(strataCol))
+      .filter(TextOps.md5Hash60(col(idCol).cast("string"), seed) <
+        (col("rate") * HashSpace).cast("long"))
+      .drop("rate")
+
+  /** Exact per-group quantiles of a numeric column (linear interpolation,
+    * the quantile_cont definition). Spark's `percentile` aggregate is
+    * exact-with-interpolation and runs as a single partial+final
+    * aggregation; for 100 TB threshold-picking where exactness is not
+    * required, swap in `percentile_approx` — same call shape. */
+  def groupQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                     probs: Seq[Double]): DataFrame = {
+    val arr = array(probs.map(lit): _*)
+    val named = probs.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("qs"), i + 1), 4)
+        .as("p" + math.round(p * 100).toString)
+    }
+    df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), arr).as("qs"))
+      .select(col(groupCol) +: named: _*)
+  }
+
+  /** End-to-end curation verdict for every document: quality score,
+    * repetition ratio, near-duplicate status, and the retention decision
+    * — the standard quality→repetition→dedup corpus filter chain, one
+    * row per input document so downstream consumers can audit WHY a
+    * document was dropped (retained = passes all three).
+    *
+    * Near-dup losers come from minhash-LSH candidate pairs clustered by
+    * [[Dedup.connectedComponents]]; a document survives dedup iff it is
+    * its component's representative (minimum id) or paired with nobody. */
+  def curate(docs: DataFrame, minQuality: Double, minUniqueRatio: Double,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val quality = TextOps.qualityScore(docs, textCol, idCol)
+    val rep = TextOps.repetitionStats(docs, textCol, idCol)
+      .select(col(idCol), col("unique_token_ratio"))
+    val losers = Dedup.connectedComponents(Dedup.minhashLsh(docs))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol), lit(true).as("is_near_dup"))
+    docs.select(col(idCol))
+      .join(quality, Seq(idCol))
+      .join(rep, Seq(idCol))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), col("quality"), col("unique_token_ratio"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"),
+        (col("quality") >= minQuality &&
+          col("unique_token_ratio") >= minUniqueRatio &&
+          !coalesce(col("is_near_dup"), lit(false))).as("retained"))
+  }
+}

@@ -76,6 +76,29 @@ object Dedup {
     minhashLshPairs(minhashSignatures(docs, numHashes, shingleK, textCol, idCol),
       bands, numHashes / bands, idCol)
 
+  /** Verification stage between LSH candidate generation and clustering:
+    * estimate each candidate pair's Jaccard as the fraction of minhash
+    * seeds on which the two signatures agree (the unbiased minhash
+    * estimator). Banding admits false positives by design; filtering the
+    * estimate at the true similarity threshold removes them before
+    * connected components — at corpus scale this is the difference
+    * between clustering real near-dups and chaining unrelated docs
+    * through band collisions. Two joins against the (id, seed, minhash)
+    * signature table, both on (id, seed) — no text rescan. */
+  def minhashEstimate(pairs: DataFrame, signatures: DataFrame,
+                      minEstimate: Double = 0.0,
+                      idCol: String = "doc_id"): DataFrame = {
+    val sa = signatures.select(col(idCol).as("a"), col("seed"),
+      col("minhash").as("mha"))
+    val sb = signatures.select(col(idCol).as("b"), col("seed"),
+      col("minhash").as("mhb"))
+    pairs.join(sa, Seq("a")).join(sb, Seq("b", "seed"))
+      .groupBy(col("a"), col("b"))
+      .agg(round(avg(when(col("mha") === col("mhb"), 1.0).otherwise(0.0)), 4)
+        .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstimate)
+  }
+
   /** The retained corpus after exact dedup: the minimum-id document of
     * every distinct content survives (semi-join against [[exact]]'s
     * representatives — no wide row shuffle of the corpus itself). */

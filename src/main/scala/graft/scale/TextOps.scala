@@ -97,6 +97,94 @@ object TextOps {
     transform(sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3)))
 
+  /** Gopher-style repetition statistics per document: unique-token ratio,
+    * most-frequent-token fraction, duplicate-bigram fraction. High
+    * repetition is the classic boilerplate/spam signal in corpus curation
+    * (Rae et al. 2021, "Scaling Language Models" §A1.1 repetition filters).
+    *
+    * Explode + two-level aggregation: the shuffle carries one row per
+    * (doc, distinct token) after map-side partial aggregation — never the
+    * raw token stream — so the pattern holds at corpus scale. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val tokAgg = toks.select(col(idCol), explode(col("toks")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        max(col("c")).as("top_c"))
+    val nBg = greatest(size(col("toks")) - 1, lit(0))
+    val bgAgg = toks.select(col(idCol),
+        explode(zip_with(
+          slice(col("toks"), lit(1), nBg), slice(col("toks"), lit(2), nBg),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("bg")).as("n_bg_unique"))
+    tokAgg.join(bgAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_unique").cast("double") / col("n_tokens"), 4)
+          .as("unique_token_ratio"),
+        round(col("top_c").cast("double") / col("n_tokens"), 4)
+          .as("top_token_fraction"),
+        coalesce(round(lit(1.0) -
+          col("n_bg_unique").cast("double") / col("n_bg"), 4), lit(0.0))
+          .as("dup_bigram_fraction"))
+  }
+
+  /** Unigram language-model score — the cheap proxy for the perplexity
+    * filter in CCNet-style curation (Wenzek et al. 2019): mean negative
+    * log-probability of the document's tokens under an add-one-smoothed
+    * unigram model fit on `train`. Low mean-NLL ≈ in-distribution text.
+    *
+    * The model is one (token, count) table: vocabulary-sized, so the
+    * score join is a standard shuffled equi-join on token (broadcast it
+    * if the vocabulary fits); unseen tokens get the smoothing floor
+    * 1/(N+V) via the left join's null. Two aggregations + one join —
+    * nothing driver-side, scales with corpus size. */
+  def unigramLogProb(docs: DataFrame, train: DataFrame,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val freq = train.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = freq.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    toks.join(freq, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (-log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n") + col("v")).cast("double"))).as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(col("nll")), 4).as("mean_nll"))
+  }
+
+  /** PII patterns — deliberately RE2-compatible (no lookarounds, no
+    * backrefs) so the DuckDB oracle runs the byte-identical regex. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Per-document PII hit counts (emails, IPv4 addresses, dashed phone
+    * numbers). Pure regexp_count columns — codegen'd, scan-local, no
+    * shuffle at all: the op is a map over the corpus. */
+  def piiStats(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
+
+  /** Redact PII in place: emails, then IPs, then phones (order matters —
+    * the earlier replacements cannot create later patterns because the
+    * placeholder tokens contain no digits or '@'). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Rolling-hash document fingerprinting (winnowing-style): hash every
     * k-token shingle, keep each document's minima per window position —
     * here simplified to the s smallest shingle hashes (bottom-s sketch),

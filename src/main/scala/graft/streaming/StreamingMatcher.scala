@@ -41,14 +41,27 @@ object StreamingMatcher {
                    parentEnterId: Long, // -1 = top-level (no parent)
                    depth: Int, // stack height at Enter, like the batch matcher
                    var childInc: Long)
-  case class MatchState(stack: List[Frame])
+  case class MatchState(stack: List[Frame],
+                        maxTs: Long = Long.MinValue) // per-process high-water mark
   case class CompletedCall(process: Int, name: String, enter_id: Long,
                            leave_id: Long, enter_ts: Long, leave_ts: Long,
                            depth: Int, time_inc: Long, time_exc: Long)
 
   /** events: streaming DataFrame with canonical columns. Returns a stream
-    * of completed calls (append mode). */
-  def completedCalls(events: DataFrame): DataFrame = {
+    * of completed calls (append mode).
+    *
+    * `allowedLatenessNs` bounds cross-batch disorder, the stateful-op
+    * analogue of a watermark: each process's state carries the highest
+    * timestamp it has processed, and an event arriving in a later batch
+    * with `ts < maxTs - allowedLatenessNs` is dropped instead of being
+    * pushed onto a stack whose shape already assumed it never existed
+    * (a late Enter would corrupt every subsequent exc attribution; a late
+    * Leave would close the wrong frame). Within a batch, events are sorted
+    * before processing, so lateness only bites across batches — exactly
+    * like watermarked aggregations. The default (Long.MaxValue) keeps the
+    * historical accept-everything behavior. */
+  def completedCalls(events: DataFrame,
+                     allowedLatenessNs: Long = Long.MaxValue): DataFrame = {
     import events.sparkSession.implicits._
     val typed = events.select(
       col(Process).cast("int").as("process"),
@@ -59,18 +72,26 @@ object StreamingMatcher {
 
     typed.groupByKey(_.process)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        processGroup)(Encoders.product[MatchState], Encoders.product[CompletedCall])
+        processGroup(allowedLatenessNs))(
+        Encoders.product[MatchState], Encoders.product[CompletedCall])
       .toDF()
   }
 
-  private[streaming] def processGroup(process: Int, events: Iterator[InEvent],
-                                      state: GroupState[MatchState]): Iterator[CompletedCall] = {
+  private[streaming] def processGroup(allowedLatenessNs: Long)(
+      process: Int, events: Iterator[InEvent],
+      state: GroupState[MatchState]): Iterator[CompletedCall] = {
     // restore the open-frame stack (top = head)
     val stack = mutable.ArrayBuffer[Frame]()
+    var maxTs = state.getOption.map(_.maxTs).getOrElse(Long.MinValue)
     state.getOption.foreach(s => stack ++= s.stack.reverse) // stored top-first
     val out = mutable.ArrayBuffer[CompletedCall]()
 
-    for (e <- events.toSeq.sortBy(ev => (ev.timestamp_ns, ev.event_id))) {
+    val inOrder = events.toSeq.sortBy(ev => (ev.timestamp_ns, ev.event_id))
+    val admitted =
+      if (allowedLatenessNs == Long.MaxValue || maxTs == Long.MinValue) inOrder
+      else inOrder.filter(_.timestamp_ns >= maxTs - allowedLatenessNs)
+    for (e <- admitted) {
+      if (e.timestamp_ns > maxTs) maxTs = e.timestamp_ns
       e.event_type match {
         case Enter =>
           // parent identity and depth are fixed at Enter time, like the
@@ -98,7 +119,7 @@ object StreamingMatcher {
         case _ =>
       }
     }
-    state.update(MatchState(stack.reverseIterator.toList))
+    state.update(MatchState(stack.reverseIterator.toList, maxTs))
     out.iterator
   }
 }

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.{Curation, TextOps}
+
+/** Semantics checks for the corpus-curation operators on planted inputs:
+  * repetition stats on known token streams, PII extraction/redaction on
+  * planted PII, deterministic sampling invariants, exact quantiles, and
+  * the end-to-end curation verdict. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a a a a a a a a a a"), // 10 tokens, 1 unique, all bigrams "a a"
+    (1L, "one two three four five six seven eight nine ten"), // all unique
+    (2L, "x y x y x y x y x y"), // alternating: 2 unique, 2 distinct bigrams
+    (3L, "solo")
+  ).toDF("doc_id", "text")
+
+  test("repetitionStats: planted repetition ratios are exact") {
+    val r = TextOps.repetitionStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_tokens") == 10)
+    assert(r(0L).getAs[Double]("unique_token_ratio") == 0.1)
+    assert(r(0L).getAs[Double]("top_token_fraction") == 1.0)
+    // 9 bigrams, 1 distinct -> 1 - 1/9 = 0.8889
+    assert(r(0L).getAs[Double]("dup_bigram_fraction") == 0.8889)
+    assert(r(1L).getAs[Double]("unique_token_ratio") == 1.0)
+    assert(r(1L).getAs[Double]("top_token_fraction") == 0.1)
+    assert(r(1L).getAs[Double]("dup_bigram_fraction") == 0.0)
+    // alternating x y: 9 bigrams, 2 distinct ("x y", "y x")
+    assert(r(2L).getAs[Double]("dup_bigram_fraction") == 0.7778)
+    // single token: no bigrams -> fraction 0 by definition
+    assert(r(3L).getAs[Long]("n_tokens") == 1)
+    assert(r(3L).getAs[Double]("dup_bigram_fraction") == 0.0)
+  }
+
+  test("piiStats and redactPii find and remove planted PII") {
+    val pii = Seq(
+      (0L, "reach me at jane.doe+spam@corp.example.org or 192.168.1.17 " +
+        "or 555-123-4567 thanks"),
+      (1L, "no pii here just words"),
+      (2L, "two mails a@b.co c@d.io one ip 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val s = TextOps.piiStats(pii).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(s(0L).getAs[Long]("n_emails") == 1)
+    assert(s(0L).getAs[Long]("n_ips") == 1)
+    assert(s(0L).getAs[Long]("n_phones") == 1)
+    assert(s(1L).getAs[Long]("n_emails") == 0)
+    assert(s(2L).getAs[Long]("n_emails") == 2)
+    assert(s(2L).getAs[Long]("n_ips") == 1)
+    val red = pii.select(TextOps.redactPii(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(red(0) == "reach me at <EMAIL> or <IP> or <PHONE> thanks")
+    assert(red(1) == "no pii here just words")
+    assert(red(2) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+
+  test("hashSample: deterministic, subset-monotone in rate") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    val s10 = Curation.hashSample(ids, 0.1).collect().map(_.getLong(0)).toSet
+    val s30 = Curation.hashSample(ids, 0.3).collect().map(_.getLong(0)).toSet
+    assert(s10 == Curation.hashSample(ids, 0.1).collect().map(_.getLong(0)).toSet)
+    assert(s10.subsetOf(s30), "larger rate must be a superset (same seed)")
+    // rate is approximate but the hash is uniform: 10% ± 4pp on n=1000
+    assert(s10.size > 60 && s10.size < 140, s"got ${s10.size}")
+    // a different seed draws a genuinely different sample
+    val other = Curation.hashSample(ids, 0.1, seed = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(other != s10)
+  }
+
+  test("stratifiedSample: exactly n per stratum, deterministic") {
+    val df = (0L until 300L).map(i => (i, "s" + (i % 3))).toDF("doc_id", "grp")
+    val got = Curation.stratifiedSample(df, "grp", 7)
+    assert(got.groupBy("grp").count().collect()
+      .forall(_.getAs[Long]("count") == 7))
+    val a = got.orderBy("grp", "rn").collect().map(_.getAs[Long]("doc_id")).toSeq
+    val b = Curation.stratifiedSample(df, "grp", 7)
+      .orderBy("grp", "rn").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(a == b)
+  }
+
+  test("mixSample: per-stratum rates apply; missing strata drop") {
+    val df = (0L until 400L).map(i => (i, if (i < 300) "big" else "small"))
+      .toDF("doc_id", "grp")
+    val rates = Seq(("big", 0.2), ("small", 1.0)).toDF("grp", "rate")
+    val got = Curation.mixSample(df, rates, "grp")
+    val byGrp = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    assert(byGrp("small") == 100, "rate 1.0 keeps everything")
+    assert(byGrp("big") > 30 && byGrp("big") < 90, s"got ${byGrp("big")}")
+    val missing = Curation.mixSample(df, rates.filter(col("grp") === "big"), "grp")
+    assert(missing.filter(col("grp") === "small").isEmpty,
+      "strata without a rate are dropped")
+  }
+
+  test("groupQuantiles: exact interpolated quantiles per group") {
+    // group g: values 0..10 -> p50 = 5, p25 = 2.5; group h: constant
+    val df = ((0 to 10).map(v => ("g", v.toDouble)) ++
+      Seq(("h", 4.0), ("h", 4.0))).toDF("grp", "v")
+    val q = Curation.groupQuantiles(df, "v", "grp", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(q("g").getAs[Double]("p25") == 2.5)
+    assert(q("g").getAs[Double]("p50") == 5.0)
+    assert(q("g").getAs[Double]("p90") == 9.0)
+    assert(q("h").getAs[Double]("p50") == 4.0)
+  }
+
+  test("unigramLogProb: in-distribution text scores lower NLL than OOV text") {
+    val train = Seq((100L, "alpha beta gamma alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (0L, "alpha alpha alpha"), // most frequent token: lowest NLL
+      (1L, "gamma gamma gamma"), // rarer token
+      (2L, "zzz qqq www") // fully OOV: smoothing floor
+    ).toDF("doc_id", "text")
+    val r = TextOps.unigramLogProb(score, train).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_tokens") == 3)
+    val (a, g, o) = (r(0L).getAs[Double]("mean_nll"),
+      r(1L).getAs[Double]("mean_nll"), r(2L).getAs[Double]("mean_nll"))
+    assert(a < g && g < o, s"expected NLL(alpha) < NLL(gamma) < NLL(oov): $a $g $o")
+    // exact values: p(alpha) = (3+1)/(6+3), p(gamma) = (1+1)/9, p(oov) = 1/9
+    assert(a == math.rint(-math.log(4.0 / 9) * 1e4) / 1e4)
+    assert(o == math.rint(-math.log(1.0 / 9) * 1e4) / 1e4)
+  }
+
+  test("minhashEstimate: exact dups estimate 1.0; estimate filters candidates") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the very lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val sigs = graft.scale.Dedup.minhashSignatures(corpus)
+    val pairs = graft.scale.Dedup.minhashLshPairs(sigs)
+    val est = graft.scale.Dedup.minhashEstimate(pairs, sigs).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(est((0L, 1L)) == 1.0, "identical docs must agree on every seed")
+    est.get((0L, 2L)).foreach(e => assert(e < 1.0 && e > 0.0))
+    // verification stage: a high threshold keeps only the exact-dup pair
+    val strict = graft.scale.Dedup.minhashEstimate(pairs, sigs, minEstimate = 0.99)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(strict == Set((0L, 1L)))
+  }
+
+  test("curate: retention = quality AND repetition AND not near-dup-loser") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // dup loser
+      (2L, "spam spam spam spam spam spam spam spam spam spam"), // repetitive
+      (3L, "a genuinely varied sentence with many distinct interesting words here")
+    ).toDF("doc_id", "text")
+    val v = Curation.curate(corpus, minQuality = 0.0, minUniqueRatio = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(v.size == 4, "one verdict row per input document")
+    assert(v(0L).getAs[Boolean]("retained"), "dedup representative survives")
+    assert(v(1L).getAs[Boolean]("is_near_dup") && !v(1L).getAs[Boolean]("retained"))
+    assert(!v(2L).getAs[Boolean]("retained"), "repetitive doc dropped")
+    assert(v(3L).getAs[Boolean]("retained"))
+  }
+}

@@ -115,6 +115,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("matcher lateness bound drops cross-batch stragglers; default accepts") {
+    implicit val sqlCtx = spark.sqlContext
+    // bounded: 5ns allowed lateness
+    val bounded = MemoryStream[(Int, Long, Long, String, String)]
+    val qb = graft.streaming.StreamingMatcher.completedCalls(
+        bounded.toDF().toDF("process", "event_id", "timestamp_ns", "event_type", "name"),
+        allowedLatenessNs = 5L)
+      .writeStream.format("memory").queryName("late_b").outputMode("append").start()
+    try {
+      // batch 1 advances the high-water mark to t=100 and leaves main open
+      bounded.addData((0, 1L, 0L, "Enter", "main"), (0, 2L, 100L, "Enter", "work"))
+      qb.processAllAvailable()
+      // batch 2: a straggler pair from t=10..20 (90ns late > 5ns bound) must
+      // be dropped — admitting the Leave would close the open "work" frame’s
+      // sibling-less stack wrongly; then main closes normally
+      bounded.addData((0, 3L, 10L, "Enter", "stale"), (0, 4L, 20L, "Leave", "stale"),
+        (0, 5L, 200L, "Leave", "work"), (0, 6L, 300L, "Leave", "main"))
+      qb.processAllAvailable()
+      val names = spark.table("late_b").collect().map(_.getAs[String]("name")).toSet
+      assert(names == Set("work", "main"), s"straggler leaked: $names")
+      val main = spark.table("late_b").collect()
+        .find(_.getAs[String]("name") == "main").get
+      assert(main.getAs[Long]("time_exc") == 300L - 100L) // only work's inc subtracted
+    } finally qb.stop()
+
+    // default (unbounded): the same straggler pair is admitted and matches
+    val open = MemoryStream[(Int, Long, Long, String, String)]
+    val qo = graft.streaming.StreamingMatcher.completedCalls(
+        open.toDF().toDF("process", "event_id", "timestamp_ns", "event_type", "name"))
+      .writeStream.format("memory").queryName("late_o").outputMode("append").start()
+    try {
+      open.addData((0, 1L, 0L, "Enter", "main"), (0, 2L, 100L, "Enter", "work"))
+      qo.processAllAvailable()
+      open.addData((0, 3L, 10L, "Enter", "stale"), (0, 4L, 20L, "Leave", "stale"))
+      qo.processAllAvailable()
+      val names = spark.table("late_o").collect().map(_.getAs[String]("name")).toSet
+      assert(names == Set("stale"))
+    } finally qo.stop()
+  }
+
   test("streaming sessions split on gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Int, Int, Long)]
