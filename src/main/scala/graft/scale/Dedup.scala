@@ -142,6 +142,13 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var done = false
+    // convergence via a label checksum: labels are per-node monotonically
+    // non-increasing (min-propagation), so Σ component is strictly
+    // decreasing until the fixpoint — an unchanged sum means NO node
+    // changed. One cheap aggregate per round instead of a join + isEmpty
+    // scan (ids are non-negative, so the sum cannot overflow into a
+    // coincidental match)
+    var prevSum: Option[Long] = None
     while (!done && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("node").as("y"), col("component")), Seq("y"))
@@ -149,9 +156,9 @@ object Dedup {
       val next = labels.unionByName(nbr)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      done = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
-        .filter(col("component") =!= col("old"))
-        .isEmpty
+      val s = next.agg(sum(col("component"))).head.getLong(0)
+      done = prevSum.contains(s)
+      prevSum = Some(s)
       labels = next
       iter += 1
     }
