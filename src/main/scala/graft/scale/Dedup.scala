@@ -52,9 +52,21 @@ object Dedup {
   }
 
   /** LSH banding over minhash signatures → candidate near-duplicate pairs
-    * (a < b). bands × rowsPerBand must equal numHashes of the signatures. */
+    * (a < b). bands × rowsPerBand must equal numHashes of the signatures.
+    *
+    * `maxBucketSize` bounds the quadratic blowup of a viral bucket: a
+    * boilerplate text duplicated 10⁶ times shares every band bucket, and
+    * a clique join would emit ~10¹² pairs from that one bucket. Buckets
+    * larger than the cap are decomposed into a star — every member paired
+    * with the bucket's minimum id — which emits O(size) pairs yet leaves
+    * [[connectedComponents]] output IDENTICAL (any two members stay
+    * connected through the hub), so dedup clusters and retention are
+    * unchanged. Only the literal pair list shrinks (relevant if the pairs
+    * feed [[minhashEstimate]] verification: star pairs estimate against
+    * the hub only). Default Int.MaxValue = clique everywhere. */
   def minhashLshPairs(signatures: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id",
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val banded = signatures
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(col(idCol), col("band"))
@@ -63,10 +75,23 @@ object Dedup {
       .agg(md5(concat_ws(":", transform(
         sort_array(collect_list(struct(col("seed"), col("minhash")))),
         x => x.getField("minhash").cast("string")))).as("band_key"))
-    val a = banded.select(col(idCol).as("a"), col("band"), col("band_key"))
-    val b = banded.select(col(idCol).as("b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    // bucket size + hub in one window pass, partitioned on the join key
+    // (the self-join below shuffles on the same key — exchange reused)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key"))
+    val sized =
+      if (maxBucketSize == Int.MaxValue) banded.withColumn("bsz", lit(1L))
+        .withColumn("hub", lit(0L)) // never consulted
+      else banded.withColumn("bsz", count(lit(1)).over(w))
+        .withColumn("hub", min(col(idCol)).over(w))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val a = small.select(col(idCol).as("a"), col("band"), col("band_key"))
+    val b = small.select(col(idCol).as("b"), col("band"), col("band_key"))
+    val clique = a.join(b, Seq("band", "band_key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val star = sized.filter(col("bsz") > maxBucketSize && col(idCol) =!= col("hub"))
+      .select(col("hub").as("a"), col(idCol).as("b"))
+    clique.unionByName(star).distinct()
   }
 
   /** Full minhash+LSH dedup: candidate pairs from banding. */

@@ -40,6 +40,20 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("sender"),
         col("receiver"), col("volume"))
 
+  /** Streaming exact dedup for live corpus ingestion (the streaming twin
+    * of [[graft.scale.Dedup.exact]]): drop any document whose content
+    * hash was already admitted within the watermark horizon. State is one
+    * entry per distinct content hash, expired by the engine once the
+    * watermark passes its event time + delay — so memory is bounded by
+    * the dedup horizon, the standard design for dedup-at-ingest (exact
+    * global dedup over all history stays a batch job). */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 watermark: String = "1 hour",
+                 timeCol: String = "event_time"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Gap-based session windows per process (the streaming twin of
     * [[graft.analysis.Sessionize]]) via Spark's native session_window —
     * state is managed by the engine, sessions close at watermark. */

@@ -147,6 +147,26 @@ class CurationSpec extends SparkSpec {
     assert(strict == Set((0L, 1L)))
   }
 
+  test("LSH bucket cap: star decomposition bounds pairs, components unchanged") {
+    val viral = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((0L until 40L).map(i => (i, viral)) :+
+      (100L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val sigs = graft.scale.Dedup.minhashSignatures(corpus)
+    val clique = graft.scale.Dedup.minhashLshPairs(sigs)
+    val star = graft.scale.Dedup.minhashLshPairs(sigs, maxBucketSize = 5)
+    // 40 identical docs: clique = C(40,2) = 780 pairs; star = 39 hub edges
+    assert(clique.count() == 780)
+    assert(star.count() == 39)
+    val comp = (p: org.apache.spark.sql.DataFrame) =>
+      graft.scale.Dedup.connectedComponents(p).collect()
+        .map(r => (r.getAs[Long]("node"), r.getAs[Long]("component"))).toSet
+    assert(comp(clique) == comp(star), "dedup clusters must be identical")
+    val retained = graft.scale.Dedup.dropNearDuplicates(
+      corpus, star).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(retained == Set(0L, 100L))
+  }
+
   test("curate: retention = quality AND repetition AND not near-dup-loser") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -155,6 +155,35 @@ class StreamingSpec extends SparkSpec {
     } finally qo.stop()
   }
 
+  test("streaming exact dedup drops repeats within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDF().toDF("doc_id", "text", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val q = StreamingOps.exactDedup(docs, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      stream.addData((0L, "aaa", 1000L), (1L, "aaa", 2000L), (2L, "bbb", 3000L))
+      q.processAllAvailable()
+      // in-batch duplicate collapsed
+      def byContent = spark.table("sdedup").collect()
+        .groupBy(_.getAs[String]("text")).view.mapValues(_.length).toMap
+      assert(byContent == Map("aaa" -> 1, "bbb" -> 1))
+      // cross-batch duplicate inside the horizon: still dropped
+      stream.addData((3L, "aaa", 4000L))
+      q.processAllAvailable()
+      assert(byContent == Map("aaa" -> 1, "bbb" -> 1))
+      // advance the watermark far past aaa's expiry; the hash state is
+      // evicted and the same content is admitted again — dedup-at-ingest
+      // is horizon-bounded by design
+      stream.addData((4L, "ccc", 100000L))
+      q.processAllAvailable()
+      stream.addData((5L, "aaa", 101000L))
+      q.processAllAvailable()
+      assert(byContent == Map("aaa" -> 2, "bbb" -> 1, "ccc" -> 1))
+    } finally q.stop()
+  }
+
   test("streaming sessions split on gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Int, Int, Long)]
