@@ -324,6 +324,19 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "pq_codes" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqEncode(emb, Similarity.pqFit(emb)).orderBy(col("vec_id"))
+    }),
+
+    "ann_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cbs = Similarity.pqFit(emb)
+      Similarity.pqTopK(Similarity.pqEncode(emb, cbs),
+        emb.filter(col("vec_id") < 10), cbs)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- corpus curation: repetition, PII, sampling, quantiles ---
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(T(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -766,6 +779,31 @@ object SparkEntry {
       """SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
         |ORDER BY doc_id""".stripMargin),
 
+    "pq_codes" -> (pqCte() +
+      "SELECT vec_id, code0, code1, code2, code3 FROM codes ORDER BY vec_id"),
+
+    "ann_pq" -> {
+      val m = 4; val sub = 16
+      val terms = (0 until m).map { s =>
+        val sl = s"q.qv[${s * sub + 1}:${(s + 1) * sub}]"
+        s"(list_inner_product($sl, $sl) + list_inner_product(b$s.v, b$s.v)" +
+          s" - 2 * list_inner_product($sl, b$s.v))"
+      }.mkString(" + ")
+      val cbJoins = (0 until m).map(s => s"JOIN s${s}c3 b$s ON b$s.j = c.code$s")
+        .mkString(" ")
+      pqCte() +
+        s""", q AS (SELECT vec_id AS query_id, fv AS qv FROM e WHERE vec_id < 10),
+           |d AS (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id,
+           |         ROUND($terms, 4) AS approx_dist
+           |  FROM codes c CROSS JOIN q $cbJoins
+           |  WHERE q.query_id <> c.vec_id)
+           |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, approx_dist FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY approx_dist, neighbor_id) AS rn FROM d)
+           |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS arr FROM documents),
@@ -1088,6 +1126,45 @@ object SparkEntry {
       sb.append(s"c${i + 1} AS (SELECT p.j, COALESCE(u.v, p.v) AS v FROM c$i p LEFT JOIN u$i u USING (j)),\n")
     }
     sb.append(s"assign AS ${assignSql(s"c$iters")}\n")
+    sb.toString
+  }
+
+  /** Oracle CTE chain for product quantization (mirrors
+    * [[graft.scale.Similarity.pqFit]]/`pqEncode`): per subspace s, slice
+    * the (double-cast) embedding to `e{s}`, unroll the deterministic
+    * Lloyd iterations exactly like [[kmeansCte]], and emit `s{s}code`;
+    * `codes` joins the per-subspace assignments. Final per-subspace
+    * centroids live in `s{s}c{iters}`. */
+  private def pqCte(m: Int = 4, k: Int = 8, iters: Int = 3, dim: Int = 64): String = {
+    val sub = dim / m
+    val sb = new StringBuilder
+    sb.append("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),\n")
+    for (s <- 0 until m) {
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      def assignSql(c: String): String =
+        s"""(SELECT vec_id, j AS cluster FROM (
+           |  SELECT x.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY x.vec_id
+           |    ORDER BY list_distance(x.v, c.v), c.j) AS rn
+           |  FROM e$s x CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+      sb.append(s"e$s AS (SELECT vec_id, fv[$lo:$hi] AS v FROM e),\n")
+      sb.append(s"s${s}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, v\n")
+      sb.append(s"       FROM (SELECT vec_id, v FROM e$s ORDER BY vec_id LIMIT $k)),\n")
+      for (i <- 0 until iters) {
+        sb.append(s"s${s}a$i AS ${assignSql(s"s${s}c$i")},\n")
+        sb.append(s"""s${s}u$i AS (SELECT cluster AS j, list(mm ORDER BY dd) AS v FROM (
+                     |  SELECT a.cluster, g.generate_series AS dd, AVG(x.v[g.generate_series]) AS mm
+                     |  FROM s${s}a$i a JOIN e$s x USING (vec_id), generate_series(1, $sub) g
+                     |  GROUP BY 1, 2) GROUP BY 1),\n""".stripMargin)
+        sb.append(s"s${s}c${i + 1} AS (SELECT p.j, COALESCE(u.v, p.v) AS v" +
+          s" FROM s${s}c$i p LEFT JOIN s${s}u$i u USING (j)),\n")
+      }
+      sb.append(s"s${s}code AS ${assignSql(s"s${s}c$iters")},\n")
+    }
+    sb.append("codes AS (SELECT vec_id, " +
+      (0 until m).map(s => s"s$s.cluster AS code$s").mkString(", ") + "\n  FROM " +
+      (0 until m).map(s => s"s${s}code s$s").zipWithIndex
+        .map { case (t, i) => if (i == 0) t else s"JOIN $t USING (vec_id)" }
+        .mkString(" ") + ")\n")
     sb.toString
   }
 

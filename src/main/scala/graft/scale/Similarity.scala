@@ -190,6 +190,79 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Product quantization (PQ) codebooks — the memory-compression layer
+    * of billion-scale ANN (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): split each D-dim vector into `m`
+    * contiguous D/m-dim subvectors and fit an independent k-centroid
+    * codebook per subspace with the same deterministic Lloyd's as
+    * [[kmeansFit]] (so the whole fit is oracle-replicable). A corpus
+    * vector then stores m small codes (m bytes at k ≤ 256) instead of D
+    * floats — 64× compression at D=64, m=4, k=8. */
+  def pqFit(vectors: DataFrame, m: Int = 4, k: Int = 8, iterations: Int = 3,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            dim: Int = -1): Array[Array[Array[Double]]] = {
+    val d = if (dim > 0) dim
+      else vectors.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    (0 until m).map { s =>
+      kmeansFit(vectors.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
+        k, iterations, idCol, vecCol, sub)
+    }.toArray
+  }
+
+  /** PQ encoding: per subspace, the id of the nearest codebook centroid
+    * (squared-L2 argmin, ties to the lowest id — [[kmeansAssign]]'s rule).
+    * One fused codegen'd scan, m·k dot products per row, no shuffle. */
+  def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = codebooks(0)(0).length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sv = slice(col(vecCol), s * sub + 1, sub)
+      val structs = cb.zipWithIndex.map { case (c, j) =>
+        val dist = lit(c.map(x => x * x).sum) -
+          lit(2.0) * graft.functions.VecMath.dot(sv, array(c.map(lit).toIndexedSeq: _*))
+        struct(dist.as("d"), lit(j).as("j"))
+      }
+      least(structs.toIndexedSeq: _*).getField("j").as(s"code$s")
+    }
+    vectors.select(col(idCol) +: codeCols.toIndexedSeq: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay
+    * full-precision, the corpus contributes ONLY its code columns —
+    * approximate squared L2 = Σ_s ‖q_s − codebook_s[code_s]‖². The
+    * codebooks are tiny literals, so the whole distance is one codegen'd
+    * expression over m ints; at 100 TB the corpus scan reads m bytes per
+    * vector, never the D floats (that is the point of PQ). Ranking uses
+    * the ROUNDED distance with id tie-break, so the order is stable
+    * across engines. */
+  def pqTopK(codes: DataFrame, queries: DataFrame,
+             codebooks: Array[Array[Array[Double]]], k: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = codebooks(0)(0).length
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = codes.withColumnRenamed(idCol, "neighbor_id")
+    val dist = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sv = slice(col("qvec"), s * sub + 1, sub)
+      val cbLit = array(cb.map(v => array(v.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      val cvec = element_at(cbLit, col(s"code$s") + 1)
+      graft.functions.VecMath.dot(sv, sv) +
+        graft.functions.VecMath.dot(cvec, cvec) -
+        lit(2.0) * graft.functions.VecMath.dot(sv, cvec)
+    }.reduce(_ + _)
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_dist", round(dist, 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
     * restricted to a bucket column to avoid all-pairs.
     *

@@ -167,6 +167,30 @@ class CurationSpec extends SparkSpec {
     assert(retained == Set(0L, 100L))
   }
 
+  test("product quantization: identical structure shares codes, ADC ranks right") {
+    import graft.scale.Similarity
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)),
+      (1L, Array(0.1f, 0f, 0f, 0f, 1f, 1f, 1f, 0.9f)), // near 0
+      (2L, Array(5f, 5f, 5f, 5f, -3f, -3f, -3f, -3f)),
+      (3L, Array(5.1f, 5f, 5f, 5f, -3f, -3f, -3.1f, -3f)) // near 2
+    ).toDF("vec_id", "embedding")
+    val cbs = Similarity.pqFit(vecs, m = 2, k = 2, iterations = 2)
+    assert(cbs.length == 2 && cbs(0).length == 2 && cbs(0)(0).length == 4)
+    val codes = Similarity.pqEncode(vecs, cbs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(codes(0L) == codes(1L), "planted neighbors share all codes")
+    assert(codes(2L) == codes(3L))
+    assert(codes(0L) != codes(2L), "distinct clusters get distinct codes")
+    val top = Similarity.pqTopK(Similarity.pqEncode(vecs, cbs),
+      vecs.filter(col("vec_id") === 0L), cbs, k = 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(top.head.getAs[Long]("neighbor_id") == 1L,
+      "ADC must rank the same-code vector first")
+    assert(top.head.getAs[Double]("approx_dist") <
+      top.last.getAs[Double]("approx_dist"))
+  }
+
   test("curate: retention = quality AND repetition AND not near-dup-loser") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
