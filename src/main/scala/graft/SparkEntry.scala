@@ -383,6 +383,10 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "pack_batches" -> ((s, dir) =>
+      Curation.packBatches(T(s, dir, "documents"), 1024L)
+        .orderBy(col("doc_id"))),
+
     "docs_curated" -> ((s, dir) =>
       Curation.curate(T(s, dir, "documents"), 0.9283, 0.40)
         .select(col("doc_id"), col("quality"), col("unique_token_ratio"),
@@ -903,6 +907,19 @@ object SparkEntry {
          |  ROUND(quantile_cont(quality, 0.75), 4) AS p75,
          |  ROUND(quantile_cont(quality, 0.9), 4) AS p90
          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pack_batches" ->
+      """SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, n_tokens,
+        |       tokens_before,
+        |       CAST(tokens_before // 1024 AS BIGINT) AS batch_id FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(SUM(len(regexp_split_to_array(trim(text), ' +'))) OVER (
+        |      PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tokens_before
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "docs_curated" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       lshLosersCte +

@@ -69,6 +69,32 @@ object Curation {
       .select(col(groupCol) +: named: _*)
   }
 
+  /** Deterministic sequence packing: assign every document a training
+    * batch under a fixed token budget — the standard pretraining step
+    * that concatenates documents and chunks the stream every
+    * `budgetTokens` tokens. A document's batch is
+    * floor(tokens-before-it-in-its-shard / budget), i.e. the chunk its
+    * first token lands in (documents may straddle a boundary, exactly
+    * like real packed pretraining batches).
+    *
+    * Sharding (id mod `shards`) bounds the sequential dependency: the
+    * cumulative sum is a window per shard, so parallelism = shards and
+    * no global ordering is ever materialized — at 100 TB pick shards ≈
+    * cluster parallelism. Deterministic: (id → shard, id order within
+    * shard), no RNG. */
+  def packBatches(docs: DataFrame, budgetTokens: Long = 4096L,
+                  shards: Int = 8, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("batch_id",
+        (col("tokens_before") / budgetTokens).cast("long"))
+  }
+
   /** End-to-end curation verdict for every document: quality score,
     * repetition ratio, near-duplicate status, and the retention decision
     * — the standard quality→repetition→dedup corpus filter chain, one

@@ -42,21 +42,23 @@ object TextOps {
         .as("space_ratio"))
   }
 
-  /** Heuristic quality score in [0,1]: blend of length sanity, alpha ratio
-    * and mean token length sanity — the standard cheap pre-filter shape for
-    * corpus curation. */
-  def qualityScore(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
-    val t = col(textCol)
+  /** Heuristic quality score in [0,1] as a column expression: blend of
+    * length sanity, alpha ratio and mean token length sanity — the
+    * standard cheap pre-filter shape for corpus curation. Pure columnar,
+    * so it drops into batch selects and streaming filters alike. */
+  def quality(t: Column): Column = {
     val toks = size(tokens(t))
     val alphaRatio = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") /
       greatest(length(t), lit(1))
     val lenScore = least(toks.cast("double") / 20.0, lit(1.0))
     val avgTok = length(t).cast("double") / greatest(toks, lit(1))
     val tokScore = when(avgTok.between(3.0, 12.0), 1.0).otherwise(0.5)
-    docs.select(col(idCol),
-      round((lenScore * 0.4 + alphaRatio * 0.4 + tokScore * 0.2), 4).as("quality"))
+    round(lenScore * 0.4 + alphaRatio * 0.4 + tokScore * 0.2, 4)
   }
+
+  def qualityScore(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), quality(col(textCol)).as("quality"))
 
   /** Character-n-gram language ID: score each candidate language by overlap
     * between the document's character trigrams and a per-language profile

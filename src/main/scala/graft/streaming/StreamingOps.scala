@@ -54,6 +54,18 @@ object StreamingOps {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Curation at ingest: the streaming composition of the batch pipeline
+    * — quality pre-filter (stateless, codegen'd columnar expression) then
+    * exact dedup within the watermark horizon ([[exactDedup]]). The
+    * filter runs BEFORE the stateful dedup so junk never enters the hash
+    * state — the order that matters at firehose rates. */
+  def curatedIngest(docs: DataFrame, minQuality: Double,
+                    textCol: String = "text", watermark: String = "1 hour",
+                    timeCol: String = "event_time"): DataFrame =
+    exactDedup(
+      docs.filter(graft.scale.TextOps.quality(col(textCol)) >= minQuality),
+      textCol, watermark, timeCol)
+
   /** Gap-based session windows per process (the streaming twin of
     * [[graft.analysis.Sessionize]]) via Spark's native session_window —
     * state is managed by the engine, sessions close at watermark. */

@@ -191,6 +191,20 @@ class CurationSpec extends SparkSpec {
       top.last.getAs[Double]("approx_dist"))
   }
 
+  test("packBatches: budget boundaries and shard isolation are exact") {
+    // one shard (ids all ≡ 1 mod 8), 3-token docs, budget 5:
+    // doc 1 starts at 0 → batch 0; doc 9 starts at 3 → batch 0;
+    // doc 17 starts at 6 → batch 1; doc 25 starts at 9 → batch 1
+    val docs = Seq(1L, 9L, 17L, 25L).map(i => (i, "a b c")) :+
+      (2L, "x y z p q") // different shard: its own cumsum starts at 0
+    val got = Curation.packBatches(docs.toDF("doc_id", "text"), budgetTokens = 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tokens_before"), r.getAs[Long]("batch_id"))).toMap
+    assert(got(1L) == (0L, 0L) && got(9L) == (3L, 0L))
+    assert(got(17L) == (6L, 1L) && got(25L) == (9L, 1L))
+    assert(got(2L) == (0L, 0L), "other shard unaffected by shard 1's stream")
+  }
+
   test("curate: retention = quality AND repetition AND not near-dup-loser") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -184,6 +184,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curated ingest: quality filter runs before stateful dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDF().toDF("doc_id", "text", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val good = "a genuinely varied sentence with many distinct interesting " +
+      "words here and even more of them to pass the length gate"
+    val q = StreamingOps.curatedIngest(docs, minQuality = 0.8,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("cin").outputMode("append").start()
+    try {
+      // junk (one short token ⇒ low quality) is dropped stateless-ly;
+      // the good doc is admitted once despite the in-batch repeat
+      stream.addData((0L, good, 1000L), (1L, good, 2000L), (2L, "zz", 3000L))
+      q.processAllAvailable()
+      val texts = spark.table("cin").collect().map(_.getAs[String]("text"))
+      assert(texts.toSeq == Seq(good))
+    } finally q.stop()
+  }
+
   test("streaming sessions split on gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Int, Int, Long)]
