@@ -337,6 +337,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- corpus curation: repetition, PII, sampling, quantiles ---
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(T(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -808,6 +814,35 @@ object SparkEntry {
            |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    "ann_ivfpq" -> {
+      val m = 4; val sub = 16
+      val terms = (0 until m).map { s =>
+        val sl = s"q.qv[${s * sub + 1}:${(s + 1) * sub}]"
+        s"(list_inner_product($sl, $sl) + list_inner_product(b$s.v, b$s.v)" +
+          s" - 2 * list_inner_product($sl, b$s.v))"
+      }.mkString(" + ")
+      val cbJoins = (0 until m).map(s => s"JOIN s${s}c3 b$s ON b$s.j = c.code$s")
+        .mkString(" ")
+      pqCte() + coarseCte() +
+        s""", q AS (SELECT vec_id AS query_id, fv AS qv FROM e WHERE vec_id < 10),
+           |qprobe AS (SELECT query_id, j AS cluster FROM (
+           |  SELECT q.query_id, c.j, ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |    ORDER BY list_distance(q.qv, c.v), c.j) AS rn
+           |  FROM q CROSS JOIN gc5 c) WHERE rn <= 2),
+           |d AS (
+           |  SELECT p.query_id, c.vec_id AS neighbor_id,
+           |         ROUND($terms, 4) AS approx_dist
+           |  FROM codes c JOIN gassign ga ON ga.vec_id = c.vec_id
+           |  JOIN qprobe p ON p.cluster = ga.cluster
+           |  JOIN q ON q.query_id = p.query_id
+           |  $cbJoins
+           |  WHERE q.query_id <> c.vec_id)
+           |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, approx_dist FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY approx_dist, neighbor_id) AS rn FROM d)
+           |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS arr FROM documents),
@@ -1182,6 +1217,32 @@ object SparkEntry {
       (0 until m).map(s => s"s${s}code s$s").zipWithIndex
         .map { case (t, i) => if (i == 0) t else s"JOIN $t USING (vec_id)" }
         .mkString(" ") + ")\n")
+    sb.toString
+  }
+
+  /** Coarse k-means over the FULL vectors, appended after [[pqCte]]
+    * (reuses its `e(vec_id, fv)`): `gc*`/`ga*`/`gu*` CTEs ending in
+    * `gassign` = corpus cluster per vector. Mirrors [[kmeansCte]]'s
+    * unrolled Lloyd iterations, operating on `fv`. */
+  private def coarseCte(k: Int = 8, iters: Int = 5, dim: Int = 64): String = {
+    def assignSql(c: String): String =
+      s"""(SELECT vec_id, j AS cluster FROM (
+         |  SELECT x.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY x.vec_id
+         |    ORDER BY list_distance(x.fv, c.v), c.j) AS rn
+         |  FROM e x CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(s", gc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, fv AS v\n")
+    sb.append(s"       FROM (SELECT vec_id, fv FROM e ORDER BY vec_id LIMIT $k)),\n")
+    for (i <- 0 until iters) {
+      sb.append(s"ga$i AS ${assignSql(s"gc$i")},\n")
+      sb.append(s"""gu$i AS (SELECT cluster AS j, list(mm ORDER BY dd) AS v FROM (
+                   |  SELECT a.cluster, g.generate_series AS dd, AVG(x.fv[g.generate_series]) AS mm
+                   |  FROM ga$i a JOIN e x USING (vec_id), generate_series(1, $dim) g
+                   |  GROUP BY 1, 2) GROUP BY 1),\n""".stripMargin)
+      sb.append(s"gc${i + 1} AS (SELECT p.j, COALESCE(u.v, p.v) AS v" +
+        s" FROM gc$i p LEFT JOIN gu$i u USING (j)),\n")
+    }
+    sb.append(s"gassign AS ${assignSql(s"gc$iters")}\n")
     sb.toString
   }
 

@@ -241,9 +241,18 @@ object Similarity {
   def pqTopK(codes: DataFrame, queries: DataFrame,
              codebooks: Array[Array[Array[Double]]], k: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sub = codebooks(0)(0).length
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = codes.withColumnRenamed(idCol, "neighbor_id")
+    rankByAdc(c.crossJoin(broadcast(q)), codebooks, k)
+  }
+
+  /** Shared ADC tail: approximate squared L2 from code columns + the
+    * broadcast query vector, rank on the rounded distance (id
+    * tie-break → engine-stable order). Expects columns `query_id`,
+    * `qvec`, `neighbor_id`, `code0..code{m-1}`. */
+  private def rankByAdc(joined: DataFrame,
+                        codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val sub = codebooks(0)(0).length
     val dist = codebooks.zipWithIndex.map { case (cb, s) =>
       val sv = slice(col("qvec"), s * sub + 1, sub)
       val cbLit = array(cb.map(v => array(v.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
@@ -252,15 +261,39 @@ object Similarity {
         graft.functions.VecMath.dot(cvec, cvec) -
         lit(2.0) * graft.functions.VecMath.dot(sv, cvec)
     }.reduce(_ + _)
-    val joined = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_dist", round(dist, 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist").asc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
+    joined.filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_dist", round(dist, 4))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("approx_dist"))
+  }
+
+  /** IVF-PQ: the standard composition for billion-scale ANN (the FAISS
+    * IndexIVFPQ shape) — a coarse k-means quantizer prunes the corpus to
+    * the `nprobe` nearest inverted lists, and ranking inside the probed
+    * lists uses PQ codes only (ADC). The corpus contribution to the
+    * search is (cluster, m codes) per vector: at 100 TB the scan reads a
+    * few bytes per vector and only from probed lists when the corpus is
+    * storage-partitioned by cluster.
+    *
+    * Simplification vs. FAISS: codes quantize the raw vectors, not the
+    * coarse residuals — recall is slightly lower, but every stage stays
+    * oracle-replicable with the same deterministic k-means. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                nClusters: Int = 8, iterations: Int = 5, nprobe: Int = 2,
+                m: Int = 4, kCodes: Int = 8, pqIterations: Int = 3,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coarse = kmeansFit(corpus, nClusters, iterations, idCol, vecCol)
+    val cbs = pqFit(corpus, m, kCodes, pqIterations, idCol, vecCol)
+    val c = pqEncode(corpus, cbs, idCol, vecCol)
+      .join(kmeansAssign(corpus, coarse, idCol, vecCol), idCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = queries.join(kmeansProbe(queries, coarse, nprobe, idCol, vecCol), idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("cluster"))
+    rankByAdc(c.join(broadcast(q), Seq("cluster")), cbs, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,

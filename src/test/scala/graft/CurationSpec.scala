@@ -205,6 +205,21 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == (0L, 0L), "other shard unaffected by shard 1's stream")
   }
 
+  test("ivf-pq: probed-list ADC finds the planted neighbor") {
+    import graft.scale.Similarity
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)),
+      (1L, Array(0.1f, 0f, 0f, 0f, 1f, 1f, 1f, 0.9f)),
+      (2L, Array(5f, 5f, 5f, 5f, -3f, -3f, -3f, -3f)),
+      (3L, Array(5.1f, 5f, 5f, 5f, -3f, -3f, -3.1f, -3f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      k = 1, nClusters = 2, iterations = 2, nprobe = 1,
+      m = 2, kCodes = 2, pqIterations = 2).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 1L,
+      "nprobe=1 restricts to vec 0's own list, where 1 is nearest")
+  }
+
   test("curate: retention = quality AND repetition AND not near-dup-loser") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
