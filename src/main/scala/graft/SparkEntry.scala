@@ -389,6 +389,13 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // stand-in eval suite: every 97th document
+      Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     "pack_batches" -> ((s, dir) =>
       Curation.packBatches(T(s, dir, "documents"), 1024L)
         .orderBy(col("doc_id"))),
@@ -942,6 +949,17 @@ object SparkEntry {
          |  ROUND(quantile_cont(quality, 0.75), 4) AS p75,
          |  ROUND(quantile_cont(quality, 0.9), 4) AS p90
          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "decontaminate" -> (shinglesCte +
+      """, bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |shared AS (SELECT doc_id, COUNT(*) AS c
+        |           FROM dsh JOIN bsh USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(s.c, 0) AS BIGINT) AS n_shared_shingles,
+        |       CAST(CASE WHEN COALESCE(s.c, 0) >= 2 THEN 1 ELSE 0 END AS INT)
+        |         AS contaminated
+        |FROM documents d LEFT JOIN shared s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
 
     "pack_batches" ->
       """SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, n_tokens,

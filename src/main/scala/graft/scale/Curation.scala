@@ -69,6 +69,31 @@ object Curation {
       .select(col(groupCol) +: named: _*)
   }
 
+  /** Benchmark decontamination: flag corpus documents whose word-shingle
+    * overlap with ANY benchmark/eval document reaches `minShared` — the
+    * standard check that eval-set text has not leaked into the training
+    * corpus (e.g. GPT-3 §2.2-style n-gram decontamination). Returns one
+    * audit row per corpus document.
+    *
+    * Scale shape: the benchmark side is an eval suite — tiny relative to
+    * the corpus — so its distinct shingle set broadcasts and the check is
+    * a map-side semi-join + per-doc count; the 100 TB corpus is scanned
+    * once and never shuffled on text. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, shingleK: Int = 3,
+                    minShared: Int = 2, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val d = Shingles.wordShingles(docs, shingleK, textCol, idCol).distinct()
+    val b = Shingles.wordShingles(benchmark, shingleK, textCol, idCol)
+      .select(col("shingle")).distinct()
+    val shared = d.join(broadcast(b), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+    docs.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("c"), lit(0L)).as("n_shared_shingles"),
+        (coalesce(col("c"), lit(0L)) >= minShared).cast("int").as("contaminated"))
+  }
+
   /** Deterministic sequence packing: assign every document a training
     * batch under a fixed token budget — the standard pretraining step
     * that concatenates documents and chunks the stream every

@@ -220,6 +220,22 @@ class CurationSpec extends SparkSpec {
       "nprobe=1 restricts to vec 0's own list, where 1 is nearest")
   }
 
+  test("decontaminate: leaked benchmark text is flagged, clean text is not") {
+    val bench = Seq((1000L, "the capital of france is paris obviously"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "trivia time the capital of france is paris obviously he said"), // leaked
+      (1L, "a completely unrelated document about sorting networks"),
+      (2L, "the capital of nowhere") // shares < 2 shingles
+    ).toDF("doc_id", "text")
+    val v = graft.scale.Curation.decontaminate(corpus, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_shingles"), r.getAs[Int]("contaminated"))).toMap
+    assert(v(0L)._2 == 1 && v(0L)._1 >= 4, s"leak not flagged: ${v(0L)}")
+    assert(v(1L) == (0L, 0))
+    assert(v(2L)._2 == 0)
+  }
+
   test("curate: retention = quality AND repetition AND not near-dup-loser") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
