@@ -389,6 +389,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "chunk_docs" -> ((s, dir) =>
+      Curation.chunkDocs(T(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    "vocab_top" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tok"))
+      toks.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("tok"), col("c"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     "decontaminate" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       // stand-in eval suite: every 97th document
@@ -949,6 +964,32 @@ object SparkEntry {
          |  ROUND(quantile_cont(quality, 0.75), 4) AS p75,
          |  ROUND(quantile_cont(quality, 0.9), 4) AS p90
          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS arr
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, arr, len(arr) AS n,
+        |    unnest(generate_series(0, (GREATEST(len(arr) - 64, 0) + 47) // 48))
+        |      AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 + 1 AS BIGINT) AS tok_start,
+        |  CAST(LEAST(chunk_id * 48 + 64, n) AS BIGINT) AS tok_end,
+        |  array_to_string(arr[(chunk_id * 48 + 1):LEAST(chunk_id * 48 + 64, n)], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "vocab_top" ->
+      """SELECT lang, CAST(rn AS INT) AS rn, tok, c FROM (
+        |  SELECT lang, tok, c, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY c DESC, tok) AS rn
+        |  FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), ' +'))
+        |                AS tok FROM documents)
+        |        GROUP BY 1, 2))
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
 
     "decontaminate" -> (shinglesCte +
       """, bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

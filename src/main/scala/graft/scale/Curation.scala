@@ -120,6 +120,29 @@ object Curation {
         (col("tokens_before") / budgetTokens).cast("long"))
   }
 
+  /** Tokenize-and-chunk: split each document's token stream into
+    * fixed-size windows advancing by `stride` tokens (overlapping when
+    * stride < chunkTokens) — the document→training-sample
+    * transformation. The final chunk is clipped to the document end;
+    * every token appears in at least one chunk. Pure per-row explode
+    * (array ops, no shuffle); row amplification ≈ n_tokens/stride. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lastChunk =
+      s"(greatest(n_tokens - $chunkTokens, 0) + ${stride - 1}) div $stride"
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .select(col(idCol), col("toks"), col("n_tokens"),
+        explode(expr(s"sequence(0, $lastChunk)")).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("tok_start"),
+        least(col("chunk_id") * stride + chunkTokens, col("n_tokens"))
+          .as("tok_end"),
+        concat_ws(" ", slice(col("toks"), col("chunk_id") * stride + 1,
+          least(col("chunk_id") * stride + chunkTokens, col("n_tokens")) -
+            col("chunk_id") * stride)).as("chunk_text"))
+  }
+
   /** End-to-end curation verdict for every document: quality score,
     * repetition ratio, near-duplicate status, and the retention decision
     * — the standard quality→repetition→dedup corpus filter chain, one

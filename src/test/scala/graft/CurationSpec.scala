@@ -236,6 +236,26 @@ class CurationSpec extends SparkSpec {
     assert(v(2L)._2 == 0)
   }
 
+  test("chunkDocs: stride windows cover every token, last chunk clipped") {
+    val docs = Seq(
+      (0L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
+      (1L, "a b c") // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val ch = Curation.chunkDocs(docs, chunkTokens = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+          r.getAs[String]("chunk_text"))).toMap
+    // doc 0: chunks at 1-4, 4-7, 7-10 (stride 3, size 4, last clipped)
+    assert(ch((0L, 0L)) == (1L, 4L, "t1 t2 t3 t4"))
+    assert(ch((0L, 1L)) == (4L, 7L, "t4 t5 t6 t7"))
+    assert(ch((0L, 2L)) == (7L, 10L, "t7 t8 t9 t10"))
+    assert(!ch.contains((0L, 3L)))
+    assert(ch((1L, 0L)) == (1L, 3L, "a b c"), "short doc = one clipped chunk")
+    // coverage: every token index inside some chunk
+    assert((1 to 10).forall(i => ch.exists { case ((d, _), (s, e, _)) =>
+      d == 0L && s <= i && i <= e }))
+  }
+
   test("curate: retention = quality AND repetition AND not near-dup-loser") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
