@@ -474,7 +474,34 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           col("mean_luma"), size(col("sampled_frames")).as("n_sampled"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- substring-level dedup audit (Lee et al. 2022, fixed-k spans) ---
+    "dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(T(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // --- DSIR importance weights vs. the English sub-corpus ---
+    "dsir_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Curation.importanceWeights(docs, docs.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- BM25 more-like-this retrieval (first 5 docs as queries) ---
+    "bm25_topk" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextOps.bm25TopK(docs, docs.filter(col("doc_id") < 5))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- SemDeDup: k-means clusters -> within-cluster cosine components ---
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDeDup(T(s, dir, "embeddings"), 0.3)
+        .select(col("vec_id"), col("cluster"),
+          col("is_dup").cast("int").as("is_dup"),
+          col("retained").cast("int").as("retained"))
+        .orderBy(col("vec_id")))
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1160,7 +1187,102 @@ object SparkEntry {
         |       CAST(1 + length(text) % 16 AS INT) AS n_frames,
         |       ROUND(CAST(l.s AS DOUBLE) / length(text) / 255, 6) AS mean_luma,
         |       CAST((1 + length(text) % 16 + 1) // 2 AS INT) AS n_sampled
-        |FROM documents d JOIN luma l ON d.doc_id = l.doc_id ORDER BY d.doc_id""".stripMargin
+        |FROM documents d JOIN luma l ON d.doc_id = l.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "dup_spans" -> (shinglesCte +
+      """, docfreq AS (
+        |  SELECT shingle, COUNT(DISTINCT doc_id) AS ndocs FROM sh GROUP BY 1)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_spans,
+        |       ROUND(CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 4) AS dup_ratio
+        |FROM sh s JOIN docfreq d USING (shingle)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
+    "dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |sh2 AS (
+        |  SELECT doc_id, lang, array_to_string(toks[i:i+1], ' ') AS shingle
+        |  FROM (SELECT doc_id, lang, toks,
+        |          unnest(generate_series(1, GREATEST(len(toks) - 1, 1))) AS i
+        |        FROM t)),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substr(md5('0:' || shingle), 1, 15)) AS BIGINT)
+        |           % 256 AS bucket
+        |  FROM sh2),
+        |rc AS (SELECT bucket, COUNT(*) AS rc FROM f GROUP BY 1),
+        |tc AS (SELECT bucket, COUNT(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(SUM(rc) AS DOUBLE) FROM rc) AS rtot,
+        |               (SELECT CAST(SUM(tc) AS DOUBLE) FROM tc) AS ttot),
+        |bw AS (
+        |  SELECT g.generate_series AS bucket,
+        |         ln((COALESCE(tc.tc, 0) + 1.0) / (t.ttot + 256.0))
+        |         - ln((COALESCE(rc.rc, 0) + 1.0) / (t.rtot + 256.0)) AS w
+        |  FROM generate_series(0, 255) g
+        |  LEFT JOIN rc ON rc.bucket = g.generate_series
+        |  LEFT JOIN tc ON tc.bucket = g.generate_series CROSS JOIN tot t),
+        |db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM f GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+        |       ROUND(SUM(c * w), 4) AS log_ratio
+        |FROM db JOIN bw USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), ' +')) AS dl,
+        |         unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+        |       FROM tk GROUP BY 1, 2),
+        |st AS (SELECT COUNT(*) AS n,
+        |              AVG(len(regexp_split_to_array(trim(text), ' +'))) AS avgdl
+        |       FROM documents),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tk WHERE doc_id < 5),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |sc AS (
+        |  SELECT q.query_id, f.doc_id,
+        |         ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |                   * (f.tf * 2.2)
+        |                   / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))),
+        |               4) AS score
+        |  FROM tf f JOIN qt q USING (term) JOIN dfq d USING (term) CROSS JOIN st s
+        |  WHERE f.doc_id != q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "semdedup" -> (kmeansCte().replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, prs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM assign x JOIN assign y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+        |  WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+        |                                     CAST(ey.embedding AS DOUBLE[])), 4)
+        |        >= 0.3),
+        |cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM cedges
+        |  UNION
+        |  SELECT ce.x, r.label FROM cedges ce JOIN reach r ON r.node = ce.y),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY 1)
+        |SELECT a.vec_id, a.cluster,
+        |       CAST(CASE WHEN c.component IS NOT NULL AND c.component != a.vec_id
+        |            THEN 1 ELSE 0 END AS INT) AS is_dup,
+        |       CAST(CASE WHEN c.component IS NOT NULL AND c.component != a.vec_id
+        |            THEN 0 ELSE 1 END AS INT) AS retained
+        |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin)
   )
 
   /** Shared oracle CTE: per-(name,process) exclusive-time sums of the call

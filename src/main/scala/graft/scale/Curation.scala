@@ -143,6 +143,54 @@ object Curation {
             col("chunk_id") * stride)).as("chunk_text"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET distribution (e.g. a high-quality or in-domain
+    * subset) than under the raw corpus itself —
+    * `w(doc) = Σ_feat [ log p̂_target(bucket) − log p̂_raw(bucket) ]`
+    * with add-`alpha` smoothed bucket probabilities over `buckets` hashed
+    * word-bigram buckets. Positive weight ⇒ the document looks more like
+    * the target than like the background; resampling keeps the top mass.
+    *
+    * Scale shape: the two bucket-count tables are `buckets` rows — pure
+    * map-side-combined aggregates that broadcast back — so the 100 TB
+    * corpus is scanned twice (once to count, once to score) and the
+    * scoring join is broadcast-hash on a few-KB table; no shuffle of the
+    * corpus ever happens. Features hash with the engine-replicable
+    * [[TextOps.md5Hash60]], so the whole weighting is deterministic and
+    * oracle-checkable. */
+  def importanceWeights(docs: DataFrame, target: DataFrame,
+                        buckets: Int = 256, shingleK: Int = 2,
+                        alpha: Double = 1.0, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    def feats(d: DataFrame) = Shingles.wordShingles(d, shingleK, textCol, idCol)
+      .select(col(idCol),
+        pmod(TextOps.md5Hash60(col("shingle"), 0), lit(buckets.toLong)).as("bucket"))
+    val raw = feats(docs)
+    val rawCnt = raw.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    val tgtCnt = feats(target).groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    // every bucket id, so buckets unseen in either corpus still smooth
+    val ids = docs.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val totals = rawCnt.agg(sum(col("rc")).as("rtot"))
+      .crossJoin(tgtCnt.agg(sum(col("tc")).as("ttot")))
+    val bw = ids.join(rawCnt, Seq("bucket"), "left")
+      .join(tgtCnt, Seq("bucket"), "left").crossJoin(totals)
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)) + alpha) /
+             (col("ttot") + alpha * buckets)) -
+         log((coalesce(col("rc"), lit(0L)) + alpha) /
+             (col("rtot") + alpha * buckets))).as("w"))
+    // collapse to per-(doc, bucket) counts before weighting: the per-doc
+    // sum then has ≤ `buckets` float terms (not one per token), which
+    // keeps engine-to-engine FP noise far below the 4dp rounding
+    raw.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+      .join(broadcast(bw), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c") * col("w")), 4).as("log_ratio"))
+  }
+
   /** End-to-end curation verdict for every document: quality score,
     * repetition ratio, near-duplicate status, and the retention decision
     * — the standard quality→repetition→dedup corpus filter chain, one

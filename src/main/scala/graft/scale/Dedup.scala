@@ -260,4 +260,35 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Duplicated-span detection — the audit stage of exact substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", reformulated for fixed-k spans instead of a suffix array): a
+    * span is k consecutive tokens; a span position is *duplicated* when
+    * the same k-token sequence also occurs in at least one OTHER document.
+    * Returns one row per document with its span count, duplicated-span
+    * count, and the duplicated fraction — the table a span-removal or
+    * doc-drop policy consumes downstream.
+    *
+    * Scale shape: spans explode scan-locally; the cross-document test is
+    * one groupBy(shingle) producing the distinct-doc count per span
+    * (map-side partial aggregation collapses each doc's repeats first) and
+    * one shuffle join back on the span key — the standard inverted-index
+    * shape, linear in corpus spans. No all-pairs stage exists at any
+    * scale, and span keys hash-partition evenly (k-token sequences have
+    * no heavy hitters by construction of the distinct-doc COUNT, which
+    * caps per-key reduce state at one long). */
+  def duplicatedSpans(docs: DataFrame, shingleK: Int = 3,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val occ = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+    val docFreq = occ.distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
+    occ.join(docFreq, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+  }
 }

@@ -296,6 +296,37 @@ object Similarity {
     rankByAdc(c.join(broadcast(q), Seq("cluster")), cbs, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup over an
+    * embedding column — cluster with the deterministic k-means coarse
+    * quantizer, find within-cluster cosine near-duplicate pairs, connect
+    * them into components, and keep one representative (minimum id) per
+    * component. Returns one audit row per vector:
+    * (id, cluster, is_dup, retained).
+    *
+    * Scale shape: exactly the pieces that already scale — k-means is
+    * 2 scans/iteration with driver-sized centroids, the pair search is
+    * [[cosinePairs]] restricted to clusters (never all-pairs; `blocks`
+    * spreads a skewed mega-cluster), and component labels converge by
+    * min-propagation over the sparse near-dup edge set. Every stage is
+    * deterministic, so the whole pipeline is oracle-replicable. */
+  def semDeDup(vectors: DataFrame, threshold: Double = 0.9,
+               nClusters: Int = 8, iterations: Int = 5,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               blocks: Int = 1): DataFrame = {
+    val assigned = vectors.join(
+      kmeansAssign(vectors, kmeansFit(vectors, nClusters, iterations, idCol, vecCol),
+        idCol, vecCol), idCol)
+    val pairs = cosinePairs(assigned, threshold, "cluster", idCol, vecCol, blocks)
+    val comp = graft.scale.Dedup.connectedComponents(pairs)
+    assigned.select(col(idCol), col("cluster"))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        (col("component").isNotNull && col("component") =!= col(idCol))
+          .as("is_dup"))
+      .withColumn("retained", !col("is_dup"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
     * restricted to a bucket column to avoid all-pairs.
     *

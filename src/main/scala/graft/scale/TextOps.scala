@@ -201,4 +201,56 @@ object TextOps {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= s)
       .select(col(idCol), col("rn").as("pos"), col("h").as("fingerprint"))
   }
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones, the Okapi BM25 used by
+    * Lucene/Elasticsearch — idf = ln(1 + (N−df+0.5)/(df+0.5)), tf
+    * saturation k1, length normalization b): for each query document,
+    * score every corpus document by the query's DISTINCT terms and keep
+    * the `k` best. The "more-like-this" shape — queries are themselves
+    * documents — which is how corpus-level retrieval dedup/search runs.
+    *
+    * Scale shape: term frequencies are one explode + groupBy(doc, term)
+    * with map-side combine (the only corpus shuffle); document
+    * frequencies reduce to one row per term. The query term list is
+    * query-suite-sized → broadcast, so scoring is a broadcast-hash join
+    * on term followed by a (query, doc) partial+final aggregation. Corpus
+    * is never joined to itself. Ranking sorts on the ROUNDED score with
+    * doc-id tie-break, so the order is stable across engines. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // dl rides along through the explode, so tf+dl come out of ONE
+    // groupBy(doc, term) — no per-doc length join or window afterwards
+    val toks = docs.select(col(idCol), size(tokens(col(textCol))).as("dl"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(tokens(col(textCol)))).as("avgdl"))
+    val qterms = queries
+      .select(col(idCol).as("query_id"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    // df only for query terms: the semi-join prunes the corpus term
+    // stream BEFORE the df shuffle, and the result stays broadcast-sized
+    // (≤ query vocabulary) no matter how big the corpus vocabulary is
+    val df = tf.join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "leftsemi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("s")), 4).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
 }

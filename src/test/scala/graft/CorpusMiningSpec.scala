@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.{Curation, Dedup, Similarity, TextOps}
+
+/** Semantics checks for the corpus-mining additions on planted inputs:
+  * duplicated-span detection (cross-doc k-token spans), DSIR importance
+  * weights (sign follows target affinity), BM25 retrieval (term overlap
+  * ranks first), and SemDeDup (exact duplicates collapse to one
+  * representative per component). */
+class CorpusMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicatedSpans: only cross-document spans count as duplicated") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),  // shares "alpha beta gamma" with doc 1
+      (1L, "alpha beta gamma other"),
+      (2L, "solo words only here"),    // no shared trigram
+      (3L, "rep rep rep rep rep")      // internal repeats, no other doc has them
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // 4 tokens -> 2 trigram spans; exactly one ("alpha beta gamma") shared
+    assert(r(0L).getAs[Long]("n_spans") == 2)
+    assert(r(0L).getAs[Long]("n_dup_spans") == 1)
+    assert(r(0L).getAs[Double]("dup_ratio") == 0.5)
+    assert(r(1L).getAs[Long]("n_dup_spans") == 1)
+    assert(r(2L).getAs[Long]("n_dup_spans") == 0)
+    // "rep rep rep" appears 3x within doc 3 only: spans counted, none dup
+    assert(r(3L).getAs[Long]("n_spans") == 3)
+    assert(r(3L).getAs[Long]("n_dup_spans") == 0)
+  }
+
+  test("importanceWeights: target-like docs score positive, others negative") {
+    // target = science-y docs; raw corpus = science + sports
+    val docs = Seq(
+      (0L, "quantum physics experiment quantum physics"),
+      (1L, "quantum physics theory quantum physics"),
+      (2L, "football game score football game"),
+      (3L, "football game replay football game")
+    ).toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" < 2)
+    val w = Curation.importanceWeights(docs, target, buckets = 64)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // science bigrams are ~2x as frequent in target as in raw -> positive;
+    // sports bigrams never occur in target -> negative
+    assert(w(0L).getAs[Double]("log_ratio") > 0)
+    assert(w(1L).getAs[Double]("log_ratio") > 0)
+    assert(w(2L).getAs[Double]("log_ratio") < 0)
+    assert(w(3L).getAs[Double]("log_ratio") < 0)
+    // 5 tokens -> 4 bigram features each
+    assert(w(0L).getAs[Long]("n_feats") == 4)
+  }
+
+  test("bm25TopK: the doc sharing the query's rare terms ranks first") {
+    val docs = Seq(
+      (0L, "rare unique signal words"),          // the query
+      (1L, "rare unique signal words exactly"),  // near-copy -> best match
+      (2L, "rare common words filler filler"),   // partial overlap
+      (3L, "totally different content here"),
+      (4L, "more unrelated filler text")
+    ).toDF("doc_id", "text")
+    val top = TextOps.bm25TopK(docs, docs.filter($"doc_id" === 0), k = 3)
+      .orderBy($"rank").collect()
+    assert(top.head.getAs[Long]("doc_id") == 1L) // full term overlap wins
+    assert(top(1).getAs[Long]("doc_id") == 2L)   // partial overlap second
+    // self never appears among its own results
+    assert(!top.map(_.getAs[Long]("doc_id")).contains(0L))
+    // scores decrease with rank
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("semDeDup: exact duplicates collapse to the min-id representative") {
+    // hash-derived pseudo-random components: distinct vectors are far
+    // apart with overwhelming margin (sin-lattice vectors can be
+    // near-parallel by accident)
+    def comp(i: Int, d: Int): Float = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$d".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0).toFloat
+    }
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => comp(i, d)))
+    }
+    // vectors 20..23 duplicate vectors 0..3 exactly -> near-dup pairs
+    val dup = (0 until 4).map { i =>
+      ((20 + i).toLong, Array.tabulate(8)(d => comp(i, d)))
+    }
+    val vecs = (base ++ dup).toDF("vec_id", "embedding")
+    val r = Similarity.semDeDup(vecs, threshold = 0.999, nClusters = 4,
+      iterations = 3).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    (0 until 4).foreach { i =>
+      assert(!r(i.toLong).getAs[Boolean]("is_dup"), s"rep $i kept")
+      assert(r((20 + i).toLong).getAs[Boolean]("is_dup"), s"copy ${20 + i} dropped")
+      // duplicate pair lands in the same cluster (identical vectors)
+      assert(r(i.toLong).getAs[Int]("cluster") ==
+        r((20 + i).toLong).getAs[Int]("cluster"))
+    }
+    // everything else untouched
+    (4 until 20).foreach { i =>
+      assert(r(i.toLong).getAs[Boolean]("retained"))
+    }
+  }
+}
