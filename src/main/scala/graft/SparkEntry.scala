@@ -501,7 +501,29 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"),
           col("is_dup").cast("int").as("is_dup"),
           col("retained").cast("int").as("retained"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // --- corpus-wide kNN graph (cluster-restricted self-join) ---
+    "knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(T(s, dir, "embeddings"), 3)
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // --- IVF recall@5 against the exact brute-force neighbors ---
+    "ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(emb, q, 5)
+      val ivf = Similarity.ivfTopK(emb, q, 5)
+      val hits = bf.join(
+          ivf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("c"), lit(0L)) / 5.0, 4).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    })
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1282,7 +1304,56 @@ object SparkEntry {
         |       CAST(CASE WHEN c.component IS NOT NULL AND c.component != a.vec_id
         |            THEN 0 ELSE 1 END AS INT) AS retained
         |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
-        |ORDER BY a.vec_id""".stripMargin)
+        |ORDER BY a.vec_id""".stripMargin),
+
+    "knn_graph" -> (kmeansCte() +
+      """, knn AS (
+        |  SELECT a.vec_id, x.vec_id AS neighbor_id,
+        |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(ex.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM assign a JOIN assign x
+        |    ON a.cluster = x.cluster AND a.vec_id != x.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id)
+        |SELECT vec_id, rank, neighbor_id, sim FROM (
+        |  SELECT vec_id, neighbor_id, sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM knn)
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+
+    "ann_recall" -> (kmeansCte() +
+      """, bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |                      c.vec_id) AS INT) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 5),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                             CAST(xe.embedding AS DOUBLE[])) DESC,
+        |                      x.vec_id) AS INT) AS rank
+        |    FROM assign q JOIN assign x
+        |      ON q.cluster = x.cluster AND q.vec_id != x.vec_id
+        |    JOIN embeddings qe ON qe.vec_id = q.vec_id
+        |    JOIN embeddings xe ON xe.vec_id = x.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT query_id, COUNT(*) AS c
+        |  FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        |       ROUND(COALESCE(h.c, 0) / 5.0, 4) AS recall_at_5
+        |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin)
   )
 
   /** Shared oracle CTE: per-(name,process) exclusive-time sums of the call

@@ -270,24 +270,24 @@ object Dedup {
     * count, and the duplicated fraction — the table a span-removal or
     * doc-drop policy consumes downstream.
     *
-    * Scale shape: spans explode scan-locally; the cross-document test is
-    * one groupBy(shingle) producing the distinct-doc count per span
-    * (map-side partial aggregation collapses each doc's repeats first) and
-    * one shuffle join back on the span key — the standard inverted-index
-    * shape, linear in corpus spans. No all-pairs stage exists at any
-    * scale, and span keys hash-partition evenly (k-token sequences have
-    * no heavy hitters by construction of the distinct-doc COUNT, which
-    * caps per-key reduce state at one long). */
+    * Scale shape: ONE corpus scan — spans explode scan-locally, collapse
+    * to per-(doc, span) counts (map-side combine), the cross-document
+    * doc-count rides a window over the span key (rows are one-per-doc
+    * per span at that point, so a plain COUNT is the distinct-doc
+    * count), and one final per-doc aggregation. Three hash exchanges,
+    * linear in corpus spans, no self-join and no all-pairs stage at any
+    * scale. */
   def duplicatedSpans(docs: DataFrame, shingleK: Int = 3,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val occ = Shingles.wordShingles(docs, shingleK, textCol, idCol)
-    val docFreq = occ.distinct()
-      .groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
-    occ.join(docFreq, Seq("shingle"))
+    val perDocSpan = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("cnt"))
+    val ndocs = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("shingle")))
+    perDocSpan.withColumn("ndocs", ndocs)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_ratio",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }

@@ -327,6 +327,36 @@ object Similarity {
       .withColumn("retained", !col("is_dup"))
   }
 
+  /** Corpus-wide kNN graph: every vector's top-k cosine neighbors within
+    * its coarse k-means cluster — the adjacency list that graph-based
+    * clustering / label propagation / connectivity-based semantic dedup
+    * consume. Unlike [[bucketedTopK]] (tiny broadcast query side), BOTH
+    * sides are the full corpus: the search is a shuffle self-join on the
+    * cluster id, so work is Σ_c |c|² instead of |corpus|² — the IVF
+    * restriction is what makes a corpus-scale kNN graph feasible.
+    *
+    * Ranking sorts on the ROUNDED similarity with neighbor-id tie-break
+    * (engine-stable order). Neighbors outside the vector's cluster are
+    * not considered (the standard IVF recall tradeoff). */
+  def knnGraph(vectors: DataFrame, k: Int = 5, nClusters: Int = 8,
+               iterations: Int = 5, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansFit(vectors, nClusters, iterations, idCol, vecCol)
+    val assigned = vectors
+      .join(kmeansAssign(vectors, cents, idCol, vecCol), idCol)
+    val a = assigned.select(col(idCol).as("src"), col(vecCol).as("va"),
+      col("cluster"))
+    val b = assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vb"), col("cluster"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    a.join(b, Seq("cluster")).filter(col("src") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src").as(idCol), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
     * restricted to a bucket column to avoid all-pairs.
     *

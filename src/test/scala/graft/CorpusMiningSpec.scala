@@ -105,4 +105,29 @@ class CorpusMiningSpec extends SparkSpec {
       assert(r(i.toLong).getAs[Boolean]("retained"))
     }
   }
+
+  test("knnGraph: exact duplicates are each other's rank-1 neighbor") {
+    def comp(i: Int, d: Int): Float = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$d".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0).toFloat
+    }
+    val vecs = ((0 until 20).map(i => (i.toLong, Array.tabulate(8)(comp(i, _)))) ++
+      (0 until 4).map(i => ((20 + i).toLong, Array.tabulate(8)(comp(i, _)))))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, k = 3, nClusters = 4, iterations = 3)
+    val rows = g.collect()
+    val byId = rows.groupBy(_.getAs[Long]("vec_id"))
+    (0 until 4).foreach { i =>
+      val top = byId(i.toLong).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == (20 + i).toLong)
+      assert(top.getAs[Double]("sim") == 1.0)
+    }
+    // at most k neighbors each, ranks dense from 1
+    byId.values.foreach { ns =>
+      assert(ns.length <= 3)
+      assert(ns.map(_.getAs[Int]("rank")).sorted.sameElements(1 to ns.length))
+    }
+  }
 }
