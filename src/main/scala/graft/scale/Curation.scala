@@ -168,7 +168,11 @@ object Curation {
       .select(col(idCol),
         pmod(TextOps.md5Hash60(col("shingle"), 0), lit(buckets.toLong)).as("bucket"))
     val raw = feats(docs)
-    val rawCnt = raw.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    // per-(doc, bucket) counts are BOTH the scoring table and the source
+    // of the raw bucket totals: the two aggregations share one identical
+    // scan+explode+hash subtree, so exchange reuse computes it once
+    val db = raw.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+    val rawCnt = db.groupBy(col("bucket")).agg(sum(col("c")).as("rc"))
     val tgtCnt = feats(target).groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
     // every bucket id, so buckets unseen in either corpus still smooth
     val ids = docs.sparkSession.range(buckets).select(col("id").as("bucket"))
@@ -181,11 +185,10 @@ object Curation {
              (col("ttot") + alpha * buckets)) -
          log((coalesce(col("rc"), lit(0L)) + alpha) /
              (col("rtot") + alpha * buckets))).as("w"))
-    // collapse to per-(doc, bucket) counts before weighting: the per-doc
-    // sum then has ≤ `buckets` float terms (not one per token), which
-    // keeps engine-to-engine FP noise far below the 4dp rounding
-    raw.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
-      .join(broadcast(bw), Seq("bucket"))
+    // per-doc sums over per-bucket counts have ≤ `buckets` float terms
+    // (not one per token), keeping engine-to-engine FP noise far below
+    // the 4dp rounding
+    db.join(broadcast(bw), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_feats"),
         round(sum(col("c") * col("w")), 4).as("log_ratio"))
