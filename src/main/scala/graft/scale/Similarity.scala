@@ -119,8 +119,8 @@ object Similarity {
     val dimAvgs = (0 until d).map(i =>
       avg(element_at(col(vecCol), i + 1).cast("double")).as(s"m$i"))
     for (_ <- 0 until iterations) {
-      val assigned = kmeansAssign(vectors, cents, idCol, vecCol)
-      val rows = vectors.join(assigned, idCol)
+      // cluster id is a projection — computed inline, no join back
+      val rows = withCluster(vectors, cents, vecCol)
         .groupBy(col("cluster")).agg(dimAvgs.head, dimAvgs.tail: _*)
         .collect()
       val next = cents.map(_.clone())
@@ -132,21 +132,35 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment (the quantizer's map side): one fused
-    * scan — k codegen'd dot products per row, argmin via a `least` over
-    * (distance, cluster) structs (ties → lowest id). */
-  def kmeansAssign(vectors: DataFrame, centroids: Array[Array[Double]],
-                   idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    // argmin_j ||x−c_j||² = argmin_j (||c_j||² − 2·x·c_j); ||x||² constant
+  /** The nearest-centroid id as a pure column expression:
+    * argmin_j ||x−c_j||² = argmin_j (||c_j||² − 2·x·c_j) (||x||² is
+    * constant per row), argmin via `least` over (distance, cluster)
+    * structs with ties to the lowest cluster id. */
+  private def clusterExpr(centroids: Array[Array[Double]],
+                          vecCol: String): Column = {
     val structs = centroids.zipWithIndex.map { case (c, j) =>
       val dist = lit(c.map(x => x * x).sum) -
         lit(2.0) * graft.functions.VecMath.dot(col(vecCol), array(c.map(lit).toIndexedSeq: _*))
       struct(dist.as("d"), lit(j).as("j"))
     }
-    vectors.select(col(idCol),
-      least(structs.toIndexedSeq: _*).getField("j").as("cluster"))
+    least(structs.toIndexedSeq: _*).getField("j")
   }
+
+  /** Nearest-centroid assignment (the quantizer's map side): one fused
+    * scan — k codegen'd dot products per row ([[clusterExpr]]). */
+  def kmeansAssign(vectors: DataFrame, centroids: Array[Array[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), clusterExpr(centroids, vecCol).as("cluster"))
+
+  /** The corpus with its cluster id appended IN PLACE — the assignment is
+    * a projection, so consumers must never join [[kmeansAssign]]'s output
+    * back on the id (that re-shuffles the whole corpus for a column the
+    * scan can compute); this is the fused form every cluster-restricted
+    * operator uses. */
+  def withCluster(vectors: DataFrame, centroids: Array[Array[Double]],
+                  vecCol: String = "embedding"): DataFrame =
+    vectors.withColumn("cluster", clusterExpr(centroids, vecCol))
 
   /** Top-`nprobe` nearest centroids per vector (the IVF probe list):
     * same fused scan as [[kmeansAssign]], but the (distance, cluster)
@@ -175,7 +189,7 @@ object Similarity {
               nClusters: Int = 8, iterations: Int = 5, nprobe: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = kmeansFit(corpus, nClusters, iterations, idCol, vecCol)
-    val c = corpus.join(kmeansAssign(corpus, cents, idCol, vecCol), idCol)
+    val c = withCluster(corpus, cents, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cluster"))
     val q = queries.join(kmeansProbe(queries, cents, nprobe, idCol, vecCol), idCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("cluster"))
@@ -214,9 +228,12 @@ object Similarity {
 
   /** PQ encoding: per subspace, the id of the nearest codebook centroid
     * (squared-L2 argmin, ties to the lowest id — [[kmeansAssign]]'s rule).
-    * One fused codegen'd scan, m·k dot products per row, no shuffle. */
+    * One fused codegen'd scan, m·k dot products per row, no shuffle.
+    * `keep` names extra input columns carried through the projection
+    * (e.g. a coarse cluster id), so composing stages never join back. */
   def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]],
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               keep: Seq[String] = Nil): DataFrame = {
     val sub = codebooks(0)(0).length
     val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
       val sv = slice(col(vecCol), s * sub + 1, sub)
@@ -227,7 +244,7 @@ object Similarity {
       }
       least(structs.toIndexedSeq: _*).getField("j").as(s"code$s")
     }
-    vectors.select(col(idCol) +: codeCols.toIndexedSeq: _*)
+    vectors.select(col(idCol) +: keep.map(col) ++: codeCols.toIndexedSeq: _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay
@@ -288,8 +305,9 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val coarse = kmeansFit(corpus, nClusters, iterations, idCol, vecCol)
     val cbs = pqFit(corpus, m, kCodes, pqIterations, idCol, vecCol)
-    val c = pqEncode(corpus, cbs, idCol, vecCol)
-      .join(kmeansAssign(corpus, coarse, idCol, vecCol), idCol)
+    // coarse cluster + PQ codes in ONE projection scan — no join back
+    val c = pqEncode(withCluster(corpus, coarse, vecCol), cbs, idCol, vecCol,
+        keep = Seq("cluster"))
       .withColumnRenamed(idCol, "neighbor_id")
     val q = queries.join(kmeansProbe(queries, coarse, nprobe, idCol, vecCol), idCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("cluster"))
@@ -314,9 +332,8 @@ object Similarity {
                nClusters: Int = 8, iterations: Int = 5,
                idCol: String = "vec_id", vecCol: String = "embedding",
                blocks: Int = 1): DataFrame = {
-    val assigned = vectors.join(
-      kmeansAssign(vectors, kmeansFit(vectors, nClusters, iterations, idCol, vecCol),
-        idCol, vecCol), idCol)
+    val assigned = withCluster(vectors,
+      kmeansFit(vectors, nClusters, iterations, idCol, vecCol), vecCol)
     val pairs = cosinePairs(assigned, threshold, "cluster", idCol, vecCol, blocks)
     val comp = graft.scale.Dedup.connectedComponents(pairs)
     assigned.select(col(idCol), col("cluster"))
@@ -342,8 +359,7 @@ object Similarity {
                iterations: Int = 5, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val cents = kmeansFit(vectors, nClusters, iterations, idCol, vecCol)
-    val assigned = vectors
-      .join(kmeansAssign(vectors, cents, idCol, vecCol), idCol)
+    val assigned = withCluster(vectors, cents, vecCol)
     val a = assigned.select(col(idCol).as("src"), col(vecCol).as("va"),
       col("cluster"))
     val b = assigned.select(col(idCol).as("neighbor_id"),
