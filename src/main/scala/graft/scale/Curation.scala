@@ -211,8 +211,10 @@ object Curation {
     val losers = Dedup.connectedComponents(Dedup.minhashLsh(docs))
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol), lit(true).as("is_near_dup"))
-    docs.select(col(idCol))
-      .join(quality, Seq(idCol))
+    // quality is a projection of docs and carries every doc_id — it IS
+    // the base table; joining docs.select(id) against it would re-shuffle
+    // the corpus for nothing
+    quality
       .join(rep, Seq(idCol))
       .join(losers, Seq(idCol), "left")
       .select(col(idCol), col("quality"), col("unique_token_ratio"),
