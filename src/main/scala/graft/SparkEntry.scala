@@ -503,6 +503,11 @@ object SparkEntry {
           col("retained").cast("int").as("retained"))
         .orderBy(col("vec_id"))),
 
+    // --- true winnowing (MOSS) fingerprints: window minima ---
+    "fingerprint_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprint(T(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // --- corpus-wide kNN graph (cluster-restricted self-join) ---
     "knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(T(s, dir, "embeddings"), 3)
@@ -1305,6 +1310,31 @@ object SparkEntry {
         |            THEN 0 ELSE 1 END AS INT) AS retained
         |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
         |ORDER BY a.vec_id""".stripMargin),
+
+    "fingerprint_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, GREATEST(len(toks) - 2, 1) AS nsh,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+        |        FROM t)),
+        |keyed AS (
+        |  SELECT doc_id, pos, nsh,
+        |         CAST(concat('0x', substr(md5('0:' || shingle), 1, 10)) AS BIGINT)
+        |           * 1048576 + pos AS key
+        |  FROM sh),
+        |wmin AS (
+        |  SELECT doc_id, pos, nsh,
+        |         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+        |  FROM keyed)
+        |SELECT DISTINCT doc_id, CAST(k % 1048576 AS BIGINT) AS pos,
+        |       CAST(k // 1048576 AS BIGINT) AS fingerprint
+        |FROM wmin WHERE pos <= GREATEST(nsh - 3, 1)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "knn_graph" -> (kmeansCte() +
       """, knn AS (

@@ -202,6 +202,45 @@ object TextOps {
       .select(col(idCol), col("rn").as("pos"), col("h").as("fingerprint"))
   }
 
+  /** True winnowing fingerprints (Schleimer et al. 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): hash every k-token shingle by position, slide a window
+    * of `w` consecutive hashes, and select each window's minimum
+    * (ties → leftmost). Guarantees: every shared token run of length
+    * ≥ w + k − 1 produces at least one shared fingerprint, and density
+    * is ≈ 2/(w+1) — positional robustness the bottom-s sketch
+    * ([[fingerprint]]) doesn't give.
+    *
+    * Engine-stable formulation: (hash, position) pairs are packed into
+    * one orderable long (40-bit hash ≪ 20 | position), so the window
+    * argmin is a plain `min` both here and in SQL. Pure per-document
+    * computation: one explode + one window partitioned by document —
+    * shuffle keyed by doc id, no corpus-wide stage at any scale. */
+  def winnowFingerprint(docs: DataFrame, k: Int = 3, w: Int = 4,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nSh = greatest(size(toks) - (k - 1), lit(1))
+    val sh = docs.select(col(idCol), nSh.as("nsh"),
+        posexplode(transform(sequence(lit(1), nSh),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .select(col(idCol), col("nsh"), (col("pos") + 1).as("pos"),
+        col("col").as("shingle"))
+    val h40 = conv(substring(md5(concat(lit("0:"), col("shingle"))), 1, 10),
+      16, 10).cast("long")
+    val keyed = sh.select(col(idCol), col("nsh"), col("pos"),
+      (shiftleft(h40, 20) + col("pos")).as("key"))
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    // decode with bit ops: `/` would go through double and lose low bits
+    keyed.withColumn("k", min(col("key")).over(win))
+      .filter(col("pos") <= greatest(col("nsh") - (w - 1), lit(1)))
+      .select(col(idCol), (col("k") % 1048576L).as("pos"),
+        shiftrightunsigned(col("k"), 20).as("fingerprint"))
+      .distinct()
+  }
+
   /** BM25 top-k retrieval (Robertson/Spärck Jones, the Okapi BM25 used by
     * Lucene/Elasticsearch — idf = ln(1 + (N−df+0.5)/(df+0.5)), tf
     * saturation k1, length normalization b): for each query document,

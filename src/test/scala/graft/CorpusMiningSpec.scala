@@ -106,6 +106,28 @@ class CorpusMiningSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprint: shared runs >= w+k-1 tokens share a fingerprint") {
+    // docs 0 and 1 share an 8-token run (>= w+k-1 = 6) inside different
+    // surroundings; doc 2 is unrelated
+    val shared = "zeta eta theta iota kappa lambda mu nu"
+    val docs = Seq(
+      (0L, s"alpha beta $shared gamma delta"),
+      (1L, s"one two three $shared four"),
+      (2L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprint(docs).collect()
+    val byDoc = fp.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("fingerprint")).toSet }
+    // winnowing guarantee: at least one fingerprint of the shared run in both
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty)
+    assert((byDoc(0L) & byDoc(2L)).isEmpty)
+    // density: every window of w=4 consecutive shingles yields a selection,
+    // so gaps between selected positions are < w+1
+    val pos0 = fp.filter(_.getAs[Long]("doc_id") == 0L)
+      .map(_.getAs[Long]("pos")).sorted
+    pos0.zip(pos0.tail).foreach { case (a, b) => assert(b - a <= 4) }
+  }
+
   test("knnGraph: exact duplicates are each other's rank-1 neighbor") {
     def comp(i: Int, d: Int): Float = {
       val hex = java.security.MessageDigest.getInstance("MD5")
