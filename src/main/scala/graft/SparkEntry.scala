@@ -508,6 +508,11 @@ object SparkEntry {
       TextOps.winnowFingerprint(T(s, dir, "documents"))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // --- MOSS match stage: pairs sharing >= 2 winnow fingerprints ---
+    "winnow_pairs" -> ((s, dir) =>
+      TextOps.winnowPairs(T(s, dir, "documents"), minShared = 2, maxFpDf = 100)
+        .orderBy(col("a"), col("b"))),
+
     // --- corpus-wide kNN graph (cluster-restricted self-join) ---
     "knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(T(s, dir, "embeddings"), 3)
@@ -1311,30 +1316,24 @@ object SparkEntry {
         |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
         |ORDER BY a.vec_id""".stripMargin),
 
-    "fingerprint_winnow" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, i AS pos, GREATEST(len(toks) - 2, 1) AS nsh,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
-        |        FROM t)),
-        |keyed AS (
-        |  SELECT doc_id, pos, nsh,
-        |         CAST(concat('0x', substr(md5('0:' || shingle), 1, 10)) AS BIGINT)
-        |           * 1048576 + pos AS key
-        |  FROM sh),
-        |wmin AS (
-        |  SELECT doc_id, pos, nsh,
-        |         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
-        |  FROM keyed)
-        |SELECT DISTINCT doc_id, CAST(k % 1048576 AS BIGINT) AS pos,
+    "fingerprint_winnow" -> (winnowCte +
+      """SELECT DISTINCT doc_id, CAST(k % 1048576 AS BIGINT) AS pos,
         |       CAST(k // 1048576 AS BIGINT) AS fingerprint
         |FROM wmin WHERE pos <= GREATEST(nsh - 3, 1)
-        |ORDER BY doc_id, pos""".stripMargin,
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    "winnow_pairs" -> (winnowCte +
+      """, wfp AS (
+        |  SELECT DISTINCT doc_id, CAST(k // 1048576 AS BIGINT) AS fingerprint
+        |  FROM wmin WHERE pos <= GREATEST(nsh - 3, 1)),
+        |wkept AS (
+        |  SELECT doc_id, fingerprint FROM wfp
+        |  WHERE fingerprint IN (
+        |    SELECT fingerprint FROM wfp GROUP BY 1 HAVING COUNT(*) <= 100))
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM wkept x JOIN wkept y
+        |  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b""".stripMargin),
 
     "knn_graph" -> (kmeansCte() +
       """, knn AS (
@@ -1579,6 +1578,31 @@ object SparkEntry {
   /** Shared oracle CTE: word 3-shingles of documents (mirrors
     * [[graft.scale.Shingles.wordShingles]]: windows clamped like
     * slice/concat_ws for short docs). */
+  /** Oracle CTE replicating [[graft.scale.TextOps.winnowFingerprint]]:
+    * positioned trigram shingles → packed (40-bit hash ≪ 20 | pos) keys →
+    * per-doc windowed MIN (`wmin`, window starts filtered downstream). */
+  private def winnowCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, i AS pos, GREATEST(len(toks) - 2, 1) AS nsh,
+      |         array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+      |        FROM t)),
+      |keyed AS (
+      |  SELECT doc_id, pos, nsh,
+      |         CAST(concat('0x', substr(md5('0:' || shingle), 1, 10)) AS BIGINT)
+      |           * 1048576 + pos AS key
+      |  FROM sh),
+      |wmin AS (
+      |  SELECT doc_id, pos, nsh,
+      |         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+      |  FROM keyed)
+      |""".stripMargin
+
   private def shinglesCte: String =
     """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks

@@ -241,6 +241,32 @@ object TextOps {
       .distinct()
   }
 
+  /** Winnowing candidate pairs — the MOSS match stage: documents sharing
+    * at least `minShared` winnow fingerprints. Inverted-index self-join
+    * on the fingerprint value (never all-pairs); fingerprints are already
+    * ≈2/(w+1)-density samples, and `maxFpDf` drops fingerprints shared by
+    * more than that many documents (stop-phrase protection, same recall
+    * tradeoff as [[Dedup.ngramJaccardPairs]]'s shingle-df cap). */
+  def winnowPairs(docs: DataFrame, minShared: Int = 2, k: Int = 3,
+                  w: Int = 4, maxFpDf: Int = Int.MaxValue,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val fp = winnowFingerprint(docs, k, w, textCol, idCol)
+      .select(col(idCol), col("fingerprint")).distinct()
+    val kept =
+      if (maxFpDf == Int.MaxValue) fp
+      else fp.join(
+        fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxFpDf).select(col("fingerprint")),
+        Seq("fingerprint"), "leftsemi")
+    kept.as("x").join(kept.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** BM25 top-k retrieval (Robertson/Spärck Jones, the Okapi BM25 used by
     * Lucene/Elasticsearch — idf = ln(1 + (N−df+0.5)/(df+0.5)), tf
     * saturation k1, length normalization b): for each query document,

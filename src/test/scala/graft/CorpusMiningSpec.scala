@@ -126,6 +126,10 @@ class CorpusMiningSpec extends SparkSpec {
     val pos0 = fp.filter(_.getAs[Long]("doc_id") == 0L)
       .map(_.getAs[Long]("pos")).sorted
     pos0.zip(pos0.tail).foreach { case (a, b) => assert(b - a <= 4) }
+    // the MOSS match stage surfaces exactly the overlapping pair
+    val pairs = TextOps.winnowPairs(docs, minShared = 1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.toSet == Set((0L, 1L)))
   }
 
   test("knnGraph: exact duplicates are each other's rank-1 neighbor") {
