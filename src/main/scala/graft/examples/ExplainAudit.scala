@@ -21,7 +21,8 @@ object ExplainAudit {
 
     for (name <- args.drop(1).headOption.map(Seq(_)).getOrElse(
         Seq("q1_pricing", "q3_topk", "comm_matrix", "trace_flat_profile",
-            "ann_topk", "minhash_sig", "trace_time_profile"))) {
+            "ann_topk", "minhash_sig", "trace_time_profile",
+            "knn_graph", "bm25_topk", "dsir_weights", "dup_spans"))) {
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
