@@ -177,9 +177,9 @@ object Curation {
     // every bucket id, so buckets unseen in either corpus still smooth
     val ids = docs.sparkSession.range(buckets).select(col("id").as("bucket"))
     val totals = rawCnt.agg(sum(col("rc")).as("rtot"))
-      .crossJoin(tgtCnt.agg(sum(col("tc")).as("ttot")))
+      .crossJoin(broadcast(tgtCnt.agg(sum(col("tc")).as("ttot"))))
     val bw = ids.join(rawCnt, Seq("bucket"), "left")
-      .join(tgtCnt, Seq("bucket"), "left").crossJoin(totals)
+      .join(tgtCnt, Seq("bucket"), "left").crossJoin(broadcast(totals))
       .select(col("bucket"),
         (log((coalesce(col("tc"), lit(0L)) + alpha) /
              (col("ttot") + alpha * buckets)) -
