@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analysis.{CommOps, Profiles, Sessionize, TimeProfile}
+import graft.analysis.{AsOfJoin, CommOps, Profiles, Sessionize, TimeProfile}
 import graft.cct.Cct
 import graft.demo.TraceGen
 import graft.enrich.{EventMatcher, Metrics}
@@ -533,6 +533,63 @@ object SparkEntry {
         .select(col("query_id"),
           round(coalesce(col("c"), lit(0L)) / 5.0, 4).as("recall_at_5"))
         .orderBy(col("query_id"))
+    }),
+
+    // --- as-of join: last view at or before each purchase, per user ---
+    "q_asof" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+      AsOfJoin.asOfBackward(purchases, views, Seq("user_id"), "t_us", "t_us",
+          "event_id", Seq("event_id" -> "view_event_id",
+            "t_us" -> "view_t_us", "value" -> "view_value"))
+        .select(col("event_id"), col("user_id"),
+          col("view_event_id").cast("long").as("view_event_id"),
+          (col("t_us") - col("view_t_us")).cast("long").as("wait_us"),
+          round(col("view_value"), 4).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- hybrid retrieval: RRF fusion of BM25 and embedding cosine ---
+    "hybrid_topk" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val bm = TextOps.bm25TopK(docs, docs.filter(col("doc_id") < 5), 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val cs = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      TextOps.rrfFuse(Seq(bm, cs), 5)
+        .select(col("query_id"), col("rank"), col("id").as("doc_id"), col("rrf"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- topic labels: top TF-IDF terms per k-means embedding cluster ---
+    "cluster_terms" -> ((s, dir) =>
+      Curation.clusterTopTerms(T(s, dir, "documents"), T(s, dir, "embeddings"))
+        .orderBy(col("cluster"), col("rank"))),
+
+    // --- linear quality classifier (fastText-shape deployment) ---
+    "quality_logreg" -> ((s, dir) =>
+      Curation.logisticQuality(T(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // --- the SQL surface: native vec_cosine via registered function ---
+    "ann_topk_sql" -> ((s, dir) => {
+      graft.functions.GraftSql.register(s)
+      T(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql("""
+        SELECT query_id, rank, neighbor_id, sim FROM (
+          SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id,
+                 c.vec_id AS neighbor_id,
+                 ROUND(vec_cosine(q.embedding, c.embedding), 4) AS sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY vec_cosine(q.embedding, c.embedding) DESC,
+                            c.vec_id) AS INT) AS rank
+          FROM emb_sql c JOIN emb_sql q
+            ON q.vec_id < 5 AND q.vec_id != c.vec_id)
+        WHERE rank <= 3 ORDER BY query_id, rank""")
     })
   )
 
@@ -1382,7 +1439,119 @@ object SparkEntry {
         |SELECT q.vec_id AS query_id,
         |       ROUND(COALESCE(h.c, 0) / 5.0, 4) AS recall_at_5
         |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
-        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin)
+        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin),
+
+    // independent implementation check: DuckDB's native ASOF JOIN vs. the
+    // engine's union+window formulation (no ts ties in events at any sf,
+    // so the ASOF tie rule cannot diverge)
+    "q_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |       CAST(v.event_id AS BIGINT) AS view_event_id,
+        |       CAST(p.t - v.t AS BIGINT) AS wait_us,
+        |       ROUND(v.value, 4) AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t
+        |ORDER BY p.event_id""".stripMargin,
+
+    "hybrid_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), ' +')) AS dl,
+        |         unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+        |       FROM tk GROUP BY 1, 2),
+        |st AS (SELECT COUNT(*) AS n,
+        |              AVG(len(regexp_split_to_array(trim(text), ' +'))) AS avgdl
+        |       FROM documents),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tk WHERE doc_id < 5),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |sc AS (
+        |  SELECT q.query_id, f.doc_id,
+        |         ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |                   * (f.tf * 2.2)
+        |                   / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))),
+        |               4) AS score
+        |  FROM tf f JOIN qt q USING (term) JOIN dfq d USING (term) CROSS JOIN st s
+        |  WHERE f.doc_id != q.query_id
+        |  GROUP BY 1, 2),
+        |bmr AS (
+        |  SELECT query_id, doc_id AS id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY score DESC, doc_id) AS INT) AS rank
+        |    FROM sc)
+        |  WHERE rank <= 20),
+        |bfr AS (
+        |  SELECT query_id, neighbor_id AS id, rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |                      c.vec_id) AS INT) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 5)
+        |  WHERE rank <= 20),
+        |u AS (SELECT query_id, id, rank FROM bmr
+        |      UNION ALL SELECT query_id, id, rank FROM bfr),
+        |f AS (SELECT query_id, id, ROUND(SUM(1.0 / (60 + rank)), 6) AS rrf
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, rank, id AS doc_id, rrf FROM (
+        |  SELECT query_id, id, rrf,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY rrf DESC, id) AS INT) AS rank
+        |  FROM f)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "cluster_terms" -> (kmeansCte() +
+      """, dt AS (
+        |  SELECT a.cluster,
+        |         unnest(regexp_split_to_array(trim(d.text), ' +')) AS term
+        |  FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+        |tc AS (SELECT cluster, term, COUNT(*) AS c FROM dt GROUP BY 1, 2),
+        |tdf AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+        |sc2 AS (SELECT cluster, term, ROUND(c * ln(8.0 / df), 4) AS tfidf
+        |        FROM tc JOIN tdf USING (term))
+        |SELECT cluster, rank, term, tfidf FROM (
+        |  SELECT cluster, term, tfidf,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+        |           ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM sc2)
+        |WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin),
+
+    "quality_logreg" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), ' +')) AS toks,
+        |         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |           / GREATEST(length(text), 1) AS alpha,
+        |         CAST(length(text) AS DOUBLE)
+        |           / GREATEST(len(regexp_split_to_array(trim(text), ' +')), 1) AS avgtok
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |             ROUND(-4.0 + 0.03 * LEAST(CAST(toks AS DOUBLE), 200.0)
+        |                   + 5.0 * alpha - 0.4 * ABS(avgtok - 5.0), 4) AS logit
+        |      FROM f)
+        |SELECT doc_id, logit,
+        |       ROUND(1.0 / (1.0 + EXP(-logit)), 4) AS p_keep,
+        |       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "ann_topk_sql" ->
+      """SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 4) AS sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id) AS INT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 
   /** Shared oracle CTE: per-(name,process) exclusive-time sums of the call

@@ -1,0 +1,70 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the single most recent right
+  * row with `right.ts <= left.ts` within the same key (the time-series
+  * join of kdb/pandas `merge_asof`/DuckDB `ASOF JOIN`; e.g. "the last
+  * quote at or before each trade", "the last page view before each
+  * purchase").
+  *
+  * Spark has no as-of operator, and the naive formulation (range join +
+  * per-left-row max) is quadratic per key. The scalable formulation is
+  * union + ordered window: tag right rows side 0 and left rows side 1,
+  * sort each key partition by (ts, side, right id), and carry right-side
+  * payload forward with `last(..., ignoreNulls)` over the
+  * preceding-rows frame. Exactly ONE shuffle on the key — the same cost
+  * as a grouped aggregation — and per-row window state is O(1), so the
+  * shape holds at any scale and any key skew short of a single monster
+  * key.
+  *
+  * Determinism (hash-compare safe across engines): right rows sharing a
+  * timestamp resolve to the highest right id (last in sort order); at
+  * `left.ts == right.ts` the right row IS visible (inclusive as-of —
+  * side 0 sorts before side 1). The sort key is never null: left rows
+  * use __rid = -1.
+  */
+object AsOfJoin {
+
+  /** @param carry       right-side payload columns to attach, as
+    *                    (rightColumn -> outputName); list the right id/ts
+    *                    columns here too if wanted in the output.
+    * @param rightIdCol  unique right column (castable to long) used as the
+    *                    deterministic tie-break among equal timestamps.
+    * @return left rows (all columns) plus the carried columns — null when
+    *         no right row precedes (left-outer semantics). */
+  def asOfBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTsCol: String, rightTsCol: String,
+                   rightIdCol: String,
+                   carry: Seq[(String, String)]): DataFrame = {
+    val outNames = carry.map(_._2)
+    val leftCols = left.columns.toSeq
+    val lSide = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+      .withColumn("__rid", lit(-1L))
+    val rSide = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTsCol).as("__ts"),
+        lit(0).as("__side"),
+        col(rightIdCol).cast("long").as("__rid")) ++
+      carry.map { case (rc, out) => col(rc).as(out) }: _*)
+    // pad each side with the other's missing columns (null), then union
+    val both = lSide.columns.toSet ++ rSide.columns
+    def pad(df: DataFrame) =
+      (both -- df.columns).toSeq.sorted
+        .foldLeft(df)((d, n) => d.withColumn(n, lit(null)))
+    val unioned = pad(lSide).unionByName(
+      pad(rSide).select(pad(lSide).columns.toIndexedSeq.map(col): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = outNames.foldLeft(unioned) { (d, n) =>
+      d.withColumn(n, last(col(n), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols ++ outNames).map(col): _*)
+  }
+}

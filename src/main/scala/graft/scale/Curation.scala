@@ -194,6 +194,65 @@ object Curation {
         round(sum(col("c") * col("w")), 4).as("log_ratio"))
   }
 
+  /** Topic labels for embedding clusters: the `topN` highest-TF-IDF terms
+    * per k-means cluster — the standard way to make unsupervised corpus
+    * clusters human-auditable ("what IS cluster 3?") when triaging a
+    * training mix. IDF is over clusters (ln(k/df)): a term in every
+    * cluster scores 0, a cluster-exclusive term scores tf·ln k.
+    *
+    * Scale shape: cluster assignment is a projection on the embeddings
+    * scan ([[Similarity.withCluster]]); docs↔assignment is one equi-join
+    * on the id (1:1, co-partitionable); the term table aggregates to
+    * (clusters × vocabulary) with map-side combine before the per-term df
+    * join. Nothing is driver-side except the k×dim centroids. */
+  def clusterTopTerms(docs: DataFrame, embeddings: DataFrame,
+                      nClusters: Int = 8, iterations: Int = 5, topN: Int = 5,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      vecIdCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val cents = Similarity.kmeansFit(embeddings, nClusters, iterations,
+      vecIdCol, vecCol)
+    val assigned = Similarity.withCluster(embeddings, cents, vecCol)
+      .select(col(vecIdCol).as(idCol), col("cluster"))
+    val terms = docs.join(assigned, Seq(idCol))
+      .select(col("cluster"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("c"))
+    val termDf = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = terms.join(termDf, Seq("term"))
+      .select(col("cluster"), col("term"),
+        round(col("c") * log(lit(nClusters.toDouble) / col("df")), 4).as("tfidf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topN)
+      .select(col("cluster"), col("rank"), col("term"), col("tfidf"))
+  }
+
+  /** Linear (logistic-regression) quality classifier over cheap text
+    * features — the deployment shape of a trained fastText/logreg corpus
+    * filter: feature extraction is pure columnar expressions, the scorer
+    * is a dot product with fixed weights, the verdict is a threshold.
+    * The weights here are fixed interpretable stand-ins (favor longer,
+    * alphabetic, normal-word-length text); a trained model drops in as
+    * data without changing the plan — still one scan, no shuffle.
+    *
+    * The logit is rounded to 4dp BEFORE the sigmoid so both the verdict
+    * (logit ≥ 0 ⟺ p ≥ 0.5, no FP-boundary compare) and the probability
+    * are engine-stable. */
+  def logisticQuality(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val toks = size(TextOps.tokens(t)).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(t), lit(1))
+    val avgTok = length(t).cast("double") / greatest(size(TextOps.tokens(t)), lit(1))
+    val z = round(lit(-4.0) + lit(0.03) * least(toks, lit(200.0)) +
+      lit(5.0) * alpha - lit(0.4) * abs(avgTok - lit(5.0)), 4)
+    docs.select(col(idCol), z.as("logit"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("p_keep"),
+      (z >= 0.0).cast("int").as("keep"))
+  }
+
   /** End-to-end curation verdict for every document: quality score,
     * repetition ratio, near-duplicate status, and the retention decision
     * — the standard quality→repetition→dedup corpus filter chain, one

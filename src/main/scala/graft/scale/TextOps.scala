@@ -318,4 +318,29 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * combine lexical (BM25) and dense (embedding-cosine) retrieval into
+    * one hybrid ranking: score(d) = Σ over input rankings of
+    * 1/(kRrf + rank_r(d)), documents missing from a ranking contribute 0.
+    *
+    * Input rankings are (query_id, id, rank) DataFrames (candidate lists,
+    * already top-N-truncated — rankings are per-query-sized, not
+    * corpus-sized). The fusion itself is a union + one aggregation: no
+    * join, no corpus scan, so the cost is bounded by Σ|candidate lists|
+    * at any corpus scale. With ≤ 2 rankings the fused score is a sum of
+    * at most two doubles — addition is commutative, so the value is
+    * bit-identical regardless of aggregation order (engine-stable). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 5, kRrf: Int = 60): DataFrame = {
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("id"), col("rank")))
+      .reduce(_ unionAll _)
+    val fused = unioned.groupBy(col("query_id"), col("id"))
+      .agg(round(sum(lit(1.0) / (lit(kRrf) + col("rank"))), 6).as("rrf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("rrf"))
+  }
 }

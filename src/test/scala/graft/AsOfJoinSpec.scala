@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analysis.AsOfJoin
+
+/** Backward as-of join semantics: inclusive equality, latest-preceding
+  * selection, highest-right-id tie-break, left-outer nulls, and key
+  * isolation. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long, Double)]) = {
+    val l = left.toDF("event_id", "k", "t")
+    val r = right.toDF("event_id", "k", "t", "v")
+    AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "t", "event_id",
+        Seq("event_id" -> "r_id", "t" -> "r_t", "v" -> "r_v"))
+      .select(col("event_id"), col("r_id").cast("long"), col("r_v"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) -999.0 else x.getDouble(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("picks the latest right row at or before each left row, per key") {
+    val out = run(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 8L, 100L)),
+      right = Seq((10L, 7L, 50L, 1.0), (11L, 7L, 200L, 2.0), (12L, 8L, 150L, 3.0)))
+    // left 1: only t=50 precedes; left 2: t=200 is latest; left 3 (key 8):
+    // right t=150 is AFTER it -> null (key isolation: key 7 rows invisible)
+    assert(out == Seq((1L, 10L, 1.0), (2L, 11L, 2.0), (3L, -1L, -999.0)))
+  }
+
+  test("equal timestamps: right row at left.ts is visible (inclusive)") {
+    val out = run(Seq((1L, 7L, 100L)), Seq((10L, 7L, 100L, 5.0)))
+    assert(out == Seq((1L, 10L, 5.0)))
+  }
+
+  test("right-side ts ties resolve to the highest right id") {
+    val out = run(Seq((1L, 7L, 300L)),
+      Seq((10L, 7L, 200L, 1.0), (12L, 7L, 200L, 3.0), (11L, 7L, 200L, 2.0)))
+    assert(out == Seq((1L, 12L, 3.0)))
+  }
+
+  test("left rows keep all their columns and multiplicity") {
+    val l = Seq((1L, 7L, 100L, "a"), (2L, 7L, 100L, "b"))
+      .toDF("event_id", "k", "t", "payload")
+    val r = Seq((10L, 7L, 90L, 1.0)).toDF("event_id", "k", "t", "v")
+    val out = AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "t", "event_id",
+      Seq("event_id" -> "r_id"))
+    assert(out.columns.toSeq == Seq("event_id", "k", "t", "payload", "r_id"))
+    // two left rows at the same ts both match independently
+    assert(out.count() == 2)
+    assert(out.select("r_id").as[Long].collect().toSeq == Seq(10L, 10L))
+  }
+}
