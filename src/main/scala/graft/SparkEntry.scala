@@ -575,6 +575,25 @@ object SparkEntry {
       Curation.logisticQuality(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // --- range join: clicks inside the 5-min window before each purchase ---
+    "q_range_join" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t_us").as("t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("t_us") - 300000000L).as("w_start"), col("t_us").as("w_end"))
+      val hits = graft.analysis.RangeJoin.pointInInterval(
+          clicks, purchases, Seq("user_id"), "t", "w_start", "w_end",
+          binWidth = 300000000L)
+        .groupBy(col("purchase_id")).agg(count(lit(1)).as("n_clicks"))
+      purchases.select(col("purchase_id"))
+        .join(hits, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // --- the SQL surface: native vec_cosine via registered function ---
     "ann_topk_sql" -> ((s, dir) => {
       graft.functions.GraftSql.register(s)
@@ -1539,6 +1558,21 @@ object SparkEntry {
         |       ROUND(1.0 / (1.0 + EXP(-logit)), 4) AS p_keep,
         |       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // independent implementation: DuckDB plans the raw BETWEEN theta join,
+    // the engine uses the binned equi-join decomposition
+    "q_range_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS te
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, COUNT(*) AS n
+        |      FROM p JOIN c ON c.user_id = p.user_id
+        |        AND c.t BETWEEN p.te - 300000000 AND p.te
+        |      GROUP BY 1)
+        |SELECT p.purchase_id, CAST(COALESCE(j.n, 0) AS BIGINT) AS n_clicks
+        |FROM p LEFT JOIN j USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
 
     "ann_topk_sql" ->
       """SELECT query_id, rank, neighbor_id, sim FROM (

@@ -66,6 +66,64 @@ object StreamingOps {
       docs.filter(graft.scale.TextOps.quality(col(textCol)) >= minQuality),
       textCol, watermark, timeCol)
 
+  /** Streaming backward as-of join — the incremental twin of
+    * [[graft.analysis.AsOfJoin.asOfBackward]]: enrich each left event
+    * with the latest right event at or before it, per key ("attach the
+    * current quote to every trade as it streams"). State per key is ONE
+    * right row (ts, id, value) — O(1), no watermark-sized buffers — kept
+    * across micro-batches via `flatMapGroupsWithState`; within a batch
+    * rows are sorted by (ts, side, id), so the batch operator's
+    * inclusive/tie semantics hold exactly. Cross-batch disorder is
+    * bounded like the streaming matcher: a left row arriving in a later
+    * batch than a newer right row sees that newer right row (append mode
+    * cannot retract) — the inherent as-of staleness of any streaming
+    * enrichment, bounded by the micro-batch interval.
+    *
+    * Input contract: `left`/`right` streaming DataFrames with columns
+    * (`keyCol`: long, `tsCol`: long, `idCol`: long, `valCol`: double). */
+  def asOfLatest(left: DataFrame, right: DataFrame,
+                 keyCol: String = "user_id", tsCol: String = "t",
+                 idCol: String = "event_id",
+                 valCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import left.sparkSession.implicits._
+    def tag(df: DataFrame, side: Int) = df.select(
+      col(keyCol).cast("long").as("k"), col(tsCol).cast("long").as("t"),
+      lit(side).as("side"), col(idCol).cast("long").as("id"),
+      col(valCol).cast("double").as("v")).as[AsOfIn]
+    tag(left, 1).union(tag(right, 0))
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        asOfGroup)(Encoders.product[AsOfState], Encoders.product[AsOfOut])
+      .toDF()
+  }
+
+  case class AsOfIn(k: Long, t: Long, side: Int, id: Long, v: Double)
+  case class AsOfState(rTs: Long, rId: Long, rV: Double, hasRight: Boolean)
+  case class AsOfOut(k: Long, id: Long, t: Long, r_id: Option[Long],
+                     r_t: Option[Long], r_v: Option[Double])
+
+  private[streaming] def asOfGroup(key: Long, rows: Iterator[AsOfIn],
+      state: org.apache.spark.sql.streaming.GroupState[AsOfState]): Iterator[AsOfOut] = {
+    var st = state.getOption.getOrElse(AsOfState(Long.MinValue, -1L, 0.0, hasRight = false))
+    val out = scala.collection.mutable.ArrayBuffer[AsOfOut]()
+    // (ts, side, id): right before left at equal ts (inclusive as-of),
+    // right ties resolve to the highest id — the batch operator's rules
+    for (r <- rows.toSeq.sortBy(x => (x.t, x.side, x.id))) {
+      if (r.side == 0) {
+        if (!st.hasRight || r.t > st.rTs || (r.t == st.rTs && r.id > st.rId))
+          st = AsOfState(r.t, r.id, r.v, hasRight = true)
+      } else {
+        if (st.hasRight && st.rTs <= r.t)
+          out += AsOfOut(key, r.id, r.t, Some(st.rId), Some(st.rTs), Some(st.rV))
+        else out += AsOfOut(key, r.id, r.t, None, None, None)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
   /** Gap-based session windows per process (the streaming twin of
     * [[graft.analysis.Sessionize]]) via Spark's native session_window —
     * state is managed by the engine, sessions close at watermark. */
