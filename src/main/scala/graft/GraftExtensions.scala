@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * [[graft.functions.GraftSql]]; existing sessions can call
   * `GraftSql.register(spark)` instead. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftSql.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.functions.VecRewrite)
+  }
 }

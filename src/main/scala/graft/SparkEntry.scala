@@ -535,6 +535,17 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // --- PageRank over the kNN graph: central corpus documents ---
+    "graph_pagerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val edges = Similarity.knnGraph(emb, 3)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.scale.GraphOps.pageRank(
+          emb.select(col("vec_id").as("id")), edges, 3)
+        .select(col("id").as("vec_id"), col("pr_micro"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- as-of join: last view at or before each purchase, per user ---
     "q_asof" -> ((s, dir) => {
       val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
@@ -574,6 +585,26 @@ object SparkEntry {
     "quality_logreg" -> ((s, dir) =>
       Curation.logisticQuality(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+
+    // --- grouping sets: rollup over (returnflag, linestatus) ---
+    "q_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_items"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // --- distinct aggregation: customers + revenue per order priority ---
+    "q_distinct_agg" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))),
 
     // --- range join: clicks inside the 5-min window before each purchase ---
     "q_range_join" -> ((s, dir) => {
@@ -1558,6 +1589,65 @@ object SparkEntry {
         |       ROUND(1.0 / (1.0 + EXP(-logit)), 4) AS p_keep,
         |       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // same knn CTE as knn_graph (rank <= 3), then 3 unrolled FIXED-POINT
+    // PageRank stages (micro-units, integer division — exact in both
+    // engines, no FP sum-order noise)
+    "graph_pagerank" -> (kmeansCte() +
+      """, knn AS (
+        |  SELECT a.vec_id, x.vec_id AS neighbor_id,
+        |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(ex.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM assign a JOIN assign x
+        |    ON a.cluster = x.cluster AND a.vec_id != x.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id),
+        |ed AS (
+        |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+        |    SELECT vec_id, neighbor_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |    FROM knn)
+        |  WHERE rank <= 3),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+        |pr0 AS (SELECT vec_id AS id, CAST(1000000 AS BIGINT) AS pr
+        |        FROM embeddings),
+        |pr1 AS (SELECT e.id,
+        |               CAST(150000 + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS pr
+        |        FROM (SELECT vec_id AS id FROM embeddings) e
+        |        LEFT JOIN (SELECT ed.dst AS id, SUM(p.pr // d.deg) AS sc
+        |                   FROM ed JOIN pr0 p ON ed.src = p.id
+        |                   JOIN deg d ON ed.src = d.src GROUP BY 1) s USING (id)),
+        |pr2 AS (SELECT e.id,
+        |               CAST(150000 + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS pr
+        |        FROM (SELECT vec_id AS id FROM embeddings) e
+        |        LEFT JOIN (SELECT ed.dst AS id, SUM(p.pr // d.deg) AS sc
+        |                   FROM ed JOIN pr1 p ON ed.src = p.id
+        |                   JOIN deg d ON ed.src = d.src GROUP BY 1) s USING (id)),
+        |pr3 AS (SELECT e.id,
+        |               CAST(150000 + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS pr
+        |        FROM (SELECT vec_id AS id FROM embeddings) e
+        |        LEFT JOIN (SELECT ed.dst AS id, SUM(p.pr // d.deg) AS sc
+        |                   FROM ed JOIN pr2 p ON ed.src = p.id
+        |                   JOIN deg d ON ed.src = d.src GROUP BY 1) s USING (id))
+        |SELECT id AS vec_id, pr AS pr_micro FROM pr3
+        |ORDER BY vec_id""".stripMargin),
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // independent implementation: DuckDB plans the raw BETWEEN theta join,
     // the engine uses the binned equi-join decomposition

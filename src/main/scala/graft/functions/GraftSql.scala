@@ -39,4 +39,11 @@ object GraftSql {
       org.apache.spark.sql.graftbridge.FunctionBridge
         .registerFunction(spark, name, info, builder)
     }
+
+  /** Install [[VecRewrite]] (aggregate(zip_with) → VecDot) on a live
+    * session; new sessions get it from `graft.GraftExtensions`. */
+  def enableRewrite(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(VecRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecRewrite
 }

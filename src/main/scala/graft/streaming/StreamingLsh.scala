@@ -1,0 +1,89 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-duplicate candidate generation — the
+  * incremental twin of [[graft.scale.Dedup.minhashLsh]] for
+  * dedup-at-ingest: each arriving document emits candidate pairs against
+  * the documents already seen in its LSH band buckets.
+  *
+  * The batch pipeline computes signatures with an explode + groupBy;
+  * chaining that aggregation into a stateful pair stage would stack two
+  * stateful operators in one streaming query. Here the whole signature —
+  * shingles → per-seed minhashes → per-band keys — is ONE stateless
+  * columnar projection (`transform`/`array_min` over the shingle array,
+  * same md5 hash family as the batch op), so the only stateful operator
+  * is the bucket store. State per (band, bucket) is the member id list,
+  * capped at `maxBucketSize` with the batch op's star decomposition: a
+  * viral bucket keeps emitting (hub, new) edges — identical connected
+  * components, O(cap) memory. A pair can surface in several bands
+  * (bands are independent buckets); downstream component/dedup stages
+  * are insensitive to duplicate edges, as in the batch pipeline.
+  */
+object StreamingLsh {
+
+  case class BandRow(bucket: String, doc_id: Long)
+  case class BucketState(ids: List[Long])
+  case class CandPair(a: Long, b: Long, bucket: String)
+
+  /** Candidate near-dup pairs (a < b by arrival-independent id order)
+    * from a streaming document source with (`idCol`: long, `textCol`:
+    * string). numHashes = bands × rowsPerBand as in the batch op. */
+  def lshCandidates(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                    shingleK: Int = 3, maxBucketSize: Int = 32,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+
+    val toks = split(trim(col(textCol)), " +")
+    val nSh = greatest(size(toks) - (shingleK - 1), lit(1))
+    val shingles = transform(sequence(lit(1), nSh),
+      i => concat_ws(" ", slice(toks, i, lit(shingleK))))
+    // same hash family as Dedup.minhashSignatures: h1 + seed·h2 per shingle
+    def minhash(seed: Int) = array_min(transform(shingles, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") +
+        lit(seed.toLong) * conv(substring(md5(s), 17, 14), 16, 10).cast("long")))
+    val bandKeys = (0 until bands).map { b =>
+      val key = concat_ws(":",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(s => minhash(s).cast("string")): _*)
+      concat(lit(s"$b|"), key)
+    }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array(bandKeys: _*)).as("bucket"))
+      .as[(Long, String)].map { case (id, bk) => BandRow(bk, id) }
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        bucketGroup(maxBucketSize))(
+        Encoders.product[BucketState], Encoders.product[CandPair])
+      .toDF()
+  }
+
+  private[streaming] def bucketGroup(maxBucketSize: Int)(
+      bucket: String, rows: Iterator[BandRow],
+      state: GroupState[BucketState]): Iterator[CandPair] = {
+    val ids = mutable.ArrayBuffer[Long]()
+    state.getOption.foreach(s => ids ++= s.ids)
+    val out = mutable.ArrayBuffer[CandPair]()
+    for (r <- rows.toSeq.sortBy(_.doc_id) if !ids.contains(r.doc_id)) {
+      if (ids.length < maxBucketSize) {
+        // full clique below the cap, as in the batch op
+        for (old <- ids)
+          out += CandPair(math.min(old, r.doc_id), math.max(old, r.doc_id), bucket)
+        ids += r.doc_id
+      } else {
+        // star decomposition: viral bucket links newcomers to the hub only
+        val hub = ids.min
+        out += CandPair(math.min(hub, r.doc_id), math.max(hub, r.doc_id), bucket)
+      }
+    }
+    state.update(BucketState(ids.toList))
+    out.iterator
+  }
+}

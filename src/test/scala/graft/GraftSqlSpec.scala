@@ -39,6 +39,28 @@ class GraftSqlSpec extends SparkSpec {
       Set("vec_cosine", "vec_dot"))
   }
 
+  test("VecRewrite turns aggregate(zip_with) into the codegen'd VecDot") {
+    GraftSql.enableRewrite(spark)
+    // non-foldable inputs (derived from the row id) so constant folding
+    // can't collapse the expression before the plan assertion
+    val df = spark.range(1).select(
+      transform(sequence(lit(1), lit(3)),
+        i => (i + col("id")).cast("float")).as("a"),
+      transform(sequence(lit(4), lit(6)),
+        i => (i + col("id")).cast("float")).as("b"))
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(composed.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(composed.head().getDouble(0) == 32.0) // 4 + 10 + 18
+    // a non-dot-product aggregate must NOT be rewritten
+    val notDot = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x + y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!notDot.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(notDot.head().getDouble(0) == 21.0)
+  }
+
   test("wrong arity is rejected at resolution") {
     GraftSql.register(spark)
     Seq((Array(1.0f), Array(1.0f))).toDF("a", "b").createOrReplaceTempView("v2")

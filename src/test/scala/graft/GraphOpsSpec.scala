@@ -1,0 +1,36 @@
+package graft
+
+import graft.scale.GraphOps
+
+/** Fixed-point PageRank: hand-computed superstep, dangling/isolated
+  * nodes, determinism of integer arithmetic. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one superstep matches hand-computed micro-unit values") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(nodes, edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // teleport = 150000; node 2 gets 1/1 from both 1 and 3
+    assert(pr(1L) == 150000L + 85L * 1000000L / 100)
+    assert(pr(2L) == 150000L + 85L * 2000000L / 100)
+    assert(pr(3L) == 150000L) // no in-edges
+    assert(pr(4L) == 150000L) // isolated: teleport only, still present
+  }
+
+  test("two runs produce bit-identical results (integer arithmetic)") {
+    val nodes = (1L to 50L).toDF("id")
+    val edges = (1L to 200L)
+      .map(i => (i * 7 % 50 + 1, i * 13 % 50 + 1))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = GraphOps.pageRank(nodes, edges, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = GraphOps.pageRank(nodes, edges, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // mass sanity: every rank >= teleport, total <= N * scale
+    assert(a.forall(_._2 >= 150000L))
+    assert(a.map(_._2).sum <= 50L * 1000000L)
+  }
+}

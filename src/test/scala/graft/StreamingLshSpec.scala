@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingLsh
+
+/** Streaming LSH near-dup candidates: identical docs collide in every
+  * band, unrelated docs in none, bucket state persists across batches,
+  * and band keys match the batch signature family. */
+class StreamingLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textA = "the quick brown fox jumps over the lazy dog again and again"
+  private val textB = "completely different content with no shared shingles whatsoever here"
+
+  test("identical docs become candidates; unrelated docs do not") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingLsh.lshCandidates(docs)
+      .writeStream.format("memory").queryName("lshc").outputMode("append").start()
+    try {
+      stream.addData((1L, textA), (2L, textB))
+      q.processAllAvailable()
+      assert(spark.table("lshc").count() == 0) // no shared shingles
+      // batch 2: a duplicate of doc 1 arrives later — state must remember
+      stream.addData((3L, textA))
+      q.processAllAvailable()
+      val pairs = spark.table("lshc").select("a", "b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L))) // all 4 bands collide, dedup to one pair
+      // every band of an identical pair collides
+      assert(spark.table("lshc").count() == 4)
+    } finally q.stop()
+  }
+
+  test("viral bucket caps state via star decomposition") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingLsh.lshCandidates(docs, maxBucketSize = 2)
+      .writeStream.format("memory").queryName("lshv").outputMode("append").start()
+    try {
+      stream.addData((1L, textA), (2L, textA), (3L, textA), (4L, textA))
+      q.processAllAvailable()
+      val pairs = spark.table("lshv").select("a", "b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ids 1,2 fill the bucket (pair 1-2); 3 and 4 link to hub 1 only
+      assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L)))
+      // connected components identical to the uncapped clique
+    } finally q.stop()
+  }
+
+  test("band keys equal the batch minhash signature banding") {
+    // the stateless streaming projection must produce the same minhashes
+    // as Dedup.minhashSignatures (same md5 family, same seeds)
+    val docs = Seq((7L, textA)).toDF("doc_id", "text")
+    val batchSig = graft.scale.Dedup.minhashSignatures(docs, 16)
+      .orderBy("seed").select("minhash").as[Long].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingLsh.lshCandidates(
+        stream.toDF().toDF("doc_id", "text"), maxBucketSize = 1)
+      .writeStream.format("memory").queryName("lshk").outputMode("append").start()
+    try {
+      stream.addData((7L, textA), (8L, textA))
+      q.processAllAvailable()
+      val buckets = spark.table("lshk").select("bucket").as[String].collect()
+      val expected = (0 until 4).map(b =>
+        s"$b|" + (b * 4 until b * 4 + 4).map(batchSig).mkString(":")).toSet
+      assert(buckets.toSet == expected)
+    } finally q.stop()
+  }
+}
