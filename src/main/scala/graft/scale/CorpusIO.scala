@@ -1,0 +1,43 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage layout for the document corpus at 100 TB — the write-side
+  * decisions that make every downstream curation query cheap:
+  *
+  *  - **Hive-partition by a low-cardinality routing column** (language /
+  *    source): per-language pipelines (vocab_top, per-lang sampling,
+  *    mixture construction) become partition-PRUNED scans — the planner
+  *    never opens the other languages' files (`PartitionFilters` in the
+  *    plan, zero I/O, not just a pushed filter).
+  *  - **Sort within partitions by the hot filter column** (quality):
+  *    parquet writes min/max stats per row group, so a
+  *    `quality >= threshold` curation filter skips whole row groups of
+  *    rejected documents — the layout does the filtering.
+  *  - Repartition by the routing column before the write so each
+  *    partition directory is written by the executors that own its rows
+  *    (no tiny-files explosion from every task writing every language).
+  *
+  * The same pattern applies to the embeddings table keyed by the IVF
+  * cluster id: storage-partitioning by cluster is what turns probed-list
+  * ANN search into a partition-pruned scan ([[Similarity.ivfTopK]]).
+  */
+object CorpusIO {
+
+  /** Write docs partitioned by `routeCol`, row-group-sorted by `sortCol`
+    * (descending — curation reads the high-quality head). */
+  def write(docs: DataFrame, path: String, routeCol: String = "lang",
+            sortCol: String = "quality"): Unit =
+    docs
+      .repartition(col(routeCol))
+      .sortWithinPartitions(col(routeCol), col(sortCol).desc)
+      .write.mode("overwrite").partitionBy(routeCol).parquet(path)
+
+  /** Read back; `route` prunes to one partition directory at plan time. */
+  def read(spark: SparkSession, path: String,
+           route: Option[String] = None, routeCol: String = "lang"): DataFrame = {
+    val df = spark.read.parquet(path)
+    route.fold(df)(r => df.filter(col(routeCol) === r))
+  }
+}
