@@ -55,6 +55,21 @@ object SparkEntry {
       df
     })
 
+  /** Memoized deterministic quantizers per (session, sfDir): nine ANN /
+    * dedup / graph queries fit the SAME default k-means (and PQ
+    * codebooks) on the same embeddings table — like [[callEnriched]],
+    * fit once, share everywhere ("train the index once, query it many
+    * times", which is how an IVF deployment actually runs). */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Double]]]()
+  private def embCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    kmeansCache.getOrElseUpdate((s, dir),
+      Similarity.kmeansFit(T(s, dir, "embeddings")))
+  private val pqCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Array[Double]]]]()
+  private def embCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((s, dir), Similarity.pqFit(T(s, dir, "embeddings")))
+
   /** PII planting for `text_pii`: deterministic doc_id-derived email / IP /
     * phone occurrences appended to the text, computed identically by Spark
     * and the DuckDB oracle (same SQL expression semantics), so extraction
@@ -326,12 +341,12 @@ object SparkEntry {
 
     "pq_codes" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.pqEncode(emb, Similarity.pqFit(emb)).orderBy(col("vec_id"))
+      Similarity.pqEncode(emb, embCodebooks(s, dir)).orderBy(col("vec_id"))
     }),
 
     "ann_pq" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val cbs = Similarity.pqFit(emb)
+      val cbs = embCodebooks(s, dir)
       Similarity.pqTopK(Similarity.pqEncode(emb, cbs),
         emb.filter(col("vec_id") < 10), cbs)
         .orderBy(col("query_id"), col("rank"))
@@ -339,7 +354,9 @@ object SparkEntry {
 
     "ann_ivfpq" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10))
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+          coarseCentroids = Some(embCentroids(s, dir)),
+          codebooks = Some(embCodebooks(s, dir)))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -445,19 +462,21 @@ object SparkEntry {
 
     "kmeans_assign" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.kmeansAssign(emb, Similarity.kmeansFit(emb))
+      Similarity.kmeansAssign(emb, embCentroids(s, dir))
         .orderBy(col("vec_id"))
     }),
 
     "ann_ivf_learned" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          centroids = Some(embCentroids(s, dir)))
         .orderBy(col("query_id"), col("rank"))
     }),
 
     "ann_ivf_probe2" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nprobe = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nprobe = 2,
+          centroids = Some(embCentroids(s, dir)))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -497,7 +516,8 @@ object SparkEntry {
 
     // --- SemDeDup: k-means clusters -> within-cluster cosine components ---
     "semdedup" -> ((s, dir) =>
-      Similarity.semDeDup(T(s, dir, "embeddings"), 0.3)
+      Similarity.semDeDup(T(s, dir, "embeddings"), 0.3,
+          centroids = Some(embCentroids(s, dir)))
         .select(col("vec_id"), col("cluster"),
           col("is_dup").cast("int").as("is_dup"),
           col("retained").cast("int").as("retained"))
@@ -515,7 +535,8 @@ object SparkEntry {
 
     // --- corpus-wide kNN graph (cluster-restricted self-join) ---
     "knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(T(s, dir, "embeddings"), 3)
+      Similarity.knnGraph(T(s, dir, "embeddings"), 3,
+          centroids = Some(embCentroids(s, dir)))
         .orderBy(col("vec_id"), col("rank"))),
 
     // --- IVF recall@5 against the exact brute-force neighbors ---
@@ -523,7 +544,8 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val bf = Similarity.bruteForceTopK(emb, q, 5)
-      val ivf = Similarity.ivfTopK(emb, q, 5)
+      val ivf = Similarity.ivfTopK(emb, q, 5,
+        centroids = Some(embCentroids(s, dir)))
       val hits = bf.join(
           ivf.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "leftsemi")
@@ -538,7 +560,8 @@ object SparkEntry {
     // --- PageRank over the kNN graph: central corpus documents ---
     "graph_pagerank" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val edges = Similarity.knnGraph(emb, 3)
+      val edges = Similarity.knnGraph(emb, 3,
+          centroids = Some(embCentroids(s, dir)))
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       graft.scale.GraphOps.pageRank(
           emb.select(col("vec_id").as("id")), edges, 3)
@@ -578,7 +601,8 @@ object SparkEntry {
 
     // --- topic labels: top TF-IDF terms per k-means embedding cluster ---
     "cluster_terms" -> ((s, dir) =>
-      Curation.clusterTopTerms(T(s, dir, "documents"), T(s, dir, "embeddings"))
+      Curation.clusterTopTerms(T(s, dir, "documents"), T(s, dir, "embeddings"),
+          centroids = Some(embCentroids(s, dir)))
         .orderBy(col("cluster"), col("rank"))),
 
     // --- linear quality classifier (fastText-shape deployment) ---

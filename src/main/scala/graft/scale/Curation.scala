@@ -209,9 +209,10 @@ object Curation {
                       nClusters: Int = 8, iterations: Int = 5, topN: Int = 5,
                       textCol: String = "text", idCol: String = "doc_id",
                       vecIdCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val cents = Similarity.kmeansFit(embeddings, nClusters, iterations,
-      vecIdCol, vecCol)
+                      vecCol: String = "embedding",
+                      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(Similarity.kmeansFit(embeddings,
+      nClusters, iterations, vecIdCol, vecCol))
     val assigned = Similarity.withCluster(embeddings, cents, vecCol)
       .select(col(vecIdCol).as(idCol), col("cluster"))
     val terms = docs.join(assigned, Seq(idCol))

@@ -187,8 +187,10 @@ object Similarity {
     * needed across probes. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
               nClusters: Int = 8, iterations: Int = 5, nprobe: Int = 1,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansFit(corpus, nClusters, iterations, idCol, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      kmeansFit(corpus, nClusters, iterations, idCol, vecCol))
     val c = withCluster(corpus, cents, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cluster"))
     val q = queries.join(kmeansProbe(queries, cents, nprobe, idCol, vecCol), idCol)
@@ -302,9 +304,13 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                 nClusters: Int = 8, iterations: Int = 5, nprobe: Int = 2,
                 m: Int = 4, kCodes: Int = 8, pqIterations: Int = 3,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val coarse = kmeansFit(corpus, nClusters, iterations, idCol, vecCol)
-    val cbs = pqFit(corpus, m, kCodes, pqIterations, idCol, vecCol)
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                coarseCentroids: Option[Array[Array[Double]]] = None,
+                codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val coarse = coarseCentroids.getOrElse(
+      kmeansFit(corpus, nClusters, iterations, idCol, vecCol))
+    val cbs = codebooks.getOrElse(
+      pqFit(corpus, m, kCodes, pqIterations, idCol, vecCol))
     // coarse cluster + PQ codes in ONE projection scan — no join back
     val c = pqEncode(withCluster(corpus, coarse, vecCol), cbs, idCol, vecCol,
         keep = Seq("cluster"))
@@ -331,9 +337,10 @@ object Similarity {
   def semDeDup(vectors: DataFrame, threshold: Double = 0.9,
                nClusters: Int = 8, iterations: Int = 5,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               blocks: Int = 1): DataFrame = {
-    val assigned = withCluster(vectors,
-      kmeansFit(vectors, nClusters, iterations, idCol, vecCol), vecCol)
+               blocks: Int = 1,
+               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val assigned = withCluster(vectors, centroids.getOrElse(
+      kmeansFit(vectors, nClusters, iterations, idCol, vecCol)), vecCol)
     val pairs = cosinePairs(assigned, threshold, "cluster", idCol, vecCol, blocks)
     val comp = graft.scale.Dedup.connectedComponents(pairs)
     assigned.select(col(idCol), col("cluster"))
@@ -357,8 +364,10 @@ object Similarity {
     * not considered (the standard IVF recall tradeoff). */
   def knnGraph(vectors: DataFrame, k: Int = 5, nClusters: Int = 8,
                iterations: Int = 5, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansFit(vectors, nClusters, iterations, idCol, vecCol)
+               vecCol: String = "embedding",
+               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      kmeansFit(vectors, nClusters, iterations, idCol, vecCol))
     val assigned = withCluster(vectors, cents, vecCol)
     val a = assigned.select(col(idCol).as("src"), col(vecCol).as("va"),
       col("cluster"))
