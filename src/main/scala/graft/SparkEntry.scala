@@ -70,6 +70,26 @@ object SparkEntry {
   private def embCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqCache.getOrElseUpdate((s, dir), Similarity.pqFit(T(s, dir, "embeddings")))
 
+  /** Memoized intermediate DataFrames per (session, sfDir, key): results
+    * consumed by several queries (LSH dedup components, winnowing
+    * fingerprints) are computed once and persisted — the batch analogue
+    * of materializing a shared pipeline stage. */
+  private val dfCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  private def cachedDf(s: SparkSession, dir: String, key: String)
+                      (build: => DataFrame): DataFrame =
+    dfCache.getOrElseUpdate((s, dir, key), {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+  private def lshComponents(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "lsh_components")(
+      Dedup.connectedComponents(Dedup.minhashLsh(T(s, dir, "documents"))))
+  private def winnowFp(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "winnow_fp")(
+      TextOps.winnowFingerprint(T(s, dir, "documents")))
+
   /** PII planting for `text_pii`: deterministic doc_id-derived email / IP /
     * phone occurrences appended to the text, computed identically by Spark
     * and the DuckDB oracle (same SQL expression semantics), so extraction
@@ -330,14 +350,11 @@ object SparkEntry {
     }),
 
     "dedup_components" -> ((s, dir) =>
-      Dedup.connectedComponents(Dedup.minhashLsh(T(s, dir, "documents")))
-        .orderBy(col("node"))),
+      lshComponents(s, dir).orderBy(col("node"))),
 
-    "dedup_retained" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      Dedup.dropNearDuplicates(docs, Dedup.minhashLsh(docs))
-        .select(col("doc_id")).orderBy(col("doc_id"))
-    }),
+    "dedup_retained" -> ((s, dir) =>
+      Dedup.dropByComponents(T(s, dir, "documents"), lshComponents(s, dir))
+        .select(col("doc_id")).orderBy(col("doc_id"))),
 
     "pq_codes" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -433,7 +450,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "docs_curated" -> ((s, dir) =>
-      Curation.curate(T(s, dir, "documents"), 0.9283, 0.40)
+      Curation.curate(T(s, dir, "documents"), 0.9283, 0.40,
+          components = Some(lshComponents(s, dir)))
         .select(col("doc_id"), col("quality"), col("unique_token_ratio"),
           col("is_near_dup").cast("int").as("is_near_dup"),
           col("retained").cast("int").as("retained"))
@@ -525,12 +543,12 @@ object SparkEntry {
 
     // --- true winnowing (MOSS) fingerprints: window minima ---
     "fingerprint_winnow" -> ((s, dir) =>
-      TextOps.winnowFingerprint(T(s, dir, "documents"))
-        .orderBy(col("doc_id"), col("pos"))),
+      winnowFp(s, dir).orderBy(col("doc_id"), col("pos"))),
 
     // --- MOSS match stage: pairs sharing >= 2 winnow fingerprints ---
     "winnow_pairs" -> ((s, dir) =>
-      TextOps.winnowPairs(T(s, dir, "documents"), minShared = 2, maxFpDf = 100)
+      TextOps.winnowPairs(T(s, dir, "documents"), minShared = 2, maxFpDf = 100,
+          fingerprints = Some(winnowFp(s, dir)))
         .orderBy(col("a"), col("b"))),
 
     // --- corpus-wide kNN graph (cluster-restricted self-join) ---
@@ -556,6 +574,12 @@ object SparkEntry {
           round(coalesce(col("c"), lit(0L)) / 5.0, 4).as("recall_at_5"))
         .orderBy(col("query_id"))
     }),
+
+    // --- contrastive triples: embedding-training data from the corpus ---
+    "contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastiveTriples(T(s, dir, "embeddings"),
+          centroids = Some(embCentroids(s, dir)))
+        .orderBy(col("anchor"))),
 
     // --- PageRank over the kNN graph: central corpus documents ---
     "graph_pagerank" -> ((s, dir) => {
@@ -1613,6 +1637,31 @@ object SparkEntry {
         |       ROUND(1.0 / (1.0 + EXP(-logit)), 4) AS p_keep,
         |       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    "contrastive_pairs" -> (kmeansCte() +
+      """, sims AS (
+        |  SELECT a.vec_id AS anchor, b.vec_id AS other,
+        |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(eb.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |pos AS (
+        |  SELECT anchor, other AS positive, sim AS pos_sim FROM (
+        |    SELECT anchor, other, sim,
+        |           ROW_NUMBER() OVER (PARTITION BY anchor
+        |             ORDER BY sim DESC, other) AS r
+        |    FROM sims WHERE sim >= 0.3) WHERE r = 1),
+        |neg AS (
+        |  SELECT anchor, other AS negative, sim AS neg_sim FROM (
+        |    SELECT anchor, other, sim,
+        |           ROW_NUMBER() OVER (PARTITION BY anchor
+        |             ORDER BY sim DESC, other) AS r
+        |    FROM sims WHERE sim < 0.1) WHERE r = 1)
+        |SELECT p.anchor, p.positive, p.pos_sim, n.negative, n.neg_sim
+        |FROM pos p JOIN neg n USING (anchor) ORDER BY anchor""".stripMargin),
 
     // same knn CTE as knn_graph (rank <= 3), then 3 unrolled FIXED-POINT
     // PageRank stages (micro-units, integer division — exact in both

@@ -22,7 +22,8 @@ object ExplainAudit {
     for (name <- args.drop(1).headOption.map(Seq(_)).getOrElse(
         Seq("q1_pricing", "q3_topk", "comm_matrix", "trace_flat_profile",
             "ann_topk", "minhash_sig", "trace_time_profile",
-            "knn_graph", "bm25_topk", "dsir_weights", "dup_spans"))) {
+            "knn_graph", "bm25_topk", "dsir_weights", "dup_spans",
+            "q_asof", "q_range_join", "hybrid_topk", "graph_pagerank"))) {
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }

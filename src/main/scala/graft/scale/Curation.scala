@@ -264,11 +264,13 @@ object Curation {
     * [[Dedup.connectedComponents]]; a document survives dedup iff it is
     * its component's representative (minimum id) or paired with nobody. */
   def curate(docs: DataFrame, minQuality: Double, minUniqueRatio: Double,
-             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+             textCol: String = "text", idCol: String = "doc_id",
+             components: Option[DataFrame] = None): DataFrame = {
     val quality = TextOps.qualityScore(docs, textCol, idCol)
     val rep = TextOps.repetitionStats(docs, textCol, idCol)
       .select(col(idCol), col("unique_token_ratio"))
-    val losers = Dedup.connectedComponents(Dedup.minhashLsh(docs))
+    val losers = components
+      .getOrElse(Dedup.connectedComponents(Dedup.minhashLsh(docs)))
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol), lit(true).as("is_near_dup"))
     // quality is a projection of docs and carries every doc_id — it IS

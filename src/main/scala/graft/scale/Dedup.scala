@@ -137,8 +137,14 @@ object Dedup {
     * untouched. `pairs` comes from any candidate generator (minhash LSH,
     * simhash banding, ngram Jaccard, embedding cosine). */
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
-                         idCol: String = "doc_id"): DataFrame = {
-    val losers = connectedComponents(pairs)
+                         idCol: String = "doc_id"): DataFrame =
+    dropByComponents(docs, connectedComponents(pairs), idCol)
+
+  /** Retention from an ALREADY-COMPUTED component labeling (share one
+    * [[connectedComponents]] run across audit + retention consumers). */
+  def dropByComponents(docs: DataFrame, components: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val losers = components
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     docs.join(losers, Seq(idCol), "leftanti")

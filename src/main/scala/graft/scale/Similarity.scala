@@ -382,6 +382,46 @@ object Similarity {
       .select(col("src").as(idCol), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Contrastive training triples (anchor, positive, hard negative) mined
+    * from the corpus — the data an embedding model is fine-tuned on:
+    * the positive is the anchor's most-similar same-cluster vector with
+    * sim ≥ `posThreshold`; the hard negative is the most-similar vector
+    * BELOW `negCeiling` (close enough to be informative, far enough to
+    * be a true negative — the standard in-batch hard-negative recipe).
+    * Anchors lacking either side are dropped (a training row needs both).
+    *
+    * One cluster-restricted self-join computes all candidate sims
+    * (Σ|c|² work, the [[knnGraph]] shape — never corpus²); the positive
+    * and negative rankings are two windows over that one subtree.
+    * Rankings sort on the ROUNDED sim with id tie-break (engine-stable). */
+  def contrastiveTriples(vectors: DataFrame, posThreshold: Double = 0.3,
+                         negCeiling: Double = 0.1, nClusters: Int = 8,
+                         iterations: Int = 5, idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val assigned = withCluster(vectors, centroids.getOrElse(
+      kmeansFit(vectors, nClusters, iterations, idCol, vecCol)), vecCol)
+    val a = assigned.select(col(idCol).as("anchor"), col(vecCol).as("va"),
+      col("cluster"))
+    val b = assigned.select(col(idCol).as("other"), col(vecCol).as("vb"),
+      col("cluster"))
+    val sims = a.join(b, Seq("cluster"))
+      .filter(col("anchor") =!= col("other"))
+      .select(col("anchor"), col("other"),
+        round(cosine(col("va"), col("vb")), 4).as("sim"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("other"))
+    val pos = sims.filter(col("sim") >= posThreshold)
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("anchor"), col("other").as("positive"),
+        col("sim").as("pos_sim"))
+    val neg = sims.filter(col("sim") < negCeiling)
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("anchor"), col("other").as("negative"),
+        col("sim").as("neg_sim"))
+    pos.join(neg, Seq("anchor"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
     * restricted to a bucket column to avoid all-pairs.
     *

@@ -250,8 +250,10 @@ object TextOps {
   def winnowPairs(docs: DataFrame, minShared: Int = 2, k: Int = 3,
                   w: Int = 4, maxFpDf: Int = Int.MaxValue,
                   textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
-    val fp = winnowFingerprint(docs, k, w, textCol, idCol)
+                  idCol: String = "doc_id",
+                  fingerprints: Option[DataFrame] = None): DataFrame = {
+    val fp = fingerprints
+      .getOrElse(winnowFingerprint(docs, k, w, textCol, idCol))
       .select(col(idCol), col("fingerprint")).distinct()
     val kept =
       if (maxFpDf == Int.MaxValue) fp
