@@ -513,6 +513,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- REAL image decode: deterministic PGM payloads round-tripped
+    //     through the binary P5 parser; oracle recomputes the pixel
+    //     arithmetic directly ---
+    "image_features" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+          (id, Multimodal.encodePgm(w, h, i => ((id * 31 + i * 7) % 256).toInt))
+        }.toDF("doc_id", "payload")
+      Multimodal.extractFeatures(withPayload, decoder = Multimodal.decodePgm)
+        .select(col("doc_id"), col("features.width").as("width"),
+          col("features.height").as("height"),
+          round(col("features.mean_luma"), 6).as("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- substring-level dedup audit (Lee et al. 2022, fixed-k spans) ---
     "dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(T(s, dir, "documents"))
@@ -1637,6 +1654,20 @@ object SparkEntry {
         |       ROUND(1.0 / (1.0 + EXP(-logit)), 4) AS p_keep,
         |       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // pixel(i) = (doc_id*31 + i*7) % 256 over a (8 + id%5) x (6 + id%4)
+    // raster — the oracle recomputes what the PGM decoder must extract
+    "image_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, SUM((d.doc_id * 31 + i.i * 7) % 256) AS pxsum
+        |  FROM dims d JOIN generate_series(0, 107) i(i) ON i.i < d.w * d.h
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       ROUND(pxsum * 1.0 / (w * h) / 255, 6) AS mean_luma
+        |FROM px ORDER BY doc_id""".stripMargin,
 
     "contrastive_pairs" -> (kmeansCte() +
       """, sims AS (

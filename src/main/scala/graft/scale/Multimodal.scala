@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata alongside. The Spark-side shape —
-  * schema, batched per-partition processing, partition sizing — is real;
-  * the actual media decode is STUBBED (`decodeStub`): this container has
-  * no image/audio codecs, so the stub derives deterministic fake features
-  * from the bytes. Swap `decodeStub` for a real codec (JNI/FFI or a
-  * `mapInPandas`-equivalent batch UDF in PySpark) without touching the
-  * pipeline shape.
+  * schema, batched per-partition processing, partition sizing — is real.
+  * Two decoders ship:
+  *
+  *  - [[decodePgm]] — a REAL binary image decoder (Netpbm P5 grayscale:
+  *    magic + ASCII header + raster), pure JVM byte parsing, no codec
+  *    libraries needed. Exercised end-to-end by the `image_features`
+  *    driver query against an arithmetic DuckDB oracle.
+  *  - [[decodeStub]] — the stand-in for codecs this container lacks
+  *    (JPEG/audio/video); swap in a JNI/FFI codec or a
+  *    `mapInPandas`-equivalent batch UDF without touching the pipeline.
   *
   * Scale notes: payloads are processed with `mapPartitions` so a real
   * decoder amortizes model/codec init per partition (the same reason
@@ -42,9 +46,61 @@ object Multimodal {
     ), featureSchema)
   }
 
+  /** Encode a grayscale image as binary PGM (P5). `pixel(i)` supplies the
+    * row-major raster values in [0, maxval]. */
+  def encodePgm(width: Int, height: Int, pixel: Int => Int,
+                maxval: Int = 255): Array[Byte] = {
+    val header = s"P5\n$width $height\n$maxval\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < width * height) {
+      out(header.length + i) = (pixel(i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL decoder for binary PGM (P5): parses the Netpbm header (magic,
+    * whitespace-separated width/height/maxval, `#` comments) and folds
+    * the raster into (width, height, n_frames=1, mean_luma = mean
+    * pixel / maxval). Throws on malformed input — a corrupt payload
+    * should surface, not silently skew features. */
+  def decodePgm(payload: Array[Byte]): Row = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"bad PGM: $msg")
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '5')
+      fail("missing P5 magic")
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#' comments
+      var inComment = false
+      while (pos < payload.length && {
+        val c = payload(pos).toChar
+        if (inComment) { if (c == '\n') inComment = false; true }
+        else if (c == '#') { inComment = true; true }
+        else c.isWhitespace
+      }) pos += 1
+      val start = pos
+      while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+      if (pos == start) fail("truncated header")
+      new String(payload, start, pos - start, "US-ASCII").toInt
+    }
+    val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) fail(s"bad dims $w x $h / $maxval")
+    pos += 1 // single whitespace after maxval, then raster
+    if (payload.length - pos < w * h) fail(s"raster short: ${payload.length - pos} < ${w * h}")
+    var sum = 0L
+    var i = 0
+    while (i < w * h) { sum += (payload(pos + i) & 0xff); i += 1 }
+    new GenericRowWithSchema(Array[Any](
+      w, h, 1, sum.toDouble / (w * h) / maxval), featureSchema)
+  }
+
   /** Attach decoded features to rows carrying a binary payload column.
-    * Batched per-partition (decoder init amortization point). */
-  def extractFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    * Batched per-partition (decoder init amortization point); pass
+    * [[decodePgm]] (or a real codec) as `decoder`. */
+  def extractFeatures(df: DataFrame, payloadCol: String = "payload",
+                      decoder: Array[Byte] => Row = decodeStub): DataFrame = {
     val schema = df.schema
     val outSchema = StructType(schema.fields :+ StructField("features", featureSchema))
     val pIdx = schema.fieldIndex(payloadCol)
@@ -53,7 +109,7 @@ object Multimodal {
       rows.map { r =>
         val payload = if (r.isNullAt(pIdx)) Array.emptyByteArray
                       else r.getAs[Array[Byte]](pIdx)
-        new GenericRowWithSchema((r.toSeq :+ decodeStub(payload)).toArray, outSchema): Row
+        new GenericRowWithSchema((r.toSeq :+ decoder(payload)).toArray, outSchema): Row
       }
     }(Encoders.row(outSchema))
   }

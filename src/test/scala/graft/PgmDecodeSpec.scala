@@ -1,0 +1,41 @@
+package graft
+
+import graft.scale.Multimodal
+
+/** The real PGM (P5) decoder: round-trip, header comments, malformed
+  * payloads surface as errors. */
+class PgmDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode -> decode round-trips dimensions and mean luma") {
+    val bytes = Multimodal.encodePgm(4, 2, i => i * 10) // 0,10,...,70
+    val f = Multimodal.decodePgm(bytes)
+    assert(f.getInt(0) == 4 && f.getInt(1) == 2 && f.getInt(2) == 1)
+    assert(math.abs(f.getDouble(3) - (280.0 / 8 / 255)) < 1e-12)
+  }
+
+  test("header comments and arbitrary whitespace are parsed") {
+    val raster = Array.tabulate(6)(i => (i * 40).toByte)
+    val header = "P5\n# a comment\n 3\t2 # trailing\n255\n".getBytes("US-ASCII")
+    val f = Multimodal.decodePgm(header ++ raster)
+    assert(f.getInt(0) == 3 && f.getInt(1) == 2)
+  }
+
+  test("malformed payloads throw instead of skewing features") {
+    intercept[IllegalArgumentException](Multimodal.decodePgm(Array[Byte]()))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePgm("P6\n2 2\n255\nXXXX".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // raster shorter than w*h
+      Multimodal.decodePgm("P5\n4 4\n255\nab".getBytes("US-ASCII")))
+  }
+
+  test("distributed extractFeatures with the real decoder") {
+    val df = Seq((1L, Multimodal.encodePgm(2, 2, _ => 255)),
+        (2L, Multimodal.encodePgm(3, 1, _ => 0)))
+      .toDF("doc_id", "payload")
+    val m = Multimodal.extractFeatures(df, decoder = Multimodal.decodePgm)
+      .select($"doc_id", $"features.width", $"features.mean_luma")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2)))).toMap
+    assert(m(1L) == ((2, 1.0)) && m(2L) == ((3, 0.0)))
+  }
+}
