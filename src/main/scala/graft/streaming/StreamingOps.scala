@@ -66,6 +66,25 @@ object StreamingOps {
       docs.filter(graft.scale.TextOps.quality(col(textCol)) >= minQuality),
       textCol, watermark, timeCol)
 
+  /** Streaming flat profile — the incremental twin of
+    * [[graft.analysis.Profiles.flatProfile]]: per-window, per-function
+    * exclusive time and call counts over a completed-call stream
+    * ([[StreamingMatcher.completedCalls]]' shape: name, leave_ts ns,
+    * time_exc). In production the matcher's output lands in a
+    * topic/sink and this aggregation runs downstream — the standard
+    * decomposition for pipelines with more than one stateful stage. */
+  def flatProfile(calls: DataFrame, window: String = "10 seconds",
+                  watermark: String = "30 seconds"): DataFrame =
+    calls
+      .withColumn("event_time",
+        timestamp_micros((col("leave_ts") / 1000).cast("long")))
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("name"))
+      .agg(sum(col("time_exc")).as("time_exc"), count(lit(1)).as("n_calls"))
+      .select(col("window.start").as("window_start"), col("name"),
+        col("time_exc"), col("n_calls"))
+
   /** Streaming backward as-of join — the incremental twin of
     * [[graft.analysis.AsOfJoin.asOfBackward]]: enrich each left event
     * with the latest right event at or before it, per key ("attach the
