@@ -41,6 +41,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Seq((1L, 12L, 3.0)))
   }
 
+  test("matches the naive max-preceding formulation on pseudo-random data") {
+    import org.apache.spark.sql.functions._
+    val l = (0 until 300).map(i =>
+      (i.toLong, (i * 7 % 5).toLong, (i * 131 % 997).toLong))
+      .toDF("event_id", "k", "t")
+    val r = (1000 until 1100).map(i =>
+      (i.toLong, (i * 3 % 5).toLong, (i * 239 % 997).toLong, i * 0.5))
+      .toDF("event_id", "k", "t", "v")
+    val ours = AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "t", "event_id",
+        Seq("event_id" -> "r_id"))
+      .select(col("event_id"), col("r_id"))
+    // naive: theta join + argmax of (right ts, right id) per left row
+    val naive = l.join(
+        r.select(col("event_id").as("rid"), col("k"), col("t").as("rt")),
+        Seq("k"))
+      .filter(col("rt") <= col("t"))
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("rt"), col("rid"))).getField("rid").as("r_id"))
+    val fullOurs = ours.filter(col("r_id").isNotNull)
+    assert(fullOurs.exceptAll(naive).isEmpty && naive.exceptAll(fullOurs).isEmpty)
+    assert(ours.count() == 300) // unmatched lefts kept as nulls
+  }
+
   test("left rows keep all their columns and multiplicity") {
     val l = Seq((1L, 7L, 100L, "a"), (2L, 7L, 100L, "b"))
       .toDF("event_id", "k", "t", "payload")
