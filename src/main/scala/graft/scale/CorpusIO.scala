@@ -40,4 +40,24 @@ object CorpusIO {
     val df = spark.read.parquet(path)
     route.fold(df)(r => df.filter(col(routeCol) === r))
   }
+
+  /** The canonical documents schema for JSONL interchange. */
+  val docSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+
+  /** JSONL — the lingua franca of published web corpora (one JSON object
+    * per line, splittable when uncompressed / per-file parallel when
+    * gzipped). ALWAYS pass the schema: schema inference costs a full
+    * extra pass over 100 TB before the real read starts. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType = docSchema): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Write as JSONL shards (one line per document). Compression left to
+    * `spark.sql.json.compression.codec`/option on the caller; at corpus
+    * scale prefer zstd with files sized to the downstream reader's
+    * parallelism. */
+  def writeJsonl(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").json(path)
 }

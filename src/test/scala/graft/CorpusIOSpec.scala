@@ -33,4 +33,19 @@ class CorpusIOSpec extends SparkSpec {
       .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
     assert(langDirs.length >= 3 && langDirs.contains("lang=en"))
   }
+
+  test("JSONL round-trip with explicit schema is lossless") {
+    val dir = Files.createTempDirectory("corpusjsonl").toFile.getAbsolutePath
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    CorpusIO.writeJsonl(docs, s"$dir/docs.jsonl")
+    val back = CorpusIO.readJsonl(spark, s"$dir/docs.jsonl")
+    assert(back.count() == docs.count())
+    assert(back.schema == CorpusIO.docSchema)
+    // values survive: compare a deterministic digest of (id, text)
+    def digest(df: org.apache.spark.sql.DataFrame) = df
+      .select(sum(conv(substring(md5(concat_ws("|",
+        col("doc_id"), col("text"))), 1, 8), 16, 10).cast("long")))
+      .head().getLong(0)
+    assert(digest(back) == digest(docs))
+  }
 }
