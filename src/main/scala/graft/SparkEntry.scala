@@ -542,6 +542,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- DSIR step 2: deterministic importance resampling ---
+    "dsir_resample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Curation.importanceResample(
+          Curation.importanceWeights(docs, docs.filter(col("lang") === "en")))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- BM25 more-like-this retrieval (first 5 docs as queries) ---
     "bm25_topk" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
@@ -1404,36 +1412,23 @@ object SparkEntry {
         |FROM sh s JOIN docfreq d USING (shingle)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
 
-    "dsir_weights" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
-        |  FROM documents),
-        |sh2 AS (
-        |  SELECT doc_id, lang, array_to_string(toks[i:i+1], ' ') AS shingle
-        |  FROM (SELECT doc_id, lang, toks,
-        |          unnest(generate_series(1, GREATEST(len(toks) - 1, 1))) AS i
-        |        FROM t)),
-        |f AS (
-        |  SELECT doc_id, lang,
-        |         CAST(concat('0x', substr(md5('0:' || shingle), 1, 15)) AS BIGINT)
-        |           % 256 AS bucket
-        |  FROM sh2),
-        |rc AS (SELECT bucket, COUNT(*) AS rc FROM f GROUP BY 1),
-        |tc AS (SELECT bucket, COUNT(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
-        |tot AS (SELECT (SELECT CAST(SUM(rc) AS DOUBLE) FROM rc) AS rtot,
-        |               (SELECT CAST(SUM(tc) AS DOUBLE) FROM tc) AS ttot),
-        |bw AS (
-        |  SELECT g.generate_series AS bucket,
-        |         ln((COALESCE(tc.tc, 0) + 1.0) / (t.ttot + 256.0))
-        |         - ln((COALESCE(rc.rc, 0) + 1.0) / (t.rtot + 256.0)) AS w
-        |  FROM generate_series(0, 255) g
-        |  LEFT JOIN rc ON rc.bucket = g.generate_series
-        |  LEFT JOIN tc ON tc.bucket = g.generate_series CROSS JOIN tot t),
-        |db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM f GROUP BY 1, 2)
-        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+    "dsir_weights" -> (dsirCte +
+      """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
         |       ROUND(SUM(c * w), 4) AS log_ratio
         |FROM db JOIN bw USING (bucket)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "dsir_resample" -> (dsirCte +
+      """, w2 AS (
+        |  SELECT doc_id, ROUND(SUM(c * w), 4) AS log_ratio
+        |  FROM db JOIN bw USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-log_ratio)), 4) AS p_accept
+        |FROM w2
+        |WHERE CAST(concat('0x', substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT)
+        |      < CAST(FLOOR((1.0 / (1.0 + EXP(-log_ratio))) * 1152921504606846976)
+        |             AS BIGINT)
+        |ORDER BY doc_id""".stripMargin),
 
     "bm25_topk" ->
       """WITH tk AS (
@@ -1939,6 +1934,37 @@ object SparkEntry {
   /** Shared oracle CTE suffix (appended to [[shinglesCte]]): minhash
     * signatures → LSH bands → candidate pairs `prs`. Mirrors
     * [[graft.scale.Dedup.minhashLsh]]. */
+  /** Shared oracle CTE for the DSIR family: hashed-bigram buckets,
+    * raw/target bucket counts, smoothed log-ratio bucket weights, and
+    * the per-(doc, bucket) table `db`. */
+  private def dsirCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents),
+      |sh2 AS (
+      |  SELECT doc_id, lang, array_to_string(toks[i:i+1], ' ') AS shingle
+      |  FROM (SELECT doc_id, lang, toks,
+      |          unnest(generate_series(1, GREATEST(len(toks) - 1, 1))) AS i
+      |        FROM t)),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |         CAST(concat('0x', substr(md5('0:' || shingle), 1, 15)) AS BIGINT)
+      |           % 256 AS bucket
+      |  FROM sh2),
+      |rc AS (SELECT bucket, COUNT(*) AS rc FROM f GROUP BY 1),
+      |tc AS (SELECT bucket, COUNT(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(SUM(rc) AS DOUBLE) FROM rc) AS rtot,
+      |               (SELECT CAST(SUM(tc) AS DOUBLE) FROM tc) AS ttot),
+      |bw AS (
+      |  SELECT g.generate_series AS bucket,
+      |         ln((COALESCE(tc.tc, 0) + 1.0) / (t.ttot + 256.0))
+      |         - ln((COALESCE(rc.rc, 0) + 1.0) / (t.rtot + 256.0)) AS w
+      |  FROM generate_series(0, 255) g
+      |  LEFT JOIN rc ON rc.bucket = g.generate_series
+      |  LEFT JOIN tc ON tc.bucket = g.generate_series CROSS JOIN tot t),
+      |db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM f GROUP BY 1, 2)
+      |""".stripMargin
+
   private def lshPairsCte: String =
     """, hashed AS (
       |  SELECT doc_id,

@@ -21,6 +21,16 @@ import graft.ingest.{ChromeWriter, CsvReader, HpctoolkitReader, NsightReader, Ot
 case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
                  cct: Option[DataFrame] = None) {
 
+  /** Register the trace tables as temp views (`<prefix>_events`,
+    * `<prefix>_definitions`, `<prefix>_cct`) so the whole dataset is
+    * reachable from `spark.sql` — with [[graft.functions.GraftSql]]
+    * registered, SQL-only users get the full engine surface. */
+  def createOrReplaceViews(prefix: String = "trace"): Unit = {
+    events.createOrReplaceTempView(s"${prefix}_events")
+    definitions.foreach(_.createOrReplaceTempView(s"${prefix}_definitions"))
+    cct.foreach(_.createOrReplaceTempView(s"${prefix}_cct"))
+  }
+
   // ---- enrichment (M1/M2/M3/M4) ----
   def matchEvents(): Trace = copy(events = EventMatcher.enrich(events))
   def calcIncMetrics(columns: Seq[String] = null): Trace =

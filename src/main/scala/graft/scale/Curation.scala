@@ -194,6 +194,24 @@ object Curation {
         round(sum(col("c") * col("w")), 4).as("log_ratio"))
   }
 
+  /** DSIR step 2 — importance RESAMPLING (the selection step of Xie et
+    * al. 2023, following [[importanceWeights]]): accept each document
+    * with probability sigmoid(log_ratio) via the deterministic hash
+    * test keep ⟺ hash_u(id) < p·2^60. No RNG: reproducible
+    * run-to-run and engine-to-engine, and the accept decision is a
+    * scan-local filter over the weight table — DSIR end-to-end without
+    * ever shuffling the corpus on text. The sigmoid is computed from
+    * the ROUNDED log_ratio (4dp), so both engines feed exp the same
+    * double. */
+  def importanceResample(weights: DataFrame, seed: Int = 11,
+                         idCol: String = "doc_id"): DataFrame = {
+    val p = lit(1.0) / (lit(1.0) + exp(-col("log_ratio")))
+    weights
+      .filter(TextOps.md5Hash60(col(idCol).cast("string"), seed) <
+        floor(p * HashSpace).cast("long"))
+      .select(col(idCol), round(p, 4).as("p_accept"))
+  }
+
   /** Topic labels for embedding clusters: the `topN` highest-TF-IDF terms
     * per k-means cluster — the standard way to make unsupervised corpus
     * clusters human-auditable ("what IS cluster 3?") when triaging a

@@ -61,6 +61,16 @@ class GraftSqlSpec extends SparkSpec {
     assert(notDot.head().getDouble(0) == 21.0)
   }
 
+  test("Trace SQL views expose the trace tables to spark.sql") {
+    val t = graft.model.Trace.fromCsv(spark, resourcePath("foo-bar.csv"))
+      .createCct()
+    t.createOrReplaceViews("fb")
+    assert(spark.sql(
+      "SELECT count(*) FROM fb_events WHERE event_type = 'Enter'")
+      .head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM fb_cct").head().getLong(0) > 0)
+  }
+
   test("wrong arity is rejected at resolution") {
     GraftSql.register(spark)
     Seq((Array(1.0f), Array(1.0f))).toDF("a", "b").createOrReplaceTempView("v2")
