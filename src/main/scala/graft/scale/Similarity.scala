@@ -221,11 +221,19 @@ object Similarity {
       else vectors.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
-    (0 until m).map { s =>
+    // the m subspace fits are independent — submit them as concurrent
+    // Spark jobs (the scheduler interleaves their stages), so the fit's
+    // wall-clock is one subspace's job latency, not m of them; results
+    // are deterministic regardless of completion order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until m).map { s => Future {
       kmeansFit(vectors.select(col(idCol),
           slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
         k, iterations, idCol, vecCol, sub)
-    }.toArray
+    }}
+    fits.map(Await.result(_, Duration.Inf)).toArray
   }
 
   /** PQ encoding: per subspace, the id of the nearest codebook centroid
