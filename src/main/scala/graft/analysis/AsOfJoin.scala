@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
   * Spark has no as-of operator, and the naive formulation (range join +
   * per-left-row max) is quadratic per key. The scalable formulation is
   * union + ordered window: tag right rows side 0 and left rows side 1,
-  * sort each key partition by (ts, side, right id), and carry right-side
-  * payload forward with `last(..., ignoreNulls)` over the
+  * sort each key partition by (ts, side, right id), and carry the right
+  * row's payload forward with `last(..., ignoreNulls)` over the
   * preceding-rows frame. Exactly ONE shuffle on the key — the same cost
   * as a grouped aggregation — and per-row window state is O(1), so the
   * shape holds at any scale and any key skew short of a single monster
   * key.
+  *
+  * All carried columns travel in ONE struct, so every output value comes
+  * from the SAME (latest) right row even when some of its payload fields
+  * are null — per-column forward-fill would silently mix fields from
+  * different right rows.
   *
   * Determinism (hash-compare safe across engines): right rows sharing a
   * timestamp resolve to the highest right id (last in sort order); at
@@ -30,7 +35,8 @@ object AsOfJoin {
 
   /** @param carry       right-side payload columns to attach, as
     *                    (rightColumn -> outputName); list the right id/ts
-    *                    columns here too if wanted in the output.
+    *                    columns here too if wanted in the output. Output
+    *                    names must not collide with left columns.
     * @param rightIdCol  unique right column (castable to long) used as the
     *                    deterministic tie-break among equal timestamps.
     * @return left rows (all columns) plus the carried columns — null when
@@ -41,30 +47,34 @@ object AsOfJoin {
                    carry: Seq[(String, String)]): DataFrame = {
     val outNames = carry.map(_._2)
     val leftCols = left.columns.toSeq
+    val collisions = outNames.filter(n => leftCols.exists(_.equalsIgnoreCase(n)))
+    require(collisions.isEmpty,
+      s"carry output names collide with left columns: ${collisions.mkString(", ")}")
     val lSide = left
       .withColumn("__ts", col(leftTsCol))
       .withColumn("__side", lit(1))
       .withColumn("__rid", lit(-1L))
+      .withColumn("__carry", lit(null))
+    // the whole right payload rides in one struct: never null on right
+    // rows (even if every field is), so the latest right row always wins
     val rSide = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as("__ts"),
         lit(0).as("__side"),
-        col(rightIdCol).cast("long").as("__rid")) ++
-      carry.map { case (rc, out) => col(rc).as(out) }: _*)
-    // pad each side with the other's missing columns (null), then union
-    val both = lSide.columns.toSet ++ rSide.columns
-    def pad(df: DataFrame) =
-      (both -- df.columns).toSeq.sorted
-        .foldLeft(df)((d, n) => d.withColumn(n, lit(null)))
-    val unioned = pad(lSide).unionByName(
-      pad(rSide).select(pad(lSide).columns.toIndexedSeq.map(col): _*))
+        col(rightIdCol).cast("long").as("__rid"),
+        struct(carry.map { case (rc, out) => col(rc).as(out) }: _*)
+          .as("__carry")): _*)
+    // pad the right side with the left-only columns (null), then union
+    val rPadded = leftCols.filterNot(keyCols.contains)
+      .foldLeft(rSide)((d, n) => d.withColumn(n, lit(null)))
+    val unioned = lSide.unionByName(rPadded.select(lSide.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = outNames.foldLeft(unioned) { (d, n) =>
-      d.withColumn(n, last(col(n), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols ++ outNames).map(col): _*)
+    unioned
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        outNames.map(n => col("__carry").getField(n).as(n)): _*)
   }
 }

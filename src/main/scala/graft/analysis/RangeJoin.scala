@@ -30,10 +30,14 @@ object RangeJoin {
                       startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("__bin", floor(col(tCol) / binWidth))
+    // exact integer floor division (works for negative ts too): double
+    // division is actually safe here by IEEE monotonicity, but integer
+    // arithmetic removes any doubt at extreme magnitudes and is cheaper
+    def binOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    val p = points.withColumn("__bin", binOf(col(tCol)))
     val i = intervals.withColumn("__bin",
-      explode(sequence(floor(col(startCol) / binWidth),
-        floor(col(endCol) / binWidth))))
+      explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
     p.join(i, keyCols :+ "__bin")
       .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("__bin")

@@ -34,9 +34,10 @@ object GraphOps {
                dampingPct: Int = 85, scale: Long = 1000000L,
                idCol: String = "id", srcCol: String = "src",
                dstCol: String = "dst"): DataFrame = {
-    val n = nodes.count()
-    require(n > 0, "pageRank needs a non-empty node set")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0,100)")
+    // no nodes.count(): the rank count is not part of the fixed-point
+    // formula, and a full scan just to assert non-emptiness is wasted
+    // work at scale (an empty node set simply yields an empty result)
     val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("deg"))
     // materialize the (possibly expensive) edge lineage ONCE — every
     // iteration reads the cached table instead of recomputing upstream

@@ -88,28 +88,34 @@ object Multimodal {
     val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) fail(s"bad dims $w x $h / $maxval")
     pos += 1 // single whitespace after maxval, then raster
-    if (payload.length - pos < w * h) fail(s"raster short: ${payload.length - pos} < ${w * h}")
+    val n = w.toLong * h // Long: huge declared dims must not wrap the check
+    if (payload.length - pos < n) fail(s"raster short: ${payload.length - pos} < $n")
     var sum = 0L
     var i = 0
-    while (i < w * h) { sum += (payload(pos + i) & 0xff); i += 1 }
+    while (i < n) { sum += (payload(pos + i.toInt) & 0xff); i += 1 }
     new GenericRowWithSchema(Array[Any](
-      w, h, 1, sum.toDouble / (w * h) / maxval), featureSchema)
+      w, h, 1, sum.toDouble / n / maxval), featureSchema)
   }
 
   /** Attach decoded features to rows carrying a binary payload column.
     * Batched per-partition (decoder init amortization point); pass
-    * [[decodePgm]] (or a real codec) as `decoder`. */
+    * [[decodePgm]] (or a real codec) as `decoder`. Rows with a NULL
+    * payload get a NULL features struct — fabricating features for
+    * missing media (or crashing the decoder on it) would silently skew
+    * downstream statistics. */
   def extractFeatures(df: DataFrame, payloadCol: String = "payload",
                       decoder: Array[Byte] => Row = decodeStub): DataFrame = {
     val schema = df.schema
-    val outSchema = StructType(schema.fields :+ StructField("features", featureSchema))
+    val outSchema = StructType(schema.fields :+
+      StructField("features", featureSchema, nullable = true))
     val pIdx = schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       // real decoders initialize here, once per partition
       rows.map { r =>
-        val payload = if (r.isNullAt(pIdx)) Array.emptyByteArray
-                      else r.getAs[Array[Byte]](pIdx)
-        new GenericRowWithSchema((r.toSeq :+ decoder(payload)).toArray, outSchema): Row
+        val features =
+          if (r.isNullAt(pIdx)) null
+          else decoder(r.getAs[Array[Byte]](pIdx))
+        new GenericRowWithSchema((r.toSeq :+ features).toArray, outSchema): Row
       }
     }(Encoders.row(outSchema))
   }
@@ -118,6 +124,7 @@ object Multimodal {
     * `stride`-th frame index — pure expression, no decode needed. */
   def sampleFrames(df: DataFrame, nFramesCol: String, stride: Int = 2): DataFrame =
     df.withColumn("sampled_frames",
-      filter(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0))),
-        i => i % stride === 0))
+      when(col(nFramesCol) <= 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(0), col(nFramesCol) - 1),
+          i => i % stride === 0)))
 }

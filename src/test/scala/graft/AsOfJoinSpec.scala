@@ -41,6 +41,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Seq((1L, 12L, 3.0)))
   }
 
+  test("all carried fields come from the SAME latest right row, even nulls") {
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, 7L, 300L)).toDF("event_id", "k", "t")
+    val r = Seq((10L, 7L, 100L, Some(5.0)), (20L, 7L, 200L, None))
+      .toDF("event_id", "k", "t", "v")
+    val out = AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "t", "event_id",
+        Seq("event_id" -> "r_id", "v" -> "r_v"))
+      .select(col("r_id"), col("r_v")).head()
+    // latest right row is id 20 with v = NULL: r_v must be NULL, not the
+    // older row's 5.0 (per-column forward-fill would mix rows)
+    assert(out.getLong(0) == 20L && out.isNullAt(1))
+  }
+
+  test("carry names colliding with left columns are rejected") {
+    val l = Seq((1L, 7L, 300L, 9.9)).toDF("event_id", "k", "t", "value")
+    val r = Seq((10L, 7L, 100L, 5.0)).toDF("event_id", "k", "t", "value")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "t", "event_id",
+        Seq("value" -> "value"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("matches the naive max-preceding formulation on pseudo-random data") {
     import org.apache.spark.sql.functions._
     val l = (0 until 300).map(i =>

@@ -27,6 +27,33 @@ class PgmDecodeSpec extends SparkSpec {
       Multimodal.decodePgm("P6\n2 2\n255\nXXXX".getBytes("US-ASCII")))
     intercept[IllegalArgumentException]( // raster shorter than w*h
       Multimodal.decodePgm("P5\n4 4\n255\nab".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // w*h would wrap Int to 0 / negative
+      Multimodal.decodePgm("P5\n65536 65536\n255\nab".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePgm("P5\n46341 46341\n255\nab".getBytes("US-ASCII")))
+  }
+
+  test("NULL payloads yield NULL features, not fabricated ones") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Multimodal.encodePgm(2, 2, _ => 10)),
+      org.apache.spark.sql.Row(2L, null))
+    val df = spark.createDataFrame(rows, schema)
+    val out = Multimodal.extractFeatures(df, decoder = Multimodal.decodePgm)
+    val byId = out.select($"doc_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!byId(1L) && byId(2L))
+  }
+
+  test("zero-frame payloads sample no frames") {
+    val df = Seq((1L, 0), (2L, 3)).toDF("doc_id", "n_frames")
+    val m = Multimodal.sampleFrames(df, "n_frames", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(m(1L).isEmpty && m(2L) == Seq(0, 2))
   }
 
   test("distributed extractFeatures with the real decoder") {
