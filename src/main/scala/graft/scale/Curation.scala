@@ -32,7 +32,10 @@ object Curation {
   /** Exactly-n-per-stratum sample: rank rows within each stratum by
     * id-hash (deterministic shuffle order) and keep the first n. One
     * window over the stratum key — the only shuffle, partitioned by
-    * stratum, so skew is bounded by the largest stratum. */
+    * stratum, so skew is bounded by the largest stratum. The output
+    * keeps `rn` (the deterministic within-stratum rank, 1..n) as a
+    * documented column — downstream consumers use it for stable
+    * sub-sampling and ordering. */
   def stratifiedSample(docs: DataFrame, strataCol: String, n: Int,
                        seed: Int = 7, idCol: String = "doc_id"): DataFrame = {
     val h = TextOps.md5Hash60(col(idCol).cast("string"), seed)
@@ -288,7 +291,8 @@ object Curation {
     val rep = TextOps.repetitionStats(docs, textCol, idCol)
       .select(col(idCol), col("unique_token_ratio"))
     val losers = components
-      .getOrElse(Dedup.connectedComponents(Dedup.minhashLsh(docs)))
+      .getOrElse(Dedup.connectedComponents(
+        Dedup.minhashLsh(docs, textCol = textCol, idCol = idCol)))
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol), lit(true).as("is_near_dup"))
     // quality is a projection of docs and carries every doc_id — it IS

@@ -41,6 +41,10 @@ object Dedup {
     * replicable in SQL for the oracle. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleK: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // h1 < 2^60, h2 < 2^56: h1 + seed*h2 stays inside signed 64 bits only
+    // for seed <= 112 — beyond that the hash family silently wraps (and a
+    // checked-arithmetic SQL oracle errors), so refuse loudly
+    require(numHashes <= 112, s"numHashes $numHashes > 112 would overflow h1 + seed*h2")
     val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
     val hashed = sh.select(col(idCol),
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h1"),
@@ -97,9 +101,13 @@ object Dedup {
   /** Full minhash+LSH dedup: candidate pairs from banding. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                  shingleK: Int = 3, textCol: String = "text",
-                 idCol: String = "doc_id"): DataFrame =
+                 idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes $numHashes must divide into $bands bands (a remainder " +
+        "would create a phantom short band with near-random collisions)")
     minhashLshPairs(minhashSignatures(docs, numHashes, shingleK, textCol, idCol),
       bands, numHashes / bands, idCol)
+  }
 
   /** Verification stage between LSH candidate generation and clustering:
     * estimate each candidate pair's Jaccard as the fraction of minhash
@@ -187,7 +195,9 @@ object Dedup {
       val next = labels.unionByName(nbr)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val s = next.agg(sum(col("component"))).head.getLong(0)
+      // coalesce: sum over ZERO rows is null — an empty pair set must
+      // yield an empty labeling, not a NullPointerException
+      val s = next.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
       done = prevSum.contains(s)
       prevSum = Some(s)
       labels = next

@@ -132,19 +132,23 @@ object Similarity {
     cents
   }
 
-  /** The nearest-centroid id as a pure column expression:
+  /** One (squared-distance, cluster-id) struct per centroid —
     * argmin_j ||x−c_j||² = argmin_j (||c_j||² − 2·x·c_j) (||x||² is
-    * constant per row), argmin via `least` over (distance, cluster)
-    * structs with ties to the lowest cluster id. */
-  private def clusterExpr(centroids: Array[Array[Double]],
-                          vecCol: String): Column = {
-    val structs = centroids.zipWithIndex.map { case (c, j) =>
+    * constant per row), ties to the lowest cluster id. The single
+    * source of the distance formula and tie-break rule shared by
+    * assignment ([[clusterExpr]]) and probing ([[kmeansProbe]]), so the
+    * two can never disagree on the nearest centroid. */
+  private def centroidStructs(centroids: Array[Array[Double]],
+                              vecCol: String): Seq[Column] =
+    centroids.zipWithIndex.toIndexedSeq.map { case (c, j) =>
       val dist = lit(c.map(x => x * x).sum) -
         lit(2.0) * graft.functions.VecMath.dot(col(vecCol), array(c.map(lit).toIndexedSeq: _*))
       struct(dist.as("d"), lit(j).as("j"))
     }
-    least(structs.toIndexedSeq: _*).getField("j")
-  }
+
+  private def clusterExpr(centroids: Array[Array[Double]],
+                          vecCol: String): Column =
+    least(centroidStructs(centroids, vecCol): _*).getField("j")
 
   /** Nearest-centroid assignment (the quantizer's map side): one fused
     * scan — k codegen'd dot products per row ([[clusterExpr]]). */
@@ -168,16 +172,11 @@ object Similarity {
     * per vector. */
   def kmeansProbe(vectors: DataFrame, centroids: Array[Array[Double]],
                   nprobe: Int, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
-    val structs = centroids.zipWithIndex.map { case (c, j) =>
-      val dist = lit(c.map(x => x * x).sum) -
-        lit(2.0) * graft.functions.VecMath.dot(col(vecCol), array(c.map(lit).toIndexedSeq: _*))
-      struct(dist.as("d"), lit(j).as("j"))
-    }
+                  vecCol: String = "embedding"): DataFrame =
     vectors.select(col(idCol),
-        explode(slice(sort_array(array(structs.toIndexedSeq: _*)), 1, nprobe)).as("pc"))
+        explode(slice(sort_array(array(centroidStructs(centroids, vecCol): _*)),
+          1, nprobe)).as("pc"))
       .select(col(idCol), col("pc.j").as("cluster"))
-  }
 
   /** IVF top-k with a LEARNED coarse quantizer: fit k-means, bucket the
     * corpus by nearest centroid, probe the `nprobe` nearest centroids

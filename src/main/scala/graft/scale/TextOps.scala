@@ -228,8 +228,14 @@ object TextOps {
         col("col").as("shingle"))
     val h40 = conv(substring(md5(concat(lit("0:"), col("shingle"))), 1, 10),
       16, 10).cast("long")
+    // pos must fit the 20-bit field: a >2^20-shingle document would
+    // carry into the hash bits and silently corrupt every comparison —
+    // fail loudly instead (chunk such documents first, see
+    // Curation.chunkDocs). assert_true is a per-row runtime guard.
     val keyed = sh.select(col(idCol), col("nsh"), col("pos"),
-      (shiftleft(h40, 20) + col("pos")).as("key"))
+      when(assert_true(col("pos") < 1048576,
+          lit("winnowFingerprint: document exceeds 2^20 shingles — chunk it first"))
+        .isNull, shiftleft(h40, 20) + col("pos")).as("key"))
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)

@@ -64,6 +64,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cc.size == 9)
   }
 
+  test("connected components: an empty pair set yields an empty labeling") {
+    // regression: the convergence checksum read sum(null) with getLong
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    // downstream consumers survive a corpus with no candidates at all
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    assert(Dedup.dropNearDuplicates(docs, empty).count() == 2)
+  }
+
   test("ngram jaccard df cap: stop-shingle pairs dropped, work bounded") {
     // 60 docs all sharing one stop-shingle; pairs exist ONLY through it
     val skewed = (0L until 60L).map(i => (i, s"the quick fox token$i tail$i"))
