@@ -822,7 +822,7 @@ object SparkEntry {
         |ev AS (
         |  SELECT t0 AS timestamp_ns, 'Enter' AS event_type, name, p FROM renum
         |  UNION ALL SELECT t1, 'Leave', name, p FROM renum)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY timestamp_ns, event_type, name) - 1 AS BIGINT) AS event_id,
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY timestamp_ns, event_type, name, p) - 1 AS BIGINT) AS event_id,
         |       timestamp_ns, event_type, name, p AS process, CAST(0 AS INT) AS thread
         |FROM ev ORDER BY event_id""".stripMargin),
 

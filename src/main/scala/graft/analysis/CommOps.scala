@@ -33,10 +33,15 @@ object CommOps {
   /** Dense ranks×ranks matrix, reference-shaped (driver-side; only for
     * presentation / API parity at the collect boundary). */
   def commMatrixDense(events: DataFrame, output: String = "size"): Array[Array[Long]] = {
-    val nRanks = events.agg(max(col(Process))).head.getInt(0) + 1
+    val maxRank = events.agg(max(col(Process))).head
+    if (maxRank.isNullAt(0)) return Array.empty // empty trace: empty matrix
+    val nRanks = maxRank.getInt(0) + 1
     val m = Array.fill(nRanks, nRanks)(0L)
     commMatrix(events, output).collect().foreach { r =>
-      m(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+      // sends lacking a receiver attribute (or with an all-null volume)
+      // cannot be placed — skip rather than NPE at the collect boundary
+      if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+        m(r.getInt(0))(r.getInt(1)) = r.getLong(2)
     }
     m
   }
@@ -48,17 +53,24 @@ object CommOps {
   def messageHistogram(events: DataFrame, bins: Int = 20): DataFrame = {
     val sizes = events.filter(col(Name).isin(SendNames: _*))
       .select(col(AttrMsgLength).cast("double").as("sz"))
-    val ext = sizes.agg(min(col("sz")).as("lo"), max(col("sz")).as("hi"))
-    val binned = sizes.crossJoin(broadcast(ext))
+    // the extent is one tiny row consumed by several stages — collect it
+    // once instead of re-running the aggregation per consumer; all-equal
+    // sizes expand to [lo-0.5, hi+0.5] (numpy.histogram's degenerate-range
+    // rule) instead of producing 0/0 = NaN bins
+    val extRow = sizes.agg(min(col("sz")), max(col("sz"))).head
+    require(!extRow.isNullAt(0), "message_histogram: trace has no send events")
+    val (lo0, hi0) = (extRow.getDouble(0), extRow.getDouble(1))
+    val (lo, hi) = if (hi0 == lo0) (lo0 - 0.5, hi0 + 0.5) else (lo0, hi0)
+    val binned = sizes
       .withColumn("bin", least(
-        floor((col("sz") - col("lo")) / ((col("hi") - col("lo")) / bins)),
+        floor((col("sz") - lo) / ((hi - lo) / bins)),
         lit(bins - 1L)).cast("int"))
       .groupBy(col("bin")).agg(count(lit(1)).as("count"))
-    ext.select(explode(sequence(lit(0), lit(bins - 1))).as("bin"), col("lo"), col("hi"))
+    sizes.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
       .join(binned, Seq("bin"), "left")
       .select(col("bin"),
-        (col("lo") + col("bin") * (col("hi") - col("lo")) / bins).as("bin_start"),
-        (col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / bins).as("bin_end"),
+        (lit(lo) + col("bin") * (hi - lo) / bins).as("bin_start"),
+        (lit(lo) + (col("bin") + 1) * (hi - lo) / bins).as("bin_end"),
         coalesce(col("count"), lit(0L)).as("count"))
   }
 
@@ -69,21 +81,26 @@ object CommOps {
   def commOverTime(events: DataFrame, output: String = "size",
                    messageType: String = "send", bins: Int = 50): DataFrame = {
     val names = if (messageType == "send") SendNames else RecvNames
-    val ext = events.agg(min(col(TimestampNs)).cast("double").as("lo"),
-                         max(col(TimestampNs)).cast("double").as("hi"))
+    // trace extent collected once (one tiny row, several consumers);
+    // a single-timestamp trace expands like messageHistogram's
+    // degenerate range instead of dividing by zero
+    val extRow = events.agg(min(col(TimestampNs)).cast("double"),
+      max(col(TimestampNs)).cast("double")).head
+    require(!extRow.isNullAt(0), "comm_over_time: empty trace")
+    val (lo0, hi0) = (extRow.getDouble(0), extRow.getDouble(1))
+    val (lo, hi) = if (hi0 == lo0) (lo0 - 0.5, hi0 + 0.5) else (lo0, hi0)
     val msgs = events.filter(col(Name).isin(names: _*))
       .select(col(TimestampNs).cast("double").as("t"), col(AttrMsgLength).as("sz"))
-      .crossJoin(broadcast(ext))
       .withColumn("bin", least(
-        floor((col("t") - col("lo")) / ((col("hi") - col("lo")) / bins)),
+        floor((col("t") - lo) / ((hi - lo) / bins)),
         lit(bins - 1L)).cast("int"))
     val vol = if (output == "size") sum(col("sz")) else count(lit(1))
     val binned = msgs.groupBy(col("bin")).agg(vol.cast("long").as("volume"))
-    ext.select(explode(sequence(lit(0), lit(bins - 1))).as("bin"), col("lo"), col("hi"))
+    events.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
       .join(binned, Seq("bin"), "left")
       .select(col("bin"),
-        (col("lo") + col("bin") * (col("hi") - col("lo")) / bins).as("bin_start"),
-        (col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / bins).as("bin_end"),
+        (lit(lo) + col("bin") * (hi - lo) / bins).as("bin_start"),
+        (lit(lo) + (col("bin") + 1) * (hi - lo) / bins).as("bin_end"),
         coalesce(col("volume"), lit(0L)).as("volume"))
   }
 

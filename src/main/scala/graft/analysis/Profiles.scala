@@ -49,9 +49,11 @@ object Profiles {
 
   /** load_imbalance (pipit/trace.py:555-598): per function,
     * imbalance = max(per-process metric) / mean(per-process metric), the
-    * mean, and the top-k processes by metric (ties broken by ascending
-    * process id — the reference's tie order is pandas-internal and
-    * unspecified; ours is deterministic). Sorted by mean desc. */
+    * mean, and the top-k processes by metric (ties broken by DESCENDING
+    * process id — sort_array(struct(metric, process), asc=false) orders
+    * tied structs by the second field too; the reference's tie order is
+    * pandas-internal and unspecified, ours is deterministic). Sorted by
+    * mean desc. */
   def loadImbalance(events0: DataFrame, metric: String = TimeExc,
                     numProcesses: Int = 1): DataFrame = {
     val perProc = flatProfile(events0, Seq(metric), Name, perProcess = true)

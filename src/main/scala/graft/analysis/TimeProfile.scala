@@ -45,11 +45,19 @@ object TimeProfile {
     // rows only (trace.py:651-661: `events` is pre-filtered to Enter before
     // `Process.unique()`) — a rank with only Instant events must not
     // inflate idle time or the normalization denominator
-    val ext = events.agg(
-      min(col(TimestampNs)).cast("double").as("lo"),
-      max(col(TimestampNs)).cast("double").as("hi"),
+    // the extent is ONE row consumed by three stages below — collect it
+    // once (instead of re-running the aggregation over the enriched
+    // lineage per consumer) and inline the scalars as literals
+    val extRow = events.agg(
+      min(col(TimestampNs)).cast("double"),
+      max(col(TimestampNs)).cast("double"),
       countDistinct(when(col(EventType) === Enter, col(Process)))
-        .cast("double").as("nproc"))
+        .cast("double")).head
+    require(!extRow.isNullAt(0), "time_profile: empty trace")
+    val (loV, hiV, nprocV) =
+      (extRow.getDouble(0), extRow.getDouble(1), extRow.getDouble(2))
+    val ext = events.sparkSession.range(1).select(
+      lit(loV).as("lo"), lit(hiV).as("hi"), lit(nprocV).as("nproc"))
 
     val w = (col("hi") - col("lo")) / numBins
     val enters = events

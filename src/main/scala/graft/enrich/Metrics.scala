@@ -77,11 +77,11 @@ object Metrics {
 
     val withInc = calcIncMetrics(events, todo)
     // Σ direct children's inc, keyed by parent enter id
+    val childIncSums = todo.map(c => sum(incCol(c)).as(s"__csum_${incCol(c)}"))
     val childSums = withInc
       .filter(col(EventType) === Enter && col(ParentEventId).isNotNull)
       .groupBy(col(ParentEventId).as("__p"))
-      .agg(todo.map(c => sum(incCol(c)).as(s"__csum_${incCol(c)}")).head,
-        todo.map(c => sum(incCol(c)).as(s"__csum_${incCol(c)}")).tail: _*)
+      .agg(childIncSums.head, childIncSums.tail: _*)
 
     var out = withInc.join(childSums, withInc(EventId) === childSums("__p"), "left")
       .drop("__p")

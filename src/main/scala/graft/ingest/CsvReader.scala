@@ -13,11 +13,15 @@ import graft.model.Schemas._
   * space-padded. Seconds are converted to ns (×1e9); rows are globally
   * sorted by timestamp and assigned dense `event_id`s.
   *
-  * Tie-breaking: equal timestamps keep *file order* (the reference's stable
-  * sort keeps input order, trace.py:92-95). We capture file order with
+  * Tie-breaking: equal timestamps keep *input order* (the reference's
+  * stable sort keeps it, trace.py:92-95). We capture it with
   * `monotonically_increasing_id()` before any shuffle — within an input
-  * partition row order equals file order, and partition ids are ordered by
-  * file offset, so the id is globally file-order consistent.
+  * partition row order equals file order. For the single-file case (the
+  * reference's `from_csv(filename)` signature) this is exactly file
+  * order; for a multi-file directory Spark packs splits largest-first,
+  * so cross-FILE tie order follows size order, not name order — still
+  * deterministic for a fixed input set, but callers needing a specific
+  * cross-file order should read files separately and union in order.
   */
 object CsvReader {
 

@@ -66,8 +66,10 @@ object NsightReader {
         col("e." + EventType).as(EventType),
         col("name").as(Name), col(Process), col(Thread))
 
+    // (process, thread) completes the total order: same-named events on
+    // two ranks at one timestamp must still get deterministic ids
     Ingest.assignDenseIds(unpivoted, EventId,
-        col(TimestampNs), col(EventType), col(Name))
+        col(TimestampNs), col(EventType), col(Name), col(Process), col(Thread))
       .select(col(EventId), col(TimestampNs), col(EventType), col(Name),
         col(Process), col(Thread))
   }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analysis.CommOps
+import graft.model.Schemas._
+
+/** Edge cases for the communication operators: degenerate ranges (numpy
+  * semantics) and null-tolerant dense collection. */
+class CommEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sends(rows: (Long, Long, Int, Int)*) =
+    rows.toDF("ts", "len", "proc", "recv")
+      .select(col("ts").as(TimestampNs), lit("MpiSend").as(Name),
+        col("proc").as(Process), col("recv").as(AttrReceiver),
+        col("len").as(AttrMsgLength), lit("Instant").as(EventType))
+
+  test("all-equal message sizes expand the range (numpy rule), no NaN bins") {
+    val ev = sends((10L, 512L, 0, 1), (20L, 512L, 1, 0), (30L, 512L, 0, 1))
+    val h = CommOps.messageHistogram(ev, bins = 4).collect()
+    assert(h.length == 4)
+    assert(h.map(_.getLong(3)).sum == 3) // every message lands in a bin
+    val starts = h.map(_.getDouble(1))
+    assert(starts.head == 511.5 && !starts.exists(_.isNaN)) // lo - 0.5
+  }
+
+  test("single-timestamp trace: comm_over_time expands, volumes intact") {
+    val ev = sends((100L, 7L, 0, 1), (100L, 9L, 1, 0))
+    val c = CommOps.commOverTime(ev, bins = 5).collect()
+    assert(c.length == 5)
+    assert(c.map(_.getLong(3)).sum == 16)
+  }
+
+  test("dense matrix skips null receivers and survives empty traces") {
+    val empty = sends().limit(0)
+    assert(CommOps.commMatrixDense(empty).isEmpty)
+    val withNull = sends((10L, 100L, 0, 1))
+      .union(Seq((20L, 50L, 1)).toDF("ts", "len", "proc")
+        .select(col("ts").as(TimestampNs), lit("MpiSend").as(Name),
+          col("proc").as(Process), lit(null).cast("int").as(AttrReceiver),
+          col("len").as(AttrMsgLength), lit("Instant").as(EventType)))
+    val m = CommOps.commMatrixDense(withNull)
+    assert(m(0)(1) == 100L) // the null-receiver send is skipped, not an NPE
+  }
+}
