@@ -25,9 +25,9 @@ import graft.enrich.Metrics
   */
 object PatternDetect {
 
-  /** Matrix profile by brute-force z-normalized distance (O(n² m); fine for
-    * the post-filter series sizes this is meant for). */
-  private[graft] def matrixProfile(y: Array[Double], m: Int): Array[Double] = {
+
+  /** Per-window mean/std over all n = |y|-m+1 windows. */
+  private def meanStd(y: Array[Double], m: Int): (Array[Double], Array[Double]) = {
     val n = y.length - m + 1
     val mu = new Array[Double](n); val sig = new Array[Double](n)
     var i = 0
@@ -38,20 +38,33 @@ object PatternDetect {
       sig(i) = math.sqrt(math.max(s2 / m - mu(i) * mu(i), 1e-18))
       i += 1
     }
+    (mu, sig)
+  }
+
+  /** z-normalized Euclidean distance from a window dot product. The
+    * (mu·mu) and (sig·sig) groupings make the expression evaluation-order
+    * symmetric in the two windows — every kernel (local, distributed,
+    * seed-match) MUST go through this one definition so they stay
+    * bit-equal. */
+  private def zDist(dot: Double, m: Int, muI: Double, muK: Double,
+                    sigI: Double, sigK: Double): Double =
+    math.sqrt(2.0 * m * math.max(0.0,
+      1.0 - (dot - m * (muI * muK)) / (m * (sigI * sigK))))
+
+  /** Matrix profile by brute-force z-normalized distance (O(n² m); fine for
+    * the post-filter series sizes this is meant for). */
+  private[graft] def matrixProfile(y: Array[Double], m: Int): Array[Double] = {
+    val n = y.length - m + 1
+    val (mu, sig) = meanStd(y, m)
     val excl = math.max(m / 2, 1)
     val mp = Array.fill(n)(Double.PositiveInfinity)
-    i = 0
+    var i = 0
     while (i < n) {
       var k = i + excl
       while (k < n) {
         var dot = 0.0; var j = 0
         while (j < m) { dot += y(i + j) * y(k + j); j += 1 }
-        // (mu·mu) and (sig·sig) grouped first so the expression is
-        // evaluation-order symmetric in (i,k) — keeps the distributed
-        // kernel bit-equal
-        val d2 = 2.0 * m * math.max(0.0,
-          1.0 - (dot - m * (mu(i) * mu(k))) / (m * (sig(i) * sig(k))))
-        val d = math.sqrt(d2)
+        val d = zDist(dot, m, mu(i), mu(k), sig(i), sig(k))
         if (d < mp(i)) mp(i) = d
         if (d < mp(k)) mp(k) = d
         k += 1
@@ -75,15 +88,7 @@ object PatternDetect {
       spark: org.apache.spark.sql.SparkSession,
       y: Array[Double], m: Int, parallelism: Int = 64): Array[Double] = {
     val n = y.length - m + 1
-    val mu = new Array[Double](n); val sig = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      var s = 0.0; var s2 = 0.0; var j = 0
-      while (j < m) { val v = y(i + j); s += v; s2 += v * v; j += 1 }
-      mu(i) = s / m
-      sig(i) = math.sqrt(math.max(s2 / m - mu(i) * mu(i), 1e-18))
-      i += 1
-    }
+    val (mu, sig) = meanStd(y, m)
     val excl = math.max(m / 2, 1)
     val yB = spark.sparkContext.broadcast(y)
     val muB = spark.sparkContext.broadcast(mu)
@@ -98,8 +103,7 @@ object PatternDetect {
           if (math.abs(k - i) >= excl) {
             var dot = 0.0; var j = 0
             while (j < m) { dot += yv(i + j) * yv(k + j); j += 1 }
-            val d = math.sqrt(2.0 * m * math.max(0.0,
-              1.0 - (dot - m * (muv(i) * muv(k))) / (m * (sigv(i) * sigv(k)))))
+            val d = zDist(dot, m, muv(i), muv(k), sigv(i), sigv(k))
             if (d < best) best = d
           }
           k += 1
@@ -156,16 +160,11 @@ object PatternDetect {
 
     // nearest non-overlapping matches to the seed window
     val n = y.length - m + 1
-    val seedW = java.util.Arrays.copyOfRange(y, seed, seed + m)
-    val sMu = seedW.sum / m
-    val sSig = math.sqrt(math.max(seedW.map(v => v * v).sum / m - sMu * sMu, 1e-18))
+    val (mus, sigs) = meanStd(y, m)
     val dists = (0 until n).map { k =>
       var dot = 0.0; var j = 0
-      var s = 0.0; var s2 = 0.0
-      while (j < m) { val v = y(k + j); dot += seedW(j) * v; s += v; s2 += v * v; j += 1 }
-      val mu = s / m
-      val sig = math.sqrt(math.max(s2 / m - mu * mu, 1e-18))
-      k -> math.sqrt(2.0 * m * math.max(0.0, 1.0 - (dot - m * sMu * mu) / (m * sSig * sig)))
+      while (j < m) { dot += y(seed + j) * y(k + j); j += 1 }
+      k -> zDist(dot, m, mus(seed), mus(k), sigs(seed), sigs(k))
     }.sortBy { case (k, d) => (d, k) }
     val excl = math.max(m / 2, 1)
     val chosen = scala.collection.mutable.ArrayBuffer[Int]()
@@ -174,7 +173,9 @@ object PatternDetect {
 
     chosen.toSeq.map { k =>
       val ts = filtered.slice(k, k + m).map(_.getLong(0))
-      events.filter(col(TimestampNs).isin(ts: _*))
+      // restrict to the analyzed process: other ranks' coincident
+      // timestamps must not leak into the occurrence windows
+      events.filter(col(Process) === process && col(TimestampNs).isin(ts: _*))
     }
   }
 }

@@ -74,17 +74,10 @@ object HpctoolkitReader {
       // node-bearing ctx id → info (incl. parent node ctx id, -1 at root)
       ctx: Map[Long, CtxInfo]) extends Serializable
 
-  private def parseMeta(path: String): Meta = {
+  private def parseMeta(db: Db): Meta = {
     // sections: 0 General, 1 IdNames, 2 Metrics, 3 ContextTree, 4 Strings,
     //           5 LoadModules, 6 SourceFiles, 7 Functions
-    val db = new Db(path, "meta", 8)
     val (_, strPtr) = db.sections(4)
-
-    val (lmSize0, lmSecPtr) = db.sections(5)
-    val lmArr = db.u64(lmSecPtr); val nLm = db.u32(lmSecPtr + 8); val lmSz = db.u16(lmSecPtr + 12)
-    def lmIndex(p: Long): Int = ((p - lmArr) / lmSz).toInt
-    val loadModules: IndexedSeq[String] =
-      (0 until nLm.toInt).map(i => db.cString(db.u64(lmArr + i.toLong * lmSz + 8)))
 
     val (_, sfSecPtr) = db.sections(6)
     val sfArr = db.u64(sfSecPtr); val nSf = db.u32(sfSecPtr + 8); val sfSz = db.u16(sfSecPtr + 12)
@@ -159,8 +152,7 @@ object HpctoolkitReader {
   }
 
   // identifier names needed to decode hierarchical identifier tuples
-  private def parseIdentifierNames(path: String): IndexedSeq[String] = {
-    val db = new Db(path, "meta", 8)
+  private def parseIdentifierNames(db: Db): IndexedSeq[String] = {
     val (_, idSecPtr) = db.sections(1)
     val arrPtr = db.u64(idSecPtr); val n = db.u8(idSecPtr + 8)
     (0 until n).map(i => db.cString(db.u64(arrPtr + i * 8L)))
@@ -194,29 +186,47 @@ object HpctoolkitReader {
 
     val profArr = db.u64(piPtr); val nProf = db.u32(piPtr + 8); val profSz = db.u8(piPtr + 12)
     val hitPtrs = (0 until nProf.toInt).map(i => db.u64(profArr + i.toLong * profSz + 0x20))
-    val summary = hitPtrs.indexWhere(_ == 0L)
-    hitPtrs.map { hp =>
-      if (hp != 0L) hitMap(hp)
-      else if (summary >= 0 && hitPtrs.exists(_ != 0)) Hit(None, None, None, None)
-      else Hit(None, None, None, None)
-    }
+    // the summary profile has a zero id-tuple pointer -> empty identity
+    hitPtrs.map(hp => if (hp != 0L) hitMap(hp) else Hit(None, None, None, None))
   }
 
   // ---- trace.db -------------------------------------------------------
 
   case class TraceLine(profileIndex: Int, start: Long, end: Long) extends Serializable
 
+  /** Bounded positional read — trace.db can be huge (it holds every
+    * sample); the driver must only touch the header + trace-header
+    * section, never the whole file. */
+  private def readRange(path: String, pos: Long, len: Int): ByteBuffer = {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+    try {
+      val bb = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+      var p = pos; var eof = false
+      while (bb.hasRemaining && !eof) {
+        val r = ch.read(bb, p)
+        if (r < 0) eof = true else p += r
+      }
+      bb.flip(); bb
+    } finally ch.close()
+  }
+
   private def parseTraceHeaders(path: String): (Seq[TraceLine], Long, Long) = {
-    val db = new Db(path, "trce", 1)
-    val (_, thPtr) = db.sections(0)
-    val arr = db.u64(thPtr); val n = db.u32(thPtr + 4 + 4); // u64 ptr, u32 n
-    // layout: pTraces u64, nTraces u32, szTrace u8, 3B pad, min u64, max u64
-    val arr2 = db.u64(thPtr); val n2 = db.u32(thPtr + 8)
-    val sz = db.u8(thPtr + 12)
-    val minTs = db.u64(thPtr + 16); val maxTs = db.u64(thPtr + 24)
-    val lines = (0 until n2.toInt).map { i =>
-      val p = arr2 + i.toLong * sz
-      TraceLine(db.u32(p).toInt, db.u64(p + 8), db.u64(p + 16))
+    val head = readRange(path, 0, 32)
+    val magic = new Array[Byte](14); head.get(magic)
+    require(new String(magic, 0, 10, "ASCII") == "HPCTOOLKIT" &&
+      new String(magic, 10, 4, "ASCII") == "trce", s"bad magic in $path")
+    val thPtr = head.getLong(24) // (u64 size, u64 ptr) of section 0
+    // layout at thPtr: pTraces u64, nTraces u32, szTrace u8, 3B pad,
+    //                  min u64, max u64
+    val sec = readRange(path, thPtr, 32)
+    val arr = sec.getLong(0); val n = sec.getInt(8)
+    val sz = sec.get(12) & 0xff
+    val minTs = sec.getLong(16); val maxTs = sec.getLong(24)
+    val lineBytes = readRange(path, arr, n * sz)
+    val lines = (0 until n).map { i =>
+      val p = i * sz
+      TraceLine(lineBytes.getInt(p), lineBytes.getLong(p + 8),
+        lineBytes.getLong(p + 16))
     }
     (lines, minTs, maxTs)
   }
@@ -297,8 +307,9 @@ object HpctoolkitReader {
 
   /** Read an HPCToolkit database directory into canonical events. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val meta = parseMeta(s"$dir/meta.db")
-    val idNames = parseIdentifierNames(s"$dir/meta.db")
+    val metaDb = new Db(s"$dir/meta.db", "meta", 8) // one load, two parsers
+    val meta = parseMeta(metaDb)
+    val idNames = parseIdentifierNames(metaDb)
     val hits = parseProfiles(s"$dir/profile.db", idNames)
     val (lines, minTs, maxTs) = parseTraceHeaders(s"$dir/trace.db")
 
@@ -315,7 +326,13 @@ object HpctoolkitReader {
         try {
           val len = (line.end - line.start).toInt
           val bb = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
-          ch.read(bb, line.start)
+          // FileChannel.read may return short — loop until full/EOF, or
+          // the tail of this line's samples would silently vanish
+          var pos = line.start; var eof = false
+          while (bb.hasRemaining && !eof) {
+            val r = ch.read(bb, pos)
+            if (r < 0) eof = true else pos += r
+          }
           bb.flip()
           val samples = Iterator.continually {
             if (bb.remaining() >= 12) Some((bb.getLong() - minTs, bb.getInt() & 0xffffffffL))

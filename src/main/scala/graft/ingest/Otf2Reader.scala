@@ -112,8 +112,10 @@ object Otf2Reader {
                       metricClassMembers: Map[Long, Seq[Long]] = Map.empty,
                       memberColIdx: Map[Long, Int] = Map.empty) extends Serializable
 
-  private[ingest] def parseGlobalDefs(path: String): Otf2Meta = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+  private[ingest] def parseGlobalDefs(path: String): Otf2Meta =
+    parseGlobalDefs(Files.readAllBytes(Paths.get(path)))
+
+  private[ingest] def parseGlobalDefs(bytes: Array[Byte]): Otf2Meta = {
     val strings = mutable.Map[Long, String]()
     val regions = mutable.Map[Long, Long]()
     val locations = mutable.ArrayBuffer[(Long, Long)]()
@@ -339,8 +341,9 @@ object Otf2Reader {
     val anchor = d.listFiles().find(_.getName.endsWith(".otf2"))
       .getOrElse(throw new IllegalArgumentException(s"no .otf2 anchor in $dir"))
     val base = anchor.getName.stripSuffix(".otf2")
+    // one read feeds both the meta parse and the raw record walk below
     val bytes = Files.readAllBytes(Paths.get(s"$dir/$base.def"))
-    val meta = parseGlobalDefs(s"$dir/$base.def")
+    val meta = parseGlobalDefs(bytes)
     val strings = mutable.Map[Long, String]()
     records(bytes).foreach { case (t, p) =>
       if (t == 10) {
