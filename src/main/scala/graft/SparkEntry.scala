@@ -659,6 +659,37 @@ object SparkEntry {
       Curation.logisticQuality(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // --- semi/anti joins: customers with vs. without orders, per segment ---
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val orders = T(s, dir, "orders")
+      val withO = cust.join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "leftsemi")
+      val withoutO = cust.join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "leftanti")
+      cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .join(withO.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_with_orders")), Seq("c_mktsegment"), "left")
+        .join(withoutO.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_without_orders")), Seq("c_mktsegment"), "left")
+        .select(col("c_mktsegment"), col("n_customers"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- set operations: INTERSECT / EXCEPT over yearly customer sets ---
+    "q_setops" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      def buyers(yr: Int) = orders.filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+      val both = buyers(1995).intersect(buyers(1996))
+      val churned = buyers(1995).except(buyers(1996))
+      both.select(col("o_custkey"), lit("retained").as("cohort"))
+        .unionByName(churned.select(col("o_custkey"), lit("churned").as("cohort")))
+        .orderBy(col("cohort"), col("o_custkey"))
+    }),
+
     // --- grouping sets: rollup over (returnflag, linestatus) ---
     "q_rollup" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -1732,6 +1763,29 @@ object SparkEntry {
         |                   JOIN deg d ON ed.src = d.src GROUP BY 1) s USING (id))
         |SELECT id AS vec_id, pr AS pr_micro FROM pr3
         |ORDER BY vec_id""".stripMargin),
+
+    "q_semi_anti" ->
+      """SELECT c.c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |                                  WHERE o.o_custkey = c.c_custkey)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        |       CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+        |                                      WHERE o.o_custkey = c.c_custkey)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+        |FROM customer c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_setops" ->
+      """WITH b95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE EXTRACT(year FROM o_orderdate) = 1995),
+        |b96 AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE EXTRACT(year FROM o_orderdate) = 1996)
+        |SELECT o_custkey, 'retained' AS cohort
+        |FROM (SELECT o_custkey FROM b95 INTERSECT SELECT o_custkey FROM b96)
+        |UNION ALL
+        |SELECT o_custkey, 'churned' AS cohort
+        |FROM (SELECT o_custkey FROM b95 EXCEPT SELECT o_custkey FROM b96)
+        |ORDER BY cohort, o_custkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
