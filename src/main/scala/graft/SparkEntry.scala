@@ -659,6 +659,15 @@ object SparkEntry {
       Curation.logisticQuality(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // --- sequential conversion funnel: view -> click -> purchase ---
+    "q_funnel" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
+      Sessionize.funnel(ev, Seq("view", "click", "purchase"),
+          "user_id", "t_us", "event_type")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("depth"))
+        .orderBy(col("user_id"))
+    }),
+
     // --- semi/anti joins: customers with vs. without orders, per segment ---
     "q_semi_anti" -> ((s, dir) => {
       val cust = T(s, dir, "customer")
@@ -1763,6 +1772,26 @@ object SparkEntry {
         |                   JOIN deg d ON ed.src = d.src GROUP BY 1) s USING (id))
         |SELECT id AS vec_id, pr AS pr_micro FROM pr3
         |ORDER BY vec_id""".stripMargin),
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |              MIN(CASE WHEN e.t > s1.t1 THEN e.t END) AS t2
+        |       FROM s1 LEFT JOIN e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |              MIN(CASE WHEN e.t > s2.t2 THEN e.t END) AS t3
+        |       FROM s2 LEFT JOIN e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3,
+        |       CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+        |FROM s3 ORDER BY user_id""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT c.c_mktsegment,
