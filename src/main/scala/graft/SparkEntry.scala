@@ -542,6 +542,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- canonical normalization before dedup (md5-verified text) ---
+    "text_normalize" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextOps.normalize(col("text"))).as("norm_md5"),
+          length(TextOps.normalize(col("text"))).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))),
+
+    // --- weighted sample w/o replacement (quality-weighted, ES keys) ---
+    "sample_weighted" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.quality(col("text")).as("quality"))
+      Curation.weightedSample(scored, 50, "quality")
+        .select(col("doc_id"), col("quality"), col("es_key"))
+        .orderBy(col("es_key"), col("doc_id"))
+    }),
+
     // --- DSIR step 2: deterministic importance resampling ---
     "dsir_resample" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
@@ -1772,6 +1789,27 @@ object SparkEntry {
         |                   JOIN deg d ON ed.src = d.src GROUP BY 1) s USING (id))
         |SELECT id AS vec_id, pr AS pr_micro FROM pr3
         |ORDER BY vec_id""".stripMargin),
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |         ' +', ' ', 'g'))) AS norm_md5,
+        |       CAST(length(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |         ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" -> (
+      s"""WITH q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+        |k AS (
+        |  SELECT doc_id, quality,
+        |         ROUND(-ln((CAST(concat('0x', substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |                         AS BIGINT) + 1) / 1152921504606846976.0)
+        |               / quality, 6) AS es_key
+        |  FROM q WHERE quality > 0)
+        |SELECT doc_id, quality, es_key FROM k
+        |ORDER BY es_key, doc_id LIMIT 50""".stripMargin),
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

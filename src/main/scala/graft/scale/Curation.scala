@@ -197,6 +197,29 @@ object Curation {
         round(sum(col("c") * col("w")), 4).as("log_ratio"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * every row gets the key u^(1/w) — here in the equivalent
+    * -ln(u)/w form, ranked ascending — where u is the deterministic
+    * hash-uniform in (0,1] and w the row's weight; the n smallest keys
+    * are an exact weighted sample without replacement. The standard way
+    * to draw a quality-weighted training subset in one pass: key
+    * computation is scan-local, selection is one top-n.
+    *
+    * Engine-stable: the key is ROUNDED (6dp) before ranking with an id
+    * tie-break, so ln's last-ulp differences can't flip the order. The
+    * global top-n runs as TakeOrderedAndProject (per-partition heaps +
+    * driver merge of n rows) — never a single-partition sort. */
+  def weightedSample(df: DataFrame, n: Int, weightCol: String,
+                     seed: Int = 13, idCol: String = "doc_id"): DataFrame = {
+    val u = (TextOps.md5Hash60(col(idCol).cast("string"), seed) + 1).cast("double") /
+      HashSpace.toDouble
+    val key = round(-log(u) / col(weightCol), 6)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", key)
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(n)
+  }
+
   /** DSIR step 2 — importance RESAMPLING (the selection step of Xie et
     * al. 2023, following [[importanceWeights]]): accept each document
     * with probability sigmoid(log_ratio) via the deterministic hash

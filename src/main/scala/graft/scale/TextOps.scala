@@ -99,6 +99,18 @@ object TextOps {
     transform(sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3)))
 
+  /** Canonical text normalization for dedup robustness — lowercase,
+    * strip non-alphanumerics to spaces, collapse whitespace runs — the
+    * standard preprocessing before shingling/minhash so that case and
+    * punctuation variants of the same content collide (Lee et al. 2022
+    * normalize similarly before exact substring dedup). Pure columnar
+    * expression (codegen'd, no shuffle); ASCII-level by design — full
+    * Unicode NFC is locale/ICU-dependent and NOT engine-stable, so it
+    * stays out of the oracle-checked path. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
   /** Gopher-style repetition statistics per document: unique-token ratio,
     * most-frequent-token fraction, duplicate-bigram fraction. High
     * repetition is the classic boilerplate/spam signal in corpus curation
