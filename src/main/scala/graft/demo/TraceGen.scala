@@ -42,17 +42,26 @@ object TraceGen {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def callTrace(spark: SparkSession, sfDir: String): DataFrame = {
+  /** lineitem ranked within its order by the 5-column total order (a
+    * verified zero-tie key), joined to orders — the ONE derivation both
+    * [[callTrace]] and [[itemIntervals]] (and their SQL CTE mirrors)
+    * build on; keep it single-sourced so they can never drift. */
+  private def rankedItems(spark: SparkSession, sfDir: String,
+                          orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val orders = table(spark, sfDir, "orders")
-      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
-        col("o_orderpriority").as("prio"))
     val itemRank = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice"))
-    val items = table(spark, sfDir, "lineitem")
+    table(spark, sfDir, "lineitem")
       .withColumn("rn", row_number().over(itemRank).cast(LongType))
       .join(orders, col("l_orderkey") === col("ok"))
+  }
+
+  def callTrace(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        col("o_orderpriority").as("prio"))
+    val items = rankedItems(spark, sfDir, orders)
       .select(col("ok"), col("ck"), col("rn"),
         col("l_quantity").cast(LongType).as("qty"),
         col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
@@ -88,15 +97,9 @@ object TraceGen {
     * scrambled pid (process·10+3) so the reader's dense-rank renumbering is
     * actually exercised. */
   def itemIntervals(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val orders = table(spark, sfDir, "orders")
       .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-    val itemRank = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"), col("l_extendedprice"))
-    table(spark, sfDir, "lineitem")
-      .withColumn("rn", row_number().over(itemRank).cast(LongType))
-      .join(orders, col("l_orderkey") === col("ok"))
+    rankedItems(spark, sfDir, orders)
       .select(
         concat(lit("item_"), col("l_returnflag")).as("name"),
         (col("ok") * 1000000L + col("rn") * 50000L).as("start_ns"),
@@ -108,8 +111,10 @@ object TraceGen {
 
   /** events.ts is a nanosecond parquet timestamp — Spark only reads those
     * with the nanosAsLong legacy conf (as a ns Long, which is exactly the
-    * canonical trace timestamp). Values are µs-aligned, so DuckDB's
-    * µs-truncated TIMESTAMP agrees: ns == epoch_us(ts)·1000. */
+    * canonical trace timestamp). NOTE: values carry sub-microsecond
+    * residue, while DuckDB reads the column µs-truncated — any
+    * oracle-compared derivation must truncate to µs itself (epoch_us·1000
+    * on the SQL side, `ts div 1000` on this side). */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
@@ -118,7 +123,9 @@ object TraceGen {
   def commTrace(spark: SparkSession, sfDir: String): DataFrame = {
     eventsTable(spark, sfDir).select(
       col("event_id").as(EventId),
-      col("ts").cast(LongType).as(TimestampNs),
+      // µs-truncate: the oracle reads ts through DuckDB's µs TIMESTAMP
+      // (epoch_us·1000), so the raw sub-µs residue must not leak in
+      expr("ts div 1000 * 1000").cast(LongType).as(TimestampNs),
       lit(Instant).as(EventType),
       when(col("event_type") === "click", "MpiSend")
         .when(col("event_type") === "view", "MpiIsend")

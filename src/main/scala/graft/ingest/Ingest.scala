@@ -25,7 +25,13 @@ object Ingest {
     val sorted = df.orderBy(sortCols: _*)
     val schema = StructType(
       sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    // persist the sorted rows: zipWithIndex's partition-count job and the
+    // materializing job would otherwise EACH run the reduce-side sort
+    // (doubling the ingest sort stage); the cache is LRU-evicted, and
+    // callers persist/write the reader output anyway
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = sortedRdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rows, schema)
