@@ -185,6 +185,18 @@ object SparkEntry {
     "trace_cct" -> ((s, dir) => Cct.buildCct(callEnriched(s, dir))
       .select(col("path"), col("depth"), col("name")).orderBy(col("path"))),
 
+    // --- hot-path profile: exc time per full calling context ---
+    "trace_cct_profile" -> ((s, dir) => {
+      val enriched = callEnriched(s, dir)
+      enriched.filter(col(EventType) === Enter)
+        .join(broadcast(Cct.buildCct(enriched)
+          .select(col("path_hash"), col("path"))), Seq("path_hash"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_calls"),
+          sum(col(TimeExc)).cast("long").as("time_exc"))
+        .orderBy(col("path"))
+    }),
+
     // --- K1: chrome tracing projection ---
     "trace_chrome" -> ((s, dir) =>
       graft.ingest.ChromeWriter.project(callEnriched(s, dir))
@@ -860,6 +872,23 @@ object SparkEntry {
         |  SELECT DISTINCT 'order_' || prio || '->' || name || '->' || ship_name, 2, ship_name
         |  FROM item
         |) ORDER BY path""".stripMargin),
+
+    // exc per path is relationally known: order exc = span − Σ item
+    // spans; item exc = item span − ship span; ship exc = ship span
+    "trace_cct_profile" -> (callCte +
+      """, osum AS (SELECT ok, SUM(qty * 1000 - 10) AS child FROM item GROUP BY ok),
+        |paths AS (
+        |  SELECT o.name AS path, 999000 - COALESCE(s.child, 0) AS exc
+        |  FROM ord o LEFT JOIN osum s ON o.ok = s.ok
+        |  UNION ALL
+        |  SELECT 'order_' || i.prio || '->' || i.name,
+        |         (i.qty * 1000 - 10) - (i.qty * 500 - 100) FROM item i
+        |  UNION ALL
+        |  SELECT 'order_' || i.prio || '->' || i.name || '->' || i.ship_name,
+        |         i.qty * 500 - 100 FROM item i)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_calls,
+        |       CAST(SUM(exc) AS BIGINT) AS time_exc
+        |FROM paths GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "trace_chrome" -> (callCte +
       """SELECT * FROM (

@@ -143,6 +143,57 @@ object StreamingOps {
     out.iterator
   }
 
+  /** Streaming strictly-sequential funnel — the incremental twin of
+    * [[graft.analysis.Sessionize.funnel]]: per key, advance one step
+    * whenever the NEXT expected step arrives strictly after the previous
+    * completion, and emit a progress row (key, depth, step time) on each
+    * advance. State per key is the completed-step time list — O(steps),
+    * constant per key. Within a batch rows are processed in (t, id)
+    * order, matching the batch semantics; a late cross-batch event for an
+    * already-passed step cannot rewind the funnel (append mode), which is
+    * the inherent streaming-funnel contract.
+    *
+    * Input contract: (`keyCol`: long, `tsCol`: long, `idCol`: long,
+    * `stepCol`: string). */
+  def funnel(events: DataFrame, steps: Seq[String],
+             keyCol: String = "user_id", tsCol: String = "t",
+             idCol: String = "event_id",
+             stepCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepList = steps.toList
+    events.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
+        col(stepCol).as("step")).as[FunnelIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        funnelGroup(stepList))(
+        Encoders.product[FunnelState], Encoders.product[FunnelOut])
+      .toDF()
+  }
+
+  case class FunnelIn(k: Long, t: Long, id: Long, step: String)
+  case class FunnelState(times: List[Long])
+  case class FunnelOut(k: Long, depth: Int, t: Long)
+
+  private[streaming] def funnelGroup(steps: List[String])(
+      key: Long, rows: Iterator[FunnelIn],
+      state: org.apache.spark.sql.streaming.GroupState[FunnelState]): Iterator[FunnelOut] = {
+    var times = state.getOption.map(_.times).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
+    for (r <- rows.toSeq.sortBy(x => (x.t, x.id))
+         if times.length < steps.length
+         if r.step == steps(times.length)
+         if times.isEmpty || r.t > times.last) {
+      times = times :+ r.t
+      out += FunnelOut(key, times.length, r.t)
+    }
+    state.update(FunnelState(times))
+    out.iterator
+  }
+
   /** Gap-based session windows per process (the streaming twin of
     * [[graft.analysis.Sessionize]]) via Spark's native session_window —
     * state is managed by the engine, sessions close at watermark. */
