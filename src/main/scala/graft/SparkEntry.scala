@@ -47,6 +47,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def callEnriched(s: SparkSession, dir: String): DataFrame =
     enrichedCache.getOrElseUpdate((s, dir), {
+      registerCleanup(s)
       // the matcher emits matching/depth/parent AND time_inc/time_exc in its
       // single pass, so full enrichment is one shuffle + one mapPartitions
       val df = Metrics.calcExcMetrics(TraceGen.callTrace(s, dir), Seq(TimestampNs))
@@ -79,9 +80,49 @@ object SparkEntry {
   private def cachedDf(s: SparkSession, dir: String, key: String)
                       (build: => DataFrame): DataFrame =
     dfCache.getOrElseUpdate((s, dir, key), {
+      registerCleanup(s)
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
+    })
+
+  /** Drop every memoized artifact held for `s` and unpersist its cached
+    * DataFrames, releasing executor storage. Call when a session is done
+    * with a dataset (or stopping) in a long-lived driver — without
+    * eviction the process-global maps above would pin storage memory for
+    * sessions/datasets that are never queried again. Also invoked
+    * automatically at application end (belt-and-braces; by then the
+    * blocks die with the executors anyway). */
+  def clearCaches(s: SparkSession): Unit = {
+    def stopped = s.sparkContext.isStopped
+    for (k <- enrichedCache.keys if k._1 == s;
+         df <- enrichedCache.remove(k) if !stopped) df.unpersist()
+    for (k <- dfCache.keys if k._1 == s;
+         df <- dfCache.remove(k) if !stopped) df.unpersist()
+    for (k <- kmeansCache.keys if k._1 == s) kmeansCache.remove(k)
+    for (k <- pqCache.keys if k._1 == s) pqCache.remove(k)
+  }
+
+  /** Test hook: number of memoized artifacts currently held for `s`. */
+  private[graft] def cachedEntryCount(s: SparkSession): Int =
+    enrichedCache.keys.count(_._1 == s) + dfCache.keys.count(_._1 == s) +
+      kmeansCache.keys.count(_._1 == s) + pqCache.keys.count(_._1 == s)
+
+  /** One application-end listener per SparkContext: final cleanup for
+    * sessions never explicitly cleared. */
+  private val cleanupHooked =
+    scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Boolean]()
+  private def registerCleanup(s: SparkSession): Unit =
+    cleanupHooked.getOrElseUpdate(s.sparkContext, {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            enrichedCache.clear(); dfCache.clear()
+            kmeansCache.clear(); pqCache.clear()
+          }
+        })
+      true
     })
   private def lshComponents(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "lsh_components")(

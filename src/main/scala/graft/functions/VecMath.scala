@@ -112,6 +112,80 @@ case class VecDot(left: Expression, right: Expression)
       newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
 }
 
+/** Null-exact dot product: the semantics-preserving target of
+  * [[VecRewrite]]. The built-in composition
+  * `aggregate(zip_with(a,b,(x,y)=>x*y), 0d, (acc,v)=>acc+v)` returns NULL
+  * whenever the arrays differ in length (zip_with null-pads the shorter
+  * side) or any element is NULL (the multiply poisons the accumulator);
+  * [[VecDot]] instead assumes the embedding-column contract and iterates
+  * min(|a|,|b|) primitively. This variant reproduces the composition's
+  * results exactly — unequal lengths → NULL, any NULL element → NULL,
+  * both empty → 0.0 — so rewriting to it never changes query results,
+  * while still generating one fused loop. The per-element null checks are
+  * only emitted when the schema says elements are nullable, so
+  * containsNull=false columns pay nothing over [[VecDot]]. */
+case class VecDotSafe(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = VecMath.checkVecTypes(left, right)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_safe"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val af = elemIsFloat(left); val bf = elemIsFloat(right)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += (if (af) a.getFloat(i).toDouble else a.getDouble(i)) *
+        (if (bf) b.getFloat(i).toDouble else b.getDouble(i))
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $dot += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDotSafe = copy(left = newLeft, right = newRight)
+}
+
 object VecMath {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 

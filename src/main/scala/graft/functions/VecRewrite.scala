@@ -17,14 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * (`spark.sql.extensions=graft.GraftExtensions`, or
   * `GraftSql.enableRewrite(spark)` on a live session).
   *
-  * Semantics note (why this is a REWRITE, not an equivalence): VecDot
-  * iterates min(|a|,|b|) and reads elements primitively, i.e. it assumes
-  * the embedding-column contract — equal-length vectors, no null
-  * elements. The composition would return null on a null element and
-  * null-pad unequal lengths. The rule therefore fires only on the exact
-  * canonical shape above (multiply lambda, add-accumulate, identity
-  * finish, double zero) over float/double arrays — the shape that IS a
-  * dot product.
+  * The rewrite targets [[VecDotSafe]], which reproduces the
+  * composition's results EXACTLY — unequal lengths → null (zip_with
+  * null-pads the shorter side), any null element → null (the multiply
+  * poisons the accumulator), both empty → 0.0 — so installing the rule
+  * globally never changes query results, even for data violating the
+  * embedding-column contract. The per-element null checks are only
+  * generated when the schema says elements are nullable
+  * (containsNull), so clean columns keep the tight [[VecDot]] loop.
+  * The rule fires only on the exact canonical shape above (multiply
+  * lambda, add-accumulate, identity finish, double zero) over
+  * float/double arrays — the shape that IS a dot product.
   */
 object VecRewrite extends Rule[LogicalPlan] {
 
@@ -66,6 +69,6 @@ object VecRewrite extends Rule[LogicalPlan] {
             case _ => false
           }) &&
           refs(fin, fv) =>
-      VecDot(a, b)
+      VecDotSafe(a, b)
   }
 }

@@ -53,6 +53,13 @@ object GraphOps {
         .select(col(idCol), (lit(teleport) +
           expr(s"($dampingPct * coalesce(sc, 0L)) DIV 100")).as("pr"))
     }
-    pr.select(col(idCol), col("pr").as("pr_micro"))
+    // materialize the final rank vector (small: one row per node, two
+    // columns) so the persisted edge table can be released NOW instead of
+    // leaking until the session dies; localCheckpoint blocks are
+    // reference-tracked and cleaned by the ContextCleaner when the result
+    // is garbage-collected (same pattern as connectedComponents)
+    val out = pr.select(col(idCol), col("pr").as("pr_micro")).localCheckpoint()
+    ed.unpersist()
+    out
   }
 }

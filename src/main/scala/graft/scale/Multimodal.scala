@@ -87,9 +87,18 @@ object Multimodal {
     }
     val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) fail(s"bad dims $w x $h / $maxval")
-    pos += 1 // single whitespace after maxval, then raster
+    // exactly ONE whitespace byte separates maxval from the raster (the
+    // Netpbm spec); anything else (CRLF pair, comment, raster data) means
+    // the header parse is off by a byte — fail loudly, a shifted raster
+    // start yields silently-wrong features
+    if (pos >= payload.length || !payload(pos).toChar.isWhitespace)
+      fail("maxval not followed by a whitespace byte")
+    pos += 1
     val n = w.toLong * h // Long: huge declared dims must not wrap the check
-    if (payload.length - pos < n) fail(s"raster short: ${payload.length - pos} < $n")
+    // exact-length check: trailing bytes mean the declared dims don't
+    // describe this raster (same silent-skew risk as a short raster)
+    if (payload.length - pos != n)
+      fail(s"raster length ${payload.length - pos} != $n")
     var sum = 0L
     var i = 0
     while (i < n) { sum += (payload(pos + i.toInt) & 0xff); i += 1 }

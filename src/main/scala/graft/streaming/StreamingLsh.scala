@@ -32,11 +32,18 @@ object StreamingLsh {
 
   /** Candidate near-dup pairs (a < b by arrival-independent id order)
     * from a streaming document source with (`idCol`: long, `textCol`:
-    * string). numHashes = bands × rowsPerBand as in the batch op. */
+    * string). numHashes = bands × rowsPerBand as in the batch op.
+    *
+    * `idleTimeout` (a duration string, e.g. "6 hours") bounds state over
+    * an unbounded bucket domain: a bucket idle that long is dropped, so
+    * a future member pairs only against documents seen after the drop —
+    * the standard dedup-horizon tradeoff (full-history dedup stays a
+    * batch job). Default None preserves keep-everything semantics. */
   def lshCandidates(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                     shingleK: Int = 3, maxBucketSize: Int = 32,
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    idleTimeout: Option[String] = None): DataFrame = {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
@@ -59,15 +66,19 @@ object StreamingLsh {
         explode(array(bandKeys: _*)).as("bucket"))
       .as[(Long, String)].map { case (id, bk) => BandRow(bk, id) }
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        bucketGroup(maxBucketSize))(
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        bucketGroup(maxBucketSize, idleTimeout))(
         Encoders.product[BucketState], Encoders.product[CandPair])
       .toDF()
   }
 
-  private[streaming] def bucketGroup(maxBucketSize: Int)(
+  private[streaming] def bucketGroup(maxBucketSize: Int,
+      idleTimeout: Option[String] = None)(
       bucket: String, rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[CandPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val ids = mutable.ArrayBuffer[Long]()
     state.getOption.foreach(s => ids ++= s.ids)
     val out = mutable.ArrayBuffer[CandPair]()
@@ -84,6 +95,7 @@ object StreamingLsh {
       }
     }
     state.update(BucketState(ids.toList))
+    idleTimeout.foreach(state.setTimeoutDuration)
     out.iterator
   }
 }

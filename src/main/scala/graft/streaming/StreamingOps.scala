@@ -99,11 +99,18 @@ object StreamingOps {
     * enrichment, bounded by the micro-batch interval.
     *
     * Input contract: `left`/`right` streaming DataFrames with columns
-    * (`keyCol`: long, `tsCol`: long, `idCol`: long, `valCol`: double). */
+    * (`keyCol`: long, `tsCol`: long, `idCol`: long, `valCol`: double).
+    *
+    * `idleTimeout` (duration string) drops the per-key right-row state
+    * for keys idle that long — over an unbounded key domain (user ids,
+    * instrument ids that churn) NoTimeout state grows without bound. A
+    * left row arriving after its key was dropped gets no match until a
+    * fresh right row arrives, exactly as if the stream had started then. */
   def asOfLatest(left: DataFrame, right: DataFrame,
                  keyCol: String = "user_id", tsCol: String = "t",
                  idCol: String = "event_id",
-                 valCol: String = "value"): DataFrame = {
+                 valCol: String = "value",
+                 idleTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import left.sparkSession.implicits._
@@ -113,8 +120,11 @@ object StreamingOps {
       col(valCol).cast("double").as("v")).as[AsOfIn]
     tag(left, 1).union(tag(right, 0))
       .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        asOfGroup)(Encoders.product[AsOfState], Encoders.product[AsOfOut])
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        asOfGroup(idleTimeout))(
+        Encoders.product[AsOfState], Encoders.product[AsOfOut])
       .toDF()
   }
 
@@ -123,8 +133,10 @@ object StreamingOps {
   case class AsOfOut(k: Long, id: Long, t: Long, r_id: Option[Long],
                      r_t: Option[Long], r_v: Option[Double])
 
-  private[streaming] def asOfGroup(key: Long, rows: Iterator[AsOfIn],
+  private[streaming] def asOfGroup(idleTimeout: Option[String] = None)(
+      key: Long, rows: Iterator[AsOfIn],
       state: org.apache.spark.sql.streaming.GroupState[AsOfState]): Iterator[AsOfOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var st = state.getOption.getOrElse(AsOfState(Long.MinValue, -1L, 0.0, hasRight = false))
     val out = scala.collection.mutable.ArrayBuffer[AsOfOut]()
     // (ts, side, id): right before left at equal ts (inclusive as-of),
@@ -140,6 +152,7 @@ object StreamingOps {
       }
     }
     state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
     out.iterator
   }
 
@@ -154,11 +167,17 @@ object StreamingOps {
     * the inherent streaming-funnel contract.
     *
     * Input contract: (`keyCol`: long, `tsCol`: long, `idCol`: long,
-    * `stepCol`: string). */
+    * `stepCol`: string).
+    *
+    * `idleTimeout` (duration string) expires funnel progress for keys
+    * idle that long (an abandoned funnel IS the common case — most users
+    * never convert); a later event from such a key starts a fresh funnel.
+    * Default None keeps progress forever. */
   def funnel(events: DataFrame, steps: Seq[String],
              keyCol: String = "user_id", tsCol: String = "t",
              idCol: String = "event_id",
-             stepCol: String = "event_type"): DataFrame = {
+             stepCol: String = "event_type",
+             idleTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
@@ -168,8 +187,10 @@ object StreamingOps {
         col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
         col(stepCol).as("step")).as[FunnelIn]
       .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        funnelGroup(stepList))(
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        funnelGroup(stepList, idleTimeout))(
         Encoders.product[FunnelState], Encoders.product[FunnelOut])
       .toDF()
   }
@@ -178,9 +199,11 @@ object StreamingOps {
   case class FunnelState(times: List[Long])
   case class FunnelOut(k: Long, depth: Int, t: Long)
 
-  private[streaming] def funnelGroup(steps: List[String])(
+  private[streaming] def funnelGroup(steps: List[String],
+      idleTimeout: Option[String] = None)(
       key: Long, rows: Iterator[FunnelIn],
       state: org.apache.spark.sql.streaming.GroupState[FunnelState]): Iterator[FunnelOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var times = state.getOption.map(_.times).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
     for (r <- rows.toSeq.sortBy(x => (x.t, x.id))
@@ -191,6 +214,7 @@ object StreamingOps {
       out += FunnelOut(key, times.length, r.t)
     }
     state.update(FunnelState(times))
+    idleTimeout.foreach(state.setTimeoutDuration)
     out.iterator
   }
 

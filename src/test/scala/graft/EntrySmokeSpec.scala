@@ -15,6 +15,20 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("clearCaches evicts this session's memoized artifacts and unpersists them") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // populate the enriched-trace cache, then evict: the persisted plan
+    // must actually leave the cache manager (executor storage released)
+    val df = SparkEntry.queries("trace_depth")(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    assert(SparkEntry.cachedEntryCount(spark) > 0)
+    SparkEntry.clearCaches(spark)
+    assert(SparkEntry.cachedEntryCount(spark) == 0)
+    // idempotent, and the next query simply rebuilds the cache
+    SparkEntry.clearCaches(spark)
+    assert(SparkEntry.queries("trace_depth")(spark, "/root/testdata/sf0.001").count() > 0)
+  }
+
   test("attr promotion lifts map keys to typed columns (comm ops ready)") {
     val events = Seq(
       (0L, 10L, Instant, "MpiSend", 0, Map("receiver" -> "3", "msg_length" -> "1024")),

@@ -61,6 +61,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(notDot.head().getDouble(0) == 21.0)
   }
 
+  test("VecRewrite is a true equivalence: null elements and unequal lengths stay null") {
+    GraftSql.enableRewrite(spark)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // nullable elements: row id=0 has a null in `a`, row id=1 is clean
+    val nullable = spark.range(2).select(col("id"),
+      transform(sequence(lit(1), lit(3)), i =>
+        when(i === 2 && col("id") === 0, lit(null))
+          .otherwise((i + col("id")).cast("double"))).as("a"),
+      transform(sequence(lit(1), lit(3)),
+        i => (i + col("id")).cast("double")).as("b"))
+    val q = nullable.select(col("id"), dot(col("a"), col("b")).as("d"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("vec_dot_safe"))
+    val rows = q.orderBy("id").collect()
+    assert(rows(0).isNullAt(1)) // null element poisons the composition → null
+    assert(rows(1).getDouble(1) == 29.0) // [2,3,4]·[2,3,4]
+    // unequal lengths: zip_with null-pads → composition yields null
+    val uneq = spark.range(1).select(
+      transform(sequence(lit(1), lit(3)), i => (i + col("id")).cast("double")).as("a"),
+      transform(sequence(lit(1), lit(2)), i => (i + col("id")).cast("double")).as("b"))
+      .select(dot(col("a"), col("b")).as("d"))
+    assert(uneq.queryExecution.optimizedPlan.toString.contains("vec_dot_safe"))
+    assert(uneq.head().isNullAt(0))
+  }
+
   test("Trace SQL views expose the trace tables to spark.sql") {
     val t = graft.model.Trace.fromCsv(spark, resourcePath("foo-bar.csv"))
       .createCct()

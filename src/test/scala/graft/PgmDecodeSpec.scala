@@ -31,6 +31,13 @@ class PgmDecodeSpec extends SparkSpec {
       Multimodal.decodePgm("P5\n65536 65536\n255\nab".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](
       Multimodal.decodePgm("P5\n46341 46341\n255\nab".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // payload ends right after maxval
+      Multimodal.decodePgm("P5\n2 2\n255".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // CRLF after maxval: raster start
+      // would shift by a byte — must fail loudly, not skew features
+      Multimodal.decodePgm("P5\n2 2\n255\r\nabcd".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // trailing bytes after the raster
+      Multimodal.decodePgm("P5\n2 2\n255\nabcdEXTRA".getBytes("US-ASCII")))
   }
 
   test("NULL payloads yield NULL features, not fabricated ones") {
