@@ -130,6 +130,14 @@ object SparkEntry {
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "winnow_fp")(
       TextOps.winnowFingerprint(T(s, dir, "documents")))
+  /** Shared BM25 score table for the first-5-docs query suite: bm25_topk
+    * and hybrid_topk rank the SAME scores at different k — score once,
+    * rank many (the index-reuse shape of a deployed retrieval stack). */
+  private def bm25Scores5(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "bm25_scores_q5")({
+      val docs = T(s, dir, "documents")
+      TextOps.bm25Scores(docs, docs.filter(col("doc_id") < 5))
+    })
 
   /** PII planting for `text_pii`: deterministic doc_id-derived email / IP /
     * phone occurrences appended to the text, computed identically by Spark
@@ -623,7 +631,8 @@ object SparkEntry {
     // --- BM25 more-like-this retrieval (first 5 docs as queries) ---
     "bm25_topk" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      TextOps.bm25TopK(docs, docs.filter(col("doc_id") < 5))
+      TextOps.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+          scores = Some(bm25Scores5(s, dir)))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -709,7 +718,8 @@ object SparkEntry {
     "hybrid_topk" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val bm = TextOps.bm25TopK(docs, docs.filter(col("doc_id") < 5), 20)
+      val bm = TextOps.bm25TopK(docs, docs.filter(col("doc_id") < 5), 20,
+          scores = Some(bm25Scores5(s, dir)))
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
       val cs = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 20)
         .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))

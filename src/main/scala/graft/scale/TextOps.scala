@@ -300,10 +300,29 @@ object TextOps {
     * query-suite-sized → broadcast, so scoring is a broadcast-hash join
     * on term followed by a (query, doc) partial+final aggregation. Corpus
     * is never joined to itself. Ranking sorts on the ROUNDED score with
-    * doc-id tie-break, so the order is stable across engines. */
+    * doc-id tie-break, so the order is stable across engines.
+    *
+    * The rank-free score table is exposed separately as [[bm25Scores]] so
+    * several retrieval queries over the same (corpus, query suite) can
+    * share one materialization — pass it back via `scores` ("score once,
+    * rank many", the index-reuse shape of a deployed retrieval stack). */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
                k1: Double = 1.2, b: Double = 0.75,
-               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+               textCol: String = "text", idCol: String = "doc_id",
+               scores: Option[DataFrame] = None): DataFrame = {
+    val scored = scores.getOrElse(bm25Scores(docs, queries, k1, b, textCol, idCol))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  /** The (query_id, doc, score) BM25 table behind [[bm25TopK]], before
+    * any top-k truncation. */
+  def bm25Scores(docs: DataFrame, queries: DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // dl rides along through the explode, so tf+dl come out of ONE
     // groupBy(doc, term) — no per-doc length join or window afterwards
     val toks = docs.select(col(idCol), size(tokens(col(textCol))).as("dl"),
@@ -332,11 +351,7 @@ object TextOps {
           .as("s"))
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("s")), 4).as("score"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+    scored
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
