@@ -364,6 +364,11 @@ object SparkEntry {
         col("n_events"))
       .orderBy(col("user_id"), col("session_id"))),
 
+    // --- cohort retention matrix over the event stream ---
+    "q_retention" -> ((s, dir) => Sessionize.cohortRetention(
+        TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
+      .orderBy(col("cohort_day"), col("day_offset"))),
+
     // --- text analysis ---
     "text_stats" -> ((s, dir) => TextOps.textStats(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
@@ -522,6 +527,26 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- JL random projection 64 -> 16 dims (long form) ---
+    "rp_reduce" -> ((s, dir) =>
+      Similarity.randomProject(T(s, dir, "embeddings"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("d", "v")))
+        .orderBy(col("vec_id"), col("d"))),
+
+    // --- binary quantization: sign-bit pack + Hamming first pass ---
+    "ann_hamming" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 5))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- two-stage: Hamming candidates -> exact-cosine rerank ---
+    "ann_hamming_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hammingRerank(emb, emb.filter(col("vec_id") < 5))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1060,6 +1085,25 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
+        |m AS (
+        |  SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        |         COUNT(*) AS n_active
+        |  FROM ud JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_day, n_active AS cohort_size FROM m
+        |      WHERE day_offset = 0)
+        |SELECT CAST(m.cohort_day AS BIGINT) AS cohort_day,
+        |       CAST(m.day_offset AS BIGINT) AS day_offset,
+        |       CAST(m.n_active AS BIGINT) AS n_active,
+        |       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |       ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 4) AS retention
+        |FROM m JOIN s USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
@@ -1448,6 +1492,74 @@ object SparkEntry {
         |                    c.vec_id) AS INT) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "rp_reduce" ->
+      """WITH planes AS (
+        |  SELECT p.generate_series AS p, d.generate_series AS d,
+        |         CAST(CAST('0x' || substring(md5(p.generate_series || ':' || d.generate_series), 1, 15) AS BIGINT)
+        |              AS DOUBLE) / 576460752303423488 - 1.0 AS v
+        |  FROM generate_series(0, 15) p, generate_series(0, 63) d)
+        |SELECT e.vec_id, CAST(pl.p AS INT) AS d,
+        |       ROUND(SUM(e.embedding[pl.d + 1] * pl.v), 4) AS v
+        |FROM embeddings e, planes pl
+        |GROUP BY e.vec_id, pl.p ORDER BY e.vec_id, pl.p""".stripMargin,
+
+    "ann_hamming" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(embedding) AS e,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |words AS (
+        |  SELECT vec_id, (i-1)//32 AS w,
+        |         CAST(SUM(CASE WHEN e > 0 THEN 1::BIGINT << ((i-1) % 32)
+        |                       ELSE 0 END) AS BIGINT) AS word
+        |  FROM u GROUP BY 1, 2),
+        |ham AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(SUM(bit_count(xor(q.word, c.word))) AS INT) AS hamming
+        |  FROM words q JOIN words c ON q.w = c.w AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5 GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id, hamming FROM (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY hamming, neighbor_id) AS INT) AS rank
+        |  FROM ham)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_hamming_rerank" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(embedding) AS e,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |words AS (
+        |  SELECT vec_id, (i-1)//32 AS w,
+        |         CAST(SUM(CASE WHEN e > 0 THEN 1::BIGINT << ((i-1) % 32)
+        |                       ELSE 0 END) AS BIGINT) AS word
+        |  FROM u GROUP BY 1, 2),
+        |ham AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         SUM(bit_count(xor(q.word, c.word))) AS hamming
+        |  FROM words q JOIN words c ON q.w = c.w AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5 GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY hamming, neighbor_id) AS rank
+        |    FROM ham) WHERE rank <= 20),
+        |scored AS (
+        |  SELECT ca.query_id, ca.neighbor_id,
+        |         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM cand ca
+        |  JOIN embeddings q ON q.vec_id = ca.query_id
+        |  JOIN embeddings c ON c.vec_id = ca.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf" ->

@@ -62,4 +62,39 @@ object Sessionize {
       .reduce(_ + _)
     full.withColumn("depth", depth)
   }
+
+  /** Cohort retention matrix: users are cohorted by the day of their
+    * first event; each (cohort_day, day_offset) cell counts the distinct
+    * users of that cohort active `day_offset` days later, plus the
+    * cohort size and the retention ratio — the standard product-analytics
+    * view of an event stream.
+    *
+    * One corpus shuffle total: groupBy(user) with collect_set(day) —
+    * per-user state is bounded by the date horizon, never the event
+    * count, and partial aggregation dedups map-side. The explode emits
+    * |user|·|active days| rows (already distinct), and the final
+    * aggregation + cohort-size window run over a horizon²-sized table —
+    * driver-trivial at any corpus size. Day indices are integer
+    * microsecond divisions, so every cell is engine-exact.
+    *
+    * `tsCol` must be in microseconds. */
+  def cohortRetention(events: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "t_us",
+                      dayMicros: Long = 86400000000L): DataFrame = {
+    val perUser = events
+      .select(col(keyCol), expr(s"$tsCol div $dayMicros").as("day"))
+      .groupBy(col(keyCol))
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+    val cells = perUser
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val w = Window.partitionBy(col("cohort_day"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active"))).over(w))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") / col("cohort_size"), 4).as("retention"))
+  }
 }

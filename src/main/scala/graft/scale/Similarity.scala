@@ -45,6 +45,58 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Binary-quantized top-k: pack sign bits once per vector
+    * ([[graft.functions.VecSignPack]], 32× compression) and rank by
+    * Hamming distance — XOR + popcount per candidate, the cheapest
+    * first-pass scan for a huge corpus (binary quantization as in
+    * modern vector stores). Distances are integers, so the ranking is
+    * bit-identical in any engine — no FP rounding conventions needed.
+    * Ties broken by ascending corpus id. At scale the packed corpus is
+    * 1/32 the read volume of the float embeddings, and the scan stays
+    * one codegen'd projection + broadcast join, never a corpus shuffle. */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VecBits
+    val q = queries.select(col(idCol).as("query_id"),
+      VecBits.signPack(col(vecCol)).as("qbits"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      VecBits.signPack(col(vecCol)).as("cbits"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("hamming", VecBits.hamming(col("qbits"), col("cbits")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+  }
+
+  /** Two-stage retrieval: Hamming first pass over the packed bits keeps
+    * `candidates` per query (cheap, integer-exact), then only those are
+    * re-scored with exact cosine — the standard coarse-then-rerank
+    * pipeline. Rerank sorts on the ROUNDED similarity with id tie-break
+    * so the final order is engine-stable. Cost at scale: one packed-scan
+    * + k·|queries| exact dot products, instead of |corpus|·|queries|. */
+  def hammingRerank(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    candidates: Int = 20, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cand = hammingTopK(corpus, queries, candidates, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    // candidate list is (queries × candidates)-sized → broadcast both
+    // joins; the corpus is touched only via the id-equi join
+    val scored = cand.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** IVF-style bucketed top-k: same as [[bruteForceTopK]] but only corpus
     * vectors in the same coarse bucket as the query are scored. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
@@ -95,6 +147,30 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
     vectors.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** Johnson-Lindenstrauss random projection: reduce `vecCol` to
+    * `outDim` components, each the dot product with a deterministic
+    * md5-derived hyperplane (the same [[planeComponent]] family as
+    * [[lshBuckets]], so the projection is replicable anywhere, SQL
+    * included). Components are rounded to 4dp so downstream comparisons
+    * are engine-stable.
+    *
+    * Scale shape: the plane matrix is outDim × dim doubles —
+    * driver-tiny, embedded as literals — and the whole reduction is ONE
+    * codegen'd projection scan (outDim fused [[graft.functions.VecDot]]
+    * loops), no shuffle, no fit: the standard first step for cutting
+    * embedding storage/compute before clustering or ANN. */
+  def randomProject(vectors: DataFrame, outDim: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else vectors.select(size(col(vecCol))).head().getInt(0)
+    val comps = (0 until outDim).map { p =>
+      val plane = array((0 until d).map(i => lit(planeComponent(p, i))): _*)
+      round(graft.functions.VecMath.dot(col(vecCol), plane), 4)
+    }
+    vectors.select(col(idCol), array(comps: _*).as("proj"))
   }
 
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer: init =

@@ -43,4 +43,37 @@ class FunnelSpec extends SparkSpec {
     assert(m(4L) == ((1L, 2L, -1L, 2)))
     assert(!m.contains(5L))
   }
+
+  test("cohort retention counts distinct users per (cohort day, offset)") {
+    val day = 86400000000L
+    // u1,u2 start day 0; u1 returns day 1 twice (counted once), u2 never;
+    // u3 starts day 1 and returns day 2
+    val ev = Seq(
+      (1L, 0L * day + 5), (2L, 0L * day + 9),
+      (1L, 1L * day + 1), (1L, 1L * day + 2),
+      (3L, 1L * day + 3), (3L, 2L * day + 4)
+    ).toDF("user_id", "t_us")
+    val m = Sessionize.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(m((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(m((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(m((1L, 1L)) == ((1L, 1L, 1.0)))
+    assert(m.size == 4)
+  }
+
+  test("random projection is a deterministic fixed-width reduction") {
+    import org.apache.spark.sql.functions._
+    val emb = Seq((0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    val a = graft.scale.Similarity.randomProject(emb, outDim = 4)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(a.forall(_.length == 4))
+    // planes are md5-fixed: antipodal inputs project antipodally
+    assert(a(0).zip(a(1)).forall { case (x, y) => math.abs(x + y) < 1e-9 })
+    val b = graft.scale.Similarity.randomProject(emb, outDim = 4)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
+  }
 }
