@@ -130,6 +130,20 @@ object SparkEntry {
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "winnow_fp")(
       TextOps.winnowFingerprint(T(s, dir, "documents")))
+  /** On-disk IVF index per (session, sfDir): written once under /tmp,
+    * then every ann_ivf_disk run searches it with partition pruning —
+    * "build the index once, serve queries from it", the deployment shape
+    * [[Similarity.writeIvfIndex]] documents. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIndexCache.getOrElseUpdate((s, dir), {
+      val path = "/tmp/graft_ivf_index_" +
+        Integer.toHexString(dir.hashCode & 0x7fffffff)
+      Similarity.writeIvfIndex(T(s, dir, "embeddings"), path, embCentroids(s, dir))
+      path
+    })
+
   /** Shared BM25 score table for the first-5-docs query suite: bm25_topk
     * and hybrid_topk rank the SAME scores at different k — score once,
     * rank many (the index-reuse shape of a deployed retrieval stack). */
@@ -581,6 +595,14 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nprobe = 2,
           centroids = Some(embCentroids(s, dir)))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- IVF as a DISK layout: partition-pruned inverted-list search ---
+    "ann_ivf_disk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.searchIvfIndex(s, ivfIndexPath(s, dir),
+          emb.filter(col("vec_id") < 10), embCentroids(s, dir), 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1593,6 +1615,28 @@ object SparkEntry {
         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
         |  JOIN embeddings xe ON xe.vec_id = x.vec_id
         |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // ann_ivf_disk is the SAME search over the on-disk layout — one
+    // oracle, two execution paths (in-memory vs partition-pruned scan)
+    "ann_ivf_disk" -> (kmeansCte() +
+      """, qprobe AS (
+        |  SELECT vec_id, j AS cluster FROM (
+        |    SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.v), c.j) AS rn
+        |    FROM e CROSS JOIN c5 c WHERE e.vec_id < 10) WHERE rn <= 2)
+        |SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                CAST(xe.embedding AS DOUBLE[])) AS sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                           CAST(xe.embedding AS DOUBLE[])) DESC,
+        |                    x.vec_id) AS INT) AS rank
+        |  FROM qprobe q JOIN assign x
+        |    ON q.cluster = x.cluster AND q.vec_id != x.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+        |  JOIN embeddings xe ON xe.vec_id = x.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "ann_ivf_probe2" -> (kmeansCte() +

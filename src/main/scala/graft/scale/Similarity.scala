@@ -281,6 +281,48 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Materialize an IVF index ON DISK: the corpus written Hive-partitioned
+    * by its coarse-cluster id (one directory per inverted list). This is
+    * the 100 TB shape of IVF — the probe step then becomes Spark
+    * partition PRUNING, so a query batch's disk I/O is the probed lists
+    * only, never the corpus ([[searchIvfIndex]] asserts this in its
+    * plan). Row-group locality within a list comes free from the write. */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    centroids: Array[Array[Double]],
+                    vecCol: String = "embedding"): Unit =
+    withCluster(corpus, centroids, vecCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Search a [[writeIvfIndex]] layout: compute each query's `nprobe`
+    * nearest lists, PRUNE the index scan to exactly those partitions
+    * (the probe set is ≤ nClusters ints — driver-tiny), and score only
+    * list members. Results are identical to the in-memory
+    * [[ivfTopK]] with the same centroids/nprobe; the difference is the
+    * I/O bound: cold queries against a corpus that never fit in memory. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, centroids: Array[Array[Double]],
+                     k: Int = 5, nprobe: Int = 1, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val probes = kmeansProbe(queries, centroids, nprobe, idCol, vecCol)
+    val probed = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(path)
+      .filter(col("cluster").isin(probed.map(x => x: Any): _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cluster"))
+    val q = queries.join(probes.withColumnRenamed("cluster", "pcluster"), idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col("pcluster").as("cluster"))
+    val joined = lists.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Product quantization (PQ) codebooks — the memory-compression layer
     * of billion-scale ANN (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search"): split each D-dim vector into `m`
