@@ -419,6 +419,19 @@ object SparkEntry {
     "simhash" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
+    // --- syndication: near-dup pairs crossing source boundaries ---
+    "dup_cross_source" -> ((s, dir) =>
+      Dedup.crossGroupPairs(T(s, dir, "documents"))
+        .orderBy(col("a"), col("b"))),
+
+    // --- pivot: source x language count matrix ---
+    "q_pivot" -> ((s, dir) => T(s, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .count()
+      .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+      .orderBy(col("source"))),
+
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.1, maxShingleDf = 1000)
         .orderBy(col("a"), col("b"))),
@@ -1221,6 +1234,37 @@ object SparkEntry {
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
         |WHERE x.doc_id < y.doc_id ORDER BY 1, 2""".stripMargin),
+
+    "dup_cross_source" -> (shinglesCte +
+      """, hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |  FROM hashed, generate_series(0, 15) g(seed) GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed)) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT p.a, p.b, da.source AS source_a, db.source AS source_b
+        |FROM p JOIN documents da ON da.doc_id = p.a
+        |       JOIN documents db ON db.doc_id = p.b
+        |WHERE da.source <> db.source ORDER BY 1, 2""".stripMargin),
+
+    "q_pivot" ->
+      """SELECT source,
+        |       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // components via transitive closure: min reachable id per node
     "dedup_components" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +

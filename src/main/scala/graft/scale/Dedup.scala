@@ -109,6 +109,26 @@ object Dedup {
       bands, numHashes / bands, idCol)
   }
 
+  /** Cross-group near-duplicate pairs — syndication / mirror detection:
+    * the LSH candidate pairs whose two documents carry DIFFERENT values
+    * of `groupCol` (source, domain, crawl snapshot…). Within-group
+    * duplication is expected (boilerplate); the cross-group subset is
+    * what reveals content syndicated between sources, the pairs a
+    * per-source dedup policy would miss. Pair generation stays bucketed
+    * ([[minhashLsh]], never all-pairs); attaching the group is two
+    * id-equi joins against a two-column projection of the corpus. */
+  def crossGroupPairs(docs: DataFrame, groupCol: String = "source",
+                      idCol: String = "doc_id",
+                      pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(minhashLsh(docs, idCol = idCol))
+    val g = (side: String) => docs.select(col(idCol).as(side),
+      col(groupCol).as(s"${groupCol}_$side"))
+    p.select(col("a"), col("b"))
+      .join(g("a"), Seq("a")).join(g("b"), Seq("b"))
+      .filter(col(s"${groupCol}_a") =!= col(s"${groupCol}_b"))
+      .select(col("a"), col("b"), col(s"${groupCol}_a"), col(s"${groupCol}_b"))
+  }
+
   /** Verification stage between LSH candidate generation and clustering:
     * estimate each candidate pair's Jaccard as the fraction of minhash
     * seeds on which the two signatures agree (the unbiased minhash

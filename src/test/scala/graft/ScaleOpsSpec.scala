@@ -36,6 +36,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("cross-group pairs keep only near-dups that span sources") {
+    val withSrc = docs.withColumn("source",
+      when(col("doc_id") === 1L, "mirror").otherwise("origin"))
+    val got = Dedup.crossGroupPairs(withSrc).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[String]("source_a"), r.getAs[String]("source_b"))).toSet
+    // (0,1) crosses origin|mirror; (0,2)/(1,2) crosses only via doc 1
+    assert(got.contains((0L, 1L, "origin", "mirror")))
+    assert(got.forall(p => p._3 != p._4))
+    assert(!got.contains((0L, 2L, "origin", "origin")))
+  }
+
   test("simhash: identical docs agree; unrelated docs differ") {
     val h = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
