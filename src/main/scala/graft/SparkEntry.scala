@@ -419,6 +419,16 @@ object SparkEntry {
     "simhash" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
+    // --- count-min sketch audit: exact top-20 vs CMS estimates ---
+    "cms_topk" -> ((s, dir) =>
+      graft.scale.Sketches.cmsHeavyHitters(T(s, dir, "documents"))
+        .orderBy(col("exact_count").desc, col("token"))),
+
+    // --- 64-register distinct-count sketch vs exact, per language ---
+    "hll_distinct" -> ((s, dir) =>
+      graft.scale.Sketches.hllDistinct(T(s, dir, "documents"))
+        .orderBy(col("lang"))),
+
     // --- syndication: near-dup pairs crossing source boundaries ---
     "dup_cross_source" -> ((s, dir) =>
       Dedup.crossGroupPairs(T(s, dir, "documents"))
@@ -1234,6 +1244,55 @@ object SparkEntry {
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
         |WHERE x.doc_id < y.doc_id ORDER BY 1, 2""".stripMargin),
+
+    "cms_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS token
+        |  FROM documents),
+        |seeded AS (
+        |  SELECT token, g.seed,
+        |         CAST(concat('0x', substr(md5(g.seed || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |  FROM toks, generate_series(0, 3) g(seed)),
+        |cells AS (
+        |  SELECT seed, bucket, COUNT(*) AS cell FROM seeded GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+        |  FROM toks GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20),
+        |probes AS (
+        |  SELECT t.token, t.exact_count, g.seed,
+        |         CAST(concat('0x', substr(md5(g.seed || ':' || t.token), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |  FROM top t, generate_series(0, 3) g(seed))
+        |SELECT p.token, p.exact_count, CAST(MIN(c.cell) AS BIGINT) AS cms_count
+        |FROM probes p JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+        |GROUP BY 1, 2 ORDER BY exact_count DESC, token""".stripMargin,
+
+    "hll_distinct" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(text), ' +')) AS token
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT lang,
+        |         CAST(concat('0x', substr(md5('h:' || token), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |rhos AS (
+        |  SELECT lang, h % 64 AS bucket, h // 64 AS rest,
+        |         CASE WHEN h // 64 = 0 THEN 55
+        |              ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END AS rho
+        |  FROM hashed),
+        |regs AS (
+        |  SELECT lang, bucket, MAX(rho) AS reg FROM rhos GROUP BY 1, 2),
+        |est AS (
+        |  SELECT lang,
+        |         ROUND((CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968) /
+        |               CAST(SUM(1::BIGINT << (55 - reg)) +
+        |                    (64 - COUNT(*)) * 36028797018963968::BIGINT AS DOUBLE), 4)
+        |           AS hll_estimate
+        |  FROM regs GROUP BY 1),
+        |exact AS (
+        |  SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+        |  FROM toks GROUP BY 1)
+        |SELECT e.lang, e.exact_distinct, s.hll_estimate
+        |FROM exact e JOIN est s ON e.lang = s.lang ORDER BY e.lang""".stripMargin,
 
     "dup_cross_source" -> (shinglesCte +
       """, hashed AS (

@@ -1,0 +1,96 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass bounded-memory sketches over token streams — the aggregation
+  * shapes that survive 100 TB: a sketch's state is a fixed cell/register
+  * table regardless of corpus size, partial-aggregates combine
+  * associatively (map-side combine does most of the work), and nothing
+  * vocabulary-sized ever reaches one task.
+  *
+  * Both sketches draw their hashes from md5, so every cell/register — and
+  * therefore every estimate — is deterministic and replicable in plain
+  * SQL (the oracle recomputes the identical sketch; there is no seed
+  * state to ship).
+  */
+object Sketches {
+
+  private def tokenHash(seed: org.apache.spark.sql.Column,
+                        token: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), token)), 1, 15),
+      16, 10).cast("long")
+
+  /** Count–min sketch audit for heavy hitters (Cormode & Muthukrishnan):
+    * build the depth × width cell table in ONE pass over the token
+    * stream, then report the exact top-`k` tokens with both their true
+    * counts and their CMS estimates (min over rows of the hashed cell) —
+    * the estimate is ≥ the truth by construction, and the audit makes
+    * the sketch's collision error visible. At scale the exact pass is
+    * what you CAN'T afford on the full vocabulary; the sketch costs
+    * O(depth·width) memory and one shuffle of (seed, bucket) partials. */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 20, depth: Int = 4,
+                      width: Int = 1024,
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+    val seeds = array((0 until depth).map(lit(_)): _*)
+    val cells = toks
+      .select(col("token"), explode(seeds).as("seed"))
+      .select(col("seed"), (tokenHash(col("seed"), col("token")) % width).as("bucket"))
+      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token")).limit(k)
+    val probes = top.select(col("token"), col("exact_count"),
+        explode(seeds).as("seed"))
+      .select(col("token"), col("exact_count"), col("seed"),
+        (tokenHash(col("seed"), col("token")) % width).as("bucket"))
+    probes.join(cells, Seq("seed", "bucket"))
+      .groupBy(col("token"), col("exact_count"))
+      .agg(min(col("cell")).as("cms_count"))
+  }
+
+  /** Per-group distinct-token estimate with a 64-register
+    * probabilistic counter (HyperLogLog's register table with a
+    * trailing-zeros observable — Flajolet–Martin's ρ, geometric with
+    * p=1/2 like HLL's leading-zeros, and far simpler to replicate in
+    * SQL). Register j keeps the max ρ of the tokens hashing to bucket j;
+    * the estimate is α·m²/Σ2^(−M_j), with the register sum carried in
+    * scaled integer arithmetic so it is exact and order-free. Reports
+    * the exact distinct count alongside, as the sketch-error audit.
+    *
+    * State per group is 64 longs; the exact side is the expensive
+    * distinct the sketch replaces at scale. */
+  def hllDistinct(docs: DataFrame, groupCol: String = "lang",
+                  textCol: String = "text"): DataFrame = {
+    val m = 64
+    // Σ2^(−M_j) is kept in INTEGER arithmetic scaled by 2^55
+    // (term = 1 << (55 − ρ), ρ ∈ [1, 55]): integer sums are exact and
+    // order-free, so the estimate is bit-identical in any engine — the
+    // same fixed-point trick the PageRank oracle uses. The α·m²·2^55
+    // numerator and final division are single double ops on identical
+    // operands, deterministic under IEEE.
+    val toks = docs
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val regs = toks
+      .select(col(groupCol), tokenHash(lit("h"), col("token")).as("h"))
+      .select(col(groupCol), expr(s"h % $m").as("bucket"),
+        expr(s"h div $m").as("rest"))
+      // ρ = trailing zeros of the 54-bit remainder + 1 (55 when zero);
+      // (x & -x) − 1 has exactly t low bits set for t trailing zeros
+      .select(col(groupCol), col("bucket"),
+        when(col("rest") === 0, lit(55))
+          .otherwise(bit_count(expr("(rest & -rest) - 1")) + 1).as("rho"))
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("reg"))
+    val est = regs.groupBy(col(groupCol))
+      // missing buckets (no token hashed there) have register 0 → 2^55
+      .agg(sum(expr("shiftleft(1L, 55 - reg)")).as("s"),
+        count(lit(1)).as("nb"))
+      .select(col(groupCol),
+        round(lit((0.709 * (m * m)) * (1L << 55).toDouble) /
+          (col("s") + (lit(m.toLong) - col("nb")) * lit(1L << 55)).cast("double"), 4)
+          .as("hll_estimate"))
+    val exact = toks.select(col(groupCol), col("token")).distinct()
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("exact_distinct"))
+    exact.join(est, Seq(groupCol))
+  }
+}
