@@ -548,6 +548,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Bloom-filter decontamination: constant-memory benchmark set ---
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Curation.bloomDecontaminate(docs, docs.filter(col("doc_id") % 97 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     "pack_batches" -> ((s, dir) =>
       Curation.packBatches(T(s, dir, "documents"), 1024L)
         .orderBy(col("doc_id"))),
@@ -1545,6 +1552,27 @@ object SparkEntry {
         |       CAST(CASE WHEN COALESCE(s.c, 0) >= 2 THEN 1 ELSE 0 END AS INT)
         |         AS contaminated
         |FROM documents d LEFT JOIN shared s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "decontaminate_bloom" -> (shinglesCte +
+      """, bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(g.seed || ':' || shingle), 1, 15)) AS BIGINT) % 65536 AS p
+        |  FROM bsh, generate_series(0, 2) g(seed)),
+        |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |probe AS (
+        |  SELECT doc_id, shingle,
+        |    CAST(concat('0x', substr(md5(g.seed || ':' || shingle), 1, 15)) AS BIGINT) % 65536 AS p
+        |  FROM dsh, generate_series(0, 2) g(seed)),
+        |hitsh AS (
+        |  SELECT doc_id, shingle FROM probe pr LEFT JOIN bits b ON pr.p = b.p
+        |  GROUP BY 1, 2 HAVING COUNT(b.p) = 3),
+        |hits AS (SELECT doc_id, COUNT(*) AS c FROM hitsh GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hits,
+        |       CAST(CASE WHEN COALESCE(h.c, 0) >= 2 THEN 1 ELSE 0 END AS INT)
+        |         AS flagged
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
 
     "pack_batches" ->

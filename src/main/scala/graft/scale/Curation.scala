@@ -97,6 +97,52 @@ object Curation {
         (coalesce(col("c"), lit(0L)) >= minShared).cast("int").as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the constant-memory twin of
+    * [[decontaminate]]: the benchmark's shingles are folded into an
+    * `mBits` bitset (k md5-derived positions each) that is embedded as
+    * a literal word array, so the executor-side footprint is mBits/8
+    * bytes REGARDLESS of benchmark size — the shape that survives a
+    * benchmark suite too large to broadcast as strings. A document
+    * shingle "hits" when all k of its bits are set; false positives at
+    * the classic (1−e^(−kn/m))^k rate make the flag conservative
+    * (never misses real contamination). All hashing is md5-derived, so
+    * the exact hit set — false positives included — is replicable in
+    * SQL; the oracle checks it bit-for-bit. */
+  def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         shingleK: Int = 3, minShared: Int = 2,
+                         mBits: Int = 65536, kHashes: Int = 3,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    def pos(seed: Int, sh: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"$seed"), lit(":"), sh)), 1, 15), 16, 10)
+        .cast("long") % mBits
+    // the filter is built with one distinct pass over the benchmark and
+    // collected as bit POSITIONS (≤ k·|shingles|, bounded by mBits
+    // distinct values) — the words array is mBits/64 longs on the driver
+    val positions = Shingles.wordShingles(benchmark, shingleK, textCol, idCol)
+      .select(col("shingle")).distinct()
+      .select(explode(array((0 until kHashes).map(s => pos(s, col("shingle"))): _*))
+        .as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63))
+    val bitsLit = array(words.map(lit(_)): _*)
+    var d = Shingles.wordShingles(docs, shingleK, textCol, idCol).distinct()
+    for (s <- 0 until kHashes) d = d.withColumn(s"__p$s", pos(s, col("shingle")))
+    val hit = (0 until kHashes)
+      .map(s => s"((shiftright(element_at(__bloom, cast(__p$s div 64 as int) + 1), " +
+        s"cast(__p$s % 64 as int))) & 1) = 1")
+      .mkString(" AND ")
+    val hits = d.withColumn("__bloom", bitsLit).filter(expr(hit))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("c"), lit(0L)).as("n_hits"),
+        (coalesce(col("c"), lit(0L)) >= minShared).cast("int").as("flagged"))
+  }
+
   /** Deterministic sequence packing: assign every document a training
     * batch under a fixed token budget — the standard pretraining step
     * that concatenates documents and chunks the stream every

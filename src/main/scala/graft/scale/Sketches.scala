@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  private def tokenHash(seed: org.apache.spark.sql.Column,
-                        token: org.apache.spark.sql.Column) =
+  private[graft] def tokenHash(seed: org.apache.spark.sql.Column,
+                               token: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(seed.cast("string"), lit(":"), token)), 1, 15),
       16, 10).cast("long")
 
