@@ -260,6 +260,24 @@ object SparkEntry {
         .orderBy(col("path"))
     }),
 
+    // --- CCT diff: per-calling-context exc regression between runs ---
+    "trace_cct_diff" -> ((s, dir) => {
+      val enriched = callEnriched(s, dir)
+      enriched.filter(col(EventType) === Enter)
+        .join(broadcast(Cct.buildCct(enriched)
+          .select(col("path_hash"), col("path"))), Seq("path_hash"))
+        .withColumn("run",
+          ((col(EventId) / lit(1000000L)).cast("long") % 2).cast("int"))
+        .groupBy(col("path"))
+        .agg(coalesce(sum(when(col("run") === 0, col(TimeExc))), lit(0.0))
+            .cast("long").as("exc_run0"),
+          coalesce(sum(when(col("run") === 1, col(TimeExc))), lit(0.0))
+            .cast("long").as("exc_run1"))
+        .select(col("path"), col("exc_run0"), col("exc_run1"),
+          (col("exc_run1") - col("exc_run0")).as("delta_exc"))
+        .orderBy(col("path"))
+    }),
+
     // --- K1: chrome tracing projection ---
     "trace_chrome" -> ((s, dir) =>
       graft.ingest.ChromeWriter.project(callEnriched(s, dir))
@@ -377,6 +395,21 @@ object SparkEntry {
       .select(col("user_id"), col("session_id").cast("long").as("session_id"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_id"))),
+
+    // --- send/recv matching: k-th send p->q pairs k-th recv at q from p ---
+    "msg_match" -> ((s, dir) =>
+      CommOps.matchMessages(TraceGen.commTrace(s, dir))
+        .orderBy(col("src"), col("dst"), col("k"))),
+
+    // --- late-sender wait attribution per receiving process ---
+    "comm_wait" -> ((s, dir) =>
+      CommOps.commWait(TraceGen.commTrace(s, dir))
+        .orderBy(col("process"))),
+
+    // --- unmatched sends/recvs per channel (message-loss audit) ---
+    "comm_unmatched" -> ((s, dir) =>
+      CommOps.commUnmatched(TraceGen.commTrace(s, dir))
+        .orderBy(col("src"), col("dst"), col("side"))),
 
     // --- cohort retention matrix over the event stream ---
     "q_retention" -> ((s, dir) => Sessionize.cohortRetention(
@@ -1018,6 +1051,23 @@ object SparkEntry {
         |       CAST(SUM(exc) AS BIGINT) AS time_exc
         |FROM paths GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    "trace_cct_diff" -> (callCte +
+      """, osum AS (SELECT ok, SUM(qty * 1000 - 10) AS child FROM item GROUP BY ok),
+        |paths AS (
+        |  SELECT o.ok, o.name AS path, 999000 - COALESCE(s.child, 0) AS exc
+        |  FROM ord o LEFT JOIN osum s ON o.ok = s.ok
+        |  UNION ALL
+        |  SELECT i.ok, 'order_' || i.prio || '->' || i.name,
+        |         (i.qty * 1000 - 10) - (i.qty * 500 - 100) FROM item i
+        |  UNION ALL
+        |  SELECT i.ok, 'order_' || i.prio || '->' || i.name || '->' || i.ship_name,
+        |         i.qty * 500 - 100 FROM item i)
+        |SELECT path,
+        |       CAST(SUM(CASE WHEN ok % 2 = 0 THEN exc ELSE 0 END) AS BIGINT) AS exc_run0,
+        |       CAST(SUM(CASE WHEN ok % 2 = 1 THEN exc ELSE 0 END) AS BIGINT) AS exc_run1,
+        |       CAST(SUM(CASE WHEN ok % 2 = 1 THEN exc ELSE -exc END) AS BIGINT) AS delta_exc
+        |FROM paths GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "trace_chrome" -> (callCte +
       """SELECT * FROM (
         |  SELECT name, 'B' AS ph, CAST(t0 AS DOUBLE) / 1000 AS ts, process AS pid FROM ord
@@ -1051,6 +1101,69 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS volume
         |FROM comm WHERE name IN ('MpiSend', 'MpiIsend')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "msg_match" -> (commCte +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         timestamp_ns AS send_ts, event_id AS send_event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         timestamp_ns AS recv_ts, event_id AS recv_event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv'))
+        |SELECT s.src, s.dst, CAST(s.k AS INT) AS k,
+        |       s.send_event_id, r.recv_event_id, s.send_ts, r.recv_ts,
+        |       CAST(r.recv_ts - s.send_ts AS BIGINT) AS latency_ns
+        |FROM sends s JOIN recvs r ON s.src = r.src AND s.dst = r.dst AND s.k = r.k
+        |ORDER BY s.src, s.dst, k""".stripMargin),
+
+    "comm_wait" -> (commCte +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         timestamp_ns AS send_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         timestamp_ns AS recv_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv'))
+        |SELECT r.dst AS process, CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |       CAST(SUM(CASE WHEN s.send_ts > r.recv_ts THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_late_sends,
+        |       CAST(SUM(CASE WHEN s.send_ts > r.recv_ts
+        |                     THEN s.send_ts - r.recv_ts ELSE 0 END) AS BIGINT)
+        |         AS total_wait_ns
+        |FROM sends s JOIN recvs r ON s.src = r.src AND s.dst = r.dst AND s.k = r.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "comm_unmatched" -> (commCte +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv')),
+        |lone AS (
+        |  SELECT s.src, s.dst, 'send' AS side FROM sends s
+        |  WHERE NOT EXISTS (SELECT 1 FROM recvs r
+        |    WHERE r.src = s.src AND r.dst = s.dst AND r.k = s.k)
+        |  UNION ALL
+        |  SELECT r.src, r.dst, 'recv' FROM recvs r
+        |  WHERE NOT EXISTS (SELECT 1 FROM sends s
+        |    WHERE s.src = r.src AND s.dst = r.dst AND s.k = r.k))
+        |SELECT src, dst, side, CAST(COUNT(*) AS BIGINT) AS n_unmatched
+        |FROM lone GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
     "comm_by_process" -> (commCte +
       """, cm AS (

@@ -104,6 +104,81 @@ object CommOps {
         coalesce(col("volume"), lit(0L)).as("volume"))
   }
 
+  /** Send↔recv message matching (beyond the reference; the Vampir /
+    * Scalasca "late sender" primitive): under MPI's non-overtaking rule,
+    * the k-th send from p to q pairs with the k-th receive posted at q
+    * from p. Relationally that is two ranking windows — sends ranked per
+    * (src, dst), receives ranked per (dst, src) — and one equi-join on
+    * (src, dst, k). Both windows and the join shuffle on the SAME
+    * channel key, so the plan is one exchange per side and the work per
+    * task is one channel's message stream; latency = recv_ts − send_ts
+    * is then a column, and unmatched sends/recvs (dropped messages,
+    * truncated traces) fall out of the inner join — count them with an
+    * anti-join if needed. */
+  def matchMessages(events: DataFrame,
+                    latencyCol: String = "latency_ns"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sends = events.filter(col(Name).isin(SendNames: _*))
+      .select(col(Process).as("src"), col(AttrReceiver).as("dst"),
+        col(TimestampNs).as("send_ts"), col(EventId).as("send_event_id"))
+      .withColumn("k", row_number().over(Window.partitionBy(col("src"), col("dst"))
+        .orderBy(col("send_ts"), col("send_event_id"))))
+    val recvs = events.filter(col(Name).isin(RecvNames: _*))
+      .select(col(Process).as("dst"), col(AttrReceiver).as("src"),
+        col(TimestampNs).as("recv_ts"), col(EventId).as("recv_event_id"))
+      .withColumn("k", row_number().over(Window.partitionBy(col("src"), col("dst"))
+        .orderBy(col("recv_ts"), col("recv_event_id"))))
+    sends.join(recvs, Seq("src", "dst", "k"))
+      .select(col("src"), col("dst"), col("k"),
+        col("send_event_id"), col("recv_event_id"),
+        col("send_ts"), col("recv_ts"),
+        (col("recv_ts") - col("send_ts")).as(latencyCol))
+  }
+
+  /** Wait-time attribution from the matched messages: a receive posted
+    * BEFORE its send completes is a late-sender stall — the receiver
+    * sat blocked for (send_ts − recv_ts). Aggregated per receiving
+    * process this is the classic "who is waiting on whom" summary that
+    * drives MPI imbalance hunts; one aggregation over
+    * [[matchMessages]]' output. */
+  def commWait(events: DataFrame): DataFrame =
+    matchMessages(events)
+      .select(col("dst"),
+        when(col("send_ts") > col("recv_ts"), col("send_ts") - col("recv_ts"))
+          .otherwise(lit(0L)).as("wait"),
+        when(col("send_ts") > col("recv_ts"), 1L).otherwise(0L).as("late"))
+      .groupBy(col("dst").as("process"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("late")).as("n_late_sends"),
+        sum(col("wait")).as("total_wait_ns"))
+
+  /** Unmatched-message audit — the anti-join complement of
+    * [[matchMessages]]: per channel, how many sends never met a receive
+    * and vice versa (dropped messages, truncated traces, asymmetric
+    * logging). A paired matcher without this view silently hides data
+    * loss. */
+  def commUnmatched(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(names: Seq[String], procAs: String, peerAs: String,
+               side: String) =
+      events.filter(col(Name).isin(names: _*))
+        .select(col(Process).as(procAs), col(AttrReceiver).as(peerAs),
+          col(TimestampNs).as("ts"), col(EventId).as("eid"))
+        .withColumn("k", row_number().over(
+          Window.partitionBy(col("src"), col("dst"))
+            .orderBy(col("ts"), col("eid"))))
+        .select(col("src"), col("dst"), col("k"), lit(side).as("side"))
+    val sends = ranked(SendNames, "src", "dst", "send")
+    val recvs = ranked(RecvNames, "dst", "src", "recv")
+    val loneSends = sends.join(recvs.select("src", "dst", "k"),
+      Seq("src", "dst", "k"), "left_anti")
+    val loneRecvs = recvs.join(sends.select("src", "dst", "k"),
+      Seq("src", "dst", "k"), "left_anti")
+    loneSends.unionByName(loneRecvs)
+      .groupBy(col("src"), col("dst"), col("side"))
+      .agg(count(lit(1)).as("n_unmatched"))
+  }
+
   /** comm_by_process (pipit/trace.py:498-512): total sent/received per
     * process — two aggs over the long-form comm matrix + full outer join
     * (row/column sums of the dense matrix, without materializing it). */

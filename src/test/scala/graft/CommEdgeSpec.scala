@@ -42,4 +42,24 @@ class CommEdgeSpec extends SparkSpec {
     val m = CommOps.commMatrixDense(withNull)
     assert(m(0)(1) == 100L) // the null-receiver send is skipped, not an NPE
   }
+
+  test("message matching pairs k-th send with k-th recv; excess stays unmatched") {
+    // channel 0->1: sends at t=10,20,30; recvs at q=1 from 0 at t=15,25
+    // channel 1->0: one send, no recv
+    val ev = Seq(
+      (0L, 10L, "MpiSend", 0, 1), (1L, 20L, "MpiIsend", 0, 1),
+      (2L, 30L, "MpiSend", 0, 1), (3L, 15L, "MpiRecv", 1, 0),
+      (4L, 25L, "MpiIrecv", 1, 0), (5L, 40L, "MpiSend", 1, 0)
+    ).toDF("id", "ts", "nm", "proc", "peer")
+      .select(col("id").as(EventId), col("ts").as(TimestampNs),
+        col("nm").as(Name), col("proc").as(Process),
+        col("peer").as(AttrReceiver), lit("Instant").as(EventType))
+    val m = CommOps.matchMessages(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(7)))).toMap
+    // (send_event_id, recv_event_id, latency)
+    assert(m((0, 1, 1)) == ((0L, 3L, 5L)))
+    assert(m((0, 1, 2)) == ((1L, 4L, 5L)))
+    assert(m.size == 2) // 3rd send on 0->1 and the lone 1->0 send unmatched
+  }
 }
