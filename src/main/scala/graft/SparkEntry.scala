@@ -64,12 +64,17 @@ object SparkEntry {
   private val kmeansCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Double]]]()
   private def embCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    kmeansCache.getOrElseUpdate((s, dir),
-      Similarity.kmeansFit(T(s, dir, "embeddings")))
+    kmeansCache.getOrElseUpdate((s, dir), {
+      registerCleanup(s)
+      Similarity.kmeansFit(T(s, dir, "embeddings"))
+    })
   private val pqCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Array[Double]]]]()
   private def embCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    pqCache.getOrElseUpdate((s, dir), Similarity.pqFit(T(s, dir, "embeddings")))
+    pqCache.getOrElseUpdate((s, dir), {
+      registerCleanup(s)
+      Similarity.pqFit(T(s, dir, "embeddings"))
+    })
 
   /** Memoized intermediate DataFrames per (session, sfDir, key): results
     * consumed by several queries (LSH dedup components, winnowing
@@ -101,29 +106,34 @@ object SparkEntry {
          df <- dfCache.remove(k) if !stopped) df.unpersist()
     for (k <- kmeansCache.keys if k._1 == s) kmeansCache.remove(k)
     for (k <- pqCache.keys if k._1 == s) pqCache.remove(k)
+    for (k <- ivfIndexCache.keys if k._1 == s) ivfIndexCache.remove(k)
   }
 
   /** Test hook: number of memoized artifacts currently held for `s`. */
   private[graft] def cachedEntryCount(s: SparkSession): Int =
     enrichedCache.keys.count(_._1 == s) + dfCache.keys.count(_._1 == s) +
-      kmeansCache.keys.count(_._1 == s) + pqCache.keys.count(_._1 == s)
+      kmeansCache.keys.count(_._1 == s) + pqCache.keys.count(_._1 == s) +
+      ivfIndexCache.keys.count(_._1 == s)
 
   /** One application-end listener per SparkContext: final cleanup for
     * sessions never explicitly cleared. */
   private val cleanupHooked =
     scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Boolean]()
-  private def registerCleanup(s: SparkSession): Unit =
-    cleanupHooked.getOrElseUpdate(s.sparkContext, {
-      s.sparkContext.addSparkListener(
+  private def registerCleanup(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    cleanupHooked.getOrElseUpdate(sc, {
+      sc.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             enrichedCache.clear(); dfCache.clear()
-            kmeansCache.clear(); pqCache.clear()
+            kmeansCache.clear(); pqCache.clear(); ivfIndexCache.clear()
+            cleanupHooked.remove(sc) // don't pin the dead SparkContext
           }
         })
       true
     })
+  }
   private def lshComponents(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "lsh_components")(
       Dedup.connectedComponents(Dedup.minhashLsh(T(s, dir, "documents"))))
@@ -138,8 +148,14 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate((s, dir), {
-      val path = "/tmp/graft_ivf_index_" +
-        Integer.toHexString(dir.hashCode & 0x7fffffff)
+      registerCleanup(s)
+      // path disambiguated by (full-dir md5, process, session): hashCode
+      // collisions or a concurrent JVM/session on the same dir must never
+      // share (and overwrite) one index directory mid-read
+      val dirTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val path = s"/tmp/graft_ivf_index_${dirTag}_" +
+        s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
       Similarity.writeIvfIndex(T(s, dir, "embeddings"), path, embCentroids(s, dir))
       path
     })

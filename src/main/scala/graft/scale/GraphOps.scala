@@ -57,7 +57,11 @@ object GraphOps {
     // columns) so the persisted edge table can be released NOW instead of
     // leaking until the session dies; localCheckpoint blocks are
     // reference-tracked and cleaned by the ContextCleaner when the result
-    // is garbage-collected (same pattern as connectedComponents)
+    // is garbage-collected (same pattern as connectedComponents).
+    // Tradeoff (deliberate, repo-wide for iterative ops): the call is
+    // eager, and lineage truncation means a lost executor cannot
+    // recompute the result — callers needing fault-tolerant lineage on a
+    // preemptible cluster should write the ranks to storage instead
     val out = pr.select(col(idCol), col("pr").as("pr_micro")).localCheckpoint()
     ed.unpersist()
     out

@@ -85,9 +85,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    // candidate list is (queries × candidates)-sized → broadcast both
-    // joins; the corpus is touched only via the id-equi join
-    val scored = cand.join(broadcast(qv), Seq("query_id"))
+    // the candidate list is (queries × candidates)-sized: broadcast it
+    // (with the query vectors attached) against the corpus, so the
+    // rerank is one more corpus-side broadcast-hash probe — the corpus
+    // is never shuffled
+    val scored = broadcast(cand.join(broadcast(qv), Seq("query_id")))
       .join(cv, Seq("neighbor_id"))
       .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("query_id"))
@@ -165,7 +167,10 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim
-      else vectors.select(size(col(vecCol))).head().getInt(0)
+      else vectors.select(size(col(vecCol))).head(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (d == 0) // empty input (or zero-dim vectors): empty projections, not a crash
+      return vectors.select(col(idCol), array().cast("array<double>").as("proj"))
     val comps = (0 until outDim).map { p =>
       val plane = array((0 until d).map(i => lit(planeComponent(p, i))): _*)
       round(graft.functions.VecMath.dot(col(vecCol), plane), 4)
