@@ -427,6 +427,11 @@ object SparkEntry {
       CommOps.commUnmatched(TraceGen.commTrace(s, dir))
         .orderBy(col("src"), col("dst"), col("side"))),
 
+    // --- critical-path-style stall chain from the last late stall ---
+    "comm_stall_chain" -> ((s, dir) =>
+      graft.analysis.CriticalPath.stallChain(TraceGen.commTrace(s, dir))
+        .orderBy(col("hop"))),
+
     // --- cohort retention matrix over the event stream ---
     "q_retention" -> ((s, dir) => Sessionize.cohortRetention(
         TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
@@ -1180,6 +1185,40 @@ object SparkEntry {
         |    WHERE s.src = r.src AND s.dst = r.dst AND s.k = r.k))
         |SELECT src, dst, side, CAST(COUNT(*) AS BIGINT) AS n_unmatched
         |FROM lone GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "comm_stall_chain" -> (commCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         timestamp_ns AS send_ts, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         timestamp_ns AS recv_ts, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv')),
+        |late AS (
+        |  SELECT r.event_id AS mid, s.src, s.dst, s.send_ts, r.recv_ts
+        |  FROM sends s JOIN recvs r
+        |    ON s.src = r.src AND s.dst = r.dst AND s.k = r.k
+        |  WHERE s.send_ts > r.recv_ts),
+        |pred AS (
+        |  SELECT m.mid,
+        |         (SELECT p.mid FROM late p
+        |          WHERE p.dst = m.src AND p.recv_ts < m.recv_ts
+        |          ORDER BY p.recv_ts DESC, p.mid DESC LIMIT 1) AS pred_mid
+        |  FROM late m),
+        |root AS (SELECT mid FROM late ORDER BY recv_ts DESC, mid DESC LIMIT 1),
+        |chain AS (
+        |  SELECT 0 AS hop, mid FROM root
+        |  UNION ALL
+        |  SELECT c.hop + 1, p.pred_mid FROM chain c JOIN pred p ON p.mid = c.mid
+        |  WHERE p.pred_mid IS NOT NULL)
+        |SELECT CAST(c.hop AS BIGINT) AS hop, l.src, l.dst, l.send_ts, l.recv_ts,
+        |       CAST(l.send_ts - l.recv_ts AS BIGINT) AS wait_ns
+        |FROM chain c JOIN late l ON l.mid = c.mid ORDER BY hop""".stripMargin),
 
     "comm_by_process" -> (commCte +
       """, cm AS (

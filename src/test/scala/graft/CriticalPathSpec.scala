@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.CriticalPath
+import graft.model.Schemas._
+
+/** Stall-chain extraction: planted blame chains are recovered hop by
+  * hop, symmetric stalls cannot cycle, and no stalls means no chain. */
+class CriticalPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trace(rows: (Long, Long, String, Int, Int)*) =
+    rows.toDF("id", "ts", "nm", "proc", "peer")
+      .select(col("id").as(EventId), col("ts").as(TimestampNs),
+        col("nm").as(Name), col("proc").as(Process),
+        col("peer").as(AttrReceiver), lit("Instant").as(EventType))
+
+  test("a planted three-stall chain is walked back to its origin") {
+    // stall C: 1->0 send@100 recv@90 (root, latest recv)
+    // stall B: 2->1 send@80  recv@70 (pred of C: at C's sender 1)
+    // stall A: 3->2 send@60  recv@50 (pred of B)
+    val ev = trace(
+      (0L, 100L, "MpiSend", 1, 0), (1L, 90L, "MpiRecv", 0, 1),
+      (2L, 80L, "MpiSend", 2, 1), (3L, 70L, "MpiRecv", 1, 2),
+      (4L, 60L, "MpiSend", 3, 2), (5L, 50L, "MpiRecv", 2, 3))
+    val got = CriticalPath.stallChain(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+    assert(got.toSeq == Seq((0L, 1, 0, 10L), (1L, 2, 1, 10L), (2L, 3, 2, 10L)))
+  }
+
+  test("symmetric A<->B stalls terminate instead of cycling") {
+    // m1: 0->1 send@100 recv@90; m2: 1->0 send@95 recv@85
+    // root = m1 (recv 90); pred(m1) = stall at 0 with recv < 90 → m2;
+    // pred(m2) = stall at 1 with recv < 85 → none (m1's recv is 90)
+    val ev = trace(
+      (0L, 100L, "MpiSend", 0, 1), (1L, 90L, "MpiRecv", 1, 0),
+      (2L, 95L, "MpiSend", 1, 0), (3L, 85L, "MpiRecv", 0, 1))
+    val got = CriticalPath.stallChain(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((0L, 0, 1), (1L, 1, 0)))
+  }
+
+  test("chains longer than one doubling round assemble correctly") {
+    // 8 stalls in a line: p+1 -> p, recv times strictly decreasing
+    val ev = trace((0 until 8).flatMap { i =>
+      val base = 1000L - i * 100
+      Seq((i * 2L, base, "MpiSend", i + 1, i),
+        (i * 2L + 1, base - 10, "MpiRecv", i, i + 1))
+    }: _*)
+    val got = CriticalPath.stallChain(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == (0 until 8).map(i => (i.toLong, i + 1)))
+  }
+
+  test("no stalls yields an empty chain with the right schema") {
+    // send strictly before recv: not late
+    val ev = trace((0L, 10L, "MpiSend", 0, 1), (1L, 20L, "MpiRecv", 1, 0))
+    val out = CriticalPath.stallChain(ev)
+    assert(out.columns.toSeq ==
+      Seq("hop", "src", "dst", "send_ts", "recv_ts", "wait_ns"))
+    assert(out.count() == 0)
+  }
+}
