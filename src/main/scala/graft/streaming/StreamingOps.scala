@@ -218,6 +218,60 @@ object StreamingOps {
     out.iterator
   }
 
+  /** Streaming cohort tagging — stage 1 of the incremental twin of
+    * [[graft.analysis.Sessionize.cohortRetention]]: per user, remember
+    * the first active day (the cohort) and emit one
+    * (user, cohort_day, day_offset) row per NEW active day. The
+    * retention matrix is then a plain downstream aggregation
+    * (`groupBy(cohort_day, day_offset).count`) — the two-stateful-stage
+    * decomposition used by [[flatProfile]]. State per user is the
+    * cohort day plus the active-day set, bounded by the date horizon
+    * (same bound as the batch operator's collect_set).
+    *
+    * Append-mode contract: a LATE event from before a user's recorded
+    * cohort day emits a negative day_offset instead of silently
+    * rewriting history — the signal that a batch backfill should
+    * recompute that user. `idleTimeout` expires users idle beyond the
+    * horizon, as in the other stateful ops. */
+  def cohortEvents(events: DataFrame, keyCol: String = "user_id",
+                   tsCol: String = "t_us",
+                   dayMicros: Long = 86400000000L,
+                   idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.select(col(keyCol).cast("long").as("k"),
+        expr(s"$tsCol div $dayMicros").as("day")).as[CohortIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        cohortGroup(idleTimeout))(
+        Encoders.product[CohortState], Encoders.product[CohortOut])
+      .toDF()
+  }
+
+  case class CohortIn(k: Long, day: Long)
+  case class CohortState(cohortDay: Long, days: List[Long])
+  case class CohortOut(k: Long, cohort_day: Long, day_offset: Long)
+
+  private[streaming] def cohortGroup(idleTimeout: Option[String] = None)(
+      key: Long, rows: Iterator[CohortIn],
+      state: org.apache.spark.sql.streaming.GroupState[CohortState]): Iterator[CohortOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = rows.toSeq.sortBy(_.day)
+    if (sorted.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(CohortState(sorted.head.day, Nil))
+    val out = scala.collection.mutable.ArrayBuffer[CohortOut]()
+    for (r <- sorted if !st.days.contains(r.day)) {
+      st = st.copy(days = r.day :: st.days)
+      out += CohortOut(key, st.cohortDay, r.day - st.cohortDay)
+    }
+    state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
   /** Gap-based session windows per process (the streaming twin of
     * [[graft.analysis.Sessionize]]) via Spark's native session_window —
     * state is managed by the engine, sessions close at watermark. */
