@@ -106,7 +106,13 @@ object SparkEntry {
          df <- dfCache.remove(k) if !stopped) df.unpersist()
     for (k <- kmeansCache.keys if k._1 == s) kmeansCache.remove(k)
     for (k <- pqCache.keys if k._1 == s) pqCache.remove(k)
-    for (k <- ivfIndexCache.keys if k._1 == s) ivfIndexCache.remove(k)
+    for (k <- ivfIndexCache.keys if k._1 == s;
+         path <- ivfIndexCache.remove(k)) deleteRecursively(new java.io.File(path))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Test hook: number of memoized artifacts currently held for `s`. */
@@ -127,7 +133,11 @@ object SparkEntry {
           override def onApplicationEnd(
               end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             enrichedCache.clear(); dfCache.clear()
-            kmeansCache.clear(); pqCache.clear(); ivfIndexCache.clear()
+            kmeansCache.clear(); pqCache.clear()
+            // on-disk indexes are per-process — remove them, or every JVM
+            // run leaves a corpus-sized directory behind in /tmp
+            ivfIndexCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
+            ivfIndexCache.clear()
             cleanupHooked.remove(sc) // don't pin the dead SparkContext
           }
         })
@@ -146,9 +156,15 @@ object SparkEntry {
     * [[Similarity.writeIvfIndex]] documents. */
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  // backstop for processes that never call spark.stop() (test harnesses):
+  // whatever indexes remain are removed when the JVM exits
+  private lazy val ivfShutdownHook: Unit =
+    sys.addShutdownHook(
+      ivfIndexCache.values.foreach(p => deleteRecursively(new java.io.File(p)))): Unit
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate((s, dir), {
       registerCleanup(s)
+      ivfShutdownHook
       // path disambiguated by (full-dir md5, process, session): hashCode
       // collisions or a concurrent JVM/session on the same dir must never
       // share (and overwrite) one index directory mid-read

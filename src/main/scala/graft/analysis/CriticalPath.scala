@@ -30,10 +30,14 @@ import graft.model.Schemas._
 object CriticalPath {
 
   def stallChain(events: DataFrame, maxRounds: Int = 40): DataFrame = {
+    // materialized once: the root collect, BOTH as-of sides, and the
+    // final join all read this table — without the checkpoint each
+    // action re-runs the two ranking windows + match join from the scan
     val late = CommOps.matchMessages(events)
       .filter(col("send_ts") > col("recv_ts"))
       .select(col("recv_event_id").as("mid"), col("src"), col("dst"),
         col("send_ts"), col("recv_ts"))
+      .localCheckpoint()
     def shape(df: DataFrame) = df.select(
       col("hop"), col("src"), col("dst"), col("send_ts"), col("recv_ts"),
       (col("send_ts") - col("recv_ts")).as("wait_ns"))
@@ -50,11 +54,12 @@ object CriticalPath {
       (col("recv_ts") - 1).as("lt"))
     val rightSide = late.select(col("mid").as("rmid"), col("dst").as("proc"),
       col("recv_ts").as("rt"))
-    var ptr = AsOfJoin.asOfBackward(leftSide, rightSide, Seq("proc"),
+    val pred1 = AsOfJoin.asOfBackward(leftSide, rightSide, Seq("proc"),
         "lt", "rt", "rmid", Seq("rmid" -> "pred_mid"))
       .filter(col("pred_mid").isNotNull)
       .select(col("mid"), col("pred_mid"), lit(1L).as("dist"))
       .localCheckpoint()
+    var ptr = pred1
 
     // pointer doubling: after round k the chain holds all ancestors at
     // distance < 2^k and ptr maps exactly 2^k steps
@@ -69,12 +74,20 @@ object CriticalPath {
       if (ext.isEmpty) done = true
       else {
         chain = chain.unionByName(ext).localCheckpoint()
-        ptr = ptr.as("a")
-          .join(ptr.as("b"), col("a.pred_mid") === col("b.mid"))
-          .select(col("a.mid").as("mid"), col("b.pred_mid").as("pred_mid"),
-            (col("a.dist") + col("b.dist")).as("dist"))
-          .localCheckpoint()
-        if (ptr.isEmpty) done = true
+        // the chain can only continue past its deepest node; checking
+        // that one row against the 1-step pointers is far cheaper than
+        // the full ptr⋈ptr squaring it would otherwise trigger
+        val tail = ext.orderBy(col("hop").desc).limit(1)
+          .collect()(0).getLong(0)
+        if (pred1.filter(col("mid") === tail).isEmpty) done = true
+        else {
+          ptr = ptr.as("a")
+            .join(ptr.as("b"), col("a.pred_mid") === col("b.mid"))
+            .select(col("a.mid").as("mid"), col("b.pred_mid").as("pred_mid"),
+              (col("a.dist") + col("b.dist")).as("dist"))
+            .localCheckpoint()
+          if (ptr.isEmpty) done = true
+        }
       }
       rounds += 1
     }

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Embedding dimension of `vecCol`: the explicit `dim` if given, else
+    * the size of the first non-null vector, else 0 (empty or all-null
+    * input — callers return an empty result instead of crashing). */
+  private[scale] def inferDim(vectors: DataFrame, vecCol: String,
+                              dim: Int): Int =
+    if (dim > 0) dim
+    else vectors.select(size(col(vecCol)).as("d")).filter(col("d").isNotNull)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Cosine similarity between two array<float|double> columns, computed in
     * double precision by the codegen'd [[graft.functions.VecCosine]]
     * expression (the `aggregate(zip_with(...))` composition of built-ins is
@@ -141,8 +150,9 @@ object Similarity {
   def lshBuckets(vectors: DataFrame, numPlanes: Int = 8,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  dim: Int = -1): DataFrame = {
-    val d = if (dim > 0) dim
-      else vectors.select(size(col(vecCol))).head().getInt(0)
+    val d = inferDim(vectors, vecCol, dim)
+    if (d == 0) // empty/all-null input: empty bucketing, not a crash
+      return vectors.select(col(idCol), lit(0L).as("bucket")).limit(0)
     val bucket = (0 until numPlanes).map { p =>
       val plane = array((0 until d).map(i => lit(planeComponent(p, i))): _*)
       when(graft.functions.VecMath.dot(col(vecCol), plane) > 0, lit(1L << p))
@@ -166,11 +176,10 @@ object Similarity {
   def randomProject(vectors: DataFrame, outDim: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     dim: Int = -1): DataFrame = {
-    val d = if (dim > 0) dim
-      else vectors.select(size(col(vecCol))).head(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
-    if (d == 0) // empty input (or zero-dim vectors): empty projections, not a crash
+    val d = inferDim(vectors, vecCol, dim)
+    if (d == 0) // empty/all-null input (or zero-dim vectors): empty projections
       return vectors.select(col(idCol), array().cast("array<double>").as("proj"))
+        .limit(0)
     val comps = (0 until outDim).map { p =>
       val plane = array((0 until d).map(i => lit(planeComponent(p, i))): _*)
       round(graft.functions.VecMath.dot(col(vecCol), plane), 4)
@@ -192,8 +201,8 @@ object Similarity {
   def kmeansFit(vectors: DataFrame, k: Int = 8, iterations: Int = 5,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 dim: Int = -1): Array[Array[Double]] = {
-    val d = if (dim > 0) dim
-      else vectors.select(size(col(vecCol))).head().getInt(0)
+    val d = inferDim(vectors, vecCol, dim)
+    if (d == 0) return Array.empty // empty corpus: empty model, not a crash
     var cents = vectors.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -339,8 +348,8 @@ object Similarity {
   def pqFit(vectors: DataFrame, m: Int = 4, k: Int = 8, iterations: Int = 3,
             idCol: String = "vec_id", vecCol: String = "embedding",
             dim: Int = -1): Array[Array[Array[Double]]] = {
-    val d = if (dim > 0) dim
-      else vectors.select(size(col(vecCol))).head().getInt(0)
+    val d = inferDim(vectors, vecCol, dim)
+    if (d == 0) return Array.empty // empty corpus: empty model, not a crash
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
     // the m subspace fits are independent — submit them as concurrent

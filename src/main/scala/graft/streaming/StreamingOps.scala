@@ -225,8 +225,11 @@ object StreamingOps {
     * retention matrix is then a plain downstream aggregation
     * (`groupBy(cohort_day, day_offset).count`) — the two-stateful-stage
     * decomposition used by [[flatProfile]]. State per user is the
-    * cohort day plus the active-day set, bounded by the date horizon
-    * (same bound as the batch operator's collect_set).
+    * cohort day plus the active-day set PRUNED to the last
+    * `horizonDays` (an unbounded stream has no date extent to bound it
+    * naturally, unlike the batch operator's input): a day older than
+    * the horizon that arrives late may re-emit its row — deduplicate
+    * downstream or treat the horizon as the exactness window.
     *
     * Append-mode contract: a LATE event from before a user's recorded
     * cohort day emits a negative day_offset instead of silently
@@ -236,6 +239,7 @@ object StreamingOps {
   def cohortEvents(events: DataFrame, keyCol: String = "user_id",
                    tsCol: String = "t_us",
                    dayMicros: Long = 86400000000L,
+                   horizonDays: Int = 370,
                    idleTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -246,7 +250,7 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(),
         if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout())(
-        cohortGroup(idleTimeout))(
+        cohortGroup(horizonDays, idleTimeout))(
         Encoders.product[CohortState], Encoders.product[CohortOut])
       .toDF()
   }
@@ -255,19 +259,24 @@ object StreamingOps {
   case class CohortState(cohortDay: Long, days: List[Long])
   case class CohortOut(k: Long, cohort_day: Long, day_offset: Long)
 
-  private[streaming] def cohortGroup(idleTimeout: Option[String] = None)(
+  private[streaming] def cohortGroup(horizonDays: Int = 370,
+      idleTimeout: Option[String] = None)(
       key: Long, rows: Iterator[CohortIn],
       state: org.apache.spark.sql.streaming.GroupState[CohortState]): Iterator[CohortOut] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val sorted = rows.toSeq.sortBy(_.day)
     if (sorted.isEmpty) return Iterator.empty
     var st = state.getOption.getOrElse(CohortState(sorted.head.day, Nil))
+    val days = scala.collection.mutable.Set(st.days: _*)
     val out = scala.collection.mutable.ArrayBuffer[CohortOut]()
-    for (r <- sorted if !st.days.contains(r.day)) {
-      st = st.copy(days = r.day :: st.days)
+    for (r <- sorted if !days.contains(r.day)) {
+      days += r.day
       out += CohortOut(key, st.cohortDay, r.day - st.cohortDay)
     }
-    state.update(st)
+    // prune days older than the horizon below the newest seen day: the
+    // state stays O(horizonDays) per user on an unbounded stream
+    val floor = days.max - horizonDays
+    state.update(st.copy(days = days.filter(_ >= floor).toList))
     idleTimeout.foreach(state.setTimeoutDuration)
     out.iterator
   }
