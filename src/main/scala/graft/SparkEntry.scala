@@ -499,6 +499,24 @@ object SparkEntry {
       graft.scale.Sketches.hllDistinct(T(s, dir, "documents"))
         .orderBy(col("lang"))),
 
+    // --- per-source curation report: which sources are worth keeping ---
+    "source_profile" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.select(col("source"), col("lang"),
+          TextOps.quality(col("text")).as("q"),
+          size(TextOps.tokens(col("text"))).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          // per-doc quality is rounded to 4dp → ×10⁴ is integral; the
+          // integer sum is order-free, so the mean is engine-exact
+          round(sum(round(col("q") * 10000).cast("long")).cast("double") /
+            10000.0 / count(lit(1)), 6).as("mean_quality"),
+          round(sum(col("toks")).cast("double") / count(lit(1)), 4)
+            .as("mean_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // --- syndication: near-dup pairs crossing source boundaries ---
     "dup_cross_source" -> ((s, dir) =>
       Dedup.crossGroupPairs(T(s, dir, "documents"))
@@ -1435,6 +1453,16 @@ object SparkEntry {
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
         |WHERE x.doc_id < y.doc_id ORDER BY 1, 2""".stripMargin),
+
+    "source_profile" ->
+      (s"""WITH q AS (SELECT source, lang, $qualitySql AS quality,
+        |  len(regexp_split_to_array(trim(text), ' +')) AS toks FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       ROUND(CAST(SUM(CAST(ROUND(quality * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |             / 10000.0 / COUNT(*), 6) AS mean_quality,
+        |       ROUND(CAST(SUM(toks) AS DOUBLE) / COUNT(*), 4) AS mean_tokens
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "cms_topk" ->
       """WITH toks AS (
