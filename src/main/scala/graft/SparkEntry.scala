@@ -448,6 +448,12 @@ object SparkEntry {
       graft.analysis.CriticalPath.stallChain(TraceGen.commTrace(s, dir))
         .orderBy(col("hop"))),
 
+    // --- full critical path: the stall chain interleaved with the
+    // compute segments between message dependencies ---
+    "trace_critical_path" -> ((s, dir) =>
+      graft.analysis.CriticalPath.criticalPath(TraceGen.commTrace(s, dir))
+        .orderBy(col("seq"))),
+
     // --- cohort retention matrix over the event stream ---
     "q_retention" -> ((s, dir) => Sessionize.cohortRetention(
         TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
@@ -1253,6 +1259,53 @@ object SparkEntry {
         |SELECT CAST(c.hop AS BIGINT) AS hop, l.src, l.dst, l.send_ts, l.recv_ts,
         |       CAST(l.send_ts - l.recv_ts AS BIGINT) AS wait_ns
         |FROM chain c JOIN late l ON l.mid = c.mid ORDER BY hop""".stripMargin),
+
+    "trace_critical_path" -> (commCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         timestamp_ns AS send_ts, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         timestamp_ns AS recv_ts, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv')),
+        |late AS (
+        |  SELECT r.event_id AS mid, s.src, s.dst, s.send_ts, r.recv_ts
+        |  FROM sends s JOIN recvs r
+        |    ON s.src = r.src AND s.dst = r.dst AND s.k = r.k
+        |  WHERE s.send_ts > r.recv_ts),
+        |procmin AS (
+        |  SELECT process, MIN(timestamp_ns) AS proc_t0 FROM comm GROUP BY process),
+        |pred AS (
+        |  SELECT m.mid,
+        |         (SELECT p.mid FROM late p
+        |          WHERE p.dst = m.src AND p.send_ts < m.send_ts
+        |          ORDER BY p.send_ts DESC, p.mid DESC LIMIT 1) AS pred_mid
+        |  FROM late m),
+        |root AS (SELECT mid FROM late ORDER BY send_ts DESC, mid DESC LIMIT 1),
+        |chain AS (
+        |  SELECT 0 AS hop, mid FROM root
+        |  UNION ALL
+        |  SELECT c.hop + 1, p.pred_mid FROM chain c JOIN pred p ON p.mid = c.mid
+        |  WHERE p.pred_mid IS NOT NULL),
+        |seg AS (
+        |  SELECT c.hop * 2 AS seq, 'wait' AS kind, l.dst AS process,
+        |         l.recv_ts AS t0_ns, l.send_ts AS t1_ns
+        |  FROM chain c JOIN late l ON l.mid = c.mid
+        |  UNION ALL
+        |  SELECT c.hop * 2 + 1, 'compute', l.src,
+        |         COALESCE(pl.send_ts, pm.proc_t0), l.send_ts
+        |  FROM chain c JOIN late l ON l.mid = c.mid
+        |  LEFT JOIN pred p ON p.mid = c.mid
+        |  LEFT JOIN late pl ON pl.mid = p.pred_mid
+        |  JOIN procmin pm ON pm.process = l.src)
+        |SELECT CAST(seq AS BIGINT) AS seq, kind, process,
+        |       t0_ns, t1_ns, CAST(t1_ns - t0_ns AS BIGINT) AS dur_ns
+        |FROM seg ORDER BY seq""".stripMargin),
 
     "comm_by_process" -> (commCte +
       """, cm AS (

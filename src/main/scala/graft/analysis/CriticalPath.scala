@@ -29,6 +29,47 @@ import graft.model.Schemas._
   * localCheckpoint bounding lineage per round. */
 object CriticalPath {
 
+  /** Pointer-doubling chain extraction shared by [[stallChain]] and
+    * [[criticalPath]]: given the 1-step predecessor table
+    * (mid, pred_mid, dist=1) and a root mid, return every ancestor of the
+    * root as (mid, hop). Round k extends the known prefix with the
+    * 2^k-step pointers then squares them, so a chain of length L costs
+    * ⌈log₂ L⌉ joins; a tail-probe against the 1-step pointers skips the
+    * final (wasted) squaring, and localCheckpoint bounds lineage. */
+  private def chainFrom(pred1: DataFrame, root: Long,
+                        maxRounds: Int): DataFrame = {
+    var ptr = pred1
+    var chain = pred1.sparkSession.range(1)
+      .select(lit(root).as("mid"), lit(0L).as("hop"))
+    var rounds = 0
+    var done = ptr.isEmpty
+    while (!done && rounds < maxRounds) {
+      val ext = chain.join(ptr, Seq("mid"))
+        .select(col("pred_mid").as("mid"), (col("hop") + col("dist")).as("hop"))
+        .localCheckpoint()
+      if (ext.isEmpty) done = true
+      else {
+        chain = chain.unionByName(ext).localCheckpoint()
+        // the chain can only continue past its deepest node; checking
+        // that one row against the 1-step pointers is far cheaper than
+        // the full ptr⋈ptr squaring it would otherwise trigger
+        val tail = ext.orderBy(col("hop").desc).limit(1)
+          .collect()(0).getLong(0)
+        if (pred1.filter(col("mid") === tail).isEmpty) done = true
+        else {
+          ptr = ptr.as("a")
+            .join(ptr.as("b"), col("a.pred_mid") === col("b.mid"))
+            .select(col("a.mid").as("mid"), col("b.pred_mid").as("pred_mid"),
+              (col("a.dist") + col("b.dist")).as("dist"))
+            .localCheckpoint()
+          if (ptr.isEmpty) done = true
+        }
+      }
+      rounds += 1
+    }
+    chain
+  }
+
   def stallChain(events: DataFrame, maxRounds: Int = 40): DataFrame = {
     // materialized once: the root collect, BOTH as-of sides, and the
     // final join all read this table — without the checkpoint each
@@ -59,38 +100,79 @@ object CriticalPath {
       .filter(col("pred_mid").isNotNull)
       .select(col("mid"), col("pred_mid"), lit(1L).as("dist"))
       .localCheckpoint()
-    var ptr = pred1
 
-    // pointer doubling: after round k the chain holds all ancestors at
-    // distance < 2^k and ptr maps exactly 2^k steps
-    var chain = late.sparkSession.range(1)
-      .select(lit(root).as("mid"), lit(0L).as("hop"))
-    var rounds = 0
-    var done = ptr.isEmpty
-    while (!done && rounds < maxRounds) {
-      val ext = chain.join(ptr, Seq("mid"))
-        .select(col("pred_mid").as("mid"), (col("hop") + col("dist")).as("hop"))
-        .localCheckpoint()
-      if (ext.isEmpty) done = true
-      else {
-        chain = chain.unionByName(ext).localCheckpoint()
-        // the chain can only continue past its deepest node; checking
-        // that one row against the 1-step pointers is far cheaper than
-        // the full ptr⋈ptr squaring it would otherwise trigger
-        val tail = ext.orderBy(col("hop").desc).limit(1)
-          .collect()(0).getLong(0)
-        if (pred1.filter(col("mid") === tail).isEmpty) done = true
-        else {
-          ptr = ptr.as("a")
-            .join(ptr.as("b"), col("a.pred_mid") === col("b.mid"))
-            .select(col("a.mid").as("mid"), col("b.pred_mid").as("pred_mid"),
-              (col("a.dist") + col("b.dist")).as("dist"))
-            .localCheckpoint()
-          if (ptr.isEmpty) done = true
-        }
-      }
-      rounds += 1
-    }
-    shape(chain.join(late, Seq("mid"))).orderBy(col("hop"))
+    shape(chainFrom(pred1, root, maxRounds).join(late, Seq("mid")))
+      .orderBy(col("hop"))
+  }
+
+  /** Full critical path — the stall chain interleaved with the COMPUTE
+    * segments between message dependencies: walking backward from the
+    * last-arriving late message, each hop contributes
+    *   - a `wait` segment at the receiver: [recv_ts, send_ts] — the
+    *     late-sender stall itself, and
+    *   - a `compute` segment at the sender: from the arrival of the
+    *     sender's own previous stalled message (or, at the chain origin,
+    *     the sender's first trace event) up to this send.
+    * This is the Vampir/Scalasca-style "critical path through waits and
+    * local work" as one DataFrame of typed segments.
+    *
+    * pred(m) here descends on ARRIVAL time (send_ts): the latest stall
+    * received at m's sender that completed strictly before m was sent —
+    * strictly decreasing send_ts makes the walk acyclic AND every
+    * compute duration positive (the sender's own send event bounds its
+    * first-event time from below at the origin). Same scale shape as
+    * [[stallChain]]: one backward as-of join for all predecessors, a
+    * broadcast-size per-process min, ⌈log₂ L⌉ doubling joins. */
+  def criticalPath(events: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val late = CommOps.matchMessages(events)
+      .filter(col("send_ts") > col("recv_ts"))
+      .select(col("recv_event_id").as("mid"), col("src"), col("dst"),
+        col("send_ts"), col("recv_ts"))
+      .localCheckpoint()
+
+    val empty = late.sparkSession.range(0).select(
+      lit(0L).as("seq"), lit("").as("kind"),
+      lit(0).cast("int").as("process"),
+      lit(0L).as("t0_ns"), lit(0L).as("t1_ns"), lit(0L).as("dur_ns"))
+    val rootRow = late.orderBy(col("send_ts").desc, col("mid").desc)
+      .limit(1).select(col("mid")).collect()
+    if (rootRow.isEmpty) return empty
+    val root = rootRow(0).getLong(0)
+
+    // pred(m): latest stall ARRIVING at m's sender strictly before
+    // m's send — inclusive backward as-of at send_ts − 1 on the process
+    val leftSide = late.select(col("mid"), col("src").as("proc"),
+      (col("send_ts") - 1).as("lt"))
+    val rightSide = late.select(col("mid").as("rmid"), col("dst").as("proc"),
+      col("send_ts").as("rt"))
+    val pred = AsOfJoin.asOfBackward(leftSide, rightSide, Seq("proc"),
+        "lt", "rt", "rmid",
+        Seq("rmid" -> "pred_mid", "rt" -> "pred_arrival"))
+      .select(col("mid"), col("pred_mid"), col("pred_arrival"))
+      .localCheckpoint()
+    val pred1 = pred.filter(col("pred_mid").isNotNull)
+      .select(col("mid"), col("pred_mid"), lit(1L).as("dist"))
+
+    val chain = chainFrom(pred1, root, maxRounds)
+      .join(late, Seq("mid"))
+      .join(pred, Seq("mid"), "left")
+      .localCheckpoint()
+
+    // chain-origin compute segments start at the sender's first trace
+    // event; per-process min is #ranks rows — broadcast, no shuffle on
+    // the (already tiny) chain side
+    val procMin = events.groupBy(col(Process).as("src"))
+      .agg(min(col(TimestampNs)).as("proc_t0"))
+    val waits = chain.select((col("hop") * 2).as("seq"), lit("wait").as("kind"),
+      col("dst").as("process"), col("recv_ts").as("t0_ns"),
+      col("send_ts").as("t1_ns"))
+    val computes = chain.join(broadcast(procMin), Seq("src"))
+      .select((col("hop") * 2 + 1).as("seq"), lit("compute").as("kind"),
+        col("src").as("process"),
+        coalesce(col("pred_arrival"), col("proc_t0")).as("t0_ns"),
+        col("send_ts").as("t1_ns"))
+    waits.unionByName(computes)
+      .withColumn("dur_ns", col("t1_ns") - col("t0_ns"))
+      .orderBy(col("seq"))
   }
 }

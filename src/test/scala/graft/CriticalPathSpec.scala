@@ -61,4 +61,43 @@ class CriticalPathSpec extends SparkSpec {
       Seq("hop", "src", "dst", "send_ts", "recv_ts", "wait_ns"))
     assert(out.count() == 0)
   }
+
+  test("critical path interleaves waits with the compute between them") {
+    // same three-stall chain; arrival-order descent gives the same walk,
+    // and each hop's compute segment spans [pred's arrival, this send]
+    val ev = trace(
+      (0L, 100L, "MpiSend", 1, 0), (1L, 90L, "MpiRecv", 0, 1),
+      (2L, 80L, "MpiSend", 2, 1), (3L, 70L, "MpiRecv", 1, 2),
+      (4L, 60L, "MpiSend", 3, 2), (5L, 50L, "MpiRecv", 2, 3))
+    val got = CriticalPath.criticalPath(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, "wait", 0, 90L, 100L, 10L),
+      (1L, "compute", 1, 80L, 100L, 20L),   // B arrived at 1 @80, sent @100
+      (2L, "wait", 1, 70L, 80L, 10L),
+      (3L, "compute", 2, 60L, 80L, 20L),    // A arrived at 2 @60, sent @80
+      (4L, "wait", 2, 50L, 60L, 10L),
+      (5L, "compute", 3, 60L, 60L, 0L)))    // origin: proc 3's first event
+  }
+
+  test("critical path compute durations are non-negative and terminate") {
+    val ev = trace(
+      (0L, 100L, "MpiSend", 0, 1), (1L, 90L, "MpiRecv", 1, 0),
+      (2L, 95L, "MpiSend", 1, 0), (3L, 85L, "MpiRecv", 0, 1))
+    val got = CriticalPath.criticalPath(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, "wait", 1, 10L), (1L, "compute", 0, 5L),
+      (2L, "wait", 0, 10L), (3L, "compute", 1, 5L)))
+    assert(got.forall(_._4 >= 0))
+  }
+
+  test("critical path on a stall-free trace is empty with the right schema") {
+    val ev = trace((0L, 10L, "MpiSend", 0, 1), (1L, 20L, "MpiRecv", 1, 0))
+    val out = CriticalPath.criticalPath(ev)
+    assert(out.columns.toSeq ==
+      Seq("seq", "kind", "process", "t0_ns", "t1_ns", "dur_ns"))
+    assert(out.count() == 0)
+  }
 }
