@@ -428,6 +428,21 @@ object SparkEntry {
         col("n_events"))
       .orderBy(col("user_id"), col("session_id"))),
 
+    // --- concurrency profile: time at each open-span count, via the
+    // +1/−1 sweep (no quadratic overlap self-join); spans are events
+    // lasting round(value·100)·10 µs at process user_id%16 ---
+    "q_concurrency" -> ((s, dir) => {
+      val iv = TraceGen.eventsTable(s, dir).select(
+        (col("user_id") % 16).cast("int").as("process"),
+        expr("ts div 1000").cast("long").as("start"),
+        (expr("ts div 1000") +
+          round(col("value") * 100).cast("long") * 10).as("end"))
+      graft.analysis.Concurrency.concurrencyProfile(iv)
+        .select(col("process"), col("level"),
+          col("total").as("total_us"), col("n_segments"))
+        .orderBy(col("process"), col("level"))
+    }),
+
     // --- send/recv matching: k-th send p->q pairs k-th recv at q from p ---
     "msg_match" -> ((s, dir) =>
       CommOps.matchMessages(TraceGen.commTrace(s, dir))
@@ -1391,6 +1406,28 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH iv AS (
+        |  SELECT CAST(user_id % 16 AS INT) AS process,
+        |         epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 10 AS e
+        |  FROM events),
+        |d AS (
+        |  SELECT process, s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT process, e, CAST(-1 AS BIGINT) FROM iv),
+        |g AS (SELECT process, t, SUM(delta) AS net FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT process, t,
+        |         SUM(net) OVER (PARTITION BY process ORDER BY t) AS level,
+        |         LEAD(t) OVER (PARTITION BY process ORDER BY t) AS nxt
+        |  FROM g)
+        |SELECT process, CAST(level AS BIGINT) AS level,
+        |       CAST(SUM(nxt - t) AS BIGINT) AS total_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments
+        |FROM c WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY process, level""".stripMargin,
 
     "q_retention" ->
       """WITH ud AS (

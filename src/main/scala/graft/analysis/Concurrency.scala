@@ -1,0 +1,51 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concurrency profile over intervals — "how many spans were open at
+  * once, for how long": the classic timeline-viewer occupancy histogram
+  * (GPU stream occupancy, overlapping request spans, parallel region
+  * efficiency), computed as a sweep.
+  *
+  * Formulation: every interval contributes +1 at its start and −1 at
+  * its end; net deltas per (key, timestamp) prefix-summed in time order
+  * give the open-span count for the segment up to the next breakpoint,
+  * and the profile is the duration-weighted histogram of those levels.
+  * This is O(n log n) with NO self-join — the naive "count overlaps per
+  * interval" range self-join is quadratic per key and unusable at
+  * scale.
+  *
+  * Plan shape: one map-side-combined aggregation on (key, ts) — shuffle
+  * volume is the distinct breakpoint count, not the interval count —
+  * then one keyed window (single exchange on the key, O(1) state per
+  * row) and a final small aggregation. Intra-tick event order is
+  * irrelevant by construction (deltas at equal timestamps are summed
+  * before the scan), so the result is deterministic on any engine.
+  */
+object Concurrency {
+
+  /** @return (key, level, total, n_segments): per key, the total time
+    *         spent with exactly `level` spans open and the number of
+    *         constant-level segments; the half-open segment after the
+    *         last breakpoint (level 0 forever) is not emitted. */
+  def concurrencyProfile(intervals: DataFrame, keyCol: String = "process",
+                         startCol: String = "start", endCol: String = "end")
+      : DataFrame = {
+    val deltas = intervals.select(col(keyCol), col(startCol).as("t"),
+        lit(1L).as("delta"))
+      .unionByName(intervals.select(col(keyCol), col(endCol).as("t"),
+        lit(-1L).as("delta")))
+    val net = deltas.groupBy(col(keyCol), col("t"))
+      .agg(sum(col("delta")).as("net"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+    net
+      .withColumn("level", sum(col("net")).over(w))
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col(keyCol), col("level"))
+      .agg(sum(col("nxt") - col("t")).as("total"),
+        count(lit(1)).as("n_segments"))
+  }
+}
