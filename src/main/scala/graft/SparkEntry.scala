@@ -497,6 +497,11 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(T(s, dir, "documents"))
       .orderBy(col("doc_id"), col("pos"))),
 
+    // --- Heaps'-law vocabulary growth over doc-id order ---
+    "vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(T(s, dir, "documents"))
+        .orderBy(col("bucket"))),
+
     // --- dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(T(s, dir, "documents"))
       .orderBy(col("representative"))),
@@ -846,6 +851,15 @@ object SparkEntry {
       Similarity.knnGraph(T(s, dir, "embeddings"), 3,
           centroids = Some(embCentroids(s, dir)))
         .orderBy(col("vec_id"), col("rank"))),
+
+    // --- per-node triangle counts on the kNN graph (degree-ordered
+    // orientation bounds wedge enumeration at O(m^1.5)) ---
+    "graph_triangles" -> ((s, dir) => {
+      val edges = Similarity.knnGraph(T(s, dir, "embeddings"), 3,
+          centroids = Some(embCentroids(s, dir)))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.scale.GraphOps.triangles(edges).orderBy(col("node"))
+    }),
 
     // --- IVF recall@5 against the exact brute-force neighbors ---
     "ann_recall" -> ((s, dir) => {
@@ -1516,6 +1530,17 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS representative,
         |       CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY representative""".stripMargin,
+
+    "vocab_growth" -> (shinglesCte +
+      """, first AS (
+        |  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |b AS (
+        |  SELECT first_doc // 50 AS bucket, COUNT(*) AS new_terms
+        |  FROM first GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(new_terms AS BIGINT) AS new_terms,
+        |       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_terms
+        |FROM b ORDER BY bucket""".stripMargin),
 
     "minhash_sig" -> (shinglesCte +
       """, hashed AS (
@@ -2244,6 +2269,38 @@ object SparkEntry {
         |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         |  FROM knn)
         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+
+    "graph_triangles" -> (kmeansCte() +
+      """, knn AS (
+        |  SELECT a.vec_id, x.vec_id AS neighbor_id,
+        |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(ex.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM assign a JOIN assign x
+        |    ON a.cluster = x.cluster AND a.vec_id != x.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id),
+        |ranked AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT vec_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM knn)
+        |  WHERE rank <= 3),
+        |ed AS (
+        |  SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+        |         GREATEST(vec_id, neighbor_id) AS v
+        |  FROM ranked WHERE vec_id != neighbor_id),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+        |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY 1 ORDER BY node""".stripMargin),
 
     "ann_recall" -> (kmeansCte() +
       """, bf AS (

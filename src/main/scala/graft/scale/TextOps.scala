@@ -25,6 +25,29 @@ object TextOps {
   def bpeishTokens(text: Column): Column =
     filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""), t => trim(t) =!= "")
 
+  /** Vocabulary growth curve (Heaps'-law view of the corpus): per bucket
+    * of `bucketSize` documents (in doc-id order), how many NEW k-shingle
+    * terms appear for the first time, and the cumulative vocabulary size.
+    * The curve's flattening rate is the standard "is more data still
+    * adding vocabulary?" signal when sizing a training corpus.
+    *
+    * Scale shape: first-occurrence is a map-side-combined MIN per term
+    * (the only full-data shuffle); the running total then runs over the
+    * already-aggregated bucket table — O(corpus / bucketSize) rows, so
+    * the single-task window is a deliberate collapse of a tiny table,
+    * not a scale hazard (1e9 docs / 1e4-doc buckets = 1e5 rows). */
+  def vocabGrowth(docs: DataFrame, bucketSize: Long = 50, k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = Shingles.wordShingles(docs, k).groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val buckets = first
+      .groupBy(expr(s"first_doc div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    buckets.withColumn("cum_terms",
+      sum(col("new_terms")).over(Window.orderBy(col("bucket"))))
+  }
+
   /** Per-document stats: token count, char count, average token length,
     * alpha ratio, space ratio. */
   def textStats(docs: DataFrame, textCol: String = "text",

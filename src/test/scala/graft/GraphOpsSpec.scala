@@ -33,4 +33,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.forall(_._2 >= 150000L))
     assert(a.map(_._2).sum <= 50L * 1000000L)
   }
+
+  test("triangles: planted cliques are counted per corner") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant edge 4-5 +
+    // separate triangle {6,7,8}; mixed direction + a duplicate edge
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (8L, 7L), (6L, 8L), (2L, 1L)))
+      .toDF("src", "dst")
+    val got = GraphOps.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L),
+      (6L, 1L), (7L, 1L), (8L, 1L)))
+  }
+
+  test("triangles: self-loops and triangle-free graphs yield nothing") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst") // a 4-cycle has no triangle
+    assert(GraphOps.triangles(edges).count() == 0)
+  }
 }
