@@ -228,6 +228,17 @@ object SparkEntry {
       .select(col(EventId), col(TimeExc)).orderBy(col(EventId))),
 
     // --- A5: flat profile (two-level agg) ---
+    // --- per-function duration order statistics (rank-selected, never
+    // interpolated — the cross-engine-exact percentile formulation) ---
+    "trace_duration_pctl" -> ((s, dir) => {
+      val durs = callEnriched(s, dir).filter(col(EventType) === Enter)
+        .select(col(Name), col(TimeInc).as("dur"), col(EventId))
+      graft.analysis.RobustStats.percentiles(durs, Name, "dur", EventId)
+        .select(col(Name), col("n"), col("p50").as("p50_ns"),
+          col("p90").as("p90_ns"), col("max").as("max_ns"))
+        .orderBy(col(Name))
+    }),
+
     "trace_flat_profile" -> ((s, dir) =>
       Profiles.flatProfile(callEnriched(s, dir), Seq(TimeExc))
         .select(col(Name), round(col(TimeExc), 4).as("mean_exc"))
@@ -441,6 +452,17 @@ object SparkEntry {
         .select(col("process"), col("level"),
           col("total").as("total_us"), col("n_segments"))
         .orderBy(col("process"), col("level"))
+    }),
+
+    // --- robust outliers: |v − median| > 5·MAD per event_type, median
+    // and MAD rank-selected in integer centi-units ---
+    "q_outliers" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      graft.analysis.RobustStats.madOutliers(ev, "event_type", "value_c",
+          "event_id")
+        .orderBy(col("event_id"))
     }),
 
     // --- send/recv matching: k-th send p->q pairs k-th recv at q from p ---
@@ -1077,6 +1099,22 @@ object SparkEntry {
       """SELECT name, ROUND(AVG(CAST(sum_exc AS DOUBLE)), 4) AS mean_exc
         |FROM pp GROUP BY name ORDER BY name""".stripMargin),
 
+    "trace_duration_pctl" -> (callCte +
+      """, durs AS (
+        |  SELECT name, CAST(t1 - t0 AS BIGINT) AS dur, t0 AS id FROM ord
+        |  UNION ALL SELECT name, CAST(t1 - t0 AS BIGINT), t0 FROM item
+        |  UNION ALL SELECT ship_name, CAST(s1 - s0 AS BIGINT), s0 FROM item),
+        |r AS (
+        |  SELECT name, dur,
+        |         ROW_NUMBER() OVER (PARTITION BY name ORDER BY dur, id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY name) AS n
+        |  FROM durs)
+        |SELECT name, CAST(MAX(n) AS BIGINT) AS n,
+        |       MAX(CASE WHEN rn = (n + 1) // 2 THEN dur END) AS p50_ns,
+        |       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN dur END) AS p90_ns,
+        |       MAX(CASE WHEN rn = n THEN dur END) AS max_ns
+        |FROM r GROUP BY name ORDER BY name""".stripMargin),
+
     "trace_flat_profile_pp" -> (callCte + excByNameProcSql +
       "SELECT name, process, sum_exc FROM pp ORDER BY name, process"),
 
@@ -1420,6 +1458,34 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_outliers" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, value_c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY value_c, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |med AS (
+        |  SELECT event_type, value_c AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT v.event_id, v.event_type, v.value_c, m.med,
+        |         ABS(v.value_c - m.med) AS dev
+        |  FROM v JOIN med m USING (event_type)),
+        |rd AS (
+        |  SELECT event_id, event_type, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY dev, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM rd WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.event_id, d.value_c, d.med, md.mad, d.dev
+        |FROM d JOIN mad md USING (event_type)
+        |WHERE d.dev > md.mad * 5 ORDER BY d.event_id""".stripMargin,
 
     "q_concurrency" ->
       """WITH iv AS (

@@ -1,0 +1,41 @@
+package graft
+
+import graft.analysis.RobustStats
+
+/** Rank-selected order statistics: percentiles are values that exist in
+  * the data at the integer rank ⌈p·n⌉, and MAD outliers flag exactly the
+  * planted deviants. */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentiles select the value at rank ceil(p*n)") {
+    // key "a": 1..10 → n=10, p50 = rank 5 (ceil(10/2)) = 5,
+    //          p90 = rank 9 = 9, max = 10
+    // key "b": {7} → all three are 7
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toLong)) :+
+      ("b", 7L, 99L)).toDF("k", "v", "id")
+    val got = RobustStats.percentiles(df, "k", "v", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 10L, 5L, 9L, 10L), ("b", 1L, 7L, 7L, 7L)))
+  }
+
+  test("mad outliers flag exactly the planted deviants") {
+    // tight cluster at 100±2 (median 100, MAD 1) + one wild value 200:
+    // dev 100 > 5·1 → flagged; the ±2 neighbors are not
+    val df = (Seq(98L, 99L, 100L, 101L, 102L, 200L).zipWithIndex
+      .map { case (v, i) => ("a", v, i.toLong) }).toDF("k", "v", "id")
+    val got = RobustStats.madOutliers(df, "k", "v", "id", 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq((5L, 200L, 100L, 1L, 100L)))
+  }
+
+  test("mad of zero flags any deviation at all") {
+    val df = Seq(("a", 5L, 0L), ("a", 5L, 1L), ("a", 5L, 2L), ("a", 6L, 3L))
+      .toDF("k", "v", "id")
+    val got = RobustStats.madOutliers(df, "k", "v", "id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 6L)))
+  }
+}
