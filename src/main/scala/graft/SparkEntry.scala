@@ -524,6 +524,11 @@ object SparkEntry {
       TextOps.vocabGrowth(T(s, dir, "documents"))
         .orderBy(col("bucket"))),
 
+    // --- source-pair unigram cross-entropy (domain similarity matrix) ---
+    "source_crossent" -> ((s, dir) =>
+      TextOps.sourceCrossEntropy(T(s, dir, "documents"))
+        .orderBy(col("src_a"), col("src_b"))),
+
     // --- dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(T(s, dir, "documents"))
       .orderBy(col("representative"))),
@@ -652,6 +657,11 @@ object SparkEntry {
       Curation.mixSample(T(s, dir, "documents"), rates, "lang")
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     }),
+
+    // --- temperature-flattened mixture (rates derived from counts) ---
+    "sample_temperature" -> ((s, dir) =>
+      Curation.temperatureSample(T(s, dir, "documents"), "lang")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
 
     "quality_quantiles" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
@@ -1597,6 +1607,26 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY representative""".stripMargin,
 
+    "source_crossent" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT tok) AS v FROM cnt),
+        |xent AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         SUM(a.c * CAST(ROUND(ln(CAST(b.c + 1 AS DOUBLE)) * 1000000)
+        |                        AS BIGINT)) AS xs
+        |  FROM cnt a JOIN cnt b USING (tok) GROUP BY 1, 2)
+        |SELECT ta.source AS src_a, tb.source AS src_b,
+        |       ROUND(ln(CAST(tb.n + v.v AS DOUBLE))
+        |             - CAST(COALESCE(x.xs, 0) AS DOUBLE) / 1000000 / ta.n, 4)
+        |         AS cross_ent
+        |FROM tot ta CROSS JOIN tot tb CROSS JOIN voc v
+        |LEFT JOIN xent x ON x.src_a = ta.source AND x.src_b = tb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
     "vocab_growth" -> (shinglesCte +
       """, first AS (
         |  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
@@ -1900,6 +1930,20 @@ object SparkEntry {
          |           AS BIGINT) < CASE lang $cases END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "sample_temperature" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |nm AS (SELECT MIN(ns) AS nmin FROM cnt),
+        |rt AS (
+        |  SELECT lang,
+        |         ROUND(POW(CAST(nmin AS DOUBLE) / ns, CAST(0.5 AS DOUBLE)), 4)
+        |           AS rate
+        |  FROM cnt CROSS JOIN nm)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN rt USING (lang)
+        |WHERE CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT)
+        |      < CAST(FLOOR(rate * 1152921504606846976) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "quality_quantiles" ->
       s"""WITH q AS (SELECT lang, $qualitySql AS quality FROM documents)

@@ -55,6 +55,27 @@ object Curation {
         (col("rate") * HashSpace).cast("long"))
       .drop("rate")
 
+  /** Temperature-scaled mixture sampling (the multilingual-rebalancing
+    * recipe: target share ∝ n_s^α, α < 1 flattens the distribution):
+    * acceptance rate_s = (n_min/n_s)^(1−α), so the smallest stratum is
+    * kept whole and over-represented strata are down-sampled toward the
+    * temperature-flattened mixture — no rate table to hand-maintain,
+    * the rates derive from the observed counts. One count aggregation
+    * (stratum cardinality — broadcast-size), then the same
+    * deterministic hash-accept as [[mixSample]]; rates round to 4dp so
+    * the decision threshold is engine-exact. */
+  def temperatureSample(docs: DataFrame, strataCol: String,
+                        alpha: Double = 0.5, seed: Int = 7,
+                        idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("ns"))
+    val nminRow = counts.agg(min(col("ns"))).head
+    if (nminRow.isNullAt(0)) return docs.limit(0) // empty input
+    val nmin = nminRow.getLong(0)
+    val rates = counts.select(col(strataCol),
+      round(pow(lit(nmin.toDouble) / col("ns"), 1.0 - alpha), 4).as("rate"))
+    mixSample(docs, rates, strataCol, seed, idCol)
+  }
+
   /** Exact per-group quantiles of a numeric column (linear interpolation,
     * the quantile_cont definition). Spark's `percentile` aggregate is
     * exact-with-interpolation and runs as a single partial+final

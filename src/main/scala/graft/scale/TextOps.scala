@@ -48,6 +48,43 @@ object TextOps {
       sum(col("new_terms")).over(Window.orderBy(col("bucket"))))
   }
 
+  /** Pairwise source-to-source unigram cross-entropy — the domain
+    * similarity matrix behind mixture design ("which sources are
+    * near-duplicates of each other's distribution, which add novelty"):
+    * H(A,B) = −(1/n_A) Σ_t c_A(t) · ln p_B(t), with add-1 smoothing
+    * p_B(t) = (c_B(t)+1)/(n_B+V) over the union vocabulary V.
+    *
+    * Algebraic shape chosen for scale AND determinism:
+    * H(A,B) = ln(n_B+V) − (1/n_A) Σ_{t∈A∩B} c_A(t)·ln(c_B(t)+1) —
+    * the smoothing constant factors out, so only the A∩B token join is
+    * computed (absent tokens contribute ln 1 = 0): one count table,
+    * self-joined per token, aggregated per source pair. Token-level
+    * fan-out is ≤ #sources per side — domains number in the hundreds,
+    * not millions, so the join stays bounded at corpus scale. The inner
+    * sum uses micro-unit INTEGER log weights (round(ln·10⁶)): integer
+    * sums are order-free, so the result is bit-identical on any engine
+    * instead of drifting with float summation order. */
+  def sourceCrossEntropy(docs: DataFrame, groupCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val vocab = counts.select(col("tok")).distinct().count()
+    val xent = counts.select(col("g").as("src_a"), col("tok"), col("c").as("ca"))
+      .join(counts.select(col("g").as("src_b"), col("tok"), col("c").as("cb")),
+        Seq("tok"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca") *
+        round(log(col("cb") + 1) * 1000000).cast("long")).as("xs"))
+    totals.select(col("g").as("src_a"), col("n").as("na"))
+      .crossJoin(totals.select(col("g").as("src_b"), col("n").as("nb")))
+      .join(xent, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        round(log(col("nb") + lit(vocab.toDouble)) -
+          coalesce(col("xs"), lit(0L)) / 1e6 / col("na"), 4).as("cross_ent"))
+  }
+
   /** Per-document stats: token count, char count, average token length,
     * alpha ratio, space ratio. */
   def textStats(docs: DataFrame, textCol: String = "text",

@@ -271,4 +271,25 @@ class CurationSpec extends SparkSpec {
     assert(!v(2L).getAs[Boolean]("retained"), "repetitive doc dropped")
     assert(v(3L).getAs[Boolean]("retained"))
   }
+
+  test("temperature sampling keeps the smallest stratum whole") {
+    // stratum "small" (4 docs, rate 1.0) vs "big" (400 docs, rate 0.1)
+    val docs = ((0L until 4L).map(i => (i, "small")) ++
+      (100L until 500L).map(i => (i, "big"))).toDF("doc_id", "lang")
+    val kept = Curation.temperatureSample(docs, "lang")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val bySt = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySt("small") == 4, "rate (nmin/nmin)^0.5 = 1 keeps everything")
+    // big stratum: rate = (4/400)^0.5 = 0.1 → expect ~40, hash-determined
+    assert(bySt("big") > 10 && bySt("big") < 100)
+    // deterministic: same input, same sample
+    val again = Curation.temperatureSample(docs, "lang")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("temperature sampling of an empty corpus is empty, not a crash") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Curation.temperatureSample(docs, "lang").count() == 0)
+  }
 }

@@ -227,4 +227,26 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq
     assert(sh == Seq("a b c", "b c d"))
   }
+
+  test("vocab growth counts first occurrences per doc bucket") {
+    val d = Seq((0L, "a b c"), (1L, "a b c"), (2L, "x y z"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(d, bucketSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // "a b c" first in doc 0 (bucket 0); "x y z" first in doc 2 (bucket 1)
+    assert(got.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 2L)))
+  }
+
+  test("source cross-entropy matches the hand-computed 2x2 matrix") {
+    val d = Seq((0L, "x x x x", "a"), (1L, "x y", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceCrossEntropy(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // V=2; H(a,a) = ln6 − ln5, H(a,b) = ln4 − ln2, H(b,a) = ln6 − ln5/2,
+    // H(b,b) = ln4 − ln2 (hand-derived with add-1 smoothing)
+    assert(got(("a", "a")) == 0.1823)
+    assert(got(("a", "b")) == 0.6931)
+    assert(got(("b", "a")) == 0.987)
+    assert(got(("b", "b")) == 0.6931)
+  }
 }
