@@ -262,6 +262,11 @@ object SparkEntry {
     }),
 
     // --- A7: idle time ---
+    // --- load imbalance resolved over time bins (integer-exact busy) ---
+    "trace_imbalance_time" -> ((s, dir) =>
+      Profiles.timeImbalance(callEnriched(s, dir))
+        .orderBy(col("bin"))),
+
     "trace_idle_time" -> ((s, dir) =>
       Profiles.idleTime(callEnriched(s, dir), Seq("item_R"))
         .select(col(Process), col("idle_time")).orderBy(col(Process))),
@@ -1138,6 +1143,43 @@ object SparkEntry {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY name ORDER BY sum_exc DESC, process) = 1)
         |SELECT a.name, a.imbalance, a.mean_exc, t.top_process
         |FROM agg a JOIN top t ON a.name = t.name ORDER BY a.name""".stripMargin),
+
+    "trace_imbalance_time" -> (callCte +
+      """, ext AS (
+        |  SELECT MIN(t0) AS lo, MAX(t1) AS hi,
+        |         COUNT(DISTINCT process) AS np
+        |  FROM ord),
+        |wdt AS (
+        |  SELECT lo, np, GREATEST((hi - lo + 49) // 50, 1) AS w FROM ext),
+        |pre AS (
+        |  SELECT s.process, s.t0, s.t1, w.lo, w.w,
+        |         (s.t0 - w.lo) // w.w AS b0,
+        |         LEAST((s.t1 - 1 - w.lo) // w.w, 49) AS b1
+        |  FROM ord s CROSS JOIN wdt w),
+        |b AS (
+        |  SELECT process, t0, t1, lo, w,
+        |         unnest(generate_series(b0, b1)) AS bin
+        |  FROM pre),
+        |busy AS (
+        |  SELECT bin, process, SUM(
+        |           LEAST(t1, lo + (bin + 1) * w)
+        |           - GREATEST(t0, lo + bin * w)) AS busy
+        |  FROM b
+        |  WHERE LEAST(t1, lo + (bin + 1) * w) > GREATEST(t0, lo + bin * w)
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT bin, MAX(busy) AS max_busy, SUM(busy) AS total_busy
+        |  FROM busy GROUP BY 1)
+        |SELECT ab.bin, w.lo + ab.bin * w.w AS bin_start,
+        |       CAST(COALESCE(p.max_busy, 0) AS BIGINT) AS max_busy,
+        |       CAST(COALESCE(p.total_busy, 0) AS BIGINT) AS total_busy,
+        |       CASE WHEN COALESCE(p.total_busy, 0) = 0 THEN 0.0
+        |            ELSE ROUND(CAST(p.max_busy AS DOUBLE) * w.np
+        |                       / p.total_busy, 6) END AS imbalance
+        |FROM (SELECT unnest(generate_series(0, 49)) AS bin) ab
+        |CROSS JOIN wdt w
+        |LEFT JOIN per p ON p.bin = ab.bin
+        |ORDER BY ab.bin""".stripMargin),
 
     "trace_idle_time" -> (callCte +
       """, idle AS (

@@ -70,6 +70,59 @@ object Profiles {
   // cographically descending, so equal metrics give *descending* p; queries
   // needing ascending tie-break should rank explicitly (see SparkEntry).
 
+  /** Per-time-bin load imbalance — load_imbalance resolved over time:
+    * "which PHASE of the run is imbalanced", not just which function.
+    * Per bin, each process's busy time is the overlap of its TOP-LEVEL
+    * call spans with the bin (top-level spans are disjoint within a
+    * process, so the sum IS utilization), and
+    * imbalance = max_p busy / mean-over-ALL-processes busy (idle ranks
+    * count in the mean — a bin where one rank works alone is maximally
+    * imbalanced, which is exactly the signal).
+    *
+    * Unlike time_profile's double-edged reference-parity bins, this is a
+    * NEW operator, so bins are INTEGER ns (width = ⌈extent/numBins⌉, last
+    * bin clipped): overlaps and busy sums stay integral — order-free,
+    * bit-identical on any engine — and the single double division per
+    * bin happens on exact integers. Same explode-by-`sequence` shape as
+    * time_profile (span/bin_width row amplification, no crossJoin); one
+    * (bin, process) aggregation then a tiny per-bin rollup. */
+  def timeImbalance(events0: DataFrame, numBins: Int = 50): DataFrame = {
+    val events =
+      if (events0.columns.contains(MatchingTs)) events0
+      else graft.enrich.EventMatcher.enrich(events0)
+    val extRow = events.agg(min(col(TimestampNs)), max(col(TimestampNs)),
+      countDistinct(when(col(EventType) === Enter, col(Process)))).head
+    require(!extRow.isNullAt(0), "time_imbalance: empty trace")
+    val (lo, hi, nproc) =
+      (extRow.getLong(0), extRow.getLong(1), extRow.getLong(2))
+    val w = math.max((hi - lo + numBins - 1) / numBins, 1L)
+
+    val spans = events
+      .filter(col(EventType) === Enter && col(MatchingTs).isNotNull &&
+        col(ParentEventId).isNull)
+      .select(col(Process), col(TimestampNs).as("t0"), col(MatchingTs).as("t1"))
+      .filter(col("t1") > col("t0"))
+    val busy = spans
+      .withColumn("bin", explode(sequence(
+        expr(s"(t0 - $lo) div $w"),
+        least(expr(s"(t1 - 1 - $lo) div $w"), lit(numBins - 1L)))))
+      .select(col("bin"), col(Process),
+        (least(col("t1"), lit(lo) + (col("bin") + 1) * w) -
+          greatest(col("t0"), lit(lo) + col("bin") * w)).as("o"))
+      .filter(col("o") > 0)
+      .groupBy(col("bin"), col(Process)).agg(sum(col("o")).as("busy"))
+    val perBin = busy.groupBy(col("bin"))
+      .agg(max(col("busy")).as("max_busy"), sum(col("busy")).as("total_busy"))
+    events.sparkSession.range(numBins).select(col("id").as("bin"))
+      .join(perBin, Seq("bin"), "left")
+      .select(col("bin"), (lit(lo) + col("bin") * w).as("bin_start"),
+        coalesce(col("max_busy"), lit(0L)).as("max_busy"),
+        coalesce(col("total_busy"), lit(0L)).as("total_busy"),
+        when(coalesce(col("total_busy"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("max_busy") * lit(nproc.toDouble) /
+            col("total_busy"), 6)).as("imbalance"))
+  }
+
   /** idle_time (pipit/trace.py:600-631): Σ time_inc of Enter rows whose name
     * is in idleFunctions, per process. Processes with no such rows get 0
     * (the reference sums an empty series → 0.0), hence the join against the
