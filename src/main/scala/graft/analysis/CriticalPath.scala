@@ -29,15 +29,38 @@ import graft.model.Schemas._
   * localCheckpoint bounding lineage per round. */
 object CriticalPath {
 
-  /** Pointer-doubling chain extraction shared by [[stallChain]] and
-    * [[criticalPath]]: given the 1-step predecessor table
-    * (mid, pred_mid, dist=1) and a root mid, return every ancestor of the
-    * root as (mid, hop). Round k extends the known prefix with the
-    * 2^k-step pointers then squares them, so a chain of length L costs
-    * ⌈log₂ L⌉ joins; a tail-probe against the 1-step pointers skips the
-    * final (wasted) squaring, and localCheckpoint bounds lineage. */
-  private def chainFrom(pred1: DataFrame, root: Long,
-                        maxRounds: Int): DataFrame = {
+  /** Below this predecessor-table size the chain is walked driver-side:
+    * the map is two longs per stall (100k stalls ≈ 1.6 MB — the same
+    * bounded-collect contract as Cct's path assembly), and a local walk
+    * replaces ~log₂ L Spark rounds of joins+actions with one collect.
+    * Above it, pointer doubling keeps everything distributed. */
+  val LocalWalkThreshold = 100000L
+
+  /** Chain extraction shared by [[stallChain]] and [[criticalPath]]:
+    * given the 1-step predecessor table (mid, pred_mid, dist=1) and a
+    * root mid, return every ancestor of the root as (mid, hop).
+    * Scale-adaptive: small pred tables collect and walk driver-side
+    * ([[LocalWalkThreshold]]); large ones use pointer DOUBLING — round k
+    * extends the known prefix with the 2^k-step pointers then squares
+    * them, so a chain of length L costs ⌈log₂ L⌉ joins, never L
+    * sequential lookups; a tail-probe against the 1-step pointers skips
+    * the final (wasted) squaring, and localCheckpoint bounds lineage. */
+  private def chainFrom(pred1: DataFrame, root: Long, maxRounds: Int,
+                        localThreshold: Long): DataFrame = {
+    val spark = pred1.sparkSession
+    import spark.implicits._
+    val nPred = pred1.count()
+    if (nPred <= localThreshold) {
+      val next = pred1.select(col("mid"), col("pred_mid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val chain = scala.collection.mutable.ArrayBuffer(root -> 0L)
+      val seen = scala.collection.mutable.Set(root)
+      var cur = root
+      // `seen` guards termination even on (contract-violating) cyclic input
+      while (next.contains(cur) && seen.add(next(cur)))
+        { cur = next(cur); chain += cur -> chain.length.toLong }
+      return chain.toSeq.toDF("mid", "hop")
+    }
     var ptr = pred1
     var chain = pred1.sparkSession.range(1)
       .select(lit(root).as("mid"), lit(0L).as("hop"))
@@ -70,7 +93,8 @@ object CriticalPath {
     chain
   }
 
-  def stallChain(events: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def stallChain(events: DataFrame, maxRounds: Int = 40,
+                 localThreshold: Long = LocalWalkThreshold): DataFrame = {
     // materialized once: the root collect, BOTH as-of sides, and the
     // final join all read this table — without the checkpoint each
     // action re-runs the two ranking windows + match join from the scan
@@ -101,7 +125,7 @@ object CriticalPath {
       .select(col("mid"), col("pred_mid"), lit(1L).as("dist"))
       .localCheckpoint()
 
-    shape(chainFrom(pred1, root, maxRounds).join(late, Seq("mid")))
+    shape(chainFrom(pred1, root, maxRounds, localThreshold).join(late, Seq("mid")))
       .orderBy(col("hop"))
   }
 
@@ -123,7 +147,8 @@ object CriticalPath {
     * first-event time from below at the origin). Same scale shape as
     * [[stallChain]]: one backward as-of join for all predecessors, a
     * broadcast-size per-process min, ⌈log₂ L⌉ doubling joins. */
-  def criticalPath(events: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def criticalPath(events: DataFrame, maxRounds: Int = 40,
+                   localThreshold: Long = LocalWalkThreshold): DataFrame = {
     val late = CommOps.matchMessages(events)
       .filter(col("send_ts") > col("recv_ts"))
       .select(col("recv_event_id").as("mid"), col("src"), col("dst"),
@@ -153,7 +178,7 @@ object CriticalPath {
     val pred1 = pred.filter(col("pred_mid").isNotNull)
       .select(col("mid"), col("pred_mid"), lit(1L).as("dist"))
 
-    val chain = chainFrom(pred1, root, maxRounds)
+    val chain = chainFrom(pred1, root, maxRounds, localThreshold)
       .join(late, Seq("mid"))
       .join(pred, Seq("mid"), "left")
       .localCheckpoint()

@@ -42,15 +42,31 @@ class CriticalPathSpec extends SparkSpec {
   }
 
   test("chains longer than one doubling round assemble correctly") {
-    // 8 stalls in a line: p+1 -> p, recv times strictly decreasing
+    // 8 stalls in a line: p+1 -> p, recv times strictly decreasing;
+    // localThreshold = 0 forces the distributed pointer-doubling path,
+    // the default exercises the driver-side walk — results must agree
     val ev = trace((0 until 8).flatMap { i =>
       val base = 1000L - i * 100
       Seq((i * 2L, base, "MpiSend", i + 1, i),
         (i * 2L + 1, base - 10, "MpiRecv", i, i + 1))
     }: _*)
-    val got = CriticalPath.stallChain(ev).collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
-    assert(got.toSeq == (0 until 8).map(i => (i.toLong, i + 1)))
+    for (thresh <- Seq(0L, CriticalPath.LocalWalkThreshold)) {
+      val got = CriticalPath.stallChain(ev, localThreshold = thresh).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(got.toSeq == (0 until 8).map(i => (i.toLong, i + 1)),
+        s"localThreshold=$thresh")
+    }
+  }
+
+  test("critical path agrees between local-walk and doubling paths") {
+    val ev = trace(
+      (0L, 100L, "MpiSend", 1, 0), (1L, 90L, "MpiRecv", 0, 1),
+      (2L, 80L, "MpiSend", 2, 1), (3L, 70L, "MpiRecv", 1, 2),
+      (4L, 60L, "MpiSend", 3, 2), (5L, 50L, "MpiRecv", 2, 3))
+    val local = CriticalPath.criticalPath(ev).collect().map(_.toSeq)
+    val dist = CriticalPath.criticalPath(ev, localThreshold = 0)
+      .collect().map(_.toSeq)
+    assert(local.toSeq == dist.toSeq)
   }
 
   test("no stalls yields an empty chain with the right schema") {
