@@ -541,6 +541,12 @@ object SparkEntry {
     "minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(T(s, dir, "documents"))
       .orderBy(col("doc_id"), col("seed"))),
 
+    // --- LSH banding parameter sweep over one signature table ---
+    "lsh_tuning" -> ((s, dir) =>
+      Dedup.lshTuning(
+          Dedup.minhashSignatures(T(s, dir, "documents")).localCheckpoint())
+        .orderBy(col("bands"))),
+
     "minhash_pairs" -> ((s, dir) => Dedup.minhashLsh(T(s, dir, "documents"))
       .orderBy(col("a"), col("b"))),
 
@@ -1689,6 +1695,38 @@ object SparkEntry {
         |SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
         |FROM hashed, generate_series(0, 15) g(seed)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "lsh_tuning" -> (shinglesCte +
+      """, hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |  FROM hashed, generate_series(0, 15) g(seed) GROUP BY 1, 2)""".stripMargin +
+        Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+          s""",
+             |band_$b AS (
+             |  SELECT doc_id, CAST(seed // $r AS INT) AS band,
+             |         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed))
+             |           AS band_key
+             |  FROM sig GROUP BY 1, 2),
+             |pairs_$b AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM band_$b x JOIN band_$b y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |  WHERE x.doc_id < y.doc_id)""".stripMargin
+        }.mkString +
+        "\n" +
+        Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+          s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+             |  (SELECT COUNT(*) FROM pairs_$b) AS n_pairs,
+             |  (SELECT COUNT(DISTINCT d) FROM
+             |    (SELECT a AS d FROM pairs_$b UNION SELECT b FROM pairs_$b))
+             |    AS n_docs""".stripMargin
+        }.mkString("\nUNION ALL\n") +
+        "\nORDER BY bands"),
 
     "minhash_pairs" -> (shinglesCte +
       """, hashed AS (

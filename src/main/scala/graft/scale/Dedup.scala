@@ -109,6 +109,28 @@ object Dedup {
       bands, numHashes / bands, idCol)
   }
 
+  /** LSH parameter sweep — the banding-tuning report: for each
+    * (bands, rowsPerBand) split of the SAME signature table, how many
+    * candidate pairs and distinct candidate documents banding would
+    * yield. The (b, r) choice sets the match-probability curve
+    * (1 − (1 − s^r)^b); this report grounds it in observed counts so the
+    * threshold is picked from data, not folklore. Signature computation
+    * is the expensive stage and is NOT repeated per config — pass a
+    * materialized signature table; each config then costs one
+    * band-key aggregation + bucket self-join over it, and the per-config
+    * output is two scalars (all-integer — no rounding conventions). */
+  def lshTuning(signatures: DataFrame,
+                configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8)),
+                idCol: String = "doc_id"): DataFrame =
+    configs.map { case (b, r) =>
+      val pairs = minhashLshPairs(signatures, b, r, idCol).localCheckpoint()
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(pairs.select(explode(array(col("a"), col("b"))).as("d"))
+          .agg(countDistinct(col("d")).as("n_docs")))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_pairs"), col("n_docs"))
+    }.reduce(_ unionByName _)
+
   /** Cross-group near-duplicate pairs — syndication / mirror detection:
     * the LSH candidate pairs whose two documents carry DIFFERENT values
     * of `groupCol` (source, domain, crawl snapshot…). Within-group

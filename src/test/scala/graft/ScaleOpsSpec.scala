@@ -228,6 +228,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("lsh tuning: aligned band splits give monotone candidate counts") {
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+    val got = Dedup.lshTuning(sigs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(-_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((16, 1), (8, 2), (4, 4), (2, 8)))
+    // r doubles with aligned boundaries → candidate sets are nested:
+    // pairs(2,8) ⊆ pairs(4,4) ⊆ pairs(8,2) ⊆ pairs(16,1)
+    val counts = got.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (hi, lo) => hi >= lo })
+    // the exact dup (0,1) survives even the strictest config: identical
+    // texts have identical signatures, hence every band matches
+    val strict = Dedup.minhashLshPairs(sigs, 2, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.contains((0L, 1L)))
+  }
+
   test("vocab growth counts first occurrences per doc bucket") {
     val d = Seq((0L, "a b c"), (1L, "a b c"), (2L, "x y z"), (3L, "x y z"))
       .toDF("doc_id", "text")
