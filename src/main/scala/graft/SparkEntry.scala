@@ -1705,7 +1705,7 @@ object SparkEntry {
         |sig AS (
         |  SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
         |  FROM hashed, generate_series(0, 15) g(seed) GROUP BY 1, 2)""".stripMargin +
-        Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
           s""",
              |band_$b AS (
              |  SELECT doc_id, CAST(seed // $r AS INT) AS band,
@@ -1719,7 +1719,7 @@ object SparkEntry {
              |  WHERE x.doc_id < y.doc_id)""".stripMargin
         }.mkString +
         "\n" +
-        Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
           s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
              |  (SELECT COUNT(*) FROM pairs_$b) AS n_pairs,
              |  (SELECT COUNT(DISTINCT d) FROM

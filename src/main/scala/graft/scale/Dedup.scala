@@ -118,15 +118,21 @@ object Dedup {
     * is the expensive stage and is NOT repeated per config — pass a
     * materialized signature table; each config then costs one
     * band-key aggregation + bucket self-join over it, and the per-config
-    * output is two scalars (all-integer — no rounding conventions). */
+    * output is two scalars (all-integer — no rounding conventions).
+    * The degenerate (numHashes, 1) split is deliberately absent from the
+    * default sweep: single-hash buckets cluster everything that shares
+    * ANY one minhash, a near-quadratic candidate set nobody ships. */
   def lshTuning(signatures: DataFrame,
-                configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8)),
+                configs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8)),
                 idCol: String = "doc_id"): DataFrame =
     configs.map { case (b, r) =>
-      val pairs = minhashLshPairs(signatures, b, r, idCol).localCheckpoint()
-      pairs.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(pairs.select(explode(array(col("a"), col("b"))).as("d"))
-          .agg(countDistinct(col("d")).as("n_docs")))
+      // corner-explode + one aggregation: 2 rows per pair, so
+      // n_pairs = rows/2 and n_docs = distinct corners — both scalars
+      // in a single pass over the candidate set
+      minhashLshPairs(signatures, b, r, idCol)
+        .select(explode(array(col("a"), col("b"))).as("d"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("d")).as("n_docs"))
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_pairs"), col("n_docs"))
     }.reduce(_ unionByName _)

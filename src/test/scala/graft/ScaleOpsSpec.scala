@@ -234,9 +234,9 @@ class ScaleOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .sortBy(-_._1)
     assert(got.map(t => (t._1, t._2)).toSeq ==
-      Seq((16, 1), (8, 2), (4, 4), (2, 8)))
+      Seq((8, 2), (4, 4), (2, 8)))
     // r doubles with aligned boundaries → candidate sets are nested:
-    // pairs(2,8) ⊆ pairs(4,4) ⊆ pairs(8,2) ⊆ pairs(16,1)
+    // pairs(2,8) ⊆ pairs(4,4) ⊆ pairs(8,2)
     val counts = got.map(_._3)
     assert(counts.zip(counts.tail).forall { case (hi, lo) => hi >= lo })
     // the exact dup (0,1) survives even the strictest config: identical
