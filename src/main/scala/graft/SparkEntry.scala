@@ -459,6 +459,12 @@ object SparkEntry {
         .orderBy(col("process"), col("level"))
     }),
 
+    // --- Markov transition counts over per-user event streams ---
+    "q_transitions" -> ((s, dir) => Sessionize.transitions(
+        TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")),
+        "user_id", "t_us", "event_id", "event_type")
+      .orderBy(col("from_state"), col("to_state"))),
+
     // --- robust outliers: |v − median| > 5·MAD per event_type, median
     // and MAD rank-selected in integer centi-units ---
     "q_outliers" -> ((s, dir) => {
@@ -1516,6 +1522,21 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS from_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, event_type AS to_state, COUNT(*) AS n
+        |  FROM s WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS row_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n, t.row_total
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
 
     "q_outliers" ->
       """WITH v AS (

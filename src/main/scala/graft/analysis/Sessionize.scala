@@ -78,6 +78,26 @@ object Sessionize {
     * microsecond divisions, so every cell is engine-exact.
     *
     * `tsCol` must be in microseconds. */
+  /** First-order Markov transition counts over per-key event streams —
+    * the "what do users do next" matrix behind journey analysis and
+    * next-event models. One keyed window (lag) + one aggregation; counts
+    * stay INTEGER (consumers derive probabilities as n/row_total — the
+    * division is left to presentation so the table is engine-exact).
+    * Deterministic tie-break: equal timestamps order by the unique id. */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .withColumn("__from", lag(col(stateCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_state"), col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("row_total"))
+    steps.join(broadcast(totals), Seq("from_state"))
+  }
+
   def cohortRetention(events: DataFrame, keyCol: String = "user_id",
                       tsCol: String = "t_us",
                       dayMicros: Long = 86400000000L): DataFrame = {

@@ -63,6 +63,21 @@ class FunnelSpec extends SparkSpec {
     assert(m.size == 4)
   }
 
+  test("transition counts follow each user's own timeline only") {
+    // u1: a→b→a; u2: b→b — cross-user adjacency must not leak
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "a"),
+      (2L, 15L, 103L, "b"), (2L, 25L, 104L, "b"))
+      .toDF("user_id", "t", "id", "et")
+    val got = Sessionize.transitions(ev, "user_id", "t", "id", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 1L)),
+      ("b", "a") -> ((1L, 2L)),   // row_total for 'b' = b→a + b→b
+      ("b", "b") -> ((1L, 2L))))
+  }
+
   test("random projection is a deterministic fixed-width reduction") {
     import org.apache.spark.sql.functions._
     val emb = Seq((0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(-0.5f)))
