@@ -156,6 +156,65 @@ object StreamingOps {
     out.iterator
   }
 
+  /** Streaming Markov transitions — the incremental twin of
+    * [[graft.analysis.Sessionize.transitions]]: per key, remember the
+    * last (ts, id, state) seen and emit one (from_state, to_state) step
+    * row per arriving event; downstream the transition MATRIX is a plain
+    * windowed count aggregation of these rows, the standard two-stage
+    * decomposition. State is one triple per key — O(1). Within a batch
+    * rows process in (t, id) order, matching the batch window's
+    * ordering; a cross-batch late event (t below the stored last) is
+    * emitted with `in_order = false` instead of silently rewriting a
+    * transition already emitted — streams cannot retract, so the flag
+    * lets consumers discount disordered steps.
+    *
+    * Input contract: (`keyCol`: long, `tsCol`: long, `idCol`: long,
+    * `stateCol`: string). `idleTimeout` expires idle keys' last-state
+    * (unbounded key churn would otherwise grow the store forever). */
+  def transitions(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "t", idCol: String = "event_id",
+                  stateCol: String = "event_type",
+                  idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
+        col(stateCol).cast("string").as("s")).as[TransIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        transGroup(idleTimeout))(
+        Encoders.product[TransState], Encoders.product[TransOut])
+      .toDF()
+  }
+
+  case class TransIn(k: Long, t: Long, id: Long, s: String)
+  case class TransState(t: Long, id: Long, s: String)
+  case class TransOut(k: Long, from_state: String, to_state: String,
+                      t: Long, in_order: Boolean)
+
+  private[streaming] def transGroup(idleTimeout: Option[String] = None)(
+      key: Long, rows: Iterator[TransIn],
+      state: org.apache.spark.sql.streaming.GroupState[TransState]): Iterator[TransOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer[TransOut]()
+    for (r <- rows.toSeq.sortBy(x => (x.t, x.id))) {
+      if (st != null)
+        out += TransOut(key, st.s, r.s, r.t,
+          in_order = r.t > st.t || (r.t == st.t && r.id > st.id))
+      // the latest-by-(t,id) event becomes the new "last", even if this
+      // row was disordered — matching what a re-run batch would keep
+      if (st == null || r.t > st.t || (r.t == st.t && r.id > st.id))
+        st = TransState(r.t, r.id, r.s)
+    }
+    state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
   /** Streaming strictly-sequential funnel — the incremental twin of
     * [[graft.analysis.Sessionize.funnel]]: per key, advance one step
     * whenever the NEXT expected step arrives strictly after the previous
