@@ -92,7 +92,10 @@ object Profiles {
       else graft.enrich.EventMatcher.enrich(events0)
     val extRow = events.agg(min(col(TimestampNs)), max(col(TimestampNs)),
       countDistinct(when(col(EventType) === Enter, col(Process)))).head
-    require(!extRow.isNullAt(0), "time_imbalance: empty trace")
+    if (extRow.isNullAt(0)) // empty trace: no profile, correct schema
+      return events.sparkSession.range(0).select(
+        col("id").as("bin"), lit(0L).as("bin_start"), lit(0L).as("max_busy"),
+        lit(0L).as("total_busy"), lit(0.0).as("imbalance"))
     val (lo, hi, nproc) =
       (extRow.getLong(0), extRow.getLong(1), extRow.getLong(2))
     val w = math.max((hi - lo + numBins - 1) / numBins, 1L)

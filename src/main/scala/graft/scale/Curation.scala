@@ -67,12 +67,14 @@ object Curation {
   def temperatureSample(docs: DataFrame, strataCol: String,
                         alpha: Double = 0.5, seed: Int = 7,
                         idCol: String = "doc_id"): DataFrame = {
+    // fully lazy (no driver action): n_min rides in as a one-row cross
+    // join, so construction costs nothing and an empty corpus flows
+    // through as an empty rates table instead of a special case
     val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("ns"))
-    val nminRow = counts.agg(min(col("ns"))).head
-    if (nminRow.isNullAt(0)) return docs.limit(0) // empty input
-    val nmin = nminRow.getLong(0)
-    val rates = counts.select(col(strataCol),
-      round(pow(lit(nmin.toDouble) / col("ns"), 1.0 - alpha), 4).as("rate"))
+    val rates = counts
+      .crossJoin(counts.agg(min(col("ns")).cast("double").as("nmin")))
+      .select(col(strataCol),
+        round(pow(col("nmin") / col("ns"), 1.0 - alpha), 4).as("rate"))
     mixSample(docs, rates, strataCol, seed, idCol)
   }
 

@@ -124,7 +124,8 @@ object Dedup {
     * ANY one minhash, a near-quadratic candidate set nobody ships. */
   def lshTuning(signatures: DataFrame,
                 configs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8)),
-                idCol: String = "doc_id"): DataFrame =
+                idCol: String = "doc_id"): DataFrame = {
+    require(configs.nonEmpty, "lshTuning: configs must be non-empty")
     configs.map { case (b, r) =>
       // corner-explode + one aggregation: 2 rows per pair, so
       // n_pairs = rows/2 and n_docs = distinct corners — both scalars
@@ -136,6 +137,7 @@ object Dedup {
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_pairs"), col("n_docs"))
     }.reduce(_ unionByName _)
+  }
 
   /** Cross-group near-duplicate pairs — syndication / mirror detection:
     * the LSH candidate pairs whose two documents carry DIFFERENT values

@@ -66,9 +66,13 @@ object TextOps {
     * instead of drifting with float summation order. */
   def sourceCrossEntropy(docs: DataFrame, groupCol: String = "source",
                          textCol: String = "text"): DataFrame = {
+    // materialized once: the vocab count, both xent join sides, and both
+    // totals branches read this — without it the full-corpus tokenize +
+    // count aggregation re-runs ~5× for one query
     val counts = docs
       .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
     val vocab = counts.select(col("tok")).distinct().count()
     val xent = counts.select(col("g").as("src_a"), col("tok"), col("c").as("ca"))
