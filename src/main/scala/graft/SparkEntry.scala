@@ -901,6 +901,11 @@ object SparkEntry {
           centroids = Some(embCentroids(s, dir)))
         .orderBy(col("vec_id"), col("rank"))),
 
+    // --- per-cluster embedding drift between the even/odd halves ---
+    "emb_drift" -> ((s, dir) =>
+      Similarity.clusterDrift(T(s, dir, "embeddings"), embCentroids(s, dir))
+        .orderBy(col("cluster"), col("d"))),
+
     // --- per-node triangle counts on the kNN graph (degree-ordered
     // orientation bounds wedge enumeration at O(m^1.5)) ---
     "graph_triangles" -> ((s, dir) => {
@@ -2480,6 +2485,26 @@ object SparkEntry {
         |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         |  FROM knn)
         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+
+    "emb_drift" -> (kmeansCte() +
+      """, u AS (
+        |  SELECT a.vec_id, a.cluster,
+        |         CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS d,
+        |         unnest(e.embedding) AS v
+        |  FROM assign a JOIN embeddings e USING (vec_id)),
+        |g AS (
+        |  SELECT cluster, d, CAST(vec_id % 2 AS INT) AS half,
+        |         SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s,
+        |         COUNT(*) AS n
+        |  FROM u GROUP BY 1, 2, 3)
+        |SELECT a.cluster, a.d,
+        |       CAST((a.s * 100) // a.n AS BIGINT) AS mean_a_micro,
+        |       CAST((b.s * 100) // b.n AS BIGINT) AS mean_b_micro,
+        |       CAST((a.s * 100) // a.n - (b.s * 100) // b.n AS BIGINT)
+        |         AS shift_micro
+        |FROM (SELECT * FROM g WHERE half = 0) a
+        |JOIN (SELECT * FROM g WHERE half = 1) b USING (cluster, d)
+        |ORDER BY cluster, d""".stripMargin),
 
     "graph_triangles" -> (kmeansCte() +
       """, knn AS (

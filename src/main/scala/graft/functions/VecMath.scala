@@ -48,16 +48,26 @@ case class VecCosine(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // every local MUST be freshName'd: two instances of this expression
+    // fused into one whole-stage function otherwise redeclare the same
+    // variable and janino rejects the stage (silent interpreted fallback)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.$aGet(i);
-         |  double y = (double) $b.$bGet(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$aGet($i);
+         |  double $y = (double) $b.$bGet($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }
@@ -96,14 +106,18 @@ case class VecDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // freshName'd locals — see VecCosine.doGenCode
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  dot += (double) $a.$aGet(i) * (double) $b.$bGet(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.$aGet($i) * (double) $b.$bGet($i);
          |}
-         |${ev.value} = dot;
+         |${ev.value} = $dot;
        """.stripMargin
     })
   }

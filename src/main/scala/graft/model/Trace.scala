@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analysis.{CommOps, Profiles, TimeProfile, PatternDetect}
+import graft.analysis.{CommOps, CriticalPath, Profiles, TimeProfile, PatternDetect}
 import graft.cct.Cct
 import graft.enrich.{EventMatcher, Metrics}
 import graft.ingest.{ChromeWriter, CsvReader, HpctoolkitReader, NsightReader, Otf2Reader, ParquetTraceIO, ProjectionsReader}
@@ -72,6 +72,16 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
     PatternDetect.detectPattern(events, startEvent, iterations, windowSize, process, metric)
 
   // ---- sinks ----
+  def matchMessages(): DataFrame = CommOps.matchMessages(events)
+  def commWait(): DataFrame = CommOps.commWait(events)
+  def commUnmatched(): DataFrame = CommOps.commUnmatched(events)
+  def stallChain(maxRounds: Int = 40): DataFrame =
+    CriticalPath.stallChain(events, maxRounds)
+  def criticalPath(maxRounds: Int = 40): DataFrame =
+    CriticalPath.criticalPath(events, maxRounds)
+  def timeImbalance(numBins: Int = 50): DataFrame =
+    Profiles.timeImbalance(events, numBins)
+
   def toChrome(path: String): Unit = ChromeWriter.write(events, path)
   def chromeProjection: DataFrame = ChromeWriter.project(events)
 }

@@ -256,6 +256,44 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame =
     vectors.withColumn("cluster", clusterExpr(centroids, vecCol))
 
+  /** Per-cluster embedding drift between two corpus halves — "did this
+    * region of embedding space move between snapshots/shards": for each
+    * (cluster, dimension), the mean embedding value of the even-id half
+    * vs the odd-id half and their difference. The distribution-shift
+    * monitor for embedding pipelines (a re-embedded corpus whose
+    * cluster means moved is a model/version skew signal).
+    *
+    * Determinism: per-element values are rounded to 10⁻⁴ units and
+    * summed as INTEGERS (order-free — float summation order would
+    * otherwise make cluster means engine/partitioning-dependent), and
+    * the means are emitted as INTEGER micro-units via integral division
+    * (both engines truncate toward zero) — no floating round anywhere,
+    * so no half-boundary can diverge (a 6-dp ROUND of the double mean
+    * DID diverge between engines on real data). One explode + one
+    * (cluster, dim, half) aggregation — map-side combined, output is
+    * #clusters × dim rows. Clusters missing either half are absent
+    * (inner join — drift needs both sides). */
+  def clusterDrift(vectors: DataFrame, centroids: Array[Array[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val g = withCluster(vectors, centroids, vecCol)
+      .select(col(idCol), col("cluster"),
+        posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("cluster"), col("d"),
+        (col(idCol) % 2).cast("int").as("half"))
+      .agg(sum(round(col("v").cast("double") * 10000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    def side(h: Int, sfx: String) = g.filter(col("half") === h)
+      .select(col("cluster"), col("d"),
+        col("s").as("s" + sfx), col("n").as("n" + sfx))
+    side(0, "a").join(side(1, "b"), Seq("cluster", "d"))
+      .select(col("cluster"), col("d"),
+        expr("(sa * 100) div na").as("mean_a_micro"),
+        expr("(sb * 100) div nb").as("mean_b_micro"),
+        (expr("(sa * 100) div na") - expr("(sb * 100) div nb"))
+          .as("shift_micro"))
+  }
+
   /** Top-`nprobe` nearest centroids per vector (the IVF probe list):
     * same fused scan as [[kmeansAssign]], but the (distance, cluster)
     * structs are sorted and the first `nprobe` exploded — `nprobe` rows
