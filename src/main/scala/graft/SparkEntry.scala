@@ -459,6 +459,20 @@ object SparkEntry {
         .orderBy(col("process"), col("level"))
     }),
 
+    // --- inter-event gap histogram in decimal orders of magnitude
+    // (digit-count bucketing: pure integer, no log() cross-engine risk) ---
+    "q_gap_histogram" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
+        .withColumn("gap", col("t_us") - lag(col("t_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(length(col("gap").cast("string")).as("digits"))
+        .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap"),
+          max(col("gap")).as("max_gap"))
+        .orderBy(col("digits"))
+    }),
+
     // --- Markov transition counts over per-user event streams ---
     "q_transitions" -> ((s, dir) => Sessionize.transitions(
         TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")),
@@ -616,6 +630,15 @@ object SparkEntry {
     "dedup_retained" -> ((s, dir) =>
       Dedup.dropByComponents(T(s, dir, "documents"), lshComponents(s, dir))
         .select(col("doc_id")).orderBy(col("doc_id"))),
+
+    // --- near-dup cluster size histogram (the dedup audit: how much of
+    // the clustered mass sits in pairs vs boilerplate mega-clusters) ---
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      lshComponents(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
 
     "pq_codes" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -1528,6 +1551,17 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT CAST(LENGTH(CAST(gap AS VARCHAR)) AS INT) AS digits,
+        |       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       MIN(gap) AS min_gap, MAX(gap) AS max_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY digits""".stripMargin,
+
     "q_transitions" ->
       """WITH s AS (
         |  SELECT event_type,
@@ -1886,6 +1920,33 @@ object SparkEntry {
         |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y)
         |SELECT node, MIN(label) AS component FROM reach
         |GROUP BY node ORDER BY node""".stripMargin),
+
+    "dedup_cluster_sizes" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |  FROM hashed, generate_series(0, 15) g(seed) GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed)) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+        |  WHERE x.doc_id < y.doc_id),
+        |cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM cedges
+        |  UNION
+        |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+        |szs AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM szs GROUP BY 1 ORDER BY cluster_size""".stripMargin),
 
     "dedup_retained" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       lshLosersCte +

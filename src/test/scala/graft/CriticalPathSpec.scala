@@ -109,6 +109,21 @@ class CriticalPathSpec extends SparkSpec {
     assert(got.forall(_._4 >= 0))
   }
 
+  test("a 100-hop chain needs several doubling rounds and stays exact") {
+    // 100 stalls in a line — log2(100) ≈ 7 doubling rounds; forces the
+    // distributed path with localThreshold = 0
+    val n = 100
+    val ev = trace((0 until n).flatMap { i =>
+      val base = 100000L - i * 100
+      Seq((i * 2L, base, "MpiSend", i + 1, i),
+        (i * 2L + 1, base - 10, "MpiRecv", i, i + 1))
+    }: _*)
+    val got = CriticalPath.stallChain(ev, localThreshold = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.length == n)
+    assert(got.toSeq == (0 until n).map(i => (i.toLong, i + 1)))
+  }
+
   test("critical path on a stall-free trace is empty with the right schema") {
     val ev = trace((0L, 10L, "MpiSend", 0, 1), (1L, 20L, "MpiRecv", 1, 0))
     val out = CriticalPath.criticalPath(ev)
