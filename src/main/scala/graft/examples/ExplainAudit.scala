@@ -23,7 +23,10 @@ object ExplainAudit {
         Seq("q1_pricing", "q3_topk", "comm_matrix", "trace_flat_profile",
             "ann_topk", "minhash_sig", "trace_time_profile",
             "knn_graph", "bm25_topk", "dsir_weights", "dup_spans",
-            "q_asof", "q_range_join", "hybrid_topk", "graph_pagerank"))) {
+            "q_asof", "q_range_join", "hybrid_topk", "graph_pagerank",
+            "q_concurrency", "graph_triangles", "trace_duration_pctl",
+            "q_outliers", "source_crossent", "emb_drift",
+            "trace_imbalance_time"))) {
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }

@@ -156,6 +156,69 @@ object StreamingOps {
     out.iterator
   }
 
+  /** Streaming concurrency segments — the incremental twin of
+    * [[graft.analysis.Concurrency.concurrencyProfile]]: per key, the
+    * open-span count as a stream of constant-level segments. Input is
+    * the delta stream (+1 at span start, −1 at span end — an interval
+    * source emits two rows); each arriving tick closes the previous
+    * segment [last_ts, ts) at the stored level and folds the tick's net
+    * delta into the state. Downstream, the duration-weighted histogram
+    * is a plain windowed aggregation of these segments — the same
+    * two-stage decomposition as [[transitions]]. State is (ts, level)
+    * per key — O(1). Deltas at one timestamp are pre-summed within the
+    * batch (intra-tick order cannot matter, matching the batch sweep);
+    * a cross-batch late tick emits `in_order = false` instead of
+    * rewriting closed segments. `idleTimeout` expires idle keys. */
+  def concurrency(deltas: DataFrame, keyCol: String = "process",
+                  tsCol: String = "t", deltaCol: String = "delta",
+                  idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import deltas.sparkSession.implicits._
+    deltas.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("long").as("t"),
+        col(deltaCol).cast("long").as("d")).as[ConcIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        concGroup(idleTimeout))(
+        Encoders.product[ConcState], Encoders.product[ConcOut])
+      .toDF()
+  }
+
+  case class ConcIn(k: Long, t: Long, d: Long)
+  case class ConcState(t: Long, level: Long, started: Boolean)
+  case class ConcOut(k: Long, level: Long, t0: Long, t1: Long,
+                     in_order: Boolean)
+
+  private[streaming] def concGroup(idleTimeout: Option[String] = None)(
+      key: Long, rows: Iterator[ConcIn],
+      state: org.apache.spark.sql.streaming.GroupState[ConcState]): Iterator[ConcOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(ConcState(0L, 0L, started = false))
+    val out = scala.collection.mutable.ArrayBuffer[ConcOut]()
+    // net delta per tick, ticks in time order — the batch sweep's rule
+    val ticks = rows.toSeq.groupBy(_.t).toSeq.sortBy(_._1)
+      .map { case (t, rs) => (t, rs.map(_.d).sum) }
+    for ((t, net) <- ticks) {
+      if (!st.started) st = ConcState(t, net, started = true)
+      else if (t >= st.t) {
+        if (t > st.t) out += ConcOut(key, st.level, st.t, t, in_order = true)
+        st = ConcState(t, st.level + net, started = true)
+      } else {
+        // late tick: the segment it belongs to is already closed —
+        // surface it (consumers discount) and fold the delta forward so
+        // the running level still converges to the batch answer
+        out += ConcOut(key, st.level, t, t, in_order = false)
+        st = ConcState(st.t, st.level + net, started = true)
+      }
+    }
+    state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
   /** Streaming Markov transitions — the incremental twin of
     * [[graft.analysis.Sessionize.transitions]]: per key, remember the
     * last (ts, id, state) seen and emit one (from_state, to_state) step
