@@ -459,6 +459,31 @@ object SparkEntry {
         .orderBy(col("process"), col("level"))
     }),
 
+    // --- RFM segmentation: per-user recency/frequency/monetary scores
+    // 1..5 by explicit integer rank thresholds (no NTILE — its tie
+    // handling is engine-specific; (5·(rank−1)) div n is not). Ranks
+    // come from assignDenseIds (distributed sort + zipWithIndex), NOT a
+    // global window — three rankings of the per-user table stay
+    // parallel at any user count ---
+    "q_rfm" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
+      val per = ev.groupBy(col("user_id"))
+        .agg(max(col("t_us")).as("last_t"), count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast("long")).as("monetary_c"))
+        .localCheckpoint() // three rankings + the count read this
+      val n = per.count()
+      val ranked = Seq("last_t", "freq", "monetary_c")
+        .foldLeft(per) { (df, c) =>
+          graft.ingest.Ingest.assignDenseIds(df, s"__rk_$c",
+            col(c).desc, col("user_id").asc)
+        }
+      def sc(c: String) = // __rk is 0-based: score 5 = best fifth
+        (lit(5) - expr(s"(5 * __rk_$c) div $n").cast("int"))
+      ranked.select(col("user_id"), sc("last_t").as("r_score"),
+          sc("freq").as("f_score"), sc("monetary_c").as("m_score"))
+        .orderBy(col("user_id"))
+    }),
+
     // --- inter-event gap histogram in decimal orders of magnitude
     // (digit-count bucketing: pure integer, no log() cross-engine risk) ---
     "q_gap_histogram" -> ((s, dir) => {
@@ -548,6 +573,21 @@ object SparkEntry {
     "vocab_growth" -> ((s, dir) =>
       TextOps.vocabGrowth(T(s, dir, "documents"))
         .orderBy(col("bucket"))),
+
+    // --- per-doc novelty: how many of a doc's shingles appear here
+    // first (memorization/contamination direction signal) ---
+    "doc_novelty" -> ((s, dir) => {
+      val sh = graft.scale.Shingles
+        .wordShingles(T(s, dir, "documents")).distinct()
+      val first = sh.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_new"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- source-pair unigram cross-entropy (domain similarity matrix) ---
     "source_crossent" -> ((s, dir) =>
@@ -1551,6 +1591,24 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_t, COUNT(*) AS freq,
+        |         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_c
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM per),
+        |r AS (
+        |  SELECT user_id,
+        |    ROW_NUMBER() OVER (ORDER BY last_t DESC, user_id) - 1 AS rk_r,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, user_id) - 1 AS rk_f,
+        |    ROW_NUMBER() OVER (ORDER BY monetary_c DESC, user_id) - 1 AS rk_m
+        |  FROM per)
+        |SELECT user_id,
+        |  CAST(5 - (5 * rk_r) // n AS INT) AS r_score,
+        |  CAST(5 - (5 * rk_f) // n AS INT) AS f_score,
+        |  CAST(5 - (5 * rk_m) // n AS INT) AS m_score
+        |FROM r CROSS JOIN nn ORDER BY user_id""".stripMargin,
+
     "q_gap_histogram" ->
       """WITH g AS (
         |  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -1734,6 +1792,15 @@ object SparkEntry {
         |FROM tot ta CROSS JOIN tot tb CROSS JOIN voc v
         |LEFT JOIN xent x ON x.src_a = ta.source AND x.src_b = tb.source
         |ORDER BY src_a, src_b""".stripMargin,
+
+    "doc_novelty" -> (shinglesCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM dsh GROUP BY 1)
+        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new
+        |FROM dsh d JOIN first f USING (shingle)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
     "vocab_growth" -> (shinglesCte +
       """, first AS (
