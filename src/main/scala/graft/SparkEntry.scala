@@ -459,6 +459,14 @@ object SparkEntry {
         .orderBy(col("process"), col("level"))
     }),
 
+    // --- hour-of-day seasonality profile per event type ---
+    "q_hourly" -> ((s, dir) =>
+      TraceGen.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 3600000000 % 24").cast("int").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("hour"))),
+
     // --- RFM segmentation: per-user recency/frequency/monetary scores
     // 1..5 by explicit integer rank thresholds (no NTILE — its tie
     // handling is engine-specific; (5·(rank−1)) div n is not). Ranks
@@ -797,6 +805,18 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- filtered vector search: top-k under a metadata predicate,
+    // pushed BEFORE the distance scan (filter-then-search, so selective
+    // predicates shrink the scan instead of post-filtering the top-k
+    // short — the difference between 5 results and 2 at high
+    // selectivity) ---
+    "ann_filtered" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("label") === 2),
+          emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2317,6 +2337,25 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_filtered" ->
+      """SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id) AS INT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10 AND c.label = 2)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hourly" ->
+      """SELECT event_type,
+        |       CAST(epoch_us(ts) // 3600000000 % 24 AS INT) AS hour,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
 
     "rp_reduce" ->
       """WITH planes AS (
