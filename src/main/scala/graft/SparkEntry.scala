@@ -308,6 +308,11 @@ object SparkEntry {
         .orderBy(col("path"))
     }),
 
+    // --- flame-graph self/total per calling context (bottom-up rollup
+    // over CCT-sized tables, never an events-sized prefix join) ---
+    "trace_cct_rollup" -> ((s, dir) =>
+      Cct.subtreeRollup(callEnriched(s, dir)).orderBy(col("path"))),
+
     // --- CCT diff: per-calling-context exc regression between runs ---
     "trace_cct_diff" -> ((s, dir) => {
       val enriched = callEnriched(s, dir)
@@ -1330,6 +1335,40 @@ object SparkEntry {
         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_calls,
         |       CAST(SUM(exc) AS BIGINT) AS time_exc
         |FROM paths GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "trace_cct_rollup" -> (callCte +
+      """, osum AS (SELECT ok, SUM(qty * 1000 - 10) AS child FROM item GROUP BY ok),
+        |occ AS (
+        |  SELECT o.name AS path, o.name AS name, 0 AS depth,
+        |         999000 - COALESCE(s.child, 0) AS exc
+        |  FROM ord o LEFT JOIN osum s ON o.ok = s.ok
+        |  UNION ALL
+        |  SELECT 'order_' || i.prio || '->' || i.name, i.name, 1,
+        |         (i.qty * 1000 - 10) - (i.qty * 500 - 100) FROM item i
+        |  UNION ALL
+        |  SELECT 'order_' || i.prio || '->' || i.name || '->' || i.ship_name,
+        |         i.ship_name, 2, i.qty * 500 - 100 FROM item i),
+        |p AS (SELECT path, name, depth, CAST(COUNT(*) AS BIGINT) AS n_calls,
+        |             CAST(SUM(exc) AS BIGINT) AS own_exc
+        |      FROM occ GROUP BY 1, 2, 3),
+        |s2 AS (SELECT path, name, depth, n_calls, own_exc,
+        |              own_exc AS subtree_exc
+        |       FROM p WHERE depth = 2),
+        |c2 AS (SELECT substr(path, 1, length(path) - length(name) - 2) AS pp,
+        |              SUM(subtree_exc) AS s FROM s2 GROUP BY 1),
+        |s1 AS (SELECT p.path, p.name, p.depth, p.n_calls, p.own_exc,
+        |              p.own_exc + COALESCE(c2.s, 0) AS subtree_exc
+        |       FROM p LEFT JOIN c2 ON c2.pp = p.path WHERE p.depth = 1),
+        |c1 AS (SELECT substr(path, 1, length(path) - length(name) - 2) AS pp,
+        |              SUM(subtree_exc) AS s FROM s1 GROUP BY 1),
+        |s0 AS (SELECT p.path, p.name, p.depth, p.n_calls, p.own_exc,
+        |              p.own_exc + COALESCE(c1.s, 0) AS subtree_exc
+        |       FROM p LEFT JOIN c1 ON c1.pp = p.path WHERE p.depth = 0)
+        |SELECT path, name, CAST(depth AS INT) AS depth, n_calls, own_exc,
+        |       CAST(subtree_exc AS BIGINT) AS subtree_exc
+        |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |      UNION ALL SELECT * FROM s2)
+        |ORDER BY path""".stripMargin),
 
     "trace_cct_diff" -> (callCte +
       """, osum AS (SELECT ok, SUM(qty * 1000 - 10) AS child FROM item GROUP BY ok),

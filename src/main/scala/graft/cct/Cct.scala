@@ -73,6 +73,42 @@ object Cct {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), cctSchema)
   }
 
+  /** Bottom-up subtree rollup over the CCT — per calling context, the
+    * exclusive time of the node itself AND of its whole subtree (the
+    * flame-graph "total" column next to "self"). Own values come from
+    * one distributed (path_hash) aggregation over events; propagation
+    * then runs level-by-level from the deepest level up — maxDepth
+    * joins of CCT-SIZED tables (bounded by [[MaxNodes]], broadcast),
+    * never an events-sized path-prefix join. All sums are integer ns. */
+  def subtreeRollup(events0: DataFrame): DataFrame = {
+    val events = EventMatcher.enrich(events0)
+    val withExc = graft.enrich.Metrics.calcExcMetrics(events, Seq(TimestampNs))
+    val cct = buildCct(events)
+    val own = withExc.filter(col(EventType) === Enter && col(PathHash).isNotNull)
+      .groupBy(col(PathHash))
+      .agg(count(lit(1)).as("n_calls"), sum(col(TimeExc)).as("own_exc"))
+    val maxDepth = cct.agg(max(col("depth"))).head.getInt(0)
+    var acc = cct
+      .join(broadcast(own), Seq(PathHash), "left")
+      .select(col(PathHash), col(ParentPathHash), col("name"), col("depth"),
+        col("path"), coalesce(col("n_calls"), lit(0L)).as("n_calls"),
+        coalesce(col("own_exc"), lit(0L)).as("own_exc"))
+      .withColumn("subtree_exc", col("own_exc"))
+      .localCheckpoint() // each level below re-reads the accumulator
+    for (d <- maxDepth until 0 by -1) {
+      val childSums = acc.filter(col("depth") === d)
+        .groupBy(col(ParentPathHash).as(PathHash))
+        .agg(sum(col("subtree_exc")).as("__cs"))
+      acc = acc.join(broadcast(childSums), Seq(PathHash), "left")
+        .withColumn("subtree_exc",
+          col("subtree_exc") + coalesce(col("__cs"), lit(0L)))
+        .drop("__cs")
+        .localCheckpoint()
+    }
+    acc.select(col("path"), col("name"), col("depth"), col("n_calls"),
+      col("own_exc"), col("subtree_exc"))
+  }
+
   /** Attach node_id to events (the reference's `Graph_Node` column,
     * pipit/util/cct.py:116) via the path_hash foreign key; the CCT is small
     * → broadcast join. */

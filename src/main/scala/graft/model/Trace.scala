@@ -72,6 +72,7 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
     PatternDetect.detectPattern(events, startEvent, iterations, windowSize, process, metric)
 
   // ---- sinks ----
+  def cctRollup(): DataFrame = Cct.subtreeRollup(events)
   def matchMessages(): DataFrame = CommOps.matchMessages(events)
   def commWait(): DataFrame = CommOps.commWait(events)
   def commUnmatched(): DataFrame = CommOps.commUnmatched(events)

@@ -208,4 +208,25 @@ class TraceSpec extends SparkSpec {
     GraftConfig.resetOption("log_level")
     assert(GraftConfig.getOption("log_level") == "INFO")
   }
+
+  test("cct subtree rollup: self vs total matches the nested spans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // main [0,100] > a [10,30] > b [15,20]:
+    // own exc: main 80, a 15, b 5; subtree: main 100, a 20, b 5
+    val ev = Seq(
+      (0L, 0L, "Enter", "main"), (1L, 10L, "Enter", "a"),
+      (2L, 15L, "Enter", "b"), (3L, 20L, "Leave", "b"),
+      (4L, 30L, "Leave", "a"), (5L, 100L, "Leave", "main"))
+      .toDF("id", "ts", "et", "nm")
+      .select(col("id").as(EventId), col("ts").as(TimestampNs),
+        col("et").as(EventType), col("nm").as(Name), lit(0).as(Process))
+    val got = graft.cct.Cct.subtreeRollup(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "main" -> ((1L, 80L, 100L)),
+      "main->a" -> ((1L, 15L, 20L)),
+      "main->a->b" -> ((1L, 5L, 5L))))
+  }
 }
