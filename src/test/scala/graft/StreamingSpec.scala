@@ -225,4 +225,42 @@ class StreamingSpec extends SparkSpec {
       assert(bySess(0) == 2 && bySess(1) == 1)
     } finally q.stop()
   }
+
+  test("streaming transitions match the batch lag-window across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val events = stream.toDF().toDF("user_id", "t", "event_id", "event_type")
+    val q = StreamingOps.transitions(events)
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"))
+      q.processAllAvailable()
+      stream.addData((1L, 30L, 102L, "a"), (2L, 5L, 103L, "x"))
+      q.processAllAvailable()
+      val out = spark.table("trans").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getBoolean(4))).sortBy(t => (t._1, t._2))
+      // user 1 chains a→b then (cross-batch) b→a; user 2 has no pair yet
+      assert(out.toSeq == Seq((1L, "a", "b", true), (1L, "b", "a", true)))
+    } finally q.stop()
+  }
+
+  test("streaming concurrency segments reproduce the batch sweep") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long)]
+    val deltas = stream.toDF().toDF("process", "t", "delta")
+    val q = StreamingOps.concurrency(deltas)
+      .writeStream.format("memory").queryName("conc")
+      .outputMode("append").start()
+    try {
+      stream.addData((0L, 0L, 1L), (0L, 5L, 1L), (0L, 8L, -1L))
+      q.processAllAvailable()
+      stream.addData((0L, 10L, -1L)) // closes [8,10) at level 1
+      q.processAllAvailable()
+      val segs = spark.table("conc").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._2)
+      assert(segs.toSeq == Seq((1L, 0L, 5L), (2L, 5L, 8L), (1L, 8L, 10L)))
+    } finally q.stop()
+  }
 }
