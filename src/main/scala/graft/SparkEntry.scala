@@ -464,6 +464,14 @@ object SparkEntry {
         .orderBy(col("process"), col("level"))
     }),
 
+    // --- comm volume by rank distance (near vs far traffic) ---
+    "comm_distance" -> ((s, dir) =>
+      CommOps.commMatrix(TraceGen.commTrace(s, dir))
+        .groupBy(abs(col("sender") - col("receiver")).as("distance"))
+        .agg(sum(col("volume")).as("volume"),
+          count(lit(1)).as("n_channels"))
+        .orderBy(col("distance"))),
+
     // --- hour-of-day seasonality profile per event type ---
     "q_hourly" -> ((s, dir) =>
       TraceGen.eventsTable(s, dir)
@@ -704,6 +712,22 @@ object SparkEntry {
       Similarity.pqTopK(Similarity.pqEncode(emb, cbs),
         emb.filter(col("vec_id") < 10), cbs)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- PQ recall audit: brute-force top-5 ∩ PQ top-5, integer hits ---
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val cbs = embCodebooks(s, dir)
+      val bf = Similarity.bruteForceTopK(emb, q, 5)
+      val pq = Similarity.pqTopK(Similarity.pqEncode(emb, cbs), q, cbs)
+      val hits = bf.join(pq.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy(col("query_id"))
     }),
 
     "ann_ivfpq" -> ((s, dir) => {
@@ -1415,6 +1439,17 @@ object SparkEntry {
         |FROM comm WHERE name IN ('MpiSend', 'MpiIsend')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    "comm_distance" -> (commCte +
+      """, cm AS (
+        |  SELECT process AS sender, attr_receiver AS receiver,
+        |         CAST(SUM(attr_msg_length) AS BIGINT) AS volume
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')
+        |  GROUP BY 1, 2)
+        |SELECT CAST(ABS(sender - receiver) AS INT) AS distance,
+        |       CAST(SUM(volume) AS BIGINT) AS volume,
+        |       CAST(COUNT(*) AS BIGINT) AS n_channels
+        |FROM cm GROUP BY 1 ORDER BY distance""".stripMargin),
+
     "comm_matrix_count" -> (commCte +
       """SELECT process AS sender, attr_receiver AS receiver,
         |       CAST(COUNT(*) AS BIGINT) AS volume
@@ -2102,6 +2137,43 @@ object SparkEntry {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            |    ORDER BY approx_dist, neighbor_id) AS rn FROM d)
            |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "ann_pq_recall" -> {
+      val m = 4; val sub = 16
+      val terms = (0 until m).map { s =>
+        val sl = s"q.qv[${s * sub + 1}:${(s + 1) * sub}]"
+        s"(list_inner_product($sl, $sl) + list_inner_product(b$s.v, b$s.v)" +
+          s" - 2 * list_inner_product($sl, b$s.v))"
+      }.mkString(" + ")
+      val cbJoins = (0 until m).map(s => s"JOIN s${s}c3 b$s ON b$s.j = c.code$s")
+        .mkString(" ")
+      pqCte() +
+        s""", q AS (SELECT vec_id AS query_id, fv AS qv FROM e WHERE vec_id < 10),
+           |pq AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.query_id, c.vec_id AS neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |             ORDER BY ROUND($terms, 4), c.vec_id) AS rn
+           |    FROM codes c CROSS JOIN q $cbJoins
+           |    WHERE q.query_id <> c.vec_id)
+           |  WHERE rn <= 5),
+           |bf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+           |             ORDER BY list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+           |                                             CAST(cc.embedding AS DOUBLE[])) DESC,
+           |                      cc.vec_id) AS rn
+           |    FROM embeddings qq JOIN embeddings cc ON qq.vec_id != cc.vec_id
+           |    WHERE qq.vec_id < 10)
+           |  WHERE rn <= 5),
+           |hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |         FROM bf JOIN pq USING (query_id, neighbor_id) GROUP BY 1)
+           |SELECT em.vec_id AS query_id,
+           |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+           |FROM embeddings em LEFT JOIN hits h ON h.query_id = em.vec_id
+           |WHERE em.vec_id < 10 ORDER BY query_id""".stripMargin
     },
 
     "ann_ivfpq" -> {
