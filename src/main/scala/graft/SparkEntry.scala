@@ -472,6 +472,24 @@ object SparkEntry {
           count(lit(1)).as("n_channels"))
         .orderBy(col("distance"))),
 
+    // --- Pareto concentration: volume by user decile (Lorenz curve in
+    // integer cents; ranks via distributed dense ids, cumulative over
+    // the 10-row decile table only) ---
+    "q_pareto" -> ((s, dir) => {
+      val per = TraceGen.eventsTable(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("monetary_c"))
+        .localCheckpoint()
+      val n = per.count()
+      val dec = graft.ingest.Ingest
+        .assignDenseIds(per, "__rk", col("monetary_c").desc, col("user_id").asc)
+        .groupBy(expr(s"(10 * __rk) div $n").cast("int").as("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("monetary_c")).as("volume_c"))
+      dec.withColumn("cum_volume_c",
+          sum(col("volume_c")).over(Window.orderBy(col("decile"))))
+        .orderBy(col("decile"))
+    }),
+
     // --- hour-of-day seasonality profile per event type ---
     "q_hourly" -> ((s, dir) =>
       TraceGen.eventsTable(s, dir)
@@ -1684,6 +1702,26 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pareto" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_c
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM per),
+        |r AS (
+        |  SELECT monetary_c,
+        |         ROW_NUMBER() OVER (ORDER BY monetary_c DESC, user_id) - 1 AS rk
+        |  FROM per),
+        |d AS (
+        |  SELECT CAST((10 * rk) // n AS INT) AS decile,
+        |         CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(monetary_c) AS BIGINT) AS volume_c
+        |  FROM r CROSS JOIN nn GROUP BY 1)
+        |SELECT decile, n_users, volume_c,
+        |       CAST(SUM(volume_c) OVER (ORDER BY decile) AS BIGINT)
+        |         AS cum_volume_c
+        |FROM d ORDER BY decile""".stripMargin,
 
     "q_rfm" ->
       """WITH per AS (
