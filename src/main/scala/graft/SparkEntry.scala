@@ -262,6 +262,15 @@ object SparkEntry {
     }),
 
     // --- A7: idle time ---
+    // --- straggler detection: ranks whose per-function exc deviates
+    // > 3·MAD from the cross-rank median (robust, rank-selected) ---
+    "trace_rank_outliers" -> ((s, dir) => {
+      val pp = Profiles.flatProfile(callEnriched(s, dir), Seq(TimeExc),
+        Name, perProcess = true)
+      graft.analysis.RobustStats.madOutliers(pp, Name, TimeExc, Process, 3)
+        .orderBy(col(Name), col(Process))
+    }),
+
     // --- load imbalance resolved over time bins (integer-exact busy) ---
     "trace_imbalance_time" -> ((s, dir) =>
       Profiles.timeImbalance(callEnriched(s, dir))
@@ -471,6 +480,16 @@ object SparkEntry {
         .agg(sum(col("volume")).as("volume"),
           count(lit(1)).as("n_channels"))
         .orderBy(col("distance"))),
+
+    // --- daily volume anomalies per event type (count vs 3·MAD) ---
+    "q_daily_anomaly" -> ((s, dir) => {
+      val daily = TraceGen.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.analysis.RobustStats.madOutliers(daily, "event_type", "n", "day", 3)
+        .orderBy(col("event_type"), col("day"))
+    }),
 
     // --- Pareto concentration: volume by user decile (Lorenz curve in
     // integer cents; ranks via distributed dense ids, cumulative over
@@ -1291,6 +1310,30 @@ object SparkEntry {
         |SELECT a.name, a.imbalance, a.mean_exc, t.top_process
         |FROM agg a JOIN top t ON a.name = t.name ORDER BY a.name""".stripMargin),
 
+    "trace_rank_outliers" -> (callCte + excByNameProcSql +
+      """, v AS (SELECT name, process, sum_exc AS time_exc FROM pp),
+        |r AS (
+        |  SELECT name, time_exc,
+        |         ROW_NUMBER() OVER (PARTITION BY name
+        |           ORDER BY time_exc, process) AS rn,
+        |         COUNT(*) OVER (PARTITION BY name) AS n
+        |  FROM v),
+        |med AS (SELECT name, time_exc AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT v.name, v.process, v.time_exc, m.med,
+        |         ABS(v.time_exc - m.med) AS dev
+        |  FROM v JOIN med m USING (name)),
+        |rd AS (
+        |  SELECT name, process, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY name
+        |           ORDER BY dev, process) AS rn,
+        |         COUNT(*) OVER (PARTITION BY name) AS n
+        |  FROM d),
+        |mad AS (SELECT name, dev AS mad FROM rd WHERE rn = (n + 1) // 2)
+        |SELECT d.name, d.process, d.time_exc, d.med, md.mad, d.dev
+        |FROM d JOIN mad md USING (name)
+        |WHERE d.dev > md.mad * 3 ORDER BY d.name, d.process""".stripMargin),
+
     "trace_imbalance_time" -> (callCte +
       """, ext AS (
         |  SELECT MIN(t0) AS lo, MAX(t1) AS hi,
@@ -1702,6 +1745,32 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_daily_anomaly" ->
+      """WITH v AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, n,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY n, day) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM v),
+        |med AS (SELECT event_type, n AS med FROM r WHERE rn = (cnt + 1) // 2),
+        |d AS (
+        |  SELECT v.event_type, v.day, v.n, m.med, ABS(v.n - m.med) AS dev
+        |  FROM v JOIN med m USING (event_type)),
+        |rd AS (
+        |  SELECT event_type, day, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY dev, day) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM rd WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, d.day, d.n, d.med, md.mad, d.dev
+        |FROM d JOIN mad md USING (event_type)
+        |WHERE d.dev > md.mad * 3 ORDER BY d.event_type, d.day""".stripMargin,
 
     "q_pareto" ->
       """WITH per AS (

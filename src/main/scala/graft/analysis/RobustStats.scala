@@ -19,30 +19,42 @@ import org.apache.spark.sql.functions._
   * any keyed window: a single key's rows sort within one task — salting
   * the rank (two-level selection) is the escape hatch if one key holds
   * billions of rows.
+  *
+  * User columns are renamed onto reserved `__` names internally — a
+  * value column that happens to be called "n" or "rn" must not collide
+  * with the ranking scaffolding (it did: a count column named `n` was
+  * silently overwritten by the window count, turning the median into
+  * the group size).
   */
 object RobustStats {
 
-  /** ⌈n·num/den⌉ over the window-count column `n`, in pure integer
+  /** ⌈n·num/den⌉ over the window-count column `__n`, in pure integer
     * arithmetic — `ceil(n * 0.9)` is NOT portable (0.9 has no exact
     * binary representation: a double engine computes 50·0.9 =
     * 45.000…001 → ⌈⌉ = 46, a decimal engine gets 45), while
     * (num·n + den − 1) div den is bit-identical everywhere. */
   private def rankAt(num: Int, den: Int): Column =
-    expr(s"($num * n + ${den - 1}) div $den")
+    expr(s"($num * __n + ${den - 1}) div $den")
+
+  private def reserved(df: DataFrame, keyCol: String, valCol: String,
+                       idCol: String): DataFrame =
+    df.select(col(keyCol).as("__key"), col(valCol).as("__val"),
+      col(idCol).as("__id"))
 
   /** Per-key order-statistic summary: n, p50, p90, max of `valCol`
     * (read at ranks ⌈0.5n⌉/⌈0.9n⌉/n in (value, id) order). */
   def percentiles(df: DataFrame, keyCol: String, valCol: String,
                   idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol), col(idCol))
-    df.select(col(keyCol), col(valCol), col(idCol))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
-      .groupBy(col(keyCol))
-      .agg(max(col("n")).as("n"),
-        max(when(col("rn") === rankAt(1, 2), col(valCol))).as("p50"),
-        max(when(col("rn") === rankAt(9, 10), col(valCol))).as("p90"),
-        max(when(col("rn") === col("n"), col(valCol))).as("max"))
+    val w = Window.partitionBy(col("__key")).orderBy(col("__val"), col("__id"))
+    reserved(df, keyCol, valCol, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__key"))))
+      .groupBy(col("__key"))
+      .agg(max(col("__n")).as("n"),
+        max(when(col("__rn") === rankAt(1, 2), col("__val"))).as("p50"),
+        max(when(col("__rn") === rankAt(9, 10), col("__val"))).as("p90"),
+        max(when(col("__rn") === col("__n"), col("__val"))).as("max"))
+      .withColumnRenamed("__key", keyCol)
   }
 
   /** Robust outliers per key: |v − median| > k·MAD, with median and MAD
@@ -52,22 +64,23 @@ object RobustStats {
     * when they deviate at all (dev > 0 = k·0). */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
                   idCol: String, k: Int = 5): DataFrame = {
-    val base = df.select(col(keyCol), col(valCol), col(idCol))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol), col(idCol))
-    val med = base.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
-      .filter(col("rn") === rankAt(1, 2))
-      .select(col(keyCol), col(valCol).as("med"))
-    val withDev = base.join(broadcast(med), Seq(keyCol))
-      .withColumn("dev", abs(col(valCol) - col("med")))
-    val wd = Window.partitionBy(col(keyCol)).orderBy(col("dev"), col(idCol))
-    val mad = withDev.withColumn("rn", row_number().over(wd))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
-      .filter(col("rn") === rankAt(1, 2))
-      .select(col(keyCol), col("dev").as("mad"))
-    withDev.join(broadcast(mad), Seq(keyCol))
-      .filter(col("dev") > col("mad") * k)
-      .select(col(keyCol), col(idCol), col(valCol), col("med"), col("mad"),
-        col("dev"))
+    val base = reserved(df, keyCol, valCol, idCol)
+    val w = Window.partitionBy(col("__key")).orderBy(col("__val"), col("__id"))
+    val med = base.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__key"))))
+      .filter(col("__rn") === rankAt(1, 2))
+      .select(col("__key"), col("__val").as("__med"))
+    val withDev = base.join(broadcast(med), Seq("__key"))
+      .withColumn("__dev", abs(col("__val") - col("__med")))
+    val wd = Window.partitionBy(col("__key")).orderBy(col("__dev"), col("__id"))
+    val mad = withDev.withColumn("__rn", row_number().over(wd))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__key"))))
+      .filter(col("__rn") === rankAt(1, 2))
+      .select(col("__key"), col("__dev").as("__mad"))
+    withDev.join(broadcast(mad), Seq("__key"))
+      .filter(col("__dev") > col("__mad") * k)
+      .select(col("__key").as(keyCol), col("__id").as(idCol),
+        col("__val").as(valCol), col("__med").as("med"),
+        col("__mad").as("mad"), col("__dev").as("dev"))
   }
 }

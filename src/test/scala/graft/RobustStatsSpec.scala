@@ -31,6 +31,17 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.toSeq == Seq((5L, 200L, 100L, 1L, 100L)))
   }
 
+  test("a value column literally named 'n' does not collide with ranking") {
+    // regression: the internal window count was once also named "n" and
+    // silently replaced the value column, turning the median into the
+    // group size (found via q_daily_anomaly returning 0 rows)
+    val df = Seq(("a", 10L, 0L), ("a", 10L, 1L), ("a", 10L, 2L),
+      ("a", 1000L, 3L)).toDF("k", "n", "day")
+    val got = RobustStats.madOutliers(df, "k", "n", "day", 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 1000L)))
+  }
+
   test("mad of zero flags any deviation at all") {
     val df = Seq(("a", 5L, 0L), ("a", 5L, 1L), ("a", 5L, 2L), ("a", 6L, 3L))
       .toDF("k", "v", "id")
