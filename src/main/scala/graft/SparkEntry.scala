@@ -481,6 +481,27 @@ object SparkEntry {
           count(lit(1)).as("n_channels"))
         .orderBy(col("distance"))),
 
+    // --- audience overlap between event types (shared-user counts) ---
+    "q_user_overlap" -> ((s, dir) => {
+      val tu = TraceGen.eventsTable(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint() // both self-join sides + the totals read this
+      val totals = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      tu.select(col("event_type").as("type_a"), col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(totals.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(totals.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_common"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // --- daily volume anomalies per event type (count vs 3·MAD) ---
     "q_daily_anomaly" -> ((s, dir) => {
       val daily = TraceGen.eventsTable(s, dir)
@@ -883,6 +904,13 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("label") === 2),
           emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- Euclidean (squared-distance) top-k, metric twin of ann_topk ---
+    "ann_topk_l2" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.l2TopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1746,6 +1774,21 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_user_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM tu GROUP BY 1),
+        |ov AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT o.type_a, o.type_b, o.n_common, ta.n AS n_a, tb.n AS n_b
+        |FROM ov o JOIN tot ta ON ta.event_type = o.type_a
+        |JOIN tot tb ON tb.event_type = o.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "q_daily_anomaly" ->
       """WITH v AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -2551,6 +2594,28 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
         |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id) AS INT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_l2" ->
+      """SELECT query_id, rank, neighbor_id, dist_sq FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+        |                                  CAST(q.embedding AS DOUBLE[]))
+        |               + list_inner_product(CAST(c.embedding AS DOUBLE[]),
+        |                                    CAST(c.embedding AS DOUBLE[]))
+        |               - 2 * list_inner_product(CAST(q.embedding AS DOUBLE[]),
+        |                                        CAST(c.embedding AS DOUBLE[])),
+        |               4) AS dist_sq,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY ROUND(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+        |                                             CAST(q.embedding AS DOUBLE[]))
+        |                    + list_inner_product(CAST(c.embedding AS DOUBLE[]),
+        |                                         CAST(c.embedding AS DOUBLE[]))
+        |                    - 2 * list_inner_product(CAST(q.embedding AS DOUBLE[]),
+        |                                             CAST(c.embedding AS DOUBLE[])), 4),
         |                    c.vec_id) AS INT) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)

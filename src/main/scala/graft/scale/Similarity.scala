@@ -256,6 +256,32 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame =
     vectors.withColumn("cluster", clusterExpr(centroids, vecCol))
 
+  /** Euclidean top-k — the metric twin of [[bruteForceTopK]] for spaces
+    * where magnitude matters (raw feature vectors, unnormalized
+    * embeddings). Ranks on SQUARED distance (monotone with L2, skips
+    * the sqrt) computed as ‖q‖² + ‖c‖² − 2·q·c from three codegen'd
+    * [[graft.functions.VecDot]] calls; ranking compares the 4dp-ROUNDED
+    * distance with the id tie-break, the repo-standard convention that
+    * makes the order reproducible on any engine. Same broadcast-query
+    * scan shape as the cosine variant. */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VecMath.dot
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("dist_sq", round(
+        dot(col("qvec"), col("qvec")) + dot(col("cvec"), col("cvec"))
+          - lit(2.0) * dot(col("qvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_sq").asc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist_sq"))
+  }
+
   /** Per-cluster embedding drift between two corpus halves — "did this
     * region of embedding space move between snapshots/shards": for each
     * (cluster, dimension), the mean embedding value of the even-id half
