@@ -737,6 +737,19 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.1, maxShingleDf = 1000)
         .orderBy(col("a"), col("b"))),
 
+    // --- asymmetric containment: subset/quote near-dups Jaccard misses ---
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), 3, 0.5, maxShingleDf = 1000)
+        .orderBy(col("a"), col("b"))),
+
+    // --- per-source quota: rank by quality, keep the top 20 per source ---
+    "q_domain_cap" -> ((s, dir) =>
+      Curation.capPerGroup(
+        T(s, dir, "documents").withColumn("quality", TextOps.quality(col("text"))),
+        "source", 20, col("quality"))
+        .select(col("source"), col("rn"), col("doc_id"), col("quality"))
+        .orderBy(col("source"), col("rn"))),
+
     "minhash_estimate" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(T(s, dir, "documents"))
       Dedup.minhashEstimate(Dedup.minhashLshPairs(sigs), sigs)
@@ -2585,6 +2598,32 @@ object SparkEntry {
         |  FROM inter JOIN sizes sa ON inter.a = sa.doc_id
         |             JOIN sizes sb ON inter.b = sb.doc_id)
         |WHERE jaccard >= 0.1 ORDER BY a, b""".stripMargin),
+
+    "dedup_containment" -> (shinglesCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |kept AS (SELECT doc_id, shingle FROM dsh
+        |         WHERE shingle IN (SELECT shingle FROM dsh
+        |                           GROUP BY shingle HAVING COUNT(*) <= 1000)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, cont_a, cont_b FROM (
+        |  SELECT a, b, ROUND(CAST(i AS DOUBLE) / sa.sz, 4) AS cont_a,
+        |         ROUND(CAST(i AS DOUBLE) / sb.sz, 4) AS cont_b
+        |  FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        |             JOIN sizes sb ON inter.b = sb.doc_id)
+        |WHERE cont_a >= 0.5 OR cont_b >= 0.5 ORDER BY a, b""".stripMargin),
+
+    "q_domain_cap" ->
+      s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents)
+         |SELECT source, rn, doc_id, quality FROM (
+         |  SELECT source, doc_id, quality,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY quality DESC, doc_id) AS INT) AS rn
+         |  FROM q)
+         |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
 
     "ann_topk" ->
       """SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (

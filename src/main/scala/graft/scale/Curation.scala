@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,20 @@ object Curation {
                        seed: Int = 7, idCol: String = "doc_id"): DataFrame = {
     val h = TextOps.md5Hash60(col(idCol).cast("string"), seed)
     val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Per-group quota — the domain/source cap every pretraining pipeline
+    * applies (no single site/source may contribute more than n documents):
+    * rank documents within each group by a quality/order column
+    * (descending, id ascending as tie-break) and keep the top n. One
+    * window over the group key — the only shuffle; skew is bounded by
+    * the largest group, and the cap itself guarantees bounded output
+    * per group. Rank on a ROUNDED or integer order column so the cut
+    * line is engine-exact. Keeps `rn` (1..n) for downstream priority. */
+  def capPerGroup(docs: DataFrame, groupCol: String, n: Int,
+                  orderCol: Column, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCol.desc, col(idCol).asc)
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 

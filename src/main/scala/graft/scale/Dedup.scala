@@ -294,7 +294,43 @@ object Dedup {
     * non-duplicates. Default (Int.MaxValue) disables the cap. */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, minJaccard: Double = 0.2,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
+                        maxShingleDf: Int = Int.MaxValue): DataFrame =
+    shinglePairStats(docs, shingleK, textCol, idCol, maxShingleDf)
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** Asymmetric shingle containment — the near-dup measure Jaccard
+    * misses: a short document quoted verbatim inside a long one has
+    * containment(short in long) ≈ 1 while Jaccard ≈ |short|/|long| ≈ 0
+    * (Broder 1997's "containment"; the measure behind quote/subset
+    * dedup passes in pretraining pipelines). For every pair sharing ≥1
+    * admitted shingle, emits both directions — cont_a = |A∩B|/|A|
+    * (fraction of a's shingle set inside b's) and cont_b = |A∩B|/|B| —
+    * keeping pairs where either direction reaches `minContainment`.
+    *
+    * Same inverted-index shape and shingle-df cap as
+    * [[ngramJaccardPairs]] — sparse, never all-pairs; with a cap, both
+    * set sizes and intersections are over the capped shingle universe,
+    * so a full verbatim inclusion still scores 1.0. */
+  def containmentPairs(docs: DataFrame, shingleK: Int = 3,
+                       minContainment: Double = 0.8,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       maxShingleDf: Int = Int.MaxValue): DataFrame =
+    shinglePairStats(docs, shingleK, textCol, idCol, maxShingleDf)
+      .withColumn("cont_a", round(col("inter").cast("double") / col("sza"), 4))
+      .withColumn("cont_b", round(col("inter").cast("double") / col("szb"), 4))
+      .filter(col("cont_a") >= minContainment || col("cont_b") >= minContainment)
+      .select(col("a"), col("b"), col("cont_a"), col("cont_b"))
+
+  /** Shared inverted-index pair pipeline: distinct (doc, shingle) rows,
+    * optional df cap, then the sparse self-join on the shingle key,
+    * aggregated to one row per co-shingled pair (a < b) carrying the
+    * intersection size and both set sizes. */
+  private def shinglePairStats(docs: DataFrame, shingleK: Int,
+                               textCol: String, idCol: String,
+                               maxShingleDf: Int): DataFrame = {
     val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
       .distinct()
     val kept =
@@ -321,10 +357,6 @@ object Dedup {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"),
         first(col("sza")).as("sza"), first(col("szb")).as("szb"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sza") + col("szb") - col("inter")), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Duplicated-span detection — the audit stage of exact substring dedup

@@ -64,6 +64,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!p.keySet.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("containment: a quoted subset scores ~1 one-way where jaccard is low") {
+    // doc 10 is 5 tokens quoted verbatim inside the 25-token doc 11:
+    // containment(10 in 11) = 1.0 while jaccard ≈ |10|/|11| stays small
+    val quoted = "alpha beta gamma delta epsilon"
+    val host = quoted + " one two three four five six seven eight nine ten" +
+      " eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val d = Seq((10L, quoted), (11L, host),
+      (12L, "totally disjoint words nothing shared here at all")).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(d, 3, 0.8).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))).toMap
+    assert(c.keySet == Set((10L, 11L)))
+    val (contA, contB) = c((10L, 11L))
+    assert(contA == 1.0)     // all of doc 10's shingles appear in doc 11
+    assert(contB < 0.8)      // the host is NOT contained in the quote
+    // the same pair is invisible to a jaccard threshold of the same level
+    val j = Dedup.ngramJaccardPairs(d, 3, 0.8).collect()
+    assert(j.isEmpty)
+  }
+
+  test("capPerGroup: per-source quota keeps top-n by order col, id tie-break") {
+    import graft.scale.Curation
+    val d = Seq(
+      (1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L), (4L, "a", 1L),
+      (5L, "b", 2L), (6L, "b", 3L)
+    ).toDF("doc_id", "src", "score")
+    val kept = Curation.capPerGroup(d, "src", 2, col("score"))
+      .select("src", "rn", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // src a: scores 9,9,5,1 → ids 2 then 3 (tie broken by id), 1 and 4 cut
+    assert(kept == Set(("a", 1, 2L), ("a", 2, 3L), ("b", 1, 6L), ("b", 2, 5L)))
+  }
+
   test("connected components: chains merge, islands stay separate") {
     // 1-2-3-4 chain (diameter 3), 7-8 pair, 9-10-11 star
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L),
