@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analysis.{AsOfJoin, CommOps, Profiles, Sessionize, TimeProfile}
+import graft.analysis.{AsOfJoin, CommOps, Profiles, Sessionize, SkewJoin, TimeProfile}
 import graft.cct.Cct
 import graft.demo.TraceGen
 import graft.enrich.{EventMatcher, Metrics}
@@ -1244,6 +1244,19 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))),
 
     // --- range join: clicks inside the 5-min window before each purchase ---
+    // --- salted skew join: events ⋈ orders on the hot user key, salted
+    // 8 ways — the result is row-identical to the plain join (the salt
+    // only reshapes the shuffle), which is exactly what the oracle checks ---
+    "q_skew_join" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir)
+      val ord = T(s, dir, "orders").withColumnRenamed("o_custkey", "user_id")
+      SkewJoin.saltedJoin(ev, ord, Seq("user_id"), 8, col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -3322,6 +3335,12 @@ object SparkEntry {
 
     // independent implementation: DuckDB plans the raw BETWEEN theta join,
     // the engine uses the binned equi-join decomposition
+    "q_skew_join" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_range_join" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS t
         |           FROM events WHERE event_type = 'click'),

@@ -124,6 +124,28 @@ class CriticalPathSpec extends SparkSpec {
     assert(got.toSeq == (0 until n).map(i => (i.toLong, i + 1)))
   }
 
+  test("a 4096-hop planted chain in noise is recovered exactly (12 rounds)") {
+    // realistic-size doubling: log2(4096) = 12 pointer-squaring rounds.
+    // 500 decoy stalls live on disjoint processes at EARLIER recv times —
+    // they are predecessors of nothing on the chain and must not leak in.
+    val n = 4096
+    val chain = (0 until n).flatMap { i =>
+      val base = 10000000L - i * 100
+      Seq((i * 2L, base, "MpiSend", i + 1, i),
+        (i * 2L + 1, base - 10, "MpiRecv", i, i + 1))
+    }
+    val noise = (0 until 500).flatMap { j =>
+      val base = 1000L + j * 2 // all far earlier than any chain recv
+      Seq((100000L + j * 2, base, "MpiSend", 10000 + j, 20000 + j),
+        (100001L + j * 2, base - 1, "MpiRecv", 20000 + j, 10000 + j))
+    }
+    val ev = trace(scala.util.Random.shuffle(chain ++ noise): _*)
+    val got = CriticalPath.stallChain(ev, localThreshold = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.length == n)
+    assert(got.toSeq == (0 until n).map(i => (i.toLong, i + 1, i)))
+  }
+
   test("critical path on a stall-free trace is empty with the right schema") {
     val ev = trace((0L, 10L, "MpiSend", 0, 1), (1L, 20L, "MpiRecv", 1, 0))
     val out = CriticalPath.criticalPath(ev)
