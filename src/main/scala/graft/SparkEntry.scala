@@ -648,6 +648,11 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(T(s, dir, "documents"))
       .orderBy(col("doc_id"), col("pos"))),
 
+    // --- keyword extraction: per-doc top-3 TF-IDF terms, integer idf ---
+    "tfidf_topterms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(T(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rn"))),
+
     // --- Heaps'-law vocabulary growth over doc-id order ---
     "vocab_growth" -> ((s, dir) =>
       TextOps.vocabGrowth(T(s, dir, "documents"))
@@ -1224,6 +1229,29 @@ object SparkEntry {
     }),
 
     // --- grouping sets: rollup over (returnflag, linestatus) ---
+    // --- CUBE grouping sets over (event_type, integer day-of-week) ---
+    "q_cube" -> ((s, dir) =>
+      TraceGen.eventsTable(s, dir)
+        .withColumn("dow", expr("((ts div 1000) div 86400000000) % 7").cast("int"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("dow"), lit(-1)).as("dow"), col("n"))
+        .orderBy(col("etype"), col("dow"))),
+
+    // --- 7-day moving volume per event type: RANGE frame over integer
+    // epoch-days (partitioned by type — never a single global window) ---
+    "q_sliding" -> ((s, dir) => {
+      val daily = TraceGen.eventsTable(s, dir)
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily.withColumn("n7", sum(col("n")).over(w))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "q_rollup" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -2037,6 +2065,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS INT) AS pos,
         |       h AS fingerprint
         |FROM hashed QUALIFY pos <= 8 ORDER BY doc_id, pos""".stripMargin),
+
+    "tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf,
+        |             CAST(ROUND(ln(n.n / df.df) * 1000000, 0) AS BIGINT) AS idf_micro
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rn, term, score FROM (
+        |  SELECT doc_id, term, CAST(tf * idf_micro AS BIGINT) AS score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY tf * idf_micro DESC, term) AS INT) AS rn
+        |  FROM s)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS representative,
@@ -3317,6 +3363,24 @@ object SparkEntry {
         |SELECT o_custkey, 'churned' AS cohort
         |FROM (SELECT o_custkey FROM b95 EXCEPT SELECT o_custkey FROM b96)
         |ORDER BY cohort, o_custkey""".stripMargin,
+
+    "q_cube" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow
+        |           FROM events)
+        |SELECT COALESCE(event_type, 'ALL') AS etype,
+        |       COALESCE(dow, -1) AS dow, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e GROUP BY CUBE (event_type, dow)
+        |ORDER BY etype, dow""".stripMargin,
+
+    "q_sliding" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, n,
+        |       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+        |FROM d ORDER BY event_type, day""".stripMargin,
 
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,

@@ -124,6 +124,34 @@ object TextOps {
                    idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), quality(col(textCol)).as("quality"))
 
+  /** Per-document top-n TF-IDF terms — keyword extraction, the classic
+    * relevance heuristic (Spärck Jones 1972). idf is carried as an
+    * INTEGER micro-unit weight (round(ln(N/df)·10⁶)) so scores and the
+    * per-doc ranking are engine-exact; rank ties break on the term.
+    *
+    * Scale shape: one scan → per-(doc, term) counts (map-side combine);
+    * df rides a window over the term key (rows are unique per (doc,
+    * term) there, so a plain COUNT is the containing-doc count — same
+    * trick as [[graft.scale.Dedup.duplicatedSpans]]); one per-doc
+    * ranking window. No join against a separate df table, no
+    * driver-side vocabulary. */
+  def tfidfTopTerms(docs: DataFrame, topN: Int = 3, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count()
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("idf_micro",
+        round(log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long"))
+      .withColumn("score", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)
+      .select(col(idCol), col("rn"), col("term"), col("score"))
+  }
+
   /** Character-n-gram language ID: score each candidate language by overlap
     * between the document's character trigrams and a per-language profile
     * learned from a labeled sample (`profiles`: lang → top trigrams).

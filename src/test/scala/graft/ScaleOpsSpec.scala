@@ -84,6 +84,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(j.isEmpty)
   }
 
+  test("tfidf: a repeated rare term outranks ubiquitous stopwords") {
+    val d = Seq(
+      (0L, "spark spark spark the the and and"),
+      (1L, "the and kernel"),
+      (2L, "the and matrix")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(d, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rn")) -> r.getAs[String]("term"))
+      .toMap
+    // "spark" is unique to doc 0 AND repeated; "the"/"and" appear in all
+    // three docs → idf = ln(1) = 0, so they can never outrank real terms
+    assert(top((0L, 1)) == "spark")
+    assert(top((1L, 1)) == "kernel")
+    assert(top((2L, 1)) == "matrix")
+    // rank-2 terms in docs 1/2 are zero-score stopwords, tie-broken by term
+    assert(top((1L, 2)) == "and")
+  }
+
   test("capPerGroup: per-source quota keeps top-n by order col, id tie-break") {
     import graft.scale.Curation
     val d = Seq(
