@@ -609,6 +609,18 @@ object SparkEntry {
       CommOps.commUnmatched(TraceGen.commTrace(s, dir))
         .orderBy(col("src"), col("dst"), col("side"))),
 
+    // --- per-channel message-latency order statistics (rank-selected,
+    // integer ns — no interpolation, engine-exact) ---
+    "comm_latency_pctl" -> ((s, dir) => {
+      val m = CommOps.matchMessages(TraceGen.commTrace(s, dir))
+        .withColumn("pair", concat_ws(">",
+          col("src").cast("string"), col("dst").cast("string")))
+      graft.analysis.RobustStats.percentiles(m, "pair", "latency_ns", "recv_event_id")
+        .select(col("pair"), col("n"), col("p50").as("p50_ns"),
+          col("p90").as("p90_ns"), col("max").as("max_ns"))
+        .orderBy(col("pair"))
+    }),
+
     // --- critical-path-style stall chain from the last late stall ---
     "comm_stall_chain" -> ((s, dir) =>
       graft.analysis.CriticalPath.stallChain(TraceGen.commTrace(s, dir))
@@ -1661,6 +1673,35 @@ object SparkEntry {
         |    WHERE s.src = r.src AND s.dst = r.dst AND s.k = r.k))
         |SELECT src, dst, side, CAST(COUNT(*) AS BIGINT) AS n_unmatched
         |FROM lone GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "comm_latency_pctl" -> (commCte +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         timestamp_ns AS send_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         timestamp_ns AS recv_ts, event_id AS recv_event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv')),
+        |p AS (
+        |  SELECT CAST(s.src AS VARCHAR) || '>' || CAST(s.dst AS VARCHAR) AS pair,
+        |         CAST(r.recv_ts - s.send_ts AS BIGINT) AS lat, r.recv_event_id AS id
+        |  FROM sends s JOIN recvs r
+        |    ON s.src = r.src AND s.dst = r.dst AND s.k = r.k),
+        |r2 AS (
+        |  SELECT pair, lat,
+        |         ROW_NUMBER() OVER (PARTITION BY pair ORDER BY lat, id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY pair) AS n
+        |  FROM p)
+        |SELECT pair, CAST(MAX(n) AS BIGINT) AS n,
+        |       MAX(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS p50_ns,
+        |       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lat END) AS p90_ns,
+        |       MAX(CASE WHEN rn = n THEN lat END) AS max_ns
+        |FROM r2 GROUP BY pair ORDER BY pair""".stripMargin),
 
     "comm_stall_chain" -> (commCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, sends AS (
