@@ -26,7 +26,9 @@ object ExplainAudit {
             "q_asof", "q_range_join", "hybrid_topk", "graph_pagerank",
             "q_concurrency", "graph_triangles", "trace_duration_pctl",
             "q_outliers", "source_crossent", "emb_drift",
-            "trace_imbalance_time"))) {
+            "trace_imbalance_time", "dedup_containment", "q_domain_cap",
+            "q_skew_join", "tfidf_topterms", "q_cube", "q_sliding",
+            "comm_latency_pctl"))) {
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
