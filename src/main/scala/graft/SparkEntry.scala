@@ -1240,7 +1240,6 @@ object SparkEntry {
         .orderBy(col("cohort"), col("o_custkey"))
     }),
 
-    // --- grouping sets: rollup over (returnflag, linestatus) ---
     // --- CUBE grouping sets over (event_type, integer day-of-week) ---
     "q_cube" -> ((s, dir) =>
       TraceGen.eventsTable(s, dir)
@@ -1264,6 +1263,7 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // --- grouping sets: rollup over (returnflag, linestatus) ---
     "q_rollup" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1283,7 +1283,6 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("o_orderpriority"))),
 
-    // --- range join: clicks inside the 5-min window before each purchase ---
     // --- salted skew join: events ⋈ orders on the hot user key, salted
     // 8 ways — the result is row-identical to the plain join (the salt
     // only reshapes the shuffle), which is exactly what the oracle checks ---
@@ -1297,6 +1296,7 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // --- range join: clicks inside the 5-min window before each purchase ---
     "q_range_join" -> ((s, dir) => {
       val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -3438,14 +3438,14 @@ object SparkEntry {
         |       ROUND(SUM(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // independent implementation: DuckDB plans the raw BETWEEN theta join,
-    // the engine uses the binned equi-join decomposition
     "q_skew_join" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events e JOIN orders o ON e.user_id = o.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // independent implementation: DuckDB plans the raw BETWEEN theta join,
+    // the engine uses the binned equi-join decomposition
     "q_range_join" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS t
         |           FROM events WHERE event_type = 'click'),

@@ -34,9 +34,11 @@ object SkewJoin {
                  salts: Int, saltBy: Column): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val salt = "__graft_salt"
+    // NULL saltBy must still land in a bucket (a NULL salt would silently
+    // drop the row from the inner join, breaking plain-join row-identity)
     val l = left.withColumn(salt,
-      pmod(graft.scale.TextOps.md5Hash60(saltBy.cast("string"), 7), lit(salts.toLong))
-        .cast("int"))
+      pmod(graft.scale.TextOps.md5Hash60(coalesce(saltBy.cast("string"), lit("")), 7),
+        lit(salts.toLong)).cast("int"))
     val r = right.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ salt).drop(salt)

@@ -138,13 +138,15 @@ object TextOps {
   def tfidfTopTerms(docs: DataFrame, topN: Int = 3, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.count()
+    // N stays inside the lazy plan (broadcast one-row aggregate) — a
+    // driver-side docs.count() here would be a second full corpus scan
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val scored = tf
+    val scored = tf.crossJoin(broadcast(nDocs))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("idf_micro",
-        round(log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long"))
+        round(log(col("__n_docs") / col("df")) * 1e6).cast("long"))
       .withColumn("score", col("tf") * col("idf_micro"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)

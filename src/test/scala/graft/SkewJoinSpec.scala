@@ -30,6 +30,13 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("NULL saltBy rows still land in a bucket (no silent row loss)") {
+    val l = Seq((Option(1L), 2L), (Option.empty[Long], 2L)).toDF("row_id", "k")
+    val r = Seq((2L, "x")).toDF("k", "v")
+    val salted = SkewJoin.saltedJoin(l, r, Seq("k"), 8, col("row_id"))
+    assert(salted.count() == 2) // plain inner join keeps both rows
+  }
+
   test("salt values are deterministic and span the salt range") {
     val salt = pmod(graft.scale.TextOps.md5Hash60(col("row_id").cast("string"), 7),
       lit(16L)).cast("int")
