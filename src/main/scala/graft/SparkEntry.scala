@@ -408,6 +408,25 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy(col("occurrence"), col(EventId))
     }),
 
+    // --- plan-native motif occurrence scan (MotifScan): distance profile
+    // of a known 16-point motif over 4 processes' integer series — ONE
+    // exchange (windowed collect_list), codegen'd VecDot kernel, exact
+    // integer dist² so the three planted occurrences score exactly 0 ---
+    "trace_pattern_scan" -> ((s, dir) => {
+      val n = 512; val m = 16
+      val motif = Array.tabulate(m)(j => (((j * 37) % 83) * 10 + 100).toDouble)
+      def qv(off: Column): Column = ((off * 37) % 83) * 10 + 100
+      val pts = s.range(4).toDF("p").crossJoin(s.range(n.toLong).toDF("i"))
+      val planted = when(col("p") === 1 && col("i").between(100, 100 + m - 1), qv(col("i") - 100))
+        .when(col("p") === 1 && col("i").between(300, 300 + m - 1), qv(col("i") - 300))
+        .when(col("p") === 3 && col("i").between(50, 50 + m - 1), qv(col("i") - 50))
+        .otherwise(TextOps.md5Hash60(concat_ws(":", col("p"), col("i")), lit("m")) % 900 + 1)
+      val series = pts.select(col("p").as("process"), col("i").as("idx"),
+        planted.cast("double").as("value"))
+      graft.analysis.MotifScan.topOccurrences(series, motif, 25)
+        .select(col("process"), col("start"), col("dist2").cast("long").as("dist2"))
+    }),
+
     // --- relational coverage (Catalyst-planned aggregates/joins/windows) ---
     "q1_pricing" -> ((s, dir) => T(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -2064,6 +2083,33 @@ object SparkEntry {
         |       CAST(2 * (200 * o.generate_series + j.generate_series) + 1 AS BIGINT) AS event_id
         |FROM generate_series(0, 4) o, generate_series(0, 49) j
         |ORDER BY occurrence, event_id""".stripMargin,
+
+    // independent implementation: the engine assembles windows with an
+    // ordered collect_list frame + VecDot; DuckDB recomputes each window
+    // as a theta-join on the offset and aggregates the squared deltas.
+    // All values are integers, so dist2 is engine-exact.
+    "trace_pattern_scan" ->
+      """WITH pts AS (
+        |  SELECT p.generate_series AS p, i.generate_series AS i,
+        |    CASE WHEN p.generate_series = 1 AND i.generate_series BETWEEN 100 AND 115
+        |           THEN ((i.generate_series - 100) * 37) % 83 * 10 + 100
+        |         WHEN p.generate_series = 1 AND i.generate_series BETWEEN 300 AND 315
+        |           THEN ((i.generate_series - 300) * 37) % 83 * 10 + 100
+        |         WHEN p.generate_series = 3 AND i.generate_series BETWEEN 50 AND 65
+        |           THEN ((i.generate_series - 50) * 37) % 83 * 10 + 100
+        |         ELSE CAST(concat('0x', substr(md5('m:' || p.generate_series || ':' || i.generate_series), 1, 15)) AS BIGINT) % 900 + 1
+        |    END AS v
+        |  FROM generate_series(0, 3) p, generate_series(0, 511) i),
+        |q AS (SELECT j.generate_series AS j,
+        |             (j.generate_series * 37) % 83 * 10 + 100 AS qv
+        |      FROM generate_series(0, 15) j),
+        |prof AS (
+        |  SELECT pts.p AS process, pts.i - q.j AS start,
+        |         SUM((pts.v - q.qv) * (pts.v - q.qv)) AS dist2
+        |  FROM pts JOIN q ON pts.i - q.j BETWEEN 0 AND 496
+        |  GROUP BY 1, 2 HAVING COUNT(*) = 16)
+        |SELECT process, start, CAST(dist2 AS BIGINT) AS dist2
+        |FROM prof ORDER BY dist2, process, start LIMIT 25""".stripMargin,
 
     // bpeish tokens = alnum runs + each non-space/non-alnum char as its own
     // token (RE2 has no lookarounds, so the oracle counts the two classes)
