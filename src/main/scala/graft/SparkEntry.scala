@@ -900,6 +900,14 @@ object SparkEntry {
       Curation.chunkDocs(T(s, dir, "documents"))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // --- content-defined chunking: gear rolling hash with md5-derived
+    // per-char weights; boundaries where the low 6 hash bits are zero.
+    // A narrow codegen'd scan + posexplode — ZERO shuffle; chunk_md5 is
+    // the insertion-stable delta-dedup key ---
+    "cdc_chunks" -> ((s, dir) =>
+      TextOps.cdcChunks(T(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "vocab_top" -> ((s, dir) => {
       val toks = T(s, dir, "documents")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
@@ -2643,6 +2651,41 @@ object SparkEntry {
         |  array_to_string(arr[(chunk_id * 48 + 1):LEAST(chunk_id * 48 + 64, n)], ' ')
         |    AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // independent implementation: the engine rolls the gear hash in one
+    // linear pass per row (custom expression); DuckDB rebuilds every
+    // length-8 window by a positional self-join and aggregates
+    // gv * 2^(offset). All terms are integers < 2^38 — engine-exact.
+    "cdc_chunks" ->
+      """WITH lens AS (SELECT doc_id, text, length(text) AS n
+        |              FROM documents WHERE length(text) > 0),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM lens),
+        |ch AS (SELECT p.doc_id, p.i, substr(l.text, CAST(p.i AS INT), 1) AS c
+        |       FROM pos p JOIN lens l USING (doc_id)),
+        |g AS (SELECT c, CAST(concat('0x', substr(md5('g:' || c), 1, 15)) AS BIGINT)
+        |               % 1073741824 AS gv
+        |      FROM (SELECT DISTINCT c FROM ch)),
+        |cg AS (SELECT ch.doc_id, ch.i, g.gv FROM ch JOIN g USING (c)),
+        |h AS (SELECT a.doc_id, a.i,
+        |             SUM(b.gv * CASE a.i - b.i WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16
+        |                 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 END) AS hv
+        |      FROM cg a JOIN cg b
+        |        ON a.doc_id = b.doc_id AND a.i - b.i BETWEEN 0 AND 7
+        |      GROUP BY 1, 2 HAVING COUNT(*) = 8),
+        |bnd AS (SELECT doc_id, i FROM h WHERE hv % 64 = 0
+        |        UNION SELECT doc_id, n FROM lens),
+        |ck AS (SELECT doc_id, i AS e,
+        |              lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS pe
+        |       FROM bnd)
+        |SELECT ck.doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY ck.doc_id ORDER BY ck.e) AS INT)
+        |    AS chunk_idx,
+        |  CAST(ck.pe + 1 AS INT) AS start, CAST(ck.e - ck.pe AS INT) AS len,
+        |  md5(substr(l.text, CAST(ck.pe + 1 AS INT), CAST(ck.e - ck.pe AS INT)))
+        |    AS chunk_md5
+        |FROM ck JOIN lens l USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "vocab_top" ->
       """SELECT lang, CAST(rn AS INT) AS rn, tok, c FROM (

@@ -124,6 +124,24 @@ object TextOps {
                    idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), quality(col(textCol)).as("quality"))
 
+  /** Content-defined chunks per document (see [[graft.functions.Cdc]]):
+    * boundaries from a gear rolling hash, so chunk identity (chunk_md5)
+    * survives insertions/deletions — the delta-dedup primitive. The
+    * whole operator is a narrow, codegen'd projection + posexplode: NO
+    * shuffle, parallelism = input splits, which is exactly the 100 TB
+    * shape (chunk hashes then feed a hash-groupBy dedup like
+    * [[graft.scale.Dedup.exactDedup]]). */
+  def cdcChunks(docs: DataFrame, w: Int = 8, maskBits: Int = 6,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), col(textCol),
+        posexplode(graft.functions.Cdc.bounds(col(textCol), w, maskBits))
+          .as(Seq("__graft_ci", "__graft_b")))
+      .select(col(idCol), (col("__graft_ci") + 1).as("chunk_idx"),
+        col("__graft_b.start").as("start"), col("__graft_b.len").as("len"),
+        md5(col(textCol).substr(col("__graft_b.start"), col("__graft_b.len")))
+          .as("chunk_md5"))
+
   /** Per-document top-n TF-IDF terms — keyword extraction, the classic
     * relevance heuristic (Spärck Jones 1972). idf is carried as an
     * INTEGER micro-unit weight (round(ln(N/df)·10⁶)) so scores and the
