@@ -52,8 +52,11 @@ object MotifScan {
     val v = col(valueCol).cast("double")
     val sumSqMotif = motif.map(q => q * q).sum
     series
-      .withColumn("__graft_win", collect_list(v).over(w))
-      .withColumn("__graft_sumsq", sum(v * v).over(w))
+      // both aggregates declared together → ONE physical Window operator
+      // (a second withColumn would give Catalyst two Window passes)
+      .select(col(processCol), col(idxCol),
+        collect_list(v).over(w).as("__graft_win"),
+        sum(v * v).over(w).as("__graft_sumsq"))
       .filter(size(col("__graft_win")) === m)
       .select(col(processCol), col(idxCol).as("start"),
         (col("__graft_sumsq") + lit(sumSqMotif)
