@@ -908,6 +908,23 @@ object SparkEntry {
       TextOps.cdcChunks(T(s, dir, "documents"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // --- CDC chunks composed into the dedup signal they exist for:
+    // per-doc count/chars of chunks whose hash appears in another doc.
+    // All three shuffles are keyed (md5 agg, md5 join-back, doc agg) —
+    // the shape that holds at 100 TB; no window over the full corpus ---
+    "cdc_dedup" -> ((s, dir) => {
+      val ch = TextOps.cdcChunks(T(s, dir, "documents"))
+      val hashDocs = ch.groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("__graft_nd"))
+      ch.join(hashDocs, Seq("chunk_md5"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__graft_nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("__graft_nd") > 1, col("len").cast("long"))
+            .otherwise(0L)).as("shared_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "vocab_top" -> ((s, dir) => {
       val toks = T(s, dir, "documents")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
@@ -2686,6 +2703,42 @@ object SparkEntry {
         |    AS chunk_md5
         |FROM ck JOIN lens l USING (doc_id)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "cdc_dedup" ->
+      """WITH lens AS (SELECT doc_id, text, length(text) AS n
+        |              FROM documents WHERE length(text) > 0),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM lens),
+        |ch AS (SELECT p.doc_id, p.i, substr(l.text, CAST(p.i AS INT), 1) AS c
+        |       FROM pos p JOIN lens l USING (doc_id)),
+        |g AS (SELECT c, CAST(concat('0x', substr(md5('g:' || c), 1, 15)) AS BIGINT)
+        |               % 1073741824 AS gv
+        |      FROM (SELECT DISTINCT c FROM ch)),
+        |cg AS (SELECT ch.doc_id, ch.i, g.gv FROM ch JOIN g USING (c)),
+        |h AS (SELECT a.doc_id, a.i,
+        |             SUM(b.gv * CASE a.i - b.i WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16
+        |                 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 END) AS hv
+        |      FROM cg a JOIN cg b
+        |        ON a.doc_id = b.doc_id AND a.i - b.i BETWEEN 0 AND 7
+        |      GROUP BY 1, 2 HAVING COUNT(*) = 8),
+        |bnd AS (SELECT doc_id, i FROM h WHERE hv % 64 = 0
+        |        UNION SELECT doc_id, n FROM lens),
+        |ck AS (SELECT doc_id, i AS e,
+        |              lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS pe
+        |       FROM bnd),
+        |chunks AS (
+        |  SELECT ck.doc_id, ck.e - ck.pe AS len,
+        |         md5(substr(l.text, CAST(ck.pe + 1 AS INT),
+        |                    CAST(ck.e - ck.pe AS INT))) AS chunk_md5
+        |  FROM ck JOIN lens l USING (doc_id)),
+        |hd AS (SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
+        |       FROM chunks GROUP BY 1)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN hd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       CAST(SUM(CASE WHEN hd.nd > 1 THEN c.len ELSE 0 END) AS BIGINT)
+        |         AS shared_chars
+        |FROM chunks c JOIN hd USING (chunk_md5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "vocab_top" ->
       """SELECT lang, CAST(rn AS INT) AS rn, tok, c FROM (
