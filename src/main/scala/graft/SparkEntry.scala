@@ -144,9 +144,16 @@ object SparkEntry {
       true
     })
   }
+  /** Memoized MinHash signature table — five queries (minhash_sig,
+    * lsh_tuning, minhash_pairs, minhash_estimate, dup_cross_source) and
+    * the LSH component build all start from the identical signatures;
+    * the shingle→md5→min pipeline is the dominant cost, so build once. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "minhash_sigs")(
+      Dedup.minhashSignatures(T(s, dir, "documents")))
   private def lshComponents(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "lsh_components")(
-      Dedup.connectedComponents(Dedup.minhashLsh(T(s, dir, "documents"))))
+      Dedup.connectedComponents(Dedup.minhashLshPairs(minhashSigs(s, dir))))
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "winnow_fp")(
       TextOps.winnowFingerprint(T(s, dir, "documents")))
@@ -713,16 +720,15 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(T(s, dir, "documents"))
       .orderBy(col("representative"))),
 
-    "minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(T(s, dir, "documents"))
+    "minhash_sig" -> ((s, dir) => minhashSigs(s, dir)
       .orderBy(col("doc_id"), col("seed"))),
 
     // --- LSH banding parameter sweep over one signature table ---
     "lsh_tuning" -> ((s, dir) =>
-      Dedup.lshTuning(
-          Dedup.minhashSignatures(T(s, dir, "documents")).localCheckpoint())
+      Dedup.lshTuning(minhashSigs(s, dir))
         .orderBy(col("bands"))),
 
-    "minhash_pairs" -> ((s, dir) => Dedup.minhashLsh(T(s, dir, "documents"))
+    "minhash_pairs" -> ((s, dir) => Dedup.minhashLshPairs(minhashSigs(s, dir))
       .orderBy(col("a"), col("b"))),
 
     "simhash" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))
@@ -758,7 +764,8 @@ object SparkEntry {
 
     // --- syndication: near-dup pairs crossing source boundaries ---
     "dup_cross_source" -> ((s, dir) =>
-      Dedup.crossGroupPairs(T(s, dir, "documents"))
+      Dedup.crossGroupPairs(T(s, dir, "documents"),
+          pairs = Some(Dedup.minhashLshPairs(minhashSigs(s, dir))))
         .orderBy(col("a"), col("b"))),
 
     // --- pivot: source x language count matrix ---
@@ -787,7 +794,7 @@ object SparkEntry {
         .orderBy(col("source"), col("rn"))),
 
     "minhash_estimate" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(T(s, dir, "documents"))
+      val sigs = minhashSigs(s, dir)
       Dedup.minhashEstimate(Dedup.minhashLshPairs(sigs), sigs)
         .orderBy(col("a"), col("b"))
     }),
