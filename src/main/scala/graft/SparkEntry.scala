@@ -68,6 +68,13 @@ object SparkEntry {
       registerCleanup(s)
       Similarity.kmeansFit(T(s, dir, "embeddings"))
     })
+  private val sq8Cache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (Array[Double], Array[Double])]()
+  private def embSq8(s: SparkSession, dir: String): (Array[Double], Array[Double]) =
+    sq8Cache.getOrElseUpdate((s, dir), {
+      registerCleanup(s)
+      Similarity.sq8Fit(T(s, dir, "embeddings"))
+    })
   private val pqCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Array[Double]]]]()
   private def embCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
@@ -105,6 +112,7 @@ object SparkEntry {
     for (k <- dfCache.keys if k._1 == s;
          df <- dfCache.remove(k) if !stopped) df.unpersist()
     for (k <- kmeansCache.keys if k._1 == s) kmeansCache.remove(k)
+    for (k <- sq8Cache.keys if k._1 == s) sq8Cache.remove(k)
     for (k <- pqCache.keys if k._1 == s) pqCache.remove(k)
     for (k <- ivfIndexCache.keys if k._1 == s;
          path <- ivfIndexCache.remove(k)) deleteRecursively(new java.io.File(path))
@@ -119,6 +127,7 @@ object SparkEntry {
   private[graft] def cachedEntryCount(s: SparkSession): Int =
     enrichedCache.keys.count(_._1 == s) + dfCache.keys.count(_._1 == s) +
       kmeansCache.keys.count(_._1 == s) + pqCache.keys.count(_._1 == s) +
+      sq8Cache.keys.count(_._1 == s) +
       ivfIndexCache.keys.count(_._1 == s)
 
   /** One application-end listener per SparkContext: final cleanup for
@@ -133,7 +142,7 @@ object SparkEntry {
           override def onApplicationEnd(
               end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             enrichedCache.clear(); dfCache.clear()
-            kmeansCache.clear(); pqCache.clear()
+            kmeansCache.clear(); pqCache.clear(); sq8Cache.clear()
             // on-disk indexes are per-process — remove them, or every JVM
             // run leaves a corpus-sized directory behind in /tmp
             ivfIndexCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
@@ -973,6 +982,26 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- SQ8 scalar quantization: per-dim [min,max] fit (cached like
+    // the k-means/PQ models), codes packed by a codegen'd loop — the
+    // exploded (vec,dim,code) form is presentation-only ---
+    "sq8_codes" -> ((s, dir) => {
+      val (mn, mx) = embSq8(s, dir)
+      Similarity.sq8Codes(T(s, dir, "embeddings"), mn, mx)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("d", "code")))
+        .select(col("vec_id"), (col("d") + 1).as("dim"), col("code"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // --- symmetric SQ8 search: integer code-space distance, so the
+    // ranking is engine-exact (no float-summation-order flake) ---
+    "ann_sq8" -> ((s, dir) => {
+      val (mn, mx) = embSq8(s, dir)
+      val emb = T(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), 5, mn, mx)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2885,6 +2914,47 @@ object SparkEntry {
         |                    c.vec_id) AS INT) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the engine packs codes in a codegen'd loop; DuckDB re-derives
+    // them per (vec, dim). Identical IEEE double expression + LEAST
+    // clamp → identical codes; distances are pure integers.
+    "sq8_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT e.vec_id, CAST(g.generate_series AS INT) AS dim,
+        |              e.v[g.generate_series] AS x
+        |       FROM e, generate_series(1, 64) g),
+        |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ev GROUP BY 1)
+        |SELECT ev.vec_id, ev.dim,
+        |       CAST(CASE WHEN st.mx = st.mn THEN 0
+        |            ELSE LEAST(FLOOR((ev.x - st.mn) * 255.0 / (st.mx - st.mn)), 255.0)
+        |            END AS INT) AS code
+        |FROM ev JOIN st USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    "ann_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT e.vec_id, CAST(g.generate_series AS INT) AS dim,
+        |              e.v[g.generate_series] AS x
+        |       FROM e, generate_series(1, 64) g),
+        |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ev GROUP BY 1),
+        |codes AS (
+        |  SELECT ev.vec_id, ev.dim,
+        |         CAST(CASE WHEN st.mx = st.mn THEN 0
+        |              ELSE LEAST(FLOOR((ev.x - st.mn) * 255.0 / (st.mx - st.mn)), 255.0)
+        |              END AS INT) AS code
+        |  FROM ev JOIN st USING (dim)),
+        |qd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         SUM(CAST((q.code - c.code) * (q.code - c.code) AS BIGINT)) AS dist2
+        |  FROM codes q JOIN codes c ON q.dim = c.dim AND q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10 GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+        |       CAST(dist2 AS BIGINT) AS dist2 FROM (
+        |  SELECT query_id, neighbor_id, dist2,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY dist2, neighbor_id) AS rank
+        |  FROM qd)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_topk_l2" ->

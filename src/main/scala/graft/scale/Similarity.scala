@@ -657,4 +657,62 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
   }
+
+  /** SQ8 "training": per-dimension corpus [min, max]. One narrow
+    * posexplode + dim-keyed aggregate (map-side combined, dim distinct
+    * keys), then a dimension-bounded collect — the same locality call
+    * as [[kmeansFit]]: model size is O(dim), never O(corpus). */
+  def sq8Fit(vectors: DataFrame, vecCol: String = "embedding",
+             dim: Int = -1): (Array[Double], Array[Double]) = {
+    val d = inferDim(vectors, vecCol, dim)
+    val mins = new Array[Double](d); val maxs = new Array[Double](d)
+    vectors.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect()
+      .foreach { r =>
+        val i = r.getInt(0)
+        if (i < d) { mins(i) = r.getDouble(1); maxs(i) = r.getDouble(2) }
+      }
+    (mins, maxs)
+  }
+
+  /** Packed SQ8 codes: (id, codes array<int>) via the codegen'd
+    * [[graft.functions.VecSq8]] loop — no per-dimension row blowup in
+    * the hot path (the exploded form exists only for presentation and
+    * SQL oracles). */
+  def sq8Codes(vectors: DataFrame, mins: Array[Double], maxs: Array[Double],
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    vectors.select(col(idCol),
+      graft.functions.VecQuant.sq8(col(vecCol), mins, maxs).as("codes"))
+
+  /** Symmetric SQ8 top-k: rank by Σ(q_code − c_code)² — order-free
+    * INTEGER arithmetic, so the ranking is engine-exact (the draw of
+    * symmetric code-space search next to the float asymmetric variant).
+    * Same broadcast-queries shape as [[bruteForceTopK]]; the Σq²+Σc²−2qc
+    * expansion reuses the codegen'd [[VecMath.dot]] kernel on the
+    * integer-valued code vectors. Queries must come from the trained
+    * range (codes clamp at the corpus extremes). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              mins: Array[Double], maxs: Array[Double],
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    def coded(df: DataFrame, side: String) = df.select(
+        col(idCol).as(s"${side}_id"),
+        graft.functions.VecQuant.sq8(col(vecCol), mins, maxs)
+          .cast("array<double>").as(s"${side}_c"))
+      .withColumn(s"${side}_ss",
+        graft.functions.VecMath.dot(col(s"${side}_c"), col(s"${side}_c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2"), col("neighbor_id"))
+    coded(corpus, "neighbor").crossJoin(broadcast(coded(queries, "query")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("query_ss") + col("neighbor_ss") -
+          lit(2.0) * graft.functions.VecMath.dot(col("query_c"), col("neighbor_c")))
+          .as("dist2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dist2").cast("long").as("dist2"))
+  }
 }
