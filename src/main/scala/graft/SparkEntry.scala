@@ -1410,7 +1410,86 @@ object SparkEntry {
           FROM emb_sql c JOIN emb_sql q
             ON q.vec_id < 5 AND q.vec_id != c.vec_id)
         WHERE rank <= 3 ORDER BY query_id, rank""")
-    })
+    }),
+
+    // --- merged interval coverage per user: union of event spans via the
+    // running-max island scan (one keyed window, no overlap self-join) ---
+    "q_interval_merge" -> ((s, dir) => {
+      val iv = TraceGen.eventsTable(s, dir).select(
+        col("user_id"),
+        expr("ts div 1000").cast("long").as("start"),
+        (expr("ts div 1000") +
+          round(col("value") * 100).cast("long") * 10).as("end"))
+      graft.analysis.Intervals.coverage(iv, "user_id")
+        .select(col("user_id"), col("n_merged"),
+          col("covered").as("covered_us"), col("max_merged"))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- SCD2: order-status validity intervals per customer (run
+    // compression in (day, orderkey) order; open version has null end) ---
+    "q_scd2" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)").as("day"),
+        col("o_orderstatus"), col("o_orderkey"))
+      graft.analysis.Scd.type2(o, "o_custkey", "day", "o_orderstatus",
+          "o_orderkey")
+        .select(col("o_custkey"), col("version").cast("long").as("version"),
+          col("attr").as("status"), col("valid_from").as("from_day"),
+          col("valid_to").as("to_day"), col("n_rows").as("n_orders"))
+        .orderBy(col("o_custkey"), col("version"))
+    }),
+
+    // --- daily per-type counts, gap days zero-filled, with cumulative ---
+    "q_gapfill" -> ((s, dir) => {
+      val daily = TraceGen.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.analysis.GapFill.zeroFill(daily, "event_type", "day", "n")
+        .select(col("event_type"), col("day"), col("n"), col("cum_n"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // --- blocked fuzzy self-match of part names: same last token (the
+    // noun), Levenshtein <= 2 — equi-join on the block, never all-pairs ---
+    "fuzzy_names" -> ((s, dir) =>
+      graft.analysis.FuzzyJoin.selfPairs(T(s, dir, "part"), "p_name",
+          n => element_at(split(n, " "), -1), maxDist = 2)
+        .select(col("name_a"), col("name_b"),
+          col("dist").cast("int").as("dist"))
+        .orderBy(col("name_a"), col("name_b"))),
+
+    // --- z-order layout audit: Morton-bucket occupancy and per-bucket
+    // dimension bounds (tight boxes = min/max pruning works) ---
+    "q_zorder" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        (col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+      li.withColumn("z", graft.scale.Layout.zValue(col("x"), col("y"), 10))
+        .groupBy(expr("z div 1024").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("bucket"))
+    }),
+
+    // --- global Pareto frontier of orders (price vs recency), via the
+    // sorted-partition prefix-max scheme (oracle uses NOT EXISTS) ---
+    "q_skyline" -> ((s, dir) => {
+      val pts = T(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(round(col("o_totalprice") * 100).cast("long").as("price_c"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)").as("day"))
+      graft.analysis.Skyline.skyline2D(pts, "price_c", "day")
+        .orderBy(col("price_c").desc, col("day"))
+    }),
+
+    // --- distributed BPE merge training over the corpus (one corpus
+    // scan, then per-iteration shuffles of the vocab table only) ---
+    "bpe_merges" -> ((s, dir) =>
+      graft.scale.Bpe.learnMerges(T(s, dir, "documents"), "text", nMerges = 8)
+        .select(col("merge_rank"), col("left_sym"), col("right_sym"),
+          col("weight"))
+        .orderBy(col("merge_rank")))
   )
 
   // ----------------------------------------------------------------- oracle
@@ -3689,8 +3768,154 @@ object SparkEntry {
         |                    c.vec_id) AS INT) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 5)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 10 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN MAX(e) OVER pw IS NULL OR s > MAX(e) OVER pw
+        |              THEN 1 ELSE 0 END AS newi
+        |  FROM iv
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |         SUM(newi) OVER (PARTITION BY user_id ORDER BY s, e
+        |                         ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |g AS (SELECT user_id, island, MIN(s) AS s, MAX(e) AS e,
+        |             COUNT(*) AS ns
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_merged,
+        |       CAST(SUM(e - s) AS BIGINT) AS covered_us,
+        |       CAST(MAX(ns) AS BIGINT) AS max_merged
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+        |         o_orderstatus, o_orderkey FROM orders),
+        |f AS (
+        |  SELECT o_custkey, day, o_orderstatus, o_orderkey,
+        |         CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+        |              WHEN NOT (o_orderstatus IS NOT DISTINCT FROM
+        |                        LAG(o_orderstatus) OVER w) THEN 1
+        |              ELSE 0 END AS chg
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)),
+        |v AS (
+        |  SELECT o_custkey, day, o_orderstatus,
+        |         SUM(chg) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |                        ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM f),
+        |g AS (SELECT o_custkey, version, MIN(o_orderstatus) AS status,
+        |             MIN(day) AS from_day, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |      FROM v GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(version AS BIGINT) AS version, status, from_day,
+        |       LEAD(from_day) OVER (PARTITION BY o_custkey ORDER BY version)
+        |         AS to_day,
+        |       n_orders
+        |FROM g ORDER BY o_custkey, version""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT event_type, UNNEST(generate_series(lo, hi)) AS day FROM b),
+        |f AS (SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+        |      FROM g LEFT JOIN d ON g.event_type = d.event_type
+        |                        AND g.day = d.day)
+        |SELECT event_type, day, n,
+        |       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day)
+        |            AS BIGINT) AS cum_n
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
+    "fuzzy_names" ->
+      """WITH nm AS (SELECT DISTINCT p_name AS name,
+        |                   string_split(p_name, ' ')[-1] AS block
+        |            FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM nm a JOIN nm b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_zorder" -> {
+      val terms = (0 until 10).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+         |            FROM lineitem),
+         |zz AS (SELECT x, y, ($terms) AS z FROM xy)
+         |SELECT z // 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(x) AS min_x, MAX(x) AS max_x,
+         |       MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+        |         CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+        |  FROM orders WHERE o_totalprice > 400000)
+        |SELECT price_c, day FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c >= a.price_c AND b.day >= a.day
+        |    AND (b.price_c > a.price_c OR b.day > a.day))
+        |ORDER BY price_c DESC, day""".stripMargin,
+
+    "bpe_merges" -> bpeOracleSql(8)
   )
+
+  /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations
+    * unrolled as MATERIALIZED CTE stages (each vocab stage is referenced
+    * by both the next pair count and the next replace — materialization
+    * keeps the chain linear instead of exponential). Pair extraction
+    * zips two parallel UNNESTs of explicit 1-based list slices; the
+    * merge itself is the same literal-`replace` both engines implement
+    * as a left-to-right non-overlapping scan. */
+  private def bpeOracleSql(n: Int): String = {
+    val head =
+      """WITH w0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |v1 AS MATERIALIZED (
+        |  SELECT freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+        |  FROM w0)""".stripMargin
+    val stages = (1 to n).map { i =>
+      val next = if (i < n)
+        s""",
+           |v${i + 1} AS MATERIALIZED (
+           |  SELECT freq, replace(seq,
+           |    (SELECT ' ' || a || ' ' || b || ' ' FROM t$i),
+           |    (SELECT ' ' || a || b || ' ' FROM t$i)) AS seq
+           |  FROM v$i)""".stripMargin
+      else ""
+      s""",
+         |p$i AS (
+         |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS w FROM (
+         |    SELECT freq, UNNEST(syms[1:array_length(syms) - 1]) AS a,
+         |           UNNEST(syms[2:array_length(syms)]) AS b
+         |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM v$i))
+         |  GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (
+         |  SELECT a, b, w FROM p$i ORDER BY w DESC, a, b LIMIT 1)""".stripMargin + next
+    }.mkString
+    val union = (1 to n).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, a AS left_sym, b AS right_sym, w AS weight FROM t$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"$head$stages\nSELECT * FROM ($union)\nORDER BY merge_rank"
+  }
 
   /** Shared oracle CTE: per-(name,process) exclusive-time sums of the call
     * trace. */

@@ -1,0 +1,82 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed byte-pair-encoding merge learning (Sennrich et al. 2016,
+  * the subword-vocabulary trainer behind GPT/LLaMA-style tokenizers),
+  * restructured for corpus scale:
+  *
+  *  - The corpus is scanned ONCE to build the word-frequency table;
+  *    every merge iteration then runs against that vocabulary table,
+  *    whose size is the distinct-word count — orders of magnitude
+  *    smaller than the corpus (the classic BPE trainer optimization,
+  *    here it also means 100 TB of text never reshuffles).
+  *  - Each word is kept as its space-separated symbol sequence with
+  *    sentinel spaces (" h e l l o "). One iteration = explode adjacent
+  *    symbol pairs weighted by word frequency (map-side combined
+  *    aggregation on the vocab table), take the arg-max pair with a
+  *    deterministic (count desc, pair asc) tie-break — a tiny collect —
+  *    and apply the merge with a literal string replace (left-to-right,
+  *    non-overlapping: exactly greedy BPE, and `replace` has identical
+  *    semantics in Spark and DuckDB, which is what makes the trainer
+  *    oracle-checkable).
+  *  - The vocab DataFrame is re-persisted per iteration and the
+  *    previous lineage dropped, so N merges cost N small shuffles, not
+  *    one N-deep plan.
+  *
+  * Tokenization is deliberately simple (lowercased [a-z]+ runs, no
+  * end-of-word marker) — the training loop, not the pre-tokenizer, is
+  * the operator under test.
+  */
+object Bpe {
+
+  /** Learn the first `nMerges` BPE merges over `textCol`.
+    * @return (merge_rank, left_sym, right_sym, weight): rank is the
+    *         1-based merge order, weight the frequency-weighted pair
+    *         count that won the iteration. */
+  def learnMerges(docs: DataFrame, textCol: String = "text",
+                  nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = words
+      .select(col("freq"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val syms = split(trim(col("seq")), " ")
+      val top = vocab
+        .withColumn("__l", slice(syms, lit(1), size(syms) - 1))
+        .withColumn("__r", slice(syms, lit(2), size(syms) - 1))
+        .select(col("freq"), explode(arrays_zip(col("__l"), col("__r"))).as("p"))
+        .groupBy(col("p.__l").as("a"), col("p.__r").as("b"))
+        .agg(sum(col("freq")).as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Row(a: String, b: String, w: Long) = top(0)
+        merges += ((rank, a, b, w))
+        // symbols are [a-z]+ concatenations — safe inside a SQL literal
+        val next = vocab
+          .select(col("freq"),
+            expr(s"replace(seq, ' $a $b ', ' $a$b ')").as("seq"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_rank", "left_sym", "right_sym", "weight")
+  }
+}
