@@ -82,6 +82,15 @@ object SparkEntry {
       registerCleanup(s)
       Similarity.pqFit(T(s, dir, "embeddings"))
     })
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Seq[(Int, String, String, Long)]]()
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeCache.getOrElseUpdate((s, dir), {
+      registerCleanup(s)
+      graft.scale.Bpe.learnMerges(T(s, dir, "documents")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    })
 
   /** Memoized intermediate DataFrames per (session, sfDir, key): results
     * consumed by several queries (LSH dedup components, winnowing
@@ -114,6 +123,7 @@ object SparkEntry {
     for (k <- kmeansCache.keys if k._1 == s) kmeansCache.remove(k)
     for (k <- sq8Cache.keys if k._1 == s) sq8Cache.remove(k)
     for (k <- pqCache.keys if k._1 == s) pqCache.remove(k)
+    for (k <- bpeCache.keys if k._1 == s) bpeCache.remove(k)
     for (k <- ivfIndexCache.keys if k._1 == s;
          path <- ivfIndexCache.remove(k)) deleteRecursively(new java.io.File(path))
   }
@@ -1484,12 +1494,22 @@ object SparkEntry {
     }),
 
     // --- distributed BPE merge training over the corpus (one corpus
-    // scan, then per-iteration shuffles of the vocab table only) ---
+    // scan, then per-iteration shuffles of the vocab table only); the
+    // learned merge list is memoized per (session, sfDir) — train once,
+    // encode many times, like the k-means/PQ model caches ---
     "bpe_merges" -> ((s, dir) =>
-      graft.scale.Bpe.learnMerges(T(s, dir, "documents"), "text", nMerges = 8)
-        .select(col("merge_rank"), col("left_sym"), col("right_sym"),
-          col("weight"))
-        .orderBy(col("merge_rank")))
+      s.createDataFrame(bpeMerges(s, dir))
+        .toDF("merge_rank", "left_sym", "right_sym", "weight")
+        .orderBy(col("merge_rank"))),
+
+    // --- the encode side: apply the learned merges and report per-source
+    // compression (merge chain over the DISTINCT word table only) ---
+    "bpe_encode" -> ((s, dir) =>
+      graft.scale.Bpe.encodeStats(T(s, dir, "documents"),
+          bpeMerges(s, dir).map(m => (m._2, m._3)))
+        .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+          col("n_char_tokens"))
+        .orderBy(col("source")))
   )
 
   // ----------------------------------------------------------------- oracle
@@ -3872,7 +3892,22 @@ object SparkEntry {
         |    AND (b.price_c > a.price_c OR b.day > a.day))
         |ORDER BY price_c DESC, day""".stripMargin,
 
-    "bpe_merges" -> bpeOracleSql(8)
+    "bpe_merges" -> bpeOracleSql(8),
+
+    "bpe_encode" -> (bpeOracleChain(8, withFinalVocab = true) +
+      """,
+        |ws AS (
+        |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT source, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY 1, 2),
+        |enc AS (
+        |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS toks
+        |  FROM v9)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_words,
+        |       CAST(SUM(n * toks) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(SUM(n * len(word)) AS BIGINT) AS n_char_tokens
+        |FROM ws JOIN enc USING (word) GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations
@@ -3883,6 +3918,18 @@ object SparkEntry {
     * merge itself is the same literal-`replace` both engines implement
     * as a left-to-right non-overlapping scan. */
   private def bpeOracleSql(n: Int): String = {
+    val union = (1 to n).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, a AS left_sym, b AS right_sym, w AS weight FROM t$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"${bpeOracleChain(n)}\nSELECT * FROM ($union)\nORDER BY merge_rank"
+  }
+
+  /** The shared CTE chain of the BPE oracles (merges + encode): `word`
+    * rides through every vocab stage so the encode tail can map words to
+    * their final token counts; pair counting ignores it. With
+    * `withFinalVocab`, also emits v{n+1} — the vocabulary AFTER the last
+    * merge, i.e. what the encoder applies. */
+  private def bpeOracleChain(n: Int, withFinalVocab: Boolean = false): String = {
     val head =
       """WITH w0 AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -3890,13 +3937,13 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE word <> '' GROUP BY 1),
         |v1 AS MATERIALIZED (
-        |  SELECT freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+        |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
         |  FROM w0)""".stripMargin
     val stages = (1 to n).map { i =>
-      val next = if (i < n)
+      val next = if (i < n || withFinalVocab)
         s""",
            |v${i + 1} AS MATERIALIZED (
-           |  SELECT freq, replace(seq,
+           |  SELECT word, freq, replace(seq,
            |    (SELECT ' ' || a || ' ' || b || ' ' FROM t$i),
            |    (SELECT ' ' || a || b || ' ' FROM t$i)) AS seq
            |  FROM v$i)""".stripMargin
@@ -3911,10 +3958,7 @@ object SparkEntry {
          |t$i AS MATERIALIZED (
          |  SELECT a, b, w FROM p$i ORDER BY w DESC, a, b LIMIT 1)""".stripMargin + next
     }.mkString
-    val union = (1 to n).map(i =>
-      s"SELECT CAST($i AS INT) AS merge_rank, a AS left_sym, b AS right_sym, w AS weight FROM t$i")
-      .mkString("\n", "\nUNION ALL\n", "")
-    s"$head$stages\nSELECT * FROM ($union)\nORDER BY merge_rank"
+    head + stages
   }
 
   /** Shared oracle CTE: per-(name,process) exclusive-time sums of the call

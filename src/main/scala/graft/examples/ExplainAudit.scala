@@ -28,7 +28,8 @@ object ExplainAudit {
             "q_outliers", "source_crossent", "emb_drift",
             "trace_imbalance_time", "dedup_containment", "q_domain_cap",
             "q_skew_join", "tfidf_topterms", "q_cube", "q_sliding",
-            "comm_latency_pctl"))) {
+            "comm_latency_pctl", "q_interval_merge", "q_scd2", "q_gapfill",
+            "fuzzy_names", "q_zorder", "q_skyline"))) {
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }

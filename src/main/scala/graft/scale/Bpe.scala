@@ -47,9 +47,12 @@ object Bpe {
       .select(col("freq"),
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    vocab.count()
 
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    // persists are lazy: each iteration's pair-count collect materializes
+    // the CURRENT vocab, so the PREVIOUS generation (its sole parent) can
+    // be released one step behind — no per-iteration count() jobs
+    var prevGen: Option[DataFrame] = None
     var done = false
     for (rank <- 1 to nMerges if !done) {
       val syms = split(trim(col("seq")), " ")
@@ -61,6 +64,8 @@ object Bpe {
         .agg(sum(col("freq")).as("w"))
         .orderBy(col("w").desc, col("a"), col("b"))
         .limit(1).collect()
+      prevGen.foreach(_.unpersist())
+      prevGen = None
       if (top.isEmpty) done = true
       else {
         val Row(a: String, b: String, w: Long) = top(0)
@@ -70,13 +75,40 @@ object Bpe {
           .select(col("freq"),
             expr(s"replace(seq, ' $a $b ', ' $a$b ')").as("seq"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist()
+        prevGen = Some(vocab)
         vocab = next
       }
     }
+    prevGen.foreach(_.unpersist())
     vocab.unpersist()
     spark.createDataFrame(merges.toSeq)
       .toDF("merge_rank", "left_sym", "right_sym", "weight")
+  }
+
+  /** Apply an ordered merge list (the encode side of the tokenizer) and
+    * report per-source compression: word occurrences, BPE token count,
+    * and character token count. The merge chain runs over the DISTINCT
+    * word table only — the corpus explodes once to (source, word)
+    * counts, then a vocab-sized join attaches each word's token count;
+    * 100 TB of text is never re-scanned per merge. */
+  def encodeStats(docs: DataFrame, merges: Seq[(String, String)],
+                  textCol: String = "text",
+                  srcCol: String = "source"): DataFrame = {
+    val words = docs
+      .select(col(srcCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(srcCol), col("word")).agg(count(lit(1)).as("n"))
+    val vocab = words.select(col("word")).distinct()
+      .withColumn("seq",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+    val encoded = merges.foldLeft(vocab) { case (df, (a, b)) =>
+      df.withColumn("seq", expr(s"replace(seq, ' $a $b ', ' $a$b ')"))
+    }.select(col("word"), size(split(trim(col("seq")), " ")).as("toks"))
+    words.join(encoded, Seq("word"))
+      .groupBy(col(srcCol))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("toks")).as("n_bpe_tokens"),
+        sum(col("n") * length(col("word"))).as("n_char_tokens"))
   }
 }

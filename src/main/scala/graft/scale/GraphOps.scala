@@ -52,6 +52,12 @@ object GraphOps {
       pr = nodes.select(col(idCol)).join(contrib, Seq(idCol), "left")
         .select(col(idCol), (lit(teleport) +
           expr(s"($dampingPct * coalesce(sc, 0L)) DIV 100")).as("pr"))
+        // materialize each superstep: the rank vector is nodes-sized (two
+        // columns), while carrying the lineage instead would nest every
+        // previous iteration's joins into one plan — optimizer+codegen
+        // cost grows per iteration and a failure would recompute the
+        // whole chain. Standard iterative-algorithm checkpointing.
+        .localCheckpoint()
     }
     // materialize the final rank vector (small: one row per node, two
     // columns) so the persisted edge table can be released NOW instead of

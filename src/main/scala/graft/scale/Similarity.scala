@@ -238,7 +238,13 @@ object Similarity {
 
   private def clusterExpr(centroids: Array[Array[Double]],
                           vecCol: String): Column =
-    least(centroidStructs(centroids, vecCol): _*).getField("j")
+    // one fused argmin expression with the matrix as a reference object
+    // (identical math to least(centroidStructs).j — see VecNearestCluster
+    // for why literals-in-plan made every Lloyd iteration recompile)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.VecNearestCluster(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(vecCol)),
+        centroids))
 
   /** Nearest-centroid assignment (the quantizer's map side): one fused
     * scan — k codegen'd dot products per row ([[clusterExpr]]). */

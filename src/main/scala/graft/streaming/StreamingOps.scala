@@ -416,4 +416,67 @@ object StreamingOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"), col("volume"))
+
+  /** Streaming interval union — the incremental twin of
+    * [[graft.analysis.Intervals.mergeIntervals]]: per key, maintain the
+    * one OPEN island (start, running max end, span count) and emit a
+    * closed island whenever a span arrives strictly after the running
+    * end (the batch operator's island rule, half-open [s, e)). State is
+    * one triple per key — O(1), never a span buffer. Within a batch
+    * spans process in (start, end) order, matching the batch window;
+    * a cross-batch span that starts before the open island's start
+    * merges but marks the island `in_order = false` — an already-emitted
+    * island it might have bridged cannot be retracted, so consumers get
+    * the flag instead of silently wrong islands. The final open island
+    * per key is emitted only on key timeout (`idleTimeout`) — in a
+    * stream "the last island" is unknowable until the key goes quiet. */
+  def intervalUnion(spans: DataFrame, keyCol: String = "key",
+                    startCol: String = "start", endCol: String = "end",
+                    idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spans.sparkSession.implicits._
+    spans.select(col(keyCol).cast("long").as("k"),
+        col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e")).as[IvIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        ivGroup(idleTimeout))(
+        Encoders.product[IvState], Encoders.product[IvOut])
+      .toDF()
+  }
+
+  case class IvIn(k: Long, s: Long, e: Long)
+  case class IvState(s: Long, e: Long, n: Long, inOrder: Boolean,
+                     open: Boolean)
+  case class IvOut(k: Long, start: Long, end: Long, n_spans: Long,
+                   in_order: Boolean)
+
+  private[streaming] def ivGroup(idleTimeout: Option[String] = None)(
+      key: Long, rows: Iterator[IvIn],
+      state: org.apache.spark.sql.streaming.GroupState[IvState]): Iterator[IvOut] = {
+    if (state.hasTimedOut) {
+      // flush the open island on key expiry, then drop the state
+      val fin = state.getOption.filter(_.open)
+        .map(st => IvOut(key, st.s, st.e, st.n, st.inOrder))
+      state.remove()
+      return fin.iterator
+    }
+    var st = state.getOption.getOrElse(
+      IvState(0L, 0L, 0L, inOrder = true, open = false))
+    val out = scala.collection.mutable.ArrayBuffer[IvOut]()
+    for (r <- rows.toSeq.sortBy(x => (x.s, x.e))) {
+      if (!st.open) st = IvState(r.s, r.e, 1L, inOrder = true, open = true)
+      else if (r.s > st.e) { // strict gap → close the island
+        out += IvOut(key, st.s, st.e, st.n, st.inOrder)
+        st = IvState(r.s, r.e, 1L, inOrder = true, open = true)
+      } else st = IvState(math.min(st.s, r.s), math.max(st.e, r.e),
+        st.n + 1, st.inOrder && r.s >= st.s, open = true)
+    }
+    state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
 }
