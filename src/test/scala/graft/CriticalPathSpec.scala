@@ -146,6 +146,32 @@ class CriticalPathSpec extends SparkSpec {
     assert(got.toSeq == (0 until n).map(i => (i.toLong, i + 1, i)))
   }
 
+  test("a 5000-stall planted chain forces many doubling rounds and " +
+      "agrees with the driver-side walk") {
+    // realistic chain length: ⌈log₂ 5000⌉ = 13 pointer-doubling rounds
+    // (the 8-stall case above only exercises 3); same line topology —
+    // stall i is at the sender of stall i−1, recv times strictly
+    // decreasing, wait 5 ns each
+    val n = 5000
+    val ev = trace((0 until n).flatMap { i =>
+      val recv = 10L * (n - i) // decreasing in i, all positive
+      Seq((i * 2L, recv + 5, "MpiSend", i + 1, i),
+        (i * 2L + 1, recv, "MpiRecv", i, i + 1))
+    }: _*)
+    val dist = CriticalPath.stallChain(ev, localThreshold = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+      .sortBy(_._1)
+    assert(dist.length == n)
+    assert(dist.head == (0L, 1, 0, 5L))
+    assert(dist.last == ((n - 1).toLong, n, n - 1, 5L))
+    assert(dist.forall(_._4 == 5L), "every hop waits exactly 5 ns")
+    // the driver-side walk (default threshold) must produce the same chain
+    val local = CriticalPath.stallChain(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+      .sortBy(_._1)
+    assert(local.toSeq == dist.toSeq)
+  }
+
   test("critical path on a stall-free trace is empty with the right schema") {
     val ev = trace((0L, 10L, "MpiSend", 0, 1), (1L, 20L, "MpiRecv", 1, 0))
     val out = CriticalPath.criticalPath(ev)
