@@ -1509,7 +1509,39 @@ object SparkEntry {
           bpeMerges(s, dir).map(m => (m._2, m._3)))
         .select(col("source"), col("n_words"), col("n_bpe_tokens"),
           col("n_char_tokens"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // --- equi-depth value-bucket boundaries per event type (rank-
+    // selected in integer centi-units — no interpolation, engine-exact) ---
+    "q_equidepth" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"), col("event_id"))
+      graft.analysis.RobustStats.equidepth(ev, "event_type", "value_c",
+          "event_id")
+        .select(col("event_type"), col("q"),
+          col("rank_sel").cast("long").as("rank_sel"), col("boundary"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
+    // --- lexical-vs-dense retrieval agreement: top-d intersections for
+    // d = 1..5 with integer RBO weights (p=0.9 powers × LCM(1..5) in
+    // micro-units — FP-free rank-biased overlap) ---
+    "retrieval_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val bm = TextOps.bm25TopK(docs, docs.filter(col("doc_id") < 5), 5,
+          scores = Some(bm25Scores5(s, dir)))
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val cs = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      TextOps.rankOverlap(bm, cs, 5)
+        .withColumn("rbo_contrib",
+          expr("element_at(array(60000000L, 27000000L, 16200000L, " +
+            "10935000L, 7873200L), d) * n_overlap"))
+        .select(col("query_id"), col("d"), col("n_overlap"),
+          col("rbo_contrib"))
+        .orderBy(col("query_id"), col("d"))
+    })
   )
 
   // ----------------------------------------------------------------- oracle
@@ -3907,7 +3939,81 @@ object SparkEntry {
         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_words,
         |       CAST(SUM(n * toks) AS BIGINT) AS n_bpe_tokens,
         |       CAST(SUM(n * len(word)) AS BIGINT) AS n_char_tokens
-        |FROM ws JOIN enc USING (word) GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM ws JOIN enc USING (word) GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_equidepth" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+        |         event_id FROM events),
+        |r AS (
+        |  SELECT event_type, v,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY v, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |x AS (SELECT event_type, v, rn, n,
+        |             UNNEST(generate_series(1, 9)) AS q FROM r)
+        |SELECT event_type, CAST(q AS INT) AS q,
+        |       CAST(rn AS BIGINT) AS rank_sel, v AS boundary
+        |FROM x WHERE rn = (q * n + 9) // 10
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same BM25 + cosine ranking CTEs as hybrid_topk, truncated at 5,
+    // then per-depth intersection counts with integer RBO weights
+    "retrieval_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), ' +')) AS dl,
+        |         unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+        |       FROM tk GROUP BY 1, 2),
+        |st AS (SELECT COUNT(*) AS n,
+        |              AVG(len(regexp_split_to_array(trim(text), ' +'))) AS avgdl
+        |       FROM documents),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tk WHERE doc_id < 5),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |sc AS (
+        |  SELECT q.query_id, f.doc_id,
+        |         ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |                   * (f.tf * 2.2)
+        |                   / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))),
+        |               4) AS score
+        |  FROM tf f JOIN qt q USING (term) JOIN dfq d USING (term) CROSS JOIN st s
+        |  WHERE f.doc_id != q.query_id
+        |  GROUP BY 1, 2),
+        |bmr AS (
+        |  SELECT query_id, doc_id AS id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY score DESC, doc_id) AS INT) AS rank
+        |    FROM sc)
+        |  WHERE rank <= 5),
+        |bfr AS (
+        |  SELECT query_id, neighbor_id AS id, rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |                      c.vec_id) AS INT) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 5)
+        |  WHERE rank <= 5),
+        |m AS (SELECT b.query_id, b.id, b.rank AS ra, c.rank AS rb
+        |      FROM bmr b JOIN bfr c USING (query_id, id)),
+        |g AS (SELECT query_id, UNNEST(generate_series(1, 5)) AS d
+        |      FROM (SELECT DISTINCT query_id FROM bmr)),
+        |x2 AS (SELECT query_id,
+        |              UNNEST(generate_series(GREATEST(ra, rb), 5)) AS d
+        |       FROM m),
+        |o AS (SELECT query_id, d, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |      FROM x2 GROUP BY 1, 2)
+        |SELECT g.query_id, CAST(g.d AS INT) AS d,
+        |       COALESCE(o.n_overlap, 0) AS n_overlap,
+        |       CAST([60000000, 27000000, 16200000, 10935000, 7873200][g.d]
+        |            * COALESCE(o.n_overlap, 0) AS BIGINT) AS rbo_contrib
+        |FROM g LEFT JOIN o ON g.query_id = o.query_id AND g.d = o.d
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations

@@ -57,6 +57,28 @@ object RobustStats {
       .withColumnRenamed("__key", keyCol)
   }
 
+  /** Per-key equi-depth bucket boundaries: the `buckets`−1 interior
+    * quantile values read at ranks ⌈q·n/buckets⌉, q = 1..buckets−1 —
+    * the rank-selected (engine-exact) version of an equi-depth
+    * histogram / NTILE boundary grid. Same single-exchange shape as
+    * [[percentiles]]: one keyed ranking window, then a 9× projection
+    * explode + filter on the SAME partitioning — no join, no second
+    * shuffle. Several q may select the same row for tiny groups
+    * (deterministically — the formula is pure integer). */
+  def equidepth(df: DataFrame, keyCol: String, valCol: String,
+                idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val w = Window.partitionBy(col("__key")).orderBy(col("__val"), col("__id"))
+    reserved(df, keyCol, valCol, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__key"))))
+      .select(col("__key"), col("__val"), col("__rn"), col("__n"),
+        explode(sequence(lit(1), lit(buckets - 1))).as("q"))
+      .filter(col("__rn") === expr(s"(q * __n + ${buckets - 1}) div $buckets"))
+      .select(col("__key").as(keyCol), col("q"),
+        col("__rn").as("rank_sel"), col("__val").as("boundary"))
+  }
+
   /** Robust outliers per key: |v − median| > k·MAD, with median and MAD
     * both rank-selected (lower median at ⌈n/2⌉). Integer-exact when
     * `valCol` is integral. Two window passes + two broadcast joins of

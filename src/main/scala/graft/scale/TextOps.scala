@@ -478,6 +478,31 @@ object TextOps {
     * at any corpus scale. With ≤ 2 rankings the fused score is a sum of
     * at most two doubles — addition is commutative, so the value is
     * bit-identical regardless of aggregation order (engine-stable). */
+  /** Per-depth agreement between two rankings (the counting core of
+    * rank-biased overlap): for every query and depth d ≤ maxDepth, how
+    * many ids appear in BOTH top-d lists. A document matched at ranks
+    * (ra, rb) is in the top-d intersection for every d ≥ max(ra, rb) —
+    * so one small join on (query, id) plus a per-pair explode over its
+    * qualifying depths replaces d separate intersections. Inputs are
+    * candidate lists (per-query-sized); cost is Σ|lists|·maxDepth,
+    * corpus-independent. Zero-overlap depths are emitted explicitly
+    * (grid left join), so downstream weighted sums see every (q, d). */
+  def rankOverlap(a: DataFrame, b: DataFrame, maxDepth: Int = 5): DataFrame = {
+    val pairs = a.filter(col("rank") <= maxDepth)
+      .select(col("query_id"), col("id"), col("rank").as("ra"))
+      .join(b.filter(col("rank") <= maxDepth)
+        .select(col("query_id"), col("id"), col("rank").as("rb")),
+        Seq("query_id", "id"))
+    val grid = a.select(col("query_id")).distinct()
+      .select(col("query_id"),
+        explode(sequence(lit(1), lit(maxDepth))).as("d"))
+    val ov = pairs.select(col("query_id"),
+        explode(sequence(greatest(col("ra"), col("rb")), lit(maxDepth))).as("d"))
+      .groupBy(col("query_id"), col("d")).agg(count(lit(1)).as("n_overlap"))
+    grid.join(ov, Seq("query_id", "d"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 5, kRrf: Int = 60): DataFrame = {
     val unioned = rankings
       .map(_.select(col("query_id"), col("id"), col("rank")))

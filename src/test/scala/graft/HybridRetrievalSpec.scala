@@ -45,4 +45,15 @@ class HybridRetrievalSpec extends SparkSpec {
       assert(p > 0.0 && p < 1.0)
     }
   }
+
+  test("rankOverlap counts top-d intersections with explicit zeros") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((1L, 12L, 1), (1L, 13L, 2), (1L, 10L, 3))
+      .toDF("query_id", "id", "rank")
+    // shared ids: 10 at (1,3), 12 at (3,1) -> both enter at d = 3
+    val got = TextOps.rankOverlap(a, b, 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, 0L), (2, 0L), (3, 2L)))
+  }
 }

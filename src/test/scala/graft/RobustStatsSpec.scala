@@ -49,4 +49,20 @@ class RobustStatsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((3L, 6L)))
   }
+
+  test("equidepth reads boundaries at ceil(q*n/10), per key") {
+    // n = 10: rank for q is exactly q, so boundary q = value q
+    val a = (1 to 10).map(i => ("a", i.toLong, i.toLong))
+    // n = 3: ranks collapse to 1,1,1,2,2,2,3,3,3 across q = 1..9
+    val b = (1 to 3).map(i => ("b", (i * 100).toLong, i.toLong))
+    val got = graft.analysis.RobustStats.equidepth(
+        (a ++ b).toDF("k", "v", "id"), "k", "v", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == "a").map(x => (x._2, x._3)).toSeq ==
+      (1 to 9).map(q => (q, q.toLong)))
+    assert(got.filter(_._1 == "b").map(x => (x._2, x._3)).toSeq ==
+      Seq(1 -> 100L, 2 -> 100L, 3 -> 100L, 4 -> 200L, 5 -> 200L,
+        6 -> 200L, 7 -> 300L, 8 -> 300L, 9 -> 300L))
+  }
 }
