@@ -1248,6 +1248,19 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // --- k-core of the co-purchase graph (parts sharing an order):
+    // peels occasional pairings away until only the densely co-bought
+    // cluster remains; k=65 cascades for several rounds at sf0.01 ---
+    "graph_kcore" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") =!= col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.scale.GraphOps.kcore(edges, k = 65, maxRounds = 8)
+        .orderBy(col("node"))
+    }),
+
     // --- as-of join: last view at or before each purchase, per user ---
     "q_asof" -> ((s, dir) => {
       val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
@@ -3690,6 +3703,30 @@ object SparkEntry {
         |                   JOIN deg d ON ed.src = d.src GROUP BY 1) s USING (id))
         |SELECT id AS vec_id, pr AS pr_micro FROM pr3
         |ORDER BY vec_id""".stripMargin),
+
+    // peeling as a recursive CTE over the symmetric co-purchase edge
+    // list — each iteration's working table is the surviving graph,
+    // per-endpoint degrees come from two window counts, and the
+    // iteration cap (not convergence) defines the result, so the engines
+    // agree even if the fixpoint lands earlier
+    "graph_kcore" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT LEAST(a.pk, b.pk) AS u, GREATEST(a.pk, b.pk) AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk != b.pk),
+        |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |ae(iter, u, v) AS (
+        |  SELECT 0, u, v FROM sym
+        |  UNION ALL
+        |  SELECT iter + 1, u, v FROM (
+        |    SELECT iter, u, v,
+        |           COUNT(*) OVER (PARTITION BY u) AS du,
+        |           COUNT(*) OVER (PARTITION BY v) AS dv
+        |    FROM ae)
+        |  WHERE du >= 65 AND dv >= 65 AND iter < 8)
+        |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        |FROM ae WHERE iter = 8 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -73,6 +73,57 @@ object GraphOps {
     out
   }
 
+  /** k-core after (at most) `maxRounds` simultaneous peeling rounds: each
+    * round removes every node whose degree in the SURVIVING graph is
+    * < k, all at once (the parallel/Pregel peeling schedule, not the
+    * sequential min-degree order). The result is the subgraph's per-node
+    * degree — nodes outside the core are absent. Round semantics, not
+    * convergence, define the contract: "the graph after exactly N
+    * rounds" is deterministic whether or not the fixpoint was reached,
+    * which is what lets an oracle replicate it; when a round removes
+    * nothing the loop exits early (all remaining rounds are no-ops, the
+    * result is identical to running the full budget).
+    *
+    * Scale shape: one degree aggregation + two semi-joins per round, all
+    * keyed on the node id; the (symmetrized, deduped) edge table shrinks
+    * monotonically, and each round's survivor set is materialized with
+    * `localCheckpoint` so the plan never nests (same iterative-op
+    * checkpoint pattern as [[pageRank]] — lineage-truncation tradeoff
+    * documented there). The per-round count() doubles as the
+    * convergence test and the materialization action. A full coreness
+    * decomposition at 100 TB would batch rounds by degree buckets;
+    * fixed-k membership — the corpus-mining question "which documents
+    * sit in a dense near-dup/similarity region" — needs only this. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 8,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // symmetric edge list: degree of n = row count with s = n
+    var sym = und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d")))
+      .localCheckpoint()
+    var prev = sym.count()
+    var round = 0
+    while (round < maxRounds && prev > 0) {
+      val keep = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s").as("n"))
+      val next = sym
+        .join(keep.select(col("n").as("s")), Seq("s"), "leftsemi")
+        .join(keep.select(col("n").as("d")), Seq("d"), "leftsemi")
+        .localCheckpoint()
+      val c = next.count()
+      sym = next
+      round = if (c == prev) maxRounds else round + 1 // fixpoint → done
+      prev = c
+    }
+    sym.groupBy(col("s")).agg(count(lit(1)).as("core_deg"))
+      .select(col("s").as("node"), col("core_deg"))
+  }
+
   /** Per-node triangle count over an undirected edge list — the local
     * clustering signal ("is this document embedded in a tight near-dup
     * clique or just star-linked to a hub?") used to grade communities in

@@ -51,4 +51,30 @@ class GraphOpsSpec extends SparkSpec {
       .toDF("src", "dst") // a 4-cycle has no triangle
     assert(GraphOps.triangles(edges).count() == 0)
   }
+
+  test("kcore: chain peels away, dense core survives with its degrees") {
+    // path 1-2-3-4-5 + near-clique {5,6,7,8}: the 2-core is {5,6,7,8}
+    // (chain nodes cascade off over three rounds); degrees are within-core
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L)).toDF("src", "dst")
+    val got = GraphOps.kcore(edges, k = 2, maxRounds = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((5L, 3L), (6L, 3L), (7L, 3L), (8L, 3L)))
+  }
+
+  test("kcore: round cap stops mid-cascade, deterministically") {
+    // same graph, one round only: just node 1 (degree 1) is removed, so
+    // node 2's now-too-low degree is NOT yet acted on — cap semantics
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L)).toDF("src", "dst")
+    val got = GraphOps.kcore(edges, k = 2, maxRounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 1L), (3L, 2L), (4L, 2L), (5L, 4L),
+      (6L, 3L), (7L, 3L), (8L, 3L)))
+  }
+
+  test("kcore: k above the max degree empties the graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(GraphOps.kcore(edges, k = 3, maxRounds = 4).count() == 0)
+  }
 }
