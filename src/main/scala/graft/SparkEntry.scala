@@ -692,6 +692,17 @@ object SparkEntry {
         size(TextOps.bpeishTokens(col("text"))).as("bpeish_tokens"))
       .orderBy(col("doc_id"))),
 
+    // --- token-balanced training shards: serpentine deal over the
+    //     token-count-sorted corpus; the manifest shows the balance ---
+    "shard_manifest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+      graft.scale.Layout.balancedShards(docs, "toks", "doc_id", 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"))
+        .orderBy(col("shard"))
+    }),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
@@ -1125,6 +1136,28 @@ object SparkEntry {
         .select(col("doc_id"), col("features.width").as("width"),
           col("features.height").as("height"),
           round(col("features.mean_luma"), 6).as("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- REAL audio decode: deterministic 16-bit PCM WAV payloads
+    //     round-tripped through the RIFF parser; amplitude mean in
+    //     integer micro-units (abs_sum exact, division integral) ---
+    "audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (50 + id % 37).toInt
+          (id, Multimodal.encodeWav(1, 8000, n,
+            i => (((id * 37 + i * 11) % 65536) - 32768).toInt))
+        }.toDF("doc_id", "payload")
+      Multimodal.extractFeatures(withPayload, decoder = Multimodal.decodeWav,
+          featSchema = Multimodal.audioFeatureSchema)
+        .select(col("doc_id"), col("features.n_channels").as("n_channels"),
+          col("features.sample_rate").as("sample_rate"),
+          col("features.n_samples").as("n_samples"),
+          col("features.abs_sum").as("abs_sum"),
+          expr("features.abs_sum * 1000000L div (features.n_samples * 32768L)")
+            .as("mean_abs_micro"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2325,6 +2358,26 @@ object SparkEntry {
         |    + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS INT)
         |    AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "shard_manifest" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+        |           AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, toks,
+        |         ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) - 1 AS r
+        |  FROM w),
+        |a AS (
+        |  SELECT toks,
+        |         CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - r % 8 END
+        |           AS shard
+        |  FROM r)
+        |SELECT CAST(shard AS INT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(toks) AS BIGINT) AS tok_sum
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_langid" ->
       """WITH grams AS (
@@ -3634,6 +3687,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       ROUND(pxsum * 1.0 / (w * h) / 255, 6) AS mean_luma
         |FROM px ORDER BY doc_id""".stripMargin,
+
+    "audio_features" ->
+      """WITH dims AS (SELECT doc_id, 50 + doc_id % 37 AS n FROM documents),
+        |sm AS (
+        |  SELECT d.doc_id, d.n,
+        |         SUM(ABS((d.doc_id * 37 + i.i * 11) % 65536 - 32768)) AS abs_sum
+        |  FROM dims d JOIN generate_series(0, 86) i(i) ON i.i < d.n
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(1 AS INT) AS n_channels,
+        |       CAST(8000 AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+        |       CAST(abs_sum AS BIGINT) AS abs_sum,
+        |       CAST(abs_sum * 1000000 // (n * 32768) AS BIGINT) AS mean_abs_micro
+        |FROM sm ORDER BY doc_id""".stripMargin,
 
     "contrastive_pairs" -> (kmeansCte() +
       """, sims AS (

@@ -28,6 +28,30 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Serpentine weight-balanced shard assignment — the write-side plan
+    * for token-balanced training shards: rank rows by (weight desc, id
+    * tie-break), then deal rank r to shard r mod S on even passes and
+    * S−1−(r mod S) on odd passes. The snake deal keeps per-shard weight
+    * sums within one max-item of each other on the sorted stream (the
+    * classic LPT-style guarantee), so downstream training readers get
+    * equal-work shards without a bin-packing solver. One distributed
+    * sort total: the rank comes from [[graft.ingest.Ingest.assignDenseIds]]
+    * (range-partitioned sort + zipWithIndex) — never an unpartitioned
+    * ranking window — and the shard id is pure integer arithmetic after.
+    * Deterministic for a fixed input set. */
+  def balancedShards(df: DataFrame, weightCol: String, idCol: String,
+                     numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    graft.ingest.Ingest.assignDenseIds(df, "__shard_rank",
+        col(weightCol).desc, col(idCol))
+      .withColumn("shard",
+        when(expr(s"(__shard_rank div $numShards) % 2") === 0,
+            col("__shard_rank") % numShards)
+          .otherwise(lit(numShards - 1) - col("__shard_rank") % numShards)
+          .cast("int"))
+      .drop("__shard_rank")
+  }
+
   /** Re-layout `df` so each output partition holds a contiguous,
     * disjoint z range (range partition on z, sorted within): the
     * write-side half of z-order clustering. Pass `keepZ = true` to

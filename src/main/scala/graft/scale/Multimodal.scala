@@ -106,17 +106,101 @@ object Multimodal {
       w, h, 1, sum.toDouble / n / maxval), featureSchema)
   }
 
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("abs_sum", LongType, nullable = false)
+  ))
+
+  /** Encode a 16-bit PCM WAV (RIFF/WAVE, `fmt ` + `data`). `sample(i)`
+    * supplies interleaved samples in [-32768, 32767]; `i` runs over
+    * frames × channels. */
+  def encodeWav(channels: Int, sampleRate: Int, nFrames: Int,
+                sample: Int => Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = nFrames * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames * channels) { out.putShort(sample(i).toShort); i += 1 }
+    out.array()
+  }
+
+  /** REAL decoder for 16-bit PCM WAV: walks the RIFF chunk list (unknown
+    * chunks skipped, odd sizes padded per spec), reads `fmt `, and folds
+    * the `data` samples into (n_channels, sample_rate, n_samples =
+    * frames, abs_sum = Σ|sample| over all channels). abs_sum is an exact
+    * integer — amplitude means are left to the caller as integral
+    * divisions, keeping downstream comparisons engine-exact. Throws on
+    * malformed or non-PCM-16 input — a corrupt payload should surface,
+    * not silently skew features. */
+  def decodeWav(payload: Array[Byte]): Row = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"bad WAV: $msg")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (payload.length < 12 || tag() != "RIFF") fail("missing RIFF magic")
+    buf.getInt // riff size: not trusted, chunk walk is bounds-checked
+    if (tag() != "WAVE") fail("not a WAVE form")
+    var channels, sampleRate, blockAlign, bits = -1
+    var frames = -1
+    var absSum = 0L
+    while (buf.remaining() >= 8 && frames < 0) {
+      val id = tag()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) fail(s"chunk $id overruns payload")
+      id match {
+        case "fmt " =>
+          if (size < 16) fail("fmt chunk too short")
+          val fmt = buf.getShort
+          if (fmt != 1) fail(s"not integer PCM (format $fmt)")
+          channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt // byte rate (derived)
+          blockAlign = buf.getShort
+          bits = buf.getShort
+          if (channels <= 0 || sampleRate <= 0) fail("bad fmt fields")
+          if (bits != 16) fail(s"only 16-bit PCM supported, got $bits")
+          if (blockAlign != channels * 2) fail("blockAlign != channels*2")
+          buf.position(buf.position() + (size - 16) + (size & 1))
+        case "data" =>
+          if (channels < 0) fail("data chunk before fmt")
+          if (size % blockAlign != 0) fail("data size not frame-aligned")
+          frames = size / blockAlign
+          var i = 0
+          val n = size / 2
+          while (i < n) { absSum += math.abs(buf.getShort.toLong); i += 1 }
+        case _ => // LIST/INFO/etc: skip, honoring the odd-size pad byte
+          buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    if (frames < 0) fail("no data chunk")
+    new GenericRowWithSchema(Array[Any](
+      channels, sampleRate, frames, absSum), audioFeatureSchema)
+  }
+
   /** Attach decoded features to rows carrying a binary payload column.
     * Batched per-partition (decoder init amortization point); pass
-    * [[decodePgm]] (or a real codec) as `decoder`. Rows with a NULL
-    * payload get a NULL features struct — fabricating features for
+    * [[decodePgm]] (or a real codec) as `decoder`, with the matching
+    * `featSchema` ([[audioFeatureSchema]] for [[decodeWav]]). Rows with a
+    * NULL payload get a NULL features struct — fabricating features for
     * missing media (or crashing the decoder on it) would silently skew
     * downstream statistics. */
   def extractFeatures(df: DataFrame, payloadCol: String = "payload",
-                      decoder: Array[Byte] => Row = decodeStub): DataFrame = {
+                      decoder: Array[Byte] => Row = decodeStub,
+                      featSchema: StructType = featureSchema): DataFrame = {
     val schema = df.schema
     val outSchema = StructType(schema.fields :+
-      StructField("features", featureSchema, nullable = true))
+      StructField("features", featSchema, nullable = true))
     val pIdx = schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       // real decoders initialize here, once per partition

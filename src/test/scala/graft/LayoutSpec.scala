@@ -45,4 +45,24 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("balancedShards deals the sorted stream serpentine") {
+    // weights sorted desc: 90,80,70,60,50,40,30,20 over 3 shards
+    // ranks 0..7 -> shards 0,1,2, 2,1,0, 0,1 (snake)
+    val df = Seq((1L, 90L), (2L, 80L), (3L, 70L), (4L, 60L), (5L, 50L),
+      (6L, 40L), (7L, 30L), (8L, 20L)).toDF("doc_id", "w")
+    val got = Layout.balancedShards(df, "w", "doc_id", 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1,
+      6L -> 0, 7L -> 0, 8L -> 1))
+  }
+
+  test("balancedShards: per-shard sums stay within one max item") {
+    val df = (1L to 200L).map(i => (i, (i * 7919) % 1000)).toDF("doc_id", "w")
+    val sums = Layout.balancedShards(df, "w", "doc_id", 8)
+      .groupBy("shard").agg(org.apache.spark.sql.functions.sum("w").as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(sums.length == 8)
+    assert(sums.max - sums.min <= 999L)
+  }
 }
