@@ -393,6 +393,11 @@ object SparkEntry {
       CommOps.messageHistogram(TraceGen.commTrace(s, dir), 20)
         .select(col("bin"), col("count")).orderBy(col("bin"))),
 
+    // --- per-window comm structure: pattern-classification inputs ---
+    "comm_structure" -> ((s, dir) =>
+      CommOps.commStructure(TraceGen.commTrace(s, dir), 20)
+        .orderBy(col("bin"))),
+
     // --- S5: Nsight-style interval unpivot through the real reader path ---
     "nsight_unpivot" -> ((s, dir) => {
       val intervals = TraceGen.itemIntervals(s, dir)
@@ -2062,6 +2067,41 @@ object SparkEntry {
         |agg AS (SELECT bin, CAST(SUM(sz) AS BIGINT) AS volume FROM binned GROUP BY 1)
         |SELECT g.i AS bin, COALESCE(a.volume, 0) AS volume
         |FROM generate_series(0, 49) g(i) LEFT JOIN agg a ON g.i = a.bin
+        |ORDER BY 1""".stripMargin),
+
+    "comm_structure" -> (commCte +
+      """, ext AS (SELECT CAST(MIN(timestamp_ns) AS DOUBLE) lo,
+        |                 CAST(MAX(timestamp_ns) AS DOUBLE) hi,
+        |                 MAX(process) + 1 AS nranks FROM comm),
+        |pairs AS (
+        |  SELECT CAST(LEAST(FLOOR((CAST(timestamp_ns AS DOUBLE) - lo)
+        |                          / ((hi - lo) / 20)), 19) AS INT) AS bin,
+        |         process AS s, attr_receiver AS r, nranks,
+        |         COUNT(*) AS n, SUM(attr_msg_length) AS b
+        |  FROM comm, ext WHERE name IN ('MpiSend', 'MpiIsend')
+        |  GROUP BY 1, 2, 3, 4),
+        |agg AS (
+        |  SELECT bin,
+        |         CAST(SUM(n) AS BIGINT) AS n_msgs,
+        |         CAST(SUM(b) AS BIGINT) AS bytes,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_senders,
+        |         CAST(COUNT(DISTINCT r) AS BIGINT) AS n_receivers,
+        |         CAST(MAX(n) AS BIGINT) AS max_pair_msgs,
+        |         CAST(SUM(CASE WHEN s = r THEN n ELSE 0 END) AS BIGINT)
+        |           AS self_msgs,
+        |         CAST(SUM(CASE WHEN LEAST(ABS(s - r), nranks - ABS(s - r)) = 1
+        |                       THEN n ELSE 0 END) AS BIGINT) AS ring_msgs
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(g.i AS INT) AS bin,
+        |       COALESCE(n_msgs, 0) AS n_msgs, COALESCE(bytes, 0) AS bytes,
+        |       COALESCE(n_pairs, 0) AS n_pairs,
+        |       COALESCE(n_senders, 0) AS n_senders,
+        |       COALESCE(n_receivers, 0) AS n_receivers,
+        |       COALESCE(max_pair_msgs, 0) AS max_pair_msgs,
+        |       COALESCE(self_msgs, 0) AS self_msgs,
+        |       COALESCE(ring_msgs, 0) AS ring_msgs
+        |FROM generate_series(0, 19) g(i) LEFT JOIN agg ON g.i = agg.bin
         |ORDER BY 1""".stripMargin),
 
     "msg_histogram" -> (commCte +

@@ -104,6 +104,54 @@ object CommOps {
         coalesce(col("volume"), lit(0L)).as("volume"))
   }
 
+  /** Per-time-bin structural profile of the send traffic — the input to
+    * communication-pattern classification (is this phase ring/neighbor
+    * exchange, an all-to-all, a hotspot/incast?): message and byte
+    * totals, active-pair / sender / receiver cardinalities, the busiest
+    * single pair, and the self- and ring-neighbor shares, all as exact
+    * integer counts per bin (classification thresholds are a
+    * presentation choice; the counts are the engine's job). Binning
+    * follows [[commOverTime]] (whole-trace extent, degenerate-range
+    * expansion, last bin right-closed).
+    *
+    * Plan: one (bin, sender, receiver) aggregation over the send scan,
+    * then a per-bin rollup of that already-tiny pair table — two keyed
+    * exchanges, map-side partials, no window. The trace extent and rank
+    * count are one collected scalar row (same as the other extent
+    * consumers here); ring distance wraps at nRanks. */
+  def commStructure(events: DataFrame, bins: Int = 20): DataFrame = {
+    val extRow = events.agg(min(col(TimestampNs)).cast("double"),
+      max(col(TimestampNs)).cast("double"), max(col(Process))).head
+    require(!extRow.isNullAt(0), "comm_structure: empty trace")
+    val (lo0, hi0) = (extRow.getDouble(0), extRow.getDouble(1))
+    val (lo, hi) = if (hi0 == lo0) (lo0 - 0.5, hi0 + 0.5) else (lo0, hi0)
+    val nRanks = extRow.getInt(2) + 1
+    val pairs = events.filter(col(Name).isin(SendNames: _*))
+      .select(col(TimestampNs).cast("double").as("t"),
+        col(Process).as("s"), col(AttrReceiver).as("r"),
+        col(AttrMsgLength).as("sz"))
+      .withColumn("bin", least(
+        floor((col("t") - lo) / ((hi - lo) / bins)),
+        lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"), col("s"), col("r"))
+      .agg(count(lit(1)).as("n"), sum(col("sz")).as("b"))
+    val ringDist =
+      least(abs(col("s") - col("r")), lit(nRanks) - abs(col("s") - col("r")))
+    val agg = pairs.groupBy(col("bin")).agg(
+      sum(col("n")).as("n_msgs"), sum(col("b")).as("bytes"),
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("s")).as("n_senders"),
+      countDistinct(col("r")).as("n_receivers"),
+      max(col("n")).as("max_pair_msgs"),
+      sum(when(col("s") === col("r"), col("n")).otherwise(0L)).as("self_msgs"),
+      sum(when(ringDist === 1, col("n")).otherwise(0L)).as("ring_msgs"))
+    events.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
+      .join(agg, Seq("bin"), "left")
+      .select(col("bin") +: Seq("n_msgs", "bytes", "n_pairs", "n_senders",
+        "n_receivers", "max_pair_msgs", "self_msgs", "ring_msgs")
+        .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+  }
+
   /** Send↔recv message matching (beyond the reference; the Vampir /
     * Scalasca "late sender" primitive): under MPI's non-overtaking rule,
     * the k-th send from p to q pairs with the k-th receive posted at q

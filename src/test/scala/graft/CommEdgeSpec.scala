@@ -62,4 +62,21 @@ class CommEdgeSpec extends SparkSpec {
     assert(m((0, 1, 2)) == ((1L, 4L, 5L)))
     assert(m.size == 2) // 3rd send on 0->1 and the lone 1->0 send unmatched
   }
+
+  test("commStructure: ring, hotspot, self and wraparound counted per bin") {
+    // 4 ranks. Bin 0 (ts 0..49): a ring 0→1,1→2,2→3,3→0 (wraparound pair
+    // 3-0 IS ring distance 1) + one self message 2→2.
+    // Bin 1 (ts 50..100): hotspot — 0,1,2 all send twice to rank 3.
+    val ev = sends(
+      (0L, 10L, 0, 1), (10L, 10L, 1, 2), (20L, 10L, 2, 3), (30L, 10L, 3, 0),
+      (40L, 5L, 2, 2),
+      (60L, 20L, 0, 3), (70L, 20L, 0, 3), (80L, 20L, 1, 3), (90L, 20L, 1, 3),
+      (95L, 20L, 2, 3), (100L, 20L, 2, 3))
+    val got = CommOps.commStructure(ev, bins = 2).collect()
+      .map(r => r.getInt(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    // (n_msgs, bytes, n_pairs, n_senders, n_receivers, max_pair, self, ring)
+    assert(got(0) == Seq(5L, 45L, 5L, 4L, 4L, 1L, 1L, 4L))
+    // hotspot bin: 0→3 wraps to ring distance 1, like 2→3; 1→3 is dist 2
+    assert(got(1) == Seq(6L, 120L, 3L, 3L, 1L, 2L, 0L, 4L))
+  }
 }
