@@ -1574,6 +1574,27 @@ object SparkEntry {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    // --- winsorized per-type mean: clamp at the p10/p90 equidepth
+    // boundaries, then an integral centi-unit mean — robust-mean
+    // composition of the equidepth operator, engine-exact throughout ---
+    "q_winsorize" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"), col("event_id"))
+      val bounds = graft.analysis.RobustStats.equidepth(ev, "event_type",
+          "value_c", "event_id")
+        .groupBy(col("event_type"))
+        .agg(min(when(col("q") === 1, col("boundary"))).as("lo"),
+          min(when(col("q") === 9, col("boundary"))).as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"),
+          greatest(col("lo"), least(col("hi"), col("value_c"))).as("wv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("wv")).as("w_sum"))
+        .select(col("event_type"), col("n"), col("w_sum"),
+          expr("w_sum div n").as("w_mean_c"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- lexical-vs-dense retrieval agreement: top-d intersections for
     // d = 1..5 with integer RBO weights (p=0.9 powers × LCM(1..5) in
     // micro-units — FP-free rank-biased overlap) ---
@@ -4100,6 +4121,29 @@ object SparkEntry {
         |       CAST(rn AS BIGINT) AS rank_sel, v AS boundary
         |FROM x WHERE rn = (q * n + 9) // 10
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+        |         event_id FROM events),
+        |r AS (
+        |  SELECT event_type, v,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY v, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |         MIN(CASE WHEN rn = (1 * n + 9) // 10 THEN v END) AS lo,
+        |         MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS hi
+        |  FROM r GROUP BY 1),
+        |w AS (
+        |  SELECT e.event_type, GREATEST(b.lo, LEAST(b.hi, e.v)) AS wv
+        |  FROM e JOIN b USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(wv) AS BIGINT) AS w_sum,
+        |       CAST(SUM(wv) // COUNT(*) AS BIGINT) AS w_mean_c
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same BM25 + cosine ranking CTEs as hybrid_topk, truncated at 5,
     // then per-depth intersection counts with integer RBO weights

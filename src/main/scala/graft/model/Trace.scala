@@ -55,6 +55,8 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
     CommOps.commOverTime(events, output, messageType, bins)
   def commByProcess(output: String = "size"): DataFrame =
     CommOps.commByProcess(events, output)
+  def commStructure(bins: Int = 20): DataFrame =
+    CommOps.commStructure(events, bins)
   def flatProfile(metrics: Seq[String] = Seq(Schemas.TimeExc),
                   groupCol: String = Schemas.Name,
                   perProcess: Boolean = false): DataFrame =
