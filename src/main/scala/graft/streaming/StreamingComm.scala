@@ -129,4 +129,33 @@ object StreamingComm {
         col("send_ts"), col("recv_ts"),
         (col("recv_ts") - col("send_ts")).as("latency_ns"))
   }
+
+  /** Streaming twin of [[graft.analysis.CommOps.commStructure]]'s FIRST
+    * aggregation: per (tumbling event-time window, sender, receiver)
+    * message and byte counts, finalized by the watermark (append mode —
+    * a window's pairs emit once, when it can no longer receive late
+    * sends). This stage is the corpus-sized reduction; the per-window
+    * structure rollup (cardinalities, busiest pair, self/ring shares) is
+    * the batch operator's second aggregation applied to this
+    * already-tiny finalized table — chaining it INSIDE the stream would
+    * need a second stateful aggregation with a distinct-count, which
+    * streaming doesn't support; running it downstream of the sink (or
+    * per micro-batch via foreachBatch) gives the same rows.
+    * Built-in windowed aggregation only: the watermark bounds state, no
+    * user state store. `binNs` is the tumbling width in nanoseconds
+    * (trace time; converted to µs timestamps for the window operator). */
+  def structurePairs(events: DataFrame, binNs: Long,
+                     watermarkDelay: String = "30 seconds"): DataFrame = {
+    val sends = events.filter(col(Name).isin(SendNames: _*))
+      .select(col(Process).as("s"), col(AttrReceiver).as("r"),
+        col(AttrMsgLength).cast("long").as("sz"),
+        timestamp_micros(expr(s"${TimestampNs} div 1000")).as("t"))
+      .withWatermark("t", watermarkDelay)
+    sends
+      .groupBy(window(col("t"), s"${binNs / 1000} microseconds"),
+        col("s"), col("r"))
+      .agg(count(lit(1)).as("n"), sum(col("sz")).as("b"))
+      .select(col("window.start").as("win_start"), col("s"), col("r"),
+        col("n"), col("b"))
+  }
 }

@@ -82,4 +82,32 @@ class StreamingCommSpec extends SparkSpec {
       assert(got.toSet == Set((1L, 3L, 1000000L)))
     } finally q.stop()
   }
+
+  test("structurePairs finalizes per-window channel counts on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Long, String)]
+    // (process, attr_receiver, attr_msg_length, timestamp_ns, name)
+    val df = in.toDF().toDF("process", "attr_receiver", "attr_msg_length",
+      "timestamp_ns", "name")
+    // 1 ms tumbling windows, zero watermark delay
+    val q = StreamingComm.structurePairs(df, 1000000L, "0 seconds")
+      .writeStream.format("memory").queryName("spairs")
+      .outputMode("append").start()
+    try {
+      // window [0,1ms): 0->1 twice (30 bytes), 1->0 once; a recv is ignored
+      in.addData((0L, 1L, 10L, 100000L, "MpiSend"),
+        (0L, 1L, 20L, 200000L, "MpiSend"),
+        (1L, 0L, 30L, 500000L, "MpiSend"),
+        (0L, 1L, 99L, 150000L, "MpiRecv"))
+      q.processAllAvailable()
+      // sentinel in a later window advances the watermark past window 0;
+      // its own (still-open) window must NOT emit
+      in.addData((5L, 6L, 1L, 5000000L, "MpiSend"))
+      q.processAllAvailable()
+      val got = spark.table("spairs").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == Set((0L, 0L, 1L, 2L, 30L), (0L, 1L, 0L, 1L, 30L)))
+    } finally q.stop()
+  }
 }
