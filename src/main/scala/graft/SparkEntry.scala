@@ -176,6 +176,12 @@ object SparkEntry {
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "winnow_fp")(
       TextOps.winnowFingerprint(T(s, dir, "documents")))
+  private def langidPred(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "langid_pred")({
+      val docs = T(s, dir, "documents")
+      TextOps.languageId(docs,
+        TextOps.learnLanguageProfiles(docs.filter(col("doc_id") % 5 === 0)))
+    })
   /** On-disk IVF index per (session, sfDir): written once under /tmp,
     * then every ann_ivf_disk run searches it with partition pruning —
     * "build the index once, serve queries from it", the deployment shape
@@ -671,6 +677,12 @@ object SparkEntry {
         .orderBy(col("pair"))
     }),
 
+    // --- per-channel latency-vs-size cost-model fit (LogGP shape):
+    // exact integer sufficient statistics, slope left to presentation ---
+    "comm_fit" -> ((s, dir) =>
+      CommOps.latencyModel(TraceGen.commTrace(s, dir))
+        .orderBy(col("src"), col("dst"))),
+
     // --- critical-path-style stall chain from the last late stall ---
     "comm_stall_chain" -> ((s, dir) =>
       graft.analysis.CriticalPath.stallChain(TraceGen.commTrace(s, dir))
@@ -689,6 +701,11 @@ object SparkEntry {
 
     // --- text analysis ---
     "text_stats" -> ((s, dir) => TextOps.textStats(T(s, dir, "documents"))
+      .orderBy(col("doc_id"))),
+
+    // --- char-distribution entropy (gibberish/blob detector), integer
+    // micro-unit log sufficient statistics ---
+    "text_entropy" -> ((s, dir) => TextOps.charEntropy(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
     "token_count" -> ((s, dir) => T(s, dir, "documents")
@@ -711,12 +728,16 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.qualityScore(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
-    "text_langid" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val profiles = TextOps.learnLanguageProfiles(docs.filter(col("doc_id") % 5 === 0))
-      TextOps.languageId(docs, profiles)
-        .select(col("doc_id"), col("predicted_lang")).orderBy(col("doc_id"))
-    }),
+    "text_langid" -> ((s, dir) => langidPred(s, dir)
+      .select(col("doc_id"), col("predicted_lang")).orderBy(col("doc_id"))),
+
+    // --- langid EVALUATION: predicted-vs-labeled confusion matrix ---
+    "langid_confusion" -> ((s, dir) => langidPred(s, dir)
+      .join(T(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("actual_lang")), Seq("doc_id"))
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual_lang"), col("predicted_lang"))),
 
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(T(s, dir, "documents"))
       .orderBy(col("doc_id"), col("pos"))),
@@ -745,6 +766,10 @@ object SparkEntry {
             .as("n_new"))
         .orderBy(col("doc_id"))
     }),
+
+    // --- per-source Zipf rank-frequency fit (integer milli-log sums) ---
+    "zipf_fit" -> ((s, dir) => TextOps.zipfFit(T(s, dir, "documents"))
+      .orderBy(col("g"))),
 
     // --- source-pair unigram cross-entropy (domain similarity matrix) ---
     "source_crossent" -> ((s, dir) =>
@@ -818,6 +843,12 @@ object SparkEntry {
     // --- asymmetric containment: subset/quote near-dups Jaccard misses ---
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(T(s, dir, "documents"), 3, 0.5, maxShingleDf = 1000)
+        .orderBy(col("a"), col("b"))),
+
+    // --- EXACT threshold-Jaccard join, lossless prefix filtering
+    // (AllPairs/PPJoin): rare-token prefixes index, full sets verify ---
+    "jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(T(s, dir, "documents"), 3, 1, 5)
         .orderBy(col("a"), col("b"))),
 
     // --- per-source quota: rank by quality, keep the top 20 per source ---
@@ -1521,6 +1552,15 @@ object SparkEntry {
           col("dist").cast("int").as("dist"))
         .orderBy(col("name_a"), col("name_b"))),
 
+    // --- sorted-neighborhood linkage: the blocking-free complement of
+    // fuzzy_names (one distributed sort, rank-offset equi-join) ---
+    "fuzzy_sorted" -> ((s, dir) =>
+      graft.analysis.FuzzyJoin.sortedNeighborPairs(
+          T(s, dir, "part"), "p_name", window = 4, maxDist = 6)
+        .select(col("name_a"), col("name_b"),
+          col("dist").cast("int").as("dist"))
+        .orderBy(col("name_a"), col("name_b"))),
+
     // --- z-order layout audit: Morton-bucket occupancy and per-bucket
     // dimension bounds (tight boxes = min/max pruning works) ---
     "q_zorder" -> ((s, dir) => {
@@ -1957,6 +1997,31 @@ object SparkEntry {
         |SELECT src, dst, side, CAST(COUNT(*) AS BIGINT) AS n_unmatched
         |FROM lone GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
+    "comm_fit" -> (commCte +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         timestamp_ns AS send_ts, attr_msg_length AS bytes,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         timestamp_ns AS recv_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv')),
+        |m AS (
+        |  SELECT s.src, s.dst, s.bytes,
+        |         (r.recv_ts - s.send_ts) // 1000000 AS lat_ms
+        |  FROM sends s JOIN recvs r
+        |    ON s.src = r.src AND s.dst = r.dst AND s.k = r.k)
+        |SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(bytes) AS BIGINT) AS sum_x,
+        |       CAST(SUM(lat_ms) AS BIGINT) AS sum_y,
+        |       CAST(SUM(bytes * lat_ms) AS BIGINT) AS sum_xy,
+        |       CAST(SUM(bytes * bytes) AS BIGINT) AS sum_x2
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "comm_latency_pctl" -> (commCte +
       """, sends AS (
         |  SELECT process AS src, attr_receiver AS dst,
@@ -2375,6 +2440,17 @@ object SparkEntry {
     "text_quality" ->
       s"SELECT doc_id, $qualitySql AS quality FROM documents ORDER BY doc_id",
 
+    "text_entropy" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |g AS (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM b),
+        |cnt AS (SELECT doc_id, substr(text, i, 1) AS c, COUNT(*) AS cnt
+        |        FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+        |       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+        |       CAST(SUM(cnt * CAST(ROUND(ln(cnt) * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS ent_ulog
+        |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // planted motif: occurrences o=0..4 start at series position 200·o and
     // cover 50 leaves; leaf i's Enter has event_id 2i+1 by construction
     "trace_pattern" ->
@@ -2463,6 +2539,34 @@ object SparkEntry {
         |        ORDER BY score DESC, lang) AS rn FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "langid_confusion" ->
+      """WITH grams AS (
+        |  SELECT doc_id, substring(text, i, 3) AS gram
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, GREATEST(length(text) - 2, 1))) AS i
+        |        FROM documents)),
+        |train AS (
+        |  SELECT d.lang, g.gram, COUNT(*) AS cnt
+        |  FROM grams g JOIN documents d USING (doc_id)
+        |  WHERE d.doc_id % 5 = 0 GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT gram, lang, CAST(cnt AS DOUBLE) / 200 AS weight
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |                    ORDER BY cnt DESC, gram) AS rn FROM train)
+        |  WHERE rn <= 200),
+        |scored AS (
+        |  SELECT g.doc_id, p.lang, SUM(p.weight) AS score
+        |  FROM grams g JOIN prof p USING (gram) GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, lang AS predicted_lang
+        |  FROM (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, lang) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT d.lang AS actual_lang, p.predicted_lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred p JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "doc_fingerprint" -> (shinglesCte +
       """, hashed AS (
         |  SELECT DISTINCT doc_id,
@@ -2494,6 +2598,24 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS representative,
         |       CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY representative""".stripMargin,
+
+    "zipf_fit" ->
+      """WITH t AS (SELECT source AS g,
+        |                  regexp_split_to_array(trim(text), ' +') AS toks
+        |           FROM documents),
+        |tok AS (SELECT g, unnest(toks) AS tok FROM t),
+        |cnt AS (SELECT g, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g
+        |         ORDER BY c DESC, tok) AS r FROM cnt),
+        |xy AS (SELECT g, CAST(ROUND(ln(r) * 1000) AS BIGINT) AS x,
+        |              CAST(ROUND(ln(c) * 1000) AS BIGINT) AS y FROM rk)
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(x) AS BIGINT) AS sum_x,
+        |       CAST(SUM(y) AS BIGINT) AS sum_y,
+        |       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+        |       CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+        |       CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        |FROM xy GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "source_crossent" ->
       """WITH tk AS (
@@ -3151,6 +3273,20 @@ object SparkEntry {
         |  FROM inter JOIN sizes sa ON inter.a = sa.doc_id
         |             JOIN sizes sb ON inter.b = sb.doc_id)
         |WHERE cont_a >= 0.5 OR cont_b >= 0.5 ORDER BY a, b""".stripMargin),
+
+    "jaccard_prefix" -> (shinglesCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(i AS BIGINT) AS inter,
+        |       CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb
+        |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        |           JOIN sizes sb ON inter.b = sb.doc_id
+        |WHERE i * 5 >= (sa.sz + sb.sz - i) * 1
+        |ORDER BY a, b""".stripMargin),
 
     "q_domain_cap" ->
       s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents)
@@ -4061,6 +4197,17 @@ object SparkEntry {
         |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
         |FROM nm a JOIN nm b ON a.block = b.block AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "fuzzy_sorted" ->
+      """WITH nm AS (SELECT DISTINCT p_name AS name FROM part),
+        |r AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS rk
+        |      FROM nm),
+        |p AS (SELECT a.name AS name_a, b.name AS name_b
+        |      FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3)
+        |SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        |FROM p WHERE levenshtein(name_a, name_b) <= 6
         |ORDER BY 1, 2""".stripMargin,
 
     "q_zorder" -> {

@@ -183,6 +183,35 @@ object CommOps {
         (col("recv_ts") - col("send_ts")).as(latencyCol))
   }
 
+  /** Per-channel latency-vs-size linear-model sufficient statistics —
+    * the LogGP-style communication cost fit (latency ≈ α + β·size, α the
+    * per-message overhead, 1/β the bandwidth). Emits the EXACT integer
+    * sums (n, Σx, Σy, Σxy, Σx²) per (src, dst) channel over the matched
+    * messages of [[matchMessages]]; slope and intercept are presentation
+    * arithmetic ((nΣxy − ΣxΣy) / (nΣx² − Σx²)). Integer sums are
+    * order-free — bit-identical across engines and partition orders —
+    * where a float least-squares fold would drift.
+    *
+    * y is the matched latency in MILLIseconds (truncating division):
+    * with ns-scale epochs a single x·y product can exceed 2⁶³; ms keeps
+    * Σxy within Long for ~10⁹ messages per channel at 10 GB messages.
+    * Scale shape: the matchMessages window pair, one equi-join back to
+    * the send rows for the size attribute, one partial-aggregated
+    * rollup — every shuffle keys on the channel or the event id. */
+  def latencyModel(events: DataFrame): DataFrame = {
+    val sizes = events.select(col(EventId).as("send_event_id"),
+      col(AttrMsgLength).as("bytes"))
+    matchMessages(events)
+      .withColumn("lat_ms", expr("latency_ns div 1000000"))
+      .join(sizes, Seq("send_event_id"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bytes")).as("sum_x"),
+        sum(col("lat_ms")).as("sum_y"),
+        sum(col("bytes") * col("lat_ms")).as("sum_xy"),
+        sum(col("bytes") * col("bytes")).as("sum_x2"))
+  }
+
   /** Wait-time attribution from the matched messages: a receive posted
     * BEFORE its send completes is a late-sender stall — the receiver
     * sat blocked for (send_ts − recv_ts). Aggregated per receiving

@@ -25,6 +25,34 @@ object FuzzyJoin {
     * @param maxBlockSize drop blocks larger than this before the
     *        self-join (a viral block — e.g. an empty-string key — would
     *        otherwise cost |block|²); None compares every block. */
+  /** Sorted-neighborhood matching (Hernández & Stolfo 1995 "merge/purge"):
+    * sort every distinct string once, then compare each record only to
+    * its `window−1` successors in sort order. The complement of
+    * [[selfPairs]]' blocking — blocking misses pairs whose block KEY was
+    * corrupted, sorted-neighborhood misses pairs that sort far apart —
+    * so production linkage runs both passes and unions the candidates.
+    *
+    * Scale shape: one distributed sort assigning a dense rank
+    * ([[graft.ingest.Ingest.assignDenseIds]] — a range-partitioned sort +
+    * zipWithIndex, never an unpartitioned window), then the neighbor
+    * pairs come from an EQUI-join of rank against rank+j (j < window),
+    * with the codegen'd `levenshtein` filter inside the join stage.
+    * O(n·window) comparisons total, independent of block skew. */
+  def sortedNeighborPairs(df: DataFrame, strCol: String, window: Int,
+                          maxDist: Int): DataFrame = {
+    require(window >= 2, s"window must cover at least one neighbor: $window")
+    val names = df.select(col(strCol).as("name")).distinct()
+    val ranked = graft.ingest.Ingest
+      .assignDenseIds(names, "rk", col("name").asc)
+    val bumped = ranked
+      .withColumn("j", explode(sequence(lit(1), lit(window - 1))))
+      .select((col("rk") + col("j")).as("rk"), col("name").as("name_a"))
+    bumped.join(ranked.select(col("rk"), col("name").as("name_b")), Seq("rk"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
   def selfPairs(df: DataFrame, strCol: String, blockOf: Column => Column,
                 maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame = {
     val names = df.select(col(strCol).as("name")).distinct()

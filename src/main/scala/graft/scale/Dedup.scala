@@ -324,6 +324,72 @@ object Dedup {
       .filter(col("cont_a") >= minContainment || col("cont_b") >= minContainment)
       .select(col("a"), col("b"), col("cont_a"), col("cont_b"))
 
+  /** EXACT threshold-Jaccard similarity join via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo et al. 2007 "Scaling Up All Pairs
+    * Similarity Search"; Xiao et al. 2008 PPJoin). Unlike the shingle-df
+    * cap in [[ngramJaccardPairs]] (which trades recall for boundedness),
+    * prefix filtering is LOSSLESS: with every document's shingle set
+    * ordered by a global canonical order (document frequency ascending,
+    * shingle ascending), two sets with J(A,B) ≥ τ MUST share a token in
+    * their first |X| − ⌈τ·|X|⌉ + 1 tokens, so the inverted index is built
+    * over prefixes only — and the prefixes hold each set's RAREST tokens,
+    * exactly the ones with short posting lists. The full result set is
+    * still exact: candidates are re-verified against the complete sets.
+    *
+    * The threshold is a rational `tauNum/tauDen`, and verification uses
+    * the integer cross-multiplication
+    * `tauDen·|A∩B| ≥ tauNum·(|A|+|B|−|A∩B|)` — no float comparison
+    * anywhere, so the pair set is bit-identical across engines.
+    *
+    * Scale shape: one shingle scan, a df aggregation, two per-document
+    * windows (set size, canonical rank), a self-join restricted to prefix
+    * rows (rare tokens → short posting lists; never all-pairs), and a
+    * candidate-bounded verification join. All shuffles key on shingle or
+    * doc id; no global ordering or driver state. Returns
+    * (a, b, inter, sza, szb) — the Jaccard value itself is presentation
+    * (inter / (sza+szb−inter)). */
+  def jaccardPrefixPairs(docs: DataFrame, shingleK: Int = 3,
+                         tauNum: Int = 1, tauDen: Int = 5,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1]: $tauNum/$tauDen")
+    val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+      .distinct()
+      // three consumers (prefix build, verify a-side, verify b-side):
+      // truncate lineage once instead of recomputing the tokenize+distinct
+      .localCheckpoint()
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfTab, Seq("shingle"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("r", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("df"), col("shingle"))))
+    // prefix length |X| − ⌈τ|X|⌉ + 1 with ⌈p·sz/q⌉ as (p·sz+q−1) div q —
+    // integer-exact, no binary-fraction ceil trap
+    val prefix = ranked.filter(col("r") <=
+        col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col(idCol), col("shingle"))
+    // true self-join (renames above the shared subtree) so the prefix
+    // scan+exchange canonicalizes identically and is computed once
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .filter(col("inter") * tauDen >=
+        (col("sza") + col("szb") - col("inter")) * tauNum)
+      .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"))
+  }
+
   /** Shared inverted-index pair pipeline: distinct (doc, shingle) rows,
     * optional df cap, then the sparse self-join on the shingle key,
     * aggregated to one row per co-shingled pair (a < b) carrying the

@@ -89,6 +89,69 @@ object TextOps {
           coalesce(col("xs"), lit(0L)) / 1e6 / col("na"), 4).as("cross_ent"))
   }
 
+  /** Per-source Zipf's-law fit — the vocabulary power-law audit (a source
+    * whose rank-frequency slope deviates far from −1 is boilerplate,
+    * templated spam, or machine noise rather than natural language).
+    * Ranks each source's unigrams by frequency and emits the EXACT
+    * integer sufficient statistics of the log-log regression: n and
+    * Σx, Σy, Σxy, Σx², Σy² with x = round(ln(rank)·10³),
+    * y = round(ln(count)·10³) in milli-log units — slope and R² are
+    * presentation arithmetic; integer sums are order-free and therefore
+    * bit-identical across engines (the [[sourceCrossEntropy]] idiom;
+    * milli not micro so Σx·y stays well inside Long at 10⁷-term vocabularies).
+    *
+    * Scale shape: one tokenize scan collapsed by map-side partial
+    * aggregation to (source, token, count); the rank is a window
+    * partitioned BY SOURCE — right when each source's vocabulary fits a
+    * partition (vocabularies grow sublinearly, Heaps' law); a corpus
+    * whose single-source vocab outgrows that would swap the window for
+    * [[graft.ingest.Ingest.assignDenseIds]] per source. */
+  def zipfFit(docs: DataFrame, groupCol: String = "source",
+              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val xy = counts
+      .withColumn("r", row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("c").desc, col("tok"))))
+      .select(col("g"),
+        round(log(col("r")) * 1000).cast("long").as("x"),
+        round(log(col("c")) * 1000).cast("long").as("y"))
+    xy.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+      sum(col("x") * col("y")).as("sum_xy"),
+      sum(col("x") * col("x")).as("sum_x2"),
+      sum(col("y") * col("y")).as("sum_y2"))
+  }
+
+  /** Per-document character-distribution entropy — the classic gibberish
+    * / mojibake / base64-blob detector (low entropy = repeated filler,
+    * high entropy = random bytes; natural language sits in a narrow
+    * band). Emits the EXACT integer sufficient statistics instead of the
+    * float entropy: n_chars, distinct_chars, and
+    * `ent_ulog = Σ_c cnt_c · round(ln(cnt_c)·10⁶)` over per-character
+    * counts, from which H = ln(n) − ent_ulog/(n·10⁶) is presentation
+    * arithmetic. Integer sums are order-free, so the result is
+    * bit-identical across engines and partitionings ([[sourceCrossEntropy]]'s
+    * micro-unit-log idiom).
+    *
+    * Scale shape: one scan exploding each document into characters,
+    * collapsed immediately by map-side partial aggregation on
+    * (doc, char) — the alphabet bounds the per-doc state — then one
+    * per-doc rollup. No joins, no windows. */
+  def charEntropy(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("cnt") * round(log(col("cnt")) * 1000000).cast("long"))
+          .as("ent_ulog"))
+
   /** Per-document stats: token count, char count, average token length,
     * alpha ratio, space ratio. */
   def textStats(docs: DataFrame, textCol: String = "text",

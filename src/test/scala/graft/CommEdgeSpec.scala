@@ -79,4 +79,26 @@ class CommEdgeSpec extends SparkSpec {
     // hotspot bin: 0→3 wraps to ring distance 1, like 2→3; 1→3 is dist 2
     assert(got(1) == Seq(6L, 120L, 3L, 3L, 1L, 2L, 0L, 4L))
   }
+
+  test("latency model: exact integer sufficient statistics per channel") {
+    // channel 0→1: (len 4, lat 15 ms) and (len 6, lat 40 ms)
+    val ev = Seq(
+      (0L, 10000000L, "MpiSend", 0, 1, 4L),
+      (1L, 30000000L, "MpiSend", 0, 1, 6L),
+      (2L, 25000000L, "MpiRecv", 1, 0, 0L),
+      (3L, 70000000L, "MpiRecv", 1, 0, 0L)
+    ).toDF("id", "ts", "nm", "proc", "peer", "len")
+      .select(col("id").as(EventId), col("ts").as(TimestampNs),
+        col("nm").as(Name), col("proc").as(Process),
+        col("peer").as(AttrReceiver), col("len").as(AttrMsgLength),
+        lit("Instant").as(EventType))
+    val r = CommOps.latencyModel(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") == 2L)
+    assert(row.getAs[Long]("sum_x") == 10L)
+    assert(row.getAs[Long]("sum_y") == 55L)
+    assert(row.getAs[Long]("sum_xy") == 4L * 15 + 6L * 40)
+    assert(row.getAs[Long]("sum_x2") == 16L + 36L)
+  }
 }

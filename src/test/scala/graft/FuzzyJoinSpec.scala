@@ -26,6 +26,25 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(FuzzyJoin.selfPairs(df, "name", block, 2).count() == 0)
   }
 
+  test("sorted-neighborhood: window pairs only, cross-window pairs absent") {
+    // sorted order: apple, apply, azzzz, badge, badgy
+    val df = Seq("apple", "apply", "badge", "badgy", "azzzz").toDF("name")
+    val got = FuzzyJoin.sortedNeighborPairs(df, "name", window = 2, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .sortBy(identity)
+    // window 2 compares adjacent ranks only: apple-apply (1) and
+    // badge-badgy (1) qualify; apply-azzzz/azzzz-badge are > 2 edits, and
+    // apple-badge is never compared (3 ranks apart)
+    assert(got.toSeq == Seq(("apple", "apply", 1), ("badge", "badgy", 1)))
+    // widening the window to 3 reaches rank distance 2 — apply-badge
+    // (apply,azzzz,badge in sort order) now compared and within 5 edits —
+    // while apple-badgy (rank distance 4) is still never compared
+    val wide = FuzzyJoin.sortedNeighborPairs(df, "name", 3, 5).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(wide.contains(("apply", "badge")))
+    assert(!wide.contains(("apple", "badgy")))
+  }
+
   test("maxBlockSize drops viral blocks entirely") {
     val df = Seq("a ring", "b ring", "c ring", "x hub", "y hub").toDF("name")
     val capped = FuzzyJoin.selfPairs(df, "name", block, 2, Some(2)).collect()

@@ -306,6 +306,60 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 2L)))
   }
 
+  test("prefix-filtered jaccard join equals the brute-force threshold join") {
+    // overlapping word soup: enough shared shingles for real pairs,
+    // including exact duplicates (i and i+20 share the token recipe)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docsN = (0 until 40).map { i =>
+      val toks = (0 until 12).map(j =>
+        words(((i % 20) * 5 + j * (1 + (i % 20) % 3)) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }
+    val d = docsN.toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixPairs(d, 3, 1, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // brute force with identical shingling (1-based slice, min 1 shingle)
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split(" +").toVector
+      (1 to math.max(toks.length - 2, 1))
+        .map(i => toks.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val sets = docsN.map { case (id, t) => id -> shingles(t) }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      if inter * 5 >= (sets(a).size + sets(b).size - inter) * 1
+    } yield (a, b, inter.toLong, sets(a).size.toLong,
+      sets(b).size.toLong)).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("char entropy: exact micro-unit log sums on a hand case") {
+    val d = Seq((0L, "aab c")).toDF("doc_id", "text")
+    val r = TextOps.charEntropy(d).collect().head
+    assert(r.getAs[Long]("n_chars") == 5L)
+    assert(r.getAs[Long]("distinct_chars") == 4L) // a, b, space, c
+    // only 'a' (count 2) contributes: ln(1) = 0 for the singletons
+    assert(r.getAs[Long]("ent_ulog") ==
+      2L * math.round(math.log(2) * 1000000))
+  }
+
+  test("zipf fit: exact milli-log sums on a hand case") {
+    val d = Seq((0L, "a a a b b c", "s")).toDF("doc_id", "text", "source")
+    val r = TextOps.zipfFit(d).collect().head
+    // ranks (a,b,c) = (1,2,3) with counts (3,2,1):
+    // x = round(ln r · 1000) = 0, 693, 1099; y = 1099, 693, 0
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("sum_x") == 1792L)
+    assert(r.getAs[Long]("sum_y") == 1792L)
+    assert(r.getAs[Long]("sum_xy") == 693L * 693L)
+    assert(r.getAs[Long]("sum_x2") == 693L * 693L + 1099L * 1099L)
+    assert(r.getAs[Long]("sum_y2") == 693L * 693L + 1099L * 1099L)
+  }
+
   test("source cross-entropy matches the hand-computed 2x2 matrix") {
     val d = Seq((0L, "x x x x", "a"), (1L, "x y", "b"))
       .toDF("doc_id", "text", "source")
