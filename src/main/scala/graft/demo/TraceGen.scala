@@ -109,15 +109,31 @@ object TraceGen {
         lit(0L).as("tid"))
   }
 
-  /** events.ts is a nanosecond parquet timestamp — Spark only reads those
-    * with the nanosAsLong legacy conf (as a ns Long, which is exactly the
-    * canonical trace timestamp). NOTE: values carry sub-microsecond
-    * residue, while DuckDB reads the column µs-truncated — any
-    * oracle-compared derivation must truncate to µs itself (epoch_us·1000
-    * on the SQL side, `ts div 1000` on this side). */
+  /** events table with `ts` normalized to a NANOSECOND epoch Long (the
+    * canonical trace timestamp), whatever the generator wrote:
+    *
+    *  - ns-precision parquet timestamp: Spark reads it as a raw ns Long
+    *    under the nanosAsLong legacy conf. Values carry sub-µs residue
+    *    while DuckDB reads the column µs-truncated — oracle-compared
+    *    derivations must µs-truncate themselves (`epoch_us(ts)·1000` on
+    *    the SQL side, `ts div 1000 · 1000` on this side, a no-op for the
+    *    µs layout below).
+    *  - µs-precision naive timestamp (`isAdjustedToUTC=false`): Spark
+    *    reads TIMESTAMP_NTZ; convert naive→epoch under UTC so the value
+    *    equals DuckDB's `epoch_us(ts)` exactly (no zone shift), ×1000.
+    */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ =>
+        // NTZ→LTZ cast resolves through the session zone; pin it to UTC
+        // so unix_micros returns the naive value's epoch µs verbatim
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts",
+          (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts"))
+    }
   }
 
   def commTrace(spark: SparkSession, sfDir: String): DataFrame = {
