@@ -1653,6 +1653,49 @@ object SparkEntry {
         .select(col("query_id"), col("d"), col("n_overlap"),
           col("rbo_contrib"))
         .orderBy(col("query_id"), col("d"))
+    }),
+
+    // --- CDC merge-apply: last-writer-wins upsert + delete-tombstone
+    // materialization of "current state" from the event change log ---
+    "q_merge_upsert" -> ((s, dir) => {
+      val changes = TraceGen.eventsTable(s, dir).select(
+        col("user_id"), expr("ts div 1000").as("seq"), col("event_id"),
+        when(col("event_type") === "view", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        floor(col("value") * 100).cast("long").as("val_c"))
+      graft.analysis.MergeApply.applyCdc(changes, Seq("user_id"), "seq",
+          Seq("event_id"), "op")
+        .select(col("user_id"), col("op"), col("seq"), col("val_c"))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- lag-1..6 autocovariance over zero-filled hourly counts per
+    // event type — integer sufficient statistics, order-free ---
+    "q_autocorr" -> ((s, dir) => {
+      val hourly = TraceGen.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("t"))
+        .agg(count(lit(1)).as("n"))
+      graft.analysis.Autocorr.lagStats(hourly, "event_type", "t", "n",
+          1 to 6)
+        .select(col("event_type"), col("lag"), col("n"), col("sum_x"),
+          col("sum_y"), col("sum_xy"), col("sum_x2"), col("sum_y2"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // --- d×d scatter (Gram) matrix of the embedding corpus in exact
+    // micro-unit integers: per-partition triangle accumulation, shuffle
+    // only #partitions × d(d+1)/2 partials ---
+    "emb_gram" -> ((s, dir) =>
+      graft.scale.LinAlg.gramMicro(T(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))),
+
+    // --- exact maximum-inner-product top-k (the MIPS objective) ---
+    "ann_mips" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.mipsTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -4347,7 +4390,70 @@ object SparkEntry {
         |       CAST([60000000, 27000000, 16200000, 10935000, 7873200][g.d]
         |            * COALESCE(o.n_overlap, 0) AS BIGINT) AS rbo_contrib
         |FROM g LEFT JOIN o ON g.query_id = o.query_id AND g.d = o.d
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS seq, event_id,
+        |         CASE event_type WHEN 'view' THEN 'I'
+        |                         WHEN 'error' THEN 'D'
+        |                         ELSE 'U' END AS op,
+        |         CAST(FLOOR(value * 100) AS BIGINT) AS val_c
+        |  FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY seq DESC, event_id DESC) AS rn FROM c)
+        |SELECT user_id, op, seq, val_c FROM r
+        |WHERE rn = 1 AND op != 'D' ORDER BY user_id""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS t,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(t) AS lo, MAX(t) AS hi
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT event_type, UNNEST(generate_series(lo, hi)) AS t FROM b),
+        |f AS (SELECT g.event_type, g.t, COALESCE(d.n, 0) AS n
+        |      FROM g LEFT JOIN d ON g.event_type = d.event_type
+        |                        AND g.t = d.t),
+        |l AS (SELECT UNNEST([1, 2, 3, 4, 5, 6]) AS lag),
+        |j AS (SELECT f.event_type, l.lag, f.n AS x, f2.n AS y
+        |      FROM f CROSS JOIN l
+        |      JOIN f f2 ON f2.event_type = f.event_type
+        |               AND f2.t = f.t + l.lag)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(x) AS BIGINT) AS sum_x,
+        |       CAST(SUM(y) AS BIGINT) AS sum_y,
+        |       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+        |       CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+        |       CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_gram" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |                  UNNEST(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |                  AS BIGINT) AS v
+        |      FROM e)
+        |SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ann_mips" ->
+      """SELECT query_id, rank, neighbor_id, ROUND(ip, 4) AS ip FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                          CAST(c.embedding AS DOUBLE[])) AS ip,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                                     CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id) AS INT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations

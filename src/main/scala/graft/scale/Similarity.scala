@@ -54,6 +54,31 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Maximum-inner-product top-k (MIPS) — recommendation/retrieval
+    * ranking where vectors are NOT length-normalized and cosine is the
+    * wrong objective. Same broadcast-scan shape as [[bruteForceTopK]]
+    * with the codegen'd dot product as the score. (The classic
+    * norm-augmentation reduction — append √(M²−‖x‖²) so MIPS becomes
+    * cosine over d+1 dims — is what feeds an ANN index; the exact scan
+    * here IS that objective without the transform, and serves as the
+    * recall oracle for an augmented index.) */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VecMath
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("ip", VecMath.dot(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("ip"), 4).as("ip"))
+  }
+
   /** Binary-quantized top-k: pack sign bits once per vector
     * ([[graft.functions.VecSignPack]], 32× compression) and rank by
     * Hamming distance — XOR + popcount per candidate, the cheapest
