@@ -378,6 +378,17 @@ object SparkEntry {
         .select(col("name"), col("ph"), col("ts"), col("pid"))
         .orderBy(col("ts"), col("ph"), col("name"), col("pid"))),
 
+    // --- Chrome JSON round trip: writer projection → JSON text →
+    // ChromeReader parse → canonical events again (the PyTorch/Perfetto
+    // interchange path, proven lossless against the relational truth) ---
+    "trace_chrome_roundtrip" -> ((s, dir) => {
+      val json = graft.ingest.ChromeWriter.project(callEnriched(s, dir))
+        .select(to_json(struct(col("*"))).as("value"))
+      graft.ingest.ChromeReader.parseLines(json)
+        .select(col(TimestampNs), col(EventType), col(Name), col(Process))
+        .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))
+    }),
+
     // --- A1: comm matrix (size + count) ---
     "comm_matrix" -> ((s, dir) => CommOps.commMatrix(TraceGen.commTrace(s, dir))
       .orderBy(col("sender"), col("receiver"))),
@@ -1941,6 +1952,16 @@ object SparkEntry {
         |  UNION ALL SELECT ship_name, 'B', CAST(s0 AS DOUBLE) / 1000, process FROM item
         |  UNION ALL SELECT ship_name, 'E', CAST(s1 AS DOUBLE) / 1000, process FROM item
         |) ORDER BY ts, ph, name, pid""".stripMargin),
+
+    "trace_chrome_roundtrip" -> (callCte +
+      """SELECT * FROM (
+        |  SELECT t0 AS timestamp_ns, 'Enter' AS event_type, name, process FROM ord
+        |  UNION ALL SELECT t1, 'Leave', name, process FROM ord
+        |  UNION ALL SELECT t0, 'Enter', name, process FROM item
+        |  UNION ALL SELECT t1, 'Leave', name, process FROM item
+        |  UNION ALL SELECT s0, 'Enter', ship_name, process FROM item
+        |  UNION ALL SELECT s1, 'Leave', ship_name, process FROM item
+        |) ORDER BY timestamp_ns, event_type, name, process""".stripMargin),
 
     "nsight_unpivot" -> (callCte +
       """, renum AS (

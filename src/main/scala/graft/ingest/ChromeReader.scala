@@ -1,0 +1,84 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Schemas._
+
+/** Chrome Trace Event Format source — the inverse of [[ChromeWriter]]
+  * and a real-world ingest path: PyTorch/TensorFlow profilers, Perfetto
+  * exports, and Chromium itself all emit this JSON. The reference only
+  * writes the format; reading it back closes the round trip so a trace
+  * exported for a viewer can re-enter the engine.
+  *
+  * Handles the phases that carry timing semantics:
+  *  - `B`/`E` duration events → canonical Enter/Leave rows;
+  *  - `i` (and legacy `I`) instants → Instant rows;
+  *  - `X` complete events (begin + `dur` in one record — what the ML
+  *    profilers actually emit) → an Enter at `ts` and a Leave at
+  *    `ts + dur`, expanded columnar via explode, never per-row driver
+  *    logic;
+  *  - metadata/counter/flow phases (`M`, `C`, `s`/`t`/`f`, …) are
+  *    dropped — they have no canonical-schema equivalent.
+  *
+  * Timestamps are Chrome µs doubles → ns Longs (the writer's inverse;
+  * sub-µs fractions from tools that emit them survive via the ×1000
+  * before the cast). `pid`→process, `tid`→thread. Scale shape: a JSON
+  * scan partitions by file blocks; the expansion is a generated-column
+  * explode; id assignment reuses the readers' shared distributed
+  * [[Ingest.assignDenseIds]] — no global window.
+  */
+object ChromeReader {
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("ph", StringType),
+    StructField("ts", DoubleType),
+    StructField("dur", DoubleType),
+    StructField("pid", LongType),
+    StructField("tid", LongType)))
+
+  /** Read a Chrome-trace JSON-lines directory/file (as [[ChromeWriter.write]]
+    * or a profiler emits). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    fromRecords(spark.read.schema(schema).json(path))
+
+  /** Parse a Dataset/DataFrame with one JSON record string per row in
+    * `jsonCol` — the no-filesystem variant for streams and tests. */
+  def parseLines(lines: DataFrame, jsonCol: String = "value"): DataFrame =
+    fromRecords(lines
+      .select(from_json(col(jsonCol), schema).as("r"))
+      .select("r.*"))
+
+  private def fromRecords(raw: DataFrame): DataFrame = {
+    // round, don't truncate: µs doubles carry ~2⁻⁵² relative error from
+    // the writer's ns→µs division, so a plain cast could lose 1 ns
+    def toNs(c: Column): Column = round(c * 1000.0).cast(LongType)
+    val be = raw.filter(col("ph").isin("B", "E", "i", "I"))
+      .select(
+        when(col("ph") === "B", Enter)
+          .when(col("ph") === "E", Leave)
+          .otherwise(Instant).as(EventType),
+        col("name").as(Name), toNs(col("ts")).as(TimestampNs),
+        col("pid"), col("tid"))
+    val x = raw.filter(col("ph") === "X")
+      .select(explode(array(
+          struct(lit(Enter).as(EventType), toNs(col("ts")).as(TimestampNs)),
+          struct(lit(Leave).as(EventType),
+            toNs(col("ts") + coalesce(col("dur"), lit(0.0))).as(TimestampNs))))
+          .as("e"),
+        col("name").as(Name), col("pid"), col("tid"))
+      .select(col("e." + EventType).as(EventType), col(Name),
+        col("e." + TimestampNs).as(TimestampNs), col("pid"), col("tid"))
+    val events = be.unionByName(x)
+      .select(col(EventType), col(Name), col(TimestampNs),
+        col("pid").cast(IntegerType).as(Process),
+        col("tid").cast(IntegerType).as(Thread))
+    // At equal ts the event_type sort key puts Enter before Leave
+    // (lexicographic, as 'B' < 'E' in the source format) — a zero-length
+    // X span still opens before it closes.
+    Ingest.assignDenseIds(events, EventId,
+      col(TimestampNs), col(EventType), col(Name), col(Process))
+  }
+}

@@ -65,4 +65,90 @@ object LinAlg {
       }
     partials.toDF("i", "j", "s").groupBy("i", "j").agg(sum("s").as("s"))
   }
+
+  /** Per-dimension micro-unit sums — the other sufficient statistic
+    * (besides [[gramMicro]]) PCA needs for mean-centering. One narrow
+    * aggregation: posexplode + (dim → sum), exact BIGINTs. */
+  def dimSumsMicro(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .select((col("__i") + 1).as("i"),
+        floor(col("__x").cast("double") * 1000000d).cast("long").as("v"))
+      .groupBy("i").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+
+  /** Covariance matrix (double, original units) assembled driver-side
+    * from the exact integer statistics: C = S/n − μμᵀ with S the micro
+    * scatter and μ the micro means, rescaled by 10⁻¹². d×d doubles —
+    * tiny; the corpus-sized work stayed in the two aggregations. */
+  def covarianceFromStats(gram: Seq[(Int, Int, Long)],
+                          sums: Seq[(Int, Long)], n: Long): Array[Array[Double]] = {
+    val d = sums.map(_._1).max
+    val mu = new Array[Double](d)
+    sums.foreach { case (i, s) => mu(i - 1) = s.toDouble / n / 1e6 }
+    val c = Array.ofDim[Double](d, d)
+    gram.foreach { case (i, j, s) =>
+      val v = s.toDouble / n / 1e12 - mu(i - 1) * mu(j - 1)
+      c(i - 1)(j - 1) = v; c(j - 1)(i - 1) = v
+    }
+    c
+  }
+
+  /** Top-r eigenpairs of a small symmetric PSD matrix by deterministic
+    * power iteration with deflation — fixed start (e₁-biased ramp),
+    * fixed iteration count, no RNG, so results are reproducible across
+    * runs and engines. Driver-side: the matrix is d×d (the corpus never
+    * touches this). @return (eigenvalues desc, row-major eigenvectors) */
+  def topEigen(m: Array[Array[Double]], r: Int,
+               iters: Int = 200): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val vals = new Array[Double](r)
+    val vecs = Array.ofDim[Double](r, d)
+    for (c <- 0 until r) {
+      var v = Array.tabulate(d)(i => 1.0 + 1.0 / (i + 1))
+      var it = 0
+      while (it < iters) {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var s = 0.0; var j = 0
+          while (j < d) { s += a(i)(j) * v(j); j += 1 }
+          w(i) = s; i += 1
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = if (nrm > 0) w.map(_ / nrm) else w
+        it += 1
+      }
+      var lam = 0.0
+      for (i <- 0 until d; j <- 0 until d) lam += v(i) * a(i)(j) * v(j)
+      vals(c) = lam; vecs(c) = v
+      // deflate: a ← a − λ v vᵀ
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lam * v(i) * v(j)
+    }
+    (vals, vecs)
+  }
+
+  /** Project (mean-centered) vectors onto broadcast components — the
+    * distributed half of PCA/whitening: one narrow map, no shuffle;
+    * components and mean ride the closure (r·d + d doubles). */
+  def project(df: DataFrame, vecCol: String, idCol: String,
+              mean: Array[Double], components: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = components.length
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val y = new Array[Double](r)
+          var c = 0
+          while (c < r) {
+            var s = 0.0; var i = 0
+            val comp = components(c)
+            while (i < v.length) { s += comp(i) * (v(i) - mean(i)); i += 1 }
+            y(c) = s; c += 1
+          }
+          (id, y.toSeq)
+        }
+      }.toDF(idCol, "proj")
+  }
 }

@@ -448,6 +448,64 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming twin of [[graft.analysis.MergeApply.applyCdc]]: keyed
+    * last-writer-wins CDC state with delete tombstones, maintained
+    * incrementally. Each batch emits the key's state AFTER applying the
+    * batch — `deleted = true` rows are retraction markers a downstream
+    * sink turns into deletes. A change arriving with a seq at or below
+    * the applied high-water mark is stale (out-of-order delivery or a
+    * replayed log segment) and is dropped: the emitted row carries
+    * `n_stale` so consumers can audit how much of the log arrived late.
+    * State per key is O(1) — the winner row plus the high-water mark —
+    * so the store size tracks the LIVE key count, with `idleTimeout`
+    * bounding even that under key churn.
+    *
+    * Input contract: (`keyCol`: long, `seqCol`: long, `opCol`: string
+    * with 'D' = tombstone, `valCol`: long). */
+  def cdcApply(changes: DataFrame, keyCol: String = "user_id",
+               seqCol: String = "seq", opCol: String = "op",
+               valCol: String = "val_c",
+               idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import changes.sparkSession.implicits._
+    changes.select(col(keyCol).cast("long").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(opCol).cast("string").as("op"),
+        col(valCol).cast("long").as("v")).as[CdcIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        cdcGroup(idleTimeout))(
+        Encoders.product[CdcState], Encoders.product[CdcOut])
+      .toDF()
+  }
+
+  case class CdcIn(k: Long, seq: Long, op: String, v: Long)
+  case class CdcState(seq: Long, op: String, v: Long, applied: Boolean)
+  case class CdcOut(k: Long, seq: Long, op: String, v: Long,
+                    deleted: Boolean, n_stale: Long)
+
+  private[streaming] def cdcGroup(idleTimeout: Option[String] = None)(
+      key: Long, rows: Iterator[CdcIn],
+      state: org.apache.spark.sql.streaming.GroupState[CdcState]): Iterator[CdcOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(
+      CdcState(Long.MinValue, "", 0L, applied = false))
+    var stale = 0L
+    var changed = false
+    for (r <- rows.toSeq.sortBy(_.seq)) {
+      if (st.applied && r.seq <= st.seq) stale += 1
+      else { st = CdcState(r.seq, r.op, r.v, applied = true); changed = true }
+    }
+    state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
+    if (!changed && stale == 0L) Iterator.empty
+    else Iterator.single(CdcOut(key, st.seq, st.op, st.v,
+      deleted = st.op == "D", n_stale = stale))
+  }
+
   case class IvIn(k: Long, s: Long, e: Long)
   case class IvState(s: Long, e: Long, n: Long, inOrder: Boolean,
                      open: Boolean)

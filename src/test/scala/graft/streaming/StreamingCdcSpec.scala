@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps.{CdcIn, CdcOut, CdcState}
+
+/** Streaming CDC apply: last-writer-wins per batch, tombstones emit as
+  * retraction markers, stale (≤ high-water) changes are dropped and
+  * counted, and idle keys expire. */
+class StreamingCdcSpec extends SparkSpec {
+
+  import org.apache.spark.api.java.Optional
+
+  private def state(timeout: Boolean, st: Option[CdcState]): TestGroupState[CdcState] = {
+    val opt = st match {
+      case Some(v) => Optional.of(v)
+      case None => Optional.empty[CdcState]()
+    }
+    TestGroupState.create[CdcState](opt,
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, Optional.empty[Long](), hasTimedOut = timeout)
+  }
+
+  test("batch emits the post-batch winner; later batch upserts over it") {
+    val live = state(timeout = false, None)
+    val out = StreamingOps.cdcGroup(None)(7L, Iterator(
+      CdcIn(7L, 10L, "I", 5L), CdcIn(7L, 20L, "U", 9L)), live).toList
+    assert(out == List(CdcOut(7L, 20L, "U", 9L, deleted = false, n_stale = 0L)))
+    assert(live.get == CdcState(20L, "U", 9L, applied = true))
+    val next = StreamingOps.cdcGroup(None)(7L,
+      Iterator(CdcIn(7L, 30L, "U", 11L)), live).toList
+    assert(next == List(CdcOut(7L, 30L, "U", 11L, deleted = false, n_stale = 0L)))
+  }
+
+  test("tombstone emits a retraction marker and a later insert revives") {
+    val live = state(timeout = false, None)
+    StreamingOps.cdcGroup(None)(1L, Iterator(CdcIn(1L, 10L, "I", 1L)), live)
+    val del = StreamingOps.cdcGroup(None)(1L,
+      Iterator(CdcIn(1L, 20L, "D", 0L)), live).toList
+    assert(del == List(CdcOut(1L, 20L, "D", 0L, deleted = true, n_stale = 0L)))
+    val revive = StreamingOps.cdcGroup(None)(1L,
+      Iterator(CdcIn(1L, 30L, "I", 2L)), live).toList
+    assert(revive == List(CdcOut(1L, 30L, "I", 2L, deleted = false, n_stale = 0L)))
+  }
+
+  test("stale replays below the high-water mark drop and are counted") {
+    val live = state(timeout = false,
+      Some(CdcState(50L, "U", 4L, applied = true)))
+    val out = StreamingOps.cdcGroup(None)(2L, Iterator(
+      CdcIn(2L, 40L, "U", 99L), CdcIn(2L, 50L, "U", 98L)), live).toList
+    // nothing newer arrived: state unchanged, audit row reports 2 stale
+    assert(out == List(CdcOut(2L, 50L, "U", 4L, deleted = false, n_stale = 2L)))
+    assert(live.get == CdcState(50L, "U", 4L, applied = true))
+    // a quiet batch for this key emits nothing
+    val quiet = StreamingOps.cdcGroup(None)(2L, Iterator.empty, live).toList
+    assert(quiet.isEmpty)
+  }
+
+  test("out-of-order within a batch still picks the max-seq winner") {
+    // rows are seq-sorted inside the batch, so arrival order is moot
+    // and neither row is stale — both applied, max-seq wins
+    val live = state(timeout = false, None)
+    val out = StreamingOps.cdcGroup(None)(3L, Iterator(
+      CdcIn(3L, 30L, "U", 3L), CdcIn(3L, 10L, "I", 1L)), live).toList
+    assert(out == List(CdcOut(3L, 30L, "U", 3L, deleted = false, n_stale = 0L)))
+  }
+
+  test("timeout removes state silently") {
+    val timedOut = state(timeout = true,
+      Some(CdcState(9L, "U", 1L, applied = true)))
+    val out = StreamingOps.cdcGroup(Some("10 seconds"))(4L,
+      Iterator.empty, timedOut).toList
+    assert(out.isEmpty)
+    assert(timedOut.isRemoved)
+  }
+}
