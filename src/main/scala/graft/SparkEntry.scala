@@ -1702,6 +1702,13 @@ object SparkEntry {
       graft.scale.LinAlg.gramMicro(T(s, dir, "embeddings"), "embedding")
         .orderBy(col("i"), col("j"))),
 
+    // --- centered covariance numerator n·S_ij − s_i·s_j, exact
+    // BIGINTs over micro-scaled values (the PCA input, reproducible
+    // bit-for-bit under any reduction order) ---
+    "emb_cov" -> ((s, dir) =>
+      graft.scale.LinAlg.covNumMicro(T(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))),
+
     // --- exact maximum-inner-product top-k (the MIPS objective) ---
     "ann_mips" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -4462,6 +4469,23 @@ object SparkEntry {
         |SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_cov" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |                  UNNEST(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |                  AS BIGINT) AS v
+        |      FROM e),
+        |s AS (SELECT i, CAST(SUM(v) AS BIGINT) AS si,
+        |             CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY 1),
+        |g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS sg
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY 1, 2)
+        |SELECT g.i, g.j, si.n * g.sg - si.si * sj.si AS cov_num
+        |FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i
+        |ORDER BY g.i, g.j""".stripMargin,
 
     "ann_mips" ->
       """SELECT query_id, rank, neighbor_id, ROUND(ip, 4) AS ip FROM (

@@ -75,6 +75,29 @@ object LinAlg {
         floor(col("__x").cast("double") * 1000000d).cast("long").as("v"))
       .groupBy("i").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
 
+  /** Centered covariance NUMERATOR in exact integers: for i ≤ j,
+    * cov_num = n·S_ij − s_i·s_j over the micro-scaled values (the
+    * population covariance is cov_num / n² / 10¹²). Composes the two
+    * distributed statistics with two broadcast joins against the tiny
+    * (d-sized) sums table — corpus touched exactly twice, result
+    * reduction-order-free and engine-exact.
+    *
+    * Integer headroom: |cov_num| ≤ n²·(u·max|x|)² with u = 10⁶, so the
+    * BIGINT bound holds while n·u·max|x| < 3.0·10⁹ — e.g. 5·10³ rows of
+    * unit-norm values at micro units, 5·10⁶ rows at milli units. For a
+    * corpus past that, rescale to a coarser unit (the tradeoff is
+    * quantization of the statistic, not overflow). */
+  def covNumMicro(df: DataFrame, vecCol: String): DataFrame = {
+    val gram = gramMicro(df, vecCol)
+    val sums = dimSumsMicro(df, vecCol)
+    val si = broadcast(sums.select(col("i"), col("s").as("__si"),
+      col("n").as("__n")))
+    val sj = broadcast(sums.select(col("i").as("j"), col("s").as("__sj")))
+    gram.join(si, "i").join(sj, "j")
+      .select(col("i"), col("j"),
+        (col("__n") * col("s") - col("__si") * col("__sj")).as("cov_num"))
+  }
+
   /** Covariance matrix (double, original units) assembled driver-side
     * from the exact integer statistics: C = S/n − μμᵀ with S the micro
     * scatter and μ the micro means, rescaled by 10⁻¹². d×d doubles —

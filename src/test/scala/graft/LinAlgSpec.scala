@@ -44,6 +44,24 @@ class LinAlgSpec extends SparkSpec {
     assert(one.length === 6)
   }
 
+  test("covariance numerator matches the hand-centered computation") {
+    val df = Seq(
+      Seq(1.0f, 0.0f),
+      Seq(3.0f, 2.0f)
+    ).toDF("embedding")
+    val out = LinAlg.covNumMicro(df, "embedding").orderBy("i", "j")
+      .as[(Int, Int, Long)].collect()
+    // micro: x1=(1e6,0), x2=(3e6,2e6); n=2; s=(4e6,2e6)
+    // S11=1e13, S12=6e12, S22=4e12
+    // cov11 = 2·1e13 − 16e12 = 4e12 (n²·var: var=1, 4·1·1e12 ✓)
+    // cov12 = 2·6e12 − 8e12  = 4e12
+    // cov22 = 2·4e12 − 4e12  = 4e12
+    assert(out === Seq(
+      (1, 1, 4000000000000L),
+      (1, 2, 4000000000000L),
+      (2, 2, 4000000000000L)))
+  }
+
   test("empty partitions contribute nothing") {
     val df = Seq(Seq(1.0f, 1.0f)).toDF("embedding").repartition(8)
     val out = LinAlg.gramMicro(df, "embedding").count()
