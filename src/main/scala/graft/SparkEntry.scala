@@ -1702,6 +1702,35 @@ object SparkEntry {
       graft.scale.LinAlg.gramMicro(T(s, dir, "embeddings"), "embedding")
         .orderBy(col("i"), col("j"))),
 
+    // --- Deequ-style data-quality gate: exact violation counts for
+    // null/range/uniqueness/referential checks, one scan or shuffle
+    // each, unioned into the audit report ---
+    "dq_report" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem")
+      import graft.scale.DataQuality._
+      report(Seq(
+        notNull(orders, "o_custkey"),
+        inRange(li, "l_quantity", lit(1), lit(50)),
+        inRange(li, "l_discount", lit(0.0), lit(0.05)),
+        unique(orders, Seq("o_orderkey")),
+        unique(li, Seq("l_orderkey", "l_linenumber")),
+        refIntegrity(li, "l_orderkey", orders, "o_orderkey"),
+        satisfies(li, "charge_consistent",
+          col("l_extendedprice") >= col("l_quantity"))
+      )).orderBy(col("check"))
+    }),
+
+    // --- exact global p50/p90/p99 by histogram refinement: bin-count
+    // sketch (mergeable, one scan) + re-extraction of the ONE bin each
+    // rank lands in — never a global sort/window over the corpus ---
+    "quantile_sketch" -> ((s, dir) => {
+      val cents = T(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.scale.Sketches.histQuantiles(cents, "cents")
+        .orderBy(col("per_mille"))
+    }),
+
     // --- centered covariance numerator n·S_ij − s_i·s_j, exact
     // BIGINTs over micro-scaled values (the PCA input, reproducible
     // bit-for-bit under any reduction order) ---
@@ -4469,6 +4498,70 @@ object SparkEntry {
         |SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dq_report" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null(o_custkey)' AS "check",
+        |         CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity)', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |                        OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount)', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+        |                        OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', CAST(SUM(c) AS BIGINT),
+        |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)', CAST(SUM(c) AS BIGINT),
+        |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'ref(l_orderkey->o_orderkey)',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'satisfies(charge_consistent)', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN l_extendedprice >= l_quantity
+        |                       THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |) ORDER BY "check"""".stripMargin,
+
+    "quantile_sketch" ->
+      """WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x
+        |           FROM lineitem),
+        |b AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+        |             CAST(COUNT(*) AS BIGINT) AS n,
+        |             MAX(x) - MIN(x) + 1 AS w FROM v),
+        |bin AS (SELECT x, ((x - lo) * 1024) // w AS bn FROM v, b),
+        |c AS (SELECT bn, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM bin GROUP BY 1),
+        |cum AS (SELECT bn,
+        |               CAST(SUM(cnt) OVER (ORDER BY bn) AS BIGINT) AS cm,
+        |               CAST(SUM(cnt) OVER (ORDER BY bn) - cnt AS BIGINT) AS bef
+        |        FROM c),
+        |q AS (SELECT UNNEST([500, 900, 990]) AS pm),
+        |t AS (SELECT pm, (pm * n + 999) // 1000 AS r, lo, w, n
+        |      FROM q CROSS JOIN b),
+        |sel AS (SELECT t.pm, t.r, t.n,
+        |               t.lo + (cum.bn * t.w) // 1024 AS est
+        |        FROM t JOIN cum ON cum.cm >= t.r AND cum.bef < t.r),
+        |sorted AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT CAST(sel.pm AS INT) AS per_mille, sel.n AS n,
+        |       CAST(sel.est AS BIGINT) AS est, s.x AS exact,
+        |       ABS(s.x - sel.est) AS abs_err
+        |FROM sel JOIN sorted s ON s.rn = sel.r
+        |ORDER BY 1""".stripMargin,
 
     "emb_cov" ->
       """WITH e AS (SELECT vec_id, embedding,

@@ -1,0 +1,75 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks over arbitrary tables — the
+  * validation layer a 100 TB ingest runs before anything downstream
+  * trusts the data (the Deequ/Great-Expectations role, built from
+  * plain aggregations so every check is one scan or one shuffle).
+  *
+  * Each check returns a one-row (check, n_checked, n_violations)
+  * DataFrame; `report` unions them into the audit table. Violation
+  * counts are exact integers — a gate either passes or it doesn't;
+  * sampled or approximate validation defers exactly the debugging the
+  * gate exists to prevent.
+  *
+  * Plan shapes: notNull/range are metadata-only scans (one pass,
+  * map-side combined count); uniqueness is one hash shuffle on the key
+  * (the same shuffle a downstream dedup would pay anyway); referential
+  * integrity is a LEFT ANTI join — broadcast when the parent side is a
+  * dimension, shuffled-hash otherwise, never a driver collect. */
+object DataQuality {
+
+  private def one(name: String, checked: Column, violations: Column,
+                  df: DataFrame): DataFrame =
+    df.agg(checked.cast("long").as("n_checked"),
+        violations.cast("long").as("n_violations"))
+      .select(lit(name).as("check"), col("n_checked"), col("n_violations"))
+
+  /** Rows where `c` is null. */
+  def notNull(df: DataFrame, c: String): DataFrame =
+    one(s"not_null($c)", count(lit(1)),
+      count(lit(1)) - count(col(c)), df)
+
+  /** Rows outside [lo, hi]. */
+  def inRange(df: DataFrame, c: String, lo: Column, hi: Column): DataFrame =
+    one(s"in_range($c)", count(lit(1)),
+      sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L)
+        .otherwise(0L)), df)
+
+  /** Rows failing an arbitrary boolean predicate. */
+  def satisfies(df: DataFrame, name: String, pred: Column): DataFrame =
+    one(s"satisfies($name)", count(lit(1)),
+      sum(when(pred, 0L).otherwise(1L)), df)
+
+  /** Rows carrying a key that occurs more than once (every row of a
+    * duplicated key counts as a violation, matching the intuition that
+    * 2 rows sharing a supposedly-unique key are 2 bad rows). */
+  def unique(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+    one(s"unique(${keyCols.mkString(",")})",
+      sum(col("__c")), sum(when(col("__c") > 1, col("__c")).otherwise(0L)), g)
+  }
+
+  /** Child rows whose `childKey` has no match in `parent.parentKey`
+    * (null child keys count as orphans — a null FK cannot join). */
+  def refIntegrity(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("n")).select(col("n"))
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("v")).select(col("v"))
+    total.join(broadcast(orphans))
+      .select(lit(s"ref($childKey->$parentKey)").as("check"),
+        col("n").cast("long").as("n_checked"),
+        col("v").cast("long").as("n_violations"))
+  }
+
+  /** Union of independent checks — each keeps its own (already
+    * minimal) plan; Spark runs them as one job DAG when the caller
+    * materializes the report. */
+  def report(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_.unionByName(_))
+}

@@ -93,4 +93,58 @@ object Sketches {
       .groupBy(col(groupCol)).agg(count(lit(1)).as("exact_distinct"))
     exact.join(est, Seq(groupCol))
   }
+
+  /** Distributed exact quantiles by histogram refinement — the
+    * scalable answer to "p99 over 10¹¹ rows" where a global sort (or a
+    * global row_number window) would funnel the corpus through one
+    * task, and interpolated approx-percentiles aren't reproducible
+    * across engines.
+    *
+    * Phase 1 (sketch): equi-width bin counts over the integer value
+    * domain — one scan, map-side combinable, mergeable across
+    * partitions/days by construction; the running-total window runs
+    * over ≤ `bins` aggregated rows (the one deliberate tiny
+    * single-partition window, same pattern as vocab_growth). Phase 2
+    * (refine): each target rank lands in exactly one bin (the unique
+    * bin with cum_before < r ≤ cum); only THAT bin's rows — n/bins of
+    * the data — are re-extracted via a broadcast semi-join and ranked
+    * per-target with a keyed window. Result carries both the sketch
+    * estimate (bin lower edge, error ≤ bin width) and the EXACT
+    * rank-⌈q·n⌉ order statistic, all in integer arithmetic.
+    *
+    * @param values   rows with an integral `valCol` (pre-scale floats
+    *                 to fixed-point — exactness needs integers)
+    * @param perMille target quantiles ×1000 (990 = p99)
+    * @return (per_mille, n, est, exact, abs_err) */
+  def histQuantiles(values: DataFrame, valCol: String, bins: Int = 1024,
+                    perMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = values.select(col(valCol).cast("long").as("__v"))
+    val bounds = v.agg(min("__v").as("__lo"), max("__v").as("__hi"),
+      count(lit(1)).as("__n"))
+    val binned = v.join(broadcast(bounds))
+      .withColumn("__w", col("__hi") - col("__lo") + 1)
+      .withColumn("__bin", expr(s"((__v - __lo) * $bins) div __w"))
+    val cum = binned.groupBy("__bin").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(Window.orderBy(col("__bin"))))
+      .withColumn("__bef", col("__cum") - col("__c"))
+    val targets = bounds
+      .withColumn("__q", explode(array(perMille.map(lit(_)): _*)))
+      .withColumn("__r", expr("(__q * __n + 999) div 1000"))
+      .withColumn("__wd", col("__hi") - col("__lo") + 1)
+    val sel = targets.join(broadcast(cum),
+        col("__cum") >= col("__r") && col("__bef") < col("__r"))
+      .select(col("__q"), col("__r"), col("__n"), col("__bin"),
+        (col("__r") - col("__bef")).as("__rl"),
+        (col("__lo") + expr(s"(__bin * __wd) div $bins")).as("__est"))
+    val wq = Window.partitionBy(col("__q"))
+      .orderBy(col("__v"))
+    binned.select(col("__v"), col("__bin"))
+      .join(broadcast(sel), "__bin")
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") === col("__rl"))
+      .select(col("__q").as("per_mille"), col("__n").as("n"),
+        col("__est").as("est"), col("__v").as("exact"),
+        abs(col("__v") - col("__est")).as("abs_err"))
+  }
 }
