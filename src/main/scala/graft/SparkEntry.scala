@@ -1702,6 +1702,18 @@ object SparkEntry {
       graft.scale.LinAlg.gramMicro(T(s, dir, "embeddings"), "embedding")
         .orderBy(col("i"), col("j"))),
 
+    // --- distribution drift: total-variation distance between the
+    // even- and odd-second halves of each event type's value stream,
+    // integer numerator over pooled 16-bin edges ---
+    "value_drift" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        (expr("ts div 1000000000") % 2).cast("int").as("side"))
+      graft.analysis.Drift.tvDrift(ev, "event_type", "cents", "side")
+        .orderBy(col("event_type"))
+    }),
+
     // --- Deequ-style data-quality gate: exact violation counts for
     // null/range/uniqueness/referential checks, one scan or shuffle
     // each, unioned into the audit report ---
@@ -4498,6 +4510,26 @@ object SparkEntry {
         |SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "value_drift" ->
+      """WITH v AS (SELECT event_type AS k,
+        |                  CAST(FLOOR(value * 100) AS BIGINT) AS x,
+        |                  CAST((epoch_us(ts) // 1000000) % 2 AS INT) AS s
+        |           FROM events),
+        |b AS (SELECT k, MIN(x) AS lo, MAX(x) - MIN(x) + 1 AS w
+        |      FROM v GROUP BY 1),
+        |bn AS (SELECT v.k, ((x - lo) * 16) // w AS bin, s
+        |       FROM v JOIN b ON v.k = b.k),
+        |c AS (SELECT k, bin,
+        |             CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM bn GROUP BY 1, 2),
+        |t AS (SELECT k, CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c GROUP BY 1)
+        |SELECT c.k AS event_type, t.n1 AS n1, t.n2 AS n2,
+        |       CAST(SUM(ABS(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS tv_num
+        |FROM c JOIN t ON c.k = t.k
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "dq_report" ->
       """SELECT * FROM (
