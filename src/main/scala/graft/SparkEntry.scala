@@ -1186,6 +1186,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- REAL video decode: deterministic Y4M (YUV4MPEG2) payloads
+    //     round-tripped through the header/FRAME parser; every 2nd
+    //     frame's luma plane folded into an exact integer sum ---
+    "video_features" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + (id % 3) * 2).toInt; val h = (4 + (id % 2) * 2).toInt
+          val n = (3 + id % 4).toInt
+          (id, Multimodal.encodeY4m(w, h, n,
+            (f, i) => ((id * 13 + f * 5 + i * 3) % 256).toInt))
+        }.toDF("doc_id", "payload")
+      Multimodal.extractFeatures(withPayload,
+          decoder = Multimodal.decodeY4m(_),
+          featSchema = Multimodal.videoFeatureSchema)
+        .select(col("doc_id"), col("features.width").as("width"),
+          col("features.height").as("height"),
+          col("features.n_frames").as("n_frames"),
+          col("features.n_sampled").as("n_sampled"),
+          col("features.luma_sum").as("luma_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- REAL audio decode: deterministic 16-bit PCM WAV payloads
     //     round-tripped through the RIFF parser; amplitude mean in
     //     integer micro-units (abs_sum exact, division integral) ---
@@ -3996,6 +4019,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       ROUND(pxsum * 1.0 / (w * h) / 255, 6) AS mean_luma
         |FROM px ORDER BY doc_id""".stripMargin,
+
+    "video_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + (doc_id % 3) * 2 AS w, 4 + (doc_id % 2) * 2 AS h,
+        |         3 + doc_id % 4 AS n
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         SUM((d.doc_id * 13 + f.f * 5 + i.i * 3) % 256) AS luma_sum,
+        |         COUNT(DISTINCT f.f) AS n_sampled
+        |  FROM dims d
+        |  JOIN generate_series(0, 6) f(f) ON f.f < d.n AND f.f % 2 = 0
+        |  JOIN generate_series(0, 47) i(i) ON i.i < d.w * d.h
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |       CAST(d.n AS INT) AS n_frames,
+        |       CAST(p.n_sampled AS INT) AS n_sampled,
+        |       CAST(p.luma_sum AS BIGINT) AS luma_sum
+        |FROM dims d JOIN px p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "audio_features" ->
       """WITH dims AS (SELECT doc_id, 50 + doc_id % 37 AS n FROM documents),

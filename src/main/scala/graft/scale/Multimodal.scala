@@ -213,6 +213,91 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_sampled", IntegerType, nullable = false),
+    StructField("luma_sum", LongType, nullable = false)
+  ))
+
+  /** Encode an uncompressed YUV4MPEG2 (Y4M) video — the no-container
+    * raw-frame format every ffmpeg pipeline can emit, and simple enough
+    * to parse with zero native libs (the same reason PGM/WAV carry the
+    * image/audio paths here). C420: even dims required; `luma(f, i)`
+    * supplies the Y plane, chroma planes are neutral 128. */
+  def encodeY4m(width: Int, height: Int, nFrames: Int,
+                luma: (Int, Int) => Int): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "C420 needs even dims")
+    val ySize = width * height
+    val cSize = (width / 2) * (height / 2)
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420\n"
+      .getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (frameHdr.length + ySize + 2 * cSize))
+    out.put(header)
+    var f = 0
+    while (f < nFrames) {
+      out.put(frameHdr)
+      var i = 0
+      while (i < ySize) { out.put((luma(f, i) & 0xff).toByte); i += 1 }
+      i = 0
+      while (i < 2 * cSize) { out.put(128.toByte); i += 1 }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** REAL decoder for Y4M video: parses the stream header (W/H required,
+    * C420 chroma geometry), walks FRAME records to EOF, and folds every
+    * `frameStride`-th frame's luma plane into an exact integer sum —
+    * (width, height, n_frames, n_sampled, luma_sum). Truncated frames or
+    * trailing bytes fail loudly, like the PGM/WAV decoders: a corrupt
+    * payload should surface, not skew statistics. */
+  def decodeY4m(payload: Array[Byte], frameStride: Int = 2): Row = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"bad Y4M: $msg")
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos < payload.length && payload(pos) != '\n') pos += 1
+      if (pos >= payload.length) fail("unterminated header line")
+      pos += 1
+      new String(payload, start, pos - 1 - start, "US-ASCII")
+    }
+    val header = line().split(" ")
+    if (header.head != "YUV4MPEG2") fail("missing YUV4MPEG2 magic")
+    var w = -1; var h = -1; var chroma = "420"
+    header.tail.foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.substring(1).toInt
+        case 'H' => h = p.substring(1).toInt
+        case 'C' => chroma = p.substring(1)
+        case _ => // frame rate / interlace / aspect: irrelevant to features
+      }
+    }
+    if (w <= 0 || h <= 0) fail("missing W/H")
+    if (!chroma.startsWith("420")) fail(s"unsupported chroma C$chroma")
+    val ySize = w * h
+    val frameLen = ySize + 2 * ((w / 2) * (h / 2))
+    var nFrames = 0; var nSampled = 0; var lumaSum = 0L
+    while (pos < payload.length) {
+      val fh = line()
+      if (fh != "FRAME" && !fh.startsWith("FRAME ")) fail(s"expected FRAME, got '$fh'")
+      if (pos + frameLen > payload.length)
+        fail(s"truncated frame $nFrames: ${payload.length - pos} < $frameLen")
+      if (nFrames % frameStride == 0) {
+        var i = 0
+        while (i < ySize) { lumaSum += (payload(pos + i) & 0xff); i += 1 }
+        nSampled += 1
+      }
+      pos += frameLen
+      nFrames += 1
+    }
+    new GenericRowWithSchema(Array[Any](w, h, nFrames, nSampled, lumaSum),
+      videoFeatureSchema)
+  }
+
   /** Deterministic frame sampling plan for video-like payloads: every
     * `stride`-th frame index — pure expression, no decode needed. */
   def sampleFrames(df: DataFrame, nFramesCol: String, stride: Int = 2): DataFrame =
