@@ -31,7 +31,17 @@ object GraftSql {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       { case Seq(a, b) => VecDot(a, b)
         case args => throw new IllegalArgumentException(
-          s"vec_dot takes 2 arguments, got ${args.length}") }))
+          s"vec_dot takes 2 arguments, got ${args.length}") }),
+    (FunctionIdentifier("vec_sign_pack"),
+      new ExpressionInfo(classOf[VecSignPack].getName, "vec_sign_pack"),
+      { case Seq(a) => VecSignPack(a)
+        case args => throw new IllegalArgumentException(
+          s"vec_sign_pack takes 1 argument, got ${args.length}") }),
+    (FunctionIdentifier("vec_hamming"),
+      new ExpressionInfo(classOf[VecHamming].getName, "vec_hamming"),
+      { case Seq(a, b) => VecHamming(a, b)
+        case args => throw new IllegalArgumentException(
+          s"vec_hamming takes 2 arguments, got ${args.length}") }))
 
   /** Register on an already-built session (overwrites are no-ops). */
   def register(spark: SparkSession): Unit =

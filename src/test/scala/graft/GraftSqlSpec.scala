@@ -36,7 +36,23 @@ class GraftSqlSpec extends SparkSpec {
     // consume every entry (session-build path: spark.sql.extensions)
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftSql.functions.map(_._1.funcName).toSet ==
-      Set("vec_cosine", "vec_dot"))
+      Set("vec_cosine", "vec_dot", "vec_sign_pack", "vec_hamming"))
+  }
+
+  test("vec_sign_pack/vec_hamming in spark.sql match the Column API") {
+    GraftSql.register(spark)
+    Seq((Array(1.0f, -1.0f, 0.5f), Array(1.0f, 1.0f, -0.5f)))
+      .toDF("a", "b").createOrReplaceTempView("hv")
+    val sql = spark.sql(
+      "SELECT vec_hamming(vec_sign_pack(a), vec_sign_pack(b)) AS h FROM hv")
+      .head().getInt(0)
+    val api = Seq((Array(1.0f, -1.0f, 0.5f), Array(1.0f, 1.0f, -0.5f)))
+      .toDF("a", "b")
+      .select(graft.functions.VecBits.hamming(
+        graft.functions.VecBits.signPack(col("a")),
+        graft.functions.VecBits.signPack(col("b"))))
+      .head().getInt(0)
+    assert(sql == api && sql == 2) // dims 2 and 3 differ in sign
   }
 
   test("VecRewrite turns aggregate(zip_with) into the codegen'd VecDot") {
