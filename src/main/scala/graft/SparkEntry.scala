@@ -1707,10 +1707,14 @@ object SparkEntry {
     // --- lag-1..6 autocovariance over zero-filled hourly counts per
     // event type — integer sufficient statistics, order-free ---
     "q_autocorr" -> ((s, dir) => {
-      val hourly = TraceGen.eventsTable(s, dir)
-        .groupBy(col("event_type"),
-          expr("(ts div 1000) div 3600000000").as("t"))
-        .agg(count(lit(1)).as("n"))
+      // memoized: lagStats references the series 4× (bounds, grid join,
+      // both sides of the lag self-join) — persisting the tiny
+      // aggregated table keeps the corpus scan at ONE instead of four
+      val hourly = cachedDf(s, dir, "hourly_counts")(
+        TraceGen.eventsTable(s, dir)
+          .groupBy(col("event_type"),
+            expr("(ts div 1000) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("n")))
       graft.analysis.Autocorr.lagStats(hourly, "event_type", "t", "n",
           1 to 6)
         .select(col("event_type"), col("lag"), col("n"), col("sum_x"),

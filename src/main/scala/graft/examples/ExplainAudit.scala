@@ -29,7 +29,10 @@ object ExplainAudit {
             "trace_imbalance_time", "dedup_containment", "q_domain_cap",
             "q_skew_join", "tfidf_topterms", "q_cube", "q_sliding",
             "comm_latency_pctl", "q_interval_merge", "q_scd2", "q_gapfill",
-            "fuzzy_names", "q_zorder", "q_skyline"))) {
+            "fuzzy_names", "q_zorder", "q_skyline",
+            "q_merge_upsert", "q_autocorr", "emb_gram", "emb_cov",
+            "ann_mips", "quantile_sketch", "dq_report", "value_drift",
+            "trace_chrome_roundtrip", "video_features"))) {
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }

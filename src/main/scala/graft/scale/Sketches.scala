@@ -112,6 +112,11 @@ object Sketches {
     * estimate (bin lower edge, error ≤ bin width) and the EXACT
     * rank-⌈q·n⌉ order statistic, all in integer arithmetic.
     *
+    * The plan references `values` from several branches (bounds, bin
+    * counts, refine) — each a 1-column pruned scan. A caller issuing
+    * repeated quantile queries over the same corpus should persist the
+    * input (or the binned counts) once; the operator itself stays lazy.
+    *
     * @param values   rows with an integral `valCol` (pre-scale floats
     *                 to fixed-point — exactness needs integers)
     * @param perMille target quantiles ×1000 (990 = p99)
