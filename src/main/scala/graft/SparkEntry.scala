@@ -378,6 +378,11 @@ object SparkEntry {
         .select(col("name"), col("ph"), col("ts"), col("pid"))
         .orderBy(col("ts"), col("ph"), col("name"), col("pid"))),
 
+    // --- idle gaps: holes between consecutive top-level spans per
+    // process (the un-instrumented complement of idle_time) ---
+    "trace_gaps" -> ((s, dir) =>
+      Profiles.idleGaps(callEnriched(s, dir)).orderBy(col(Process))),
+
     // --- Chrome JSON round trip: writer projection → JSON text →
     // ChromeReader parse → canonical events again (the PyTorch/Perfetto
     // interchange path, proven lossless against the relational truth) ---
@@ -2027,6 +2032,19 @@ object SparkEntry {
         |  UNION ALL SELECT ship_name, 'B', CAST(s0 AS DOUBLE) / 1000, process FROM item
         |  UNION ALL SELECT ship_name, 'E', CAST(s1 AS DOUBLE) / 1000, process FROM item
         |) ORDER BY ts, ph, name, pid""".stripMargin),
+
+    "trace_gaps" -> (callCte +
+      """, g AS (
+        |  SELECT process,
+        |         LEAD(t0) OVER (PARTITION BY process ORDER BY t0) - t1 AS gap
+        |  FROM ord)
+        |SELECT process,
+        |       CAST(COUNT(CASE WHEN gap > 0 THEN 1 END) AS BIGINT) AS n_gaps,
+        |       CAST(COALESCE(SUM(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |         AS idle_gap_total,
+        |       CAST(COALESCE(MAX(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |         AS max_gap
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "trace_chrome_roundtrip" -> (callCte +
       """SELECT * FROM (

@@ -158,4 +158,34 @@ object Profiles {
     unioned.withColumn("total", sum(col(metric)).over(Window.partitionBy(col(groupCol))))
       .select(col("num_processes"), col(groupCol), col(metric), col("total"))
   }
+
+  /** Per-process idle GAPS — the complement of [[idleTime]]: instead of
+    * summing explicitly-instrumented idle functions, finds the holes
+    * between consecutive top-level spans on each process timeline (the
+    * time no instrumented work ran at all). Needs the matcher's
+    * `matching_ts`/`depth` enrichment; one keyed window per process —
+    * partitioned, ordered by span start, O(1) state per row.
+    *
+    * @param minGapNs gaps at or below this are counted as jitter, not idle
+    * @return (process, n_gaps, idle_gap_total, max_gap) — processes with
+    *         no qualifying gap kept with zeros, like idle_time's shape */
+  def idleGaps(events0: DataFrame, minGapNs: Long = 0L): DataFrame = {
+    val events = ensureMetrics(events0, Seq(TimeInc))
+    val top = events.filter(col(EventType) === Enter && col(Depth) === 0)
+    val w = Window.partitionBy(col(Process)).orderBy(col(TimestampNs))
+    val gaps = top
+      .withColumn("__next", lead(col(TimestampNs), 1).over(w))
+      .withColumn("__gap", col("__next") - col(MatchingTs))
+      .filter(col("__gap") > minGapNs)
+      .groupBy(col(Process))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("idle_gap_total"),
+        max(col("__gap")).as("max_gap"))
+    events.select(col(Process)).distinct()
+      .join(gaps, Seq(Process), "left")
+      .select(col(Process),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        coalesce(col("idle_gap_total"), lit(0L)).as("idle_gap_total"),
+        coalesce(col("max_gap"), lit(0L)).as("max_gap"))
+  }
 }
