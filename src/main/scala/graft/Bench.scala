@@ -25,7 +25,8 @@ object Bench {
     "bm25_topk", "docs_curated", "dsir_weights", "text_quality",
     "token_count",
     "ann_topk", "ann_ivf", "ann_ivfpq", "semdedup",
-    "q_sessionize", "graph_triangles")
+    "q_sessionize", "graph_triangles",
+    "quantile_sketch", "dq_report", "q_autocorr", "video_features")
 
   private def fmt(v: Double): String = f"$v%.3f"
 
