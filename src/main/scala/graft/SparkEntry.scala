@@ -378,6 +378,21 @@ object SparkEntry {
         .select(col("name"), col("ph"), col("ts"), col("pid"))
         .orderBy(col("ts"), col("ph"), col("name"), col("pid"))),
 
+    // --- native bounded top-k aggregate: map-side pruning to k, the
+    // exchange carries k rows per key per partition — never the
+    // window formulation's full per-key sort ---
+    "q_topk_agg" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("val_c"), col("event_id"))
+      ev.groupBy(col("event_type"))
+        .agg(graft.functions.TopKLongs.topK(3,
+          col("val_c"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.ord").as("val_c"), col("col.payload").as("event_id"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // --- idle gaps: holes between consecutive top-level spans per
     // process (the un-instrumented complement of idle_time) ---
     "trace_gaps" -> ((s, dir) =>
@@ -2032,6 +2047,16 @@ object SparkEntry {
         |  UNION ALL SELECT ship_name, 'B', CAST(s0 AS DOUBLE) / 1000, process FROM item
         |  UNION ALL SELECT ship_name, 'E', CAST(s1 AS DOUBLE) / 1000, process FROM item
         |) ORDER BY ts, ph, name, pid""".stripMargin),
+
+    "q_topk_agg" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, val_c, event_id FROM (
+        |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS val_c,
+        |         event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC,
+        |                    event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "trace_gaps" -> (callCte +
       """, g AS (
