@@ -1761,6 +1761,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // --- per-key exact percentiles, same refinement keyed throughout ---
+    "q_quantile_by_key" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      graft.scale.Sketches.histQuantilesByKey(ev, "event_type", "cents",
+          bins = 64)
+        .orderBy(col("event_type"), col("per_mille"))
+    }),
+
     // --- Deequ-style data-quality gate: exact violation counts for
     // null/range/uniqueness/referential checks, one scan or shuffle
     // each, unioned into the audit report ---
@@ -4620,6 +4629,27 @@ object SparkEntry {
         |       CAST(SUM(ABS(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS tv_num
         |FROM c JOIN t ON c.k = t.k
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q_quantile_by_key" ->
+      """WITH v AS (SELECT event_type AS k,
+        |                  CAST(FLOOR(value * 100) AS BIGINT) AS x FROM events),
+        |b AS (SELECT k, MIN(x) AS lo, MAX(x) AS hi,
+        |             CAST(COUNT(*) AS BIGINT) AS n,
+        |             MAX(x) - MIN(x) + 1 AS w FROM v GROUP BY 1),
+        |q AS (SELECT UNNEST([500, 900, 990]) AS pm),
+        |t AS (SELECT k, pm, (pm * n + 999) // 1000 AS r, lo, w, n
+        |      FROM b CROSS JOIN q),
+        |srt AS (SELECT k, x,
+        |               ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+        |        FROM v)
+        |SELECT t.k AS event_type, CAST(t.pm AS INT) AS per_mille, t.n AS n,
+        |       CAST(t.lo + ((((s.x - t.lo) * 64) // t.w) * t.w) // 64
+        |            AS BIGINT) AS est,
+        |       s.x AS exact,
+        |       CAST(ABS(s.x - (t.lo + ((((s.x - t.lo) * 64) // t.w) * t.w) // 64))
+        |            AS BIGINT) AS abs_err
+        |FROM t JOIN srt s ON s.k = t.k AND s.rn = t.r
+        |ORDER BY 1, 2""".stripMargin,
 
     "dq_report" ->
       """SELECT * FROM (

@@ -152,4 +152,44 @@ object Sketches {
         col("__est").as("est"), col("__v").as("exact"),
         abs(col("__v") - col("__est")).as("abs_err"))
   }
+
+  /** Per-key [[histQuantiles]] — the form a feature pipeline actually
+    * runs ("p99 of every feature/partner/day at once"). Identical
+    * two-phase refinement with every stage keyed: bounds and bin
+    * counts per key, the rank→bin resolution an equi-join on the key
+    * (both sides |keys|·bins-sized), the refine window partitioned by
+    * (key, target). No stage sees more than one key's bin subset in
+    * one task; no global window anywhere. */
+  def histQuantilesByKey(values: DataFrame, keyCol: String, valCol: String,
+                         bins: Int = 1024,
+                         perMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = values.select(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"))
+    val bounds = v.groupBy("__k").agg(min("__v").as("__lo"),
+      max("__v").as("__hi"), count(lit(1)).as("__n"))
+    val binned = v.join(bounds, "__k")
+      .withColumn("__w", col("__hi") - col("__lo") + 1)
+      .withColumn("__bin", expr(s"((__v - __lo) * $bins) div __w"))
+    val wc = Window.partitionBy(col("__k")).orderBy(col("__bin"))
+    val cum = binned.groupBy("__k", "__bin").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__bef", col("__cum") - col("__c"))
+    val targets = bounds
+      .withColumn("__q", explode(array(perMille.map(lit(_)): _*)))
+      .withColumn("__r", expr("(__q * __n + 999) div 1000"))
+      .withColumn("__wd", col("__hi") - col("__lo") + 1)
+    val sel = targets.join(cum, Seq("__k"))
+      .filter(col("__cum") >= col("__r") && col("__bef") < col("__r"))
+      .select(col("__k"), col("__q"), col("__n"), col("__bin"),
+        (col("__r") - col("__bef")).as("__rl"),
+        (col("__lo") + expr(s"(__bin * __wd) div $bins")).as("__est"))
+    val wq = Window.partitionBy(col("__k"), col("__q")).orderBy(col("__v"))
+    binned.select(col("__k"), col("__v"), col("__bin"))
+      .join(sel, Seq("__k", "__bin"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") === col("__rl"))
+      .select(col("__k").as(keyCol), col("__q").as("per_mille"),
+        col("__n").as("n"), col("__est").as("est"), col("__v").as("exact"),
+        abs(col("__v") - col("__est")).as("abs_err"))
+  }
 }

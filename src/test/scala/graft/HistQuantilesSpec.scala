@@ -49,6 +49,25 @@ class HistQuantilesSpec extends SparkSpec {
     assert(out === ((42L, 42L, 0L)))
   }
 
+  test("per-key variant matches per-key rank selection") {
+    val df = (Seq.tabulate(100)(i => ("a", (i + 1).toLong)) ++
+      Seq.tabulate(10)(i => ("b", (i * 100).toLong))).toDF("k", "x")
+    val out = Sketches.histQuantilesByKey(df, "k", "x", bins = 8)
+      .orderBy("k", "per_mille")
+      .select("k", "per_mille", "exact").as[(String, Int, Long)].collect()
+    // a: ranks 50/90/99 of 1..100; b: ranks 5/9/10 of 0,100,...,900
+    assert(out === Seq(
+      ("a", 500, 50L), ("a", 900, 90L), ("a", 990, 99L),
+      ("b", 500, 400L), ("b", 900, 800L), ("b", 990, 900L)))
+  }
+
+  test("per-key estimate stays below the exact value (lower bin edge)") {
+    val df = (1L to 97L).map(v => ("z", v)).toDF("k", "x")
+    Sketches.histQuantilesByKey(df, "k", "x", bins = 10)
+      .select("est", "exact").as[(Long, Long)].collect()
+      .foreach { case (est, exact) => assert(est <= exact) }
+  }
+
   test("no corpus-sized single-partition exchange in the plan") {
     val df = (1L to 1000L).toDF("x").repartition(7)
     val plan = Sketches.histQuantiles(df, "x")
