@@ -506,6 +506,51 @@ object StreamingOps {
       deleted = st.op == "D", n_stale = stale))
   }
 
+  /** Streaming twin of [[graft.analysis.Drift.tvDrift]]: per event-time
+    * window, total-variation distance of the observed binned value
+    * distribution against a REFERENCE histogram (yesterday's profile,
+    * the training distribution, an SLA shape) — the live tripwire for
+    * "this feed's distribution moved".
+    *
+    * Streaming-legal shape: Structured Streaming allows ONE stateful
+    * aggregation, so the per-window histogram is folded as `bins`
+    * conditional sums in a single watermarked groupBy — O(bins) state
+    * per in-flight window, never a second stateful stage or a
+    * collect_list of rows. The TV numerator Σ|cᵢ·n_ref − refᵢ·n_obs|
+    * is then a pure projection against the reference literals — exact
+    * integers end to end.
+    *
+    * Bin edges (lo, width) are the CALLER's contract: use the same
+    * edges the reference was built with, or the comparison fabricates
+    * drift. Values outside [lo, lo+width) clamp into the edge bins so
+    * stray points count rather than vanish. */
+  def windowedDrift(events: DataFrame, refCounts: Seq[Long],
+                    window: String, watermark: String,
+                    lo: Long, width: Long,
+                    timeCol: String = "event_time",
+                    valCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.functions.{window => windowFn}
+    val bins = refCounts.length
+    require(bins > 0, "reference histogram must have at least one bin")
+    val nRef = refCounts.sum
+    val binExpr = expr(
+      s"least(greatest((($valCol - ${lo}L) * $bins) div ${width}L, 0L), ${bins - 1}L)")
+    val aggs = (0 until bins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val g = events
+      .withWatermark(timeCol, watermark)
+      .withColumn("__bin", binExpr)
+      .groupBy(windowFn(col(timeCol), window))
+      .agg(aggs.head, aggs.tail: _*)
+    val nObs = (0 until bins).map(b => col(s"__c$b")).reduce(_ + _)
+    val tv = (0 until bins).map(b =>
+      abs(col(s"__c$b") * lit(nRef) - lit(refCounts(b)) * col("n_obs")))
+      .reduce(_ + _)
+    g.withColumn("n_obs", nObs)
+      .select(col("window.start").as("window_start"), col("n_obs"),
+        tv.as("tv_num"))
+  }
+
   case class IvIn(k: Long, s: Long, e: Long)
   case class IvState(s: Long, e: Long, n: Long, inOrder: Boolean,
                      open: Boolean)
