@@ -1586,6 +1586,30 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("version"))
     }),
 
+    // --- point-in-time-correct feature join (feature-store semantics):
+    // SCD2 versions of each customer's order status, probed AS OF each
+    // event's observation day through the binned range join — never a
+    // quadratic interval scan, never feature leakage from the future ---
+    "q_pit_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)").as("day"),
+        col("o_orderstatus"), col("o_orderkey"))
+      val versions = graft.analysis.Scd.type2(o, "o_custkey", "day",
+          "o_orderstatus", "o_orderkey")
+        .select(col("o_custkey").as("custkey"),
+          col("version").cast("long").as("version"),
+          col("attr").as("status"), col("valid_from"),
+          (coalesce(col("valid_to"), lit(11536L)) - 1).as("end_day"))
+      val probes = TraceGen.eventsTable(s, dir).select(
+        col("event_id"), col("user_id").as("custkey"),
+        (lit(9131L) + expr("(ts div 1000) div 86400000000") % 2405).as("obs_day"))
+      graft.analysis.RangeJoin.pointInInterval(probes, versions,
+          Seq("custkey"), "obs_day", "valid_from", "end_day", binWidth = 64)
+        .select(col("event_id"), col("custkey"), col("obs_day"),
+          col("status"), col("version"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- daily per-type counts, gap days zero-filled, with cumulative ---
     "q_gapfill" -> ((s, dir) => {
       val daily = TraceGen.eventsTable(s, dir)
@@ -4383,6 +4407,40 @@ object SparkEntry {
         |         AS to_day,
         |       n_orders
         |FROM g ORDER BY o_custkey, version""".stripMargin,
+
+    "q_pit_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+        |         o_orderstatus, o_orderkey FROM orders),
+        |f AS (
+        |  SELECT o_custkey, day, o_orderstatus, o_orderkey,
+        |         CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+        |              WHEN NOT (o_orderstatus IS NOT DISTINCT FROM
+        |                        LAG(o_orderstatus) OVER w) THEN 1
+        |              ELSE 0 END AS chg
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)),
+        |v AS (
+        |  SELECT o_custkey, day, o_orderstatus,
+        |         SUM(chg) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |                        ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM f),
+        |g AS (SELECT o_custkey, version, MIN(o_orderstatus) AS status,
+        |             MIN(day) AS from_day FROM v GROUP BY 1, 2),
+        |ver AS (
+        |  SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version,
+        |         status, from_day,
+        |         COALESCE(LEAD(from_day) OVER (PARTITION BY o_custkey
+        |                                       ORDER BY version), 11536) AS to_day
+        |  FROM g),
+        |p AS (SELECT event_id, user_id AS custkey,
+        |             9131 + (epoch_us(ts) // 86400000000) % 2405 AS obs_day
+        |      FROM events)
+        |SELECT p.event_id, p.custkey, p.obs_day, ver.status, ver.version
+        |FROM p JOIN ver ON p.custkey = ver.custkey
+        |               AND p.obs_day >= ver.from_day
+        |               AND p.obs_day < ver.to_day
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_gapfill" ->
       """WITH d AS (
