@@ -44,6 +44,15 @@ object ChromeReader {
   def read(spark: SparkSession, path: String): DataFrame =
     fromRecords(spark.read.schema(schema).json(path))
 
+  /** Streaming ingest of a Chrome-trace JSON-lines directory — live
+    * profiler output tailed as it lands. Same phase normalization as
+    * the batch path, WITHOUT dense event ids: a global dense ordering
+    * is a batch concept (it needs the whole dataset); streaming
+    * consumers ([[graft.streaming.StreamingMatcher]], windowed aggs)
+    * key on (process, timestamp_ns) instead. */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.readStream.schema(schema).json(path))
+
   /** Parse a Dataset/DataFrame with one JSON record string per row in
     * `jsonCol` — the no-filesystem variant for streams and tests. */
   def parseLines(lines: DataFrame, jsonCol: String = "value"): DataFrame =
@@ -52,6 +61,16 @@ object ChromeReader {
       .select("r.*"))
 
   private def fromRecords(raw: DataFrame): DataFrame = {
+    val events = normalize(raw)
+    // At equal ts the event_type sort key puts Enter before Leave
+    // (lexicographic, as 'B' < 'E' in the source format) — a zero-length
+    // X span still opens before it closes.
+    Ingest.assignDenseIds(events, EventId,
+      col(TimestampNs), col(EventType), col(Name), col(Process))
+  }
+
+  /** Phase normalization (streaming-safe: filter/select/explode only). */
+  private def normalize(raw: DataFrame): DataFrame = {
     // round, don't truncate: µs doubles carry ~2⁻⁵² relative error from
     // the writer's ns→µs division, so a plain cast could lose 1 ns
     def toNs(c: Column): Column = round(c * 1000.0).cast(LongType)
@@ -71,14 +90,9 @@ object ChromeReader {
         col("name").as(Name), col("pid"), col("tid"))
       .select(col("e." + EventType).as(EventType), col(Name),
         col("e." + TimestampNs).as(TimestampNs), col("pid"), col("tid"))
-    val events = be.unionByName(x)
+    be.unionByName(x)
       .select(col(EventType), col(Name), col(TimestampNs),
         col("pid").cast(IntegerType).as(Process),
         col("tid").cast(IntegerType).as(Thread))
-    // At equal ts the event_type sort key puts Enter before Leave
-    // (lexicographic, as 'B' < 'E' in the source format) — a zero-length
-    // X span still opens before it closes.
-    Ingest.assignDenseIds(events, EventId,
-      col(TimestampNs), col(EventType), col(Name), col(Process))
   }
 }

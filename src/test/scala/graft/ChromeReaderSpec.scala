@@ -60,6 +60,27 @@ class ChromeReaderSpec extends SparkSpec {
     assert(ts === 6600000000990L)
   }
 
+  test("readStream tails a JSON-lines directory into canonical rows") {
+    val dir = java.nio.file.Files.createTempDirectory("chromestream")
+    java.nio.file.Files.write(dir.resolve("part-0.json"),
+      ("""{"name":"k","ph":"X","ts":5.0,"dur":10.0,"pid":2,"tid":0}""" + "\n" +
+       """{"name":"m","ph":"i","ts":7.5,"pid":2,"tid":0}""" + "\n")
+        .getBytes("US-ASCII"))
+    val q = ChromeReader.readStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("chrome_in").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("chrome_in")
+        .orderBy(TimestampNs, EventType)
+        .select(EventType, Name, TimestampNs, Process)
+        .as[(String, String, Long, Int)].collect()
+      assert(out === Seq(
+        (Enter, "k", 5000L, 2),
+        (Instant, "m", 7500L, 2),
+        (Leave, "k", 15000L, 2)))
+    } finally q.stop()
+  }
+
   test("matcher enriches a reader-ingested X-event trace") {
     val lines = Seq(
       """{"name":"outer","ph":"X","ts":0.0,"dur":100.0,"pid":0,"tid":0}""",
