@@ -404,7 +404,10 @@ object SparkEntry {
     "trace_chrome_roundtrip" -> ((s, dir) => {
       val json = graft.ingest.ChromeWriter.project(callEnriched(s, dir))
         .select(to_json(struct(col("*"))).as("value"))
-      graft.ingest.ChromeReader.parseLines(json)
+      // assignIds = false: the fidelity proof compares canonical
+      // columns; the dense-id sort is a separate (spec-covered) stage
+      // and would re-sort + cache the whole trace here for nothing
+      graft.ingest.ChromeReader.parseLines(json, assignIds = false)
         .select(col(TimestampNs), col(EventType), col(Name), col(Process))
         .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))
     }),

@@ -54,11 +54,17 @@ object ChromeReader {
     normalize(spark.readStream.schema(schema).json(path))
 
   /** Parse a Dataset/DataFrame with one JSON record string per row in
-    * `jsonCol` — the no-filesystem variant for streams and tests. */
-  def parseLines(lines: DataFrame, jsonCol: String = "value"): DataFrame =
-    fromRecords(lines
+    * `jsonCol` — the no-filesystem variant for streams and tests.
+    * `assignIds = false` skips the dense-id sort (a full-data sort +
+    * cache) for consumers that key on (process, timestamp_ns) — e.g. a
+    * fidelity check or a hand-off to the streaming matcher. */
+  def parseLines(lines: DataFrame, jsonCol: String = "value",
+                 assignIds: Boolean = true): DataFrame = {
+    val records = lines
       .select(from_json(col(jsonCol), schema).as("r"))
-      .select("r.*"))
+      .select("r.*")
+    if (assignIds) fromRecords(records) else normalize(records)
+  }
 
   private def fromRecords(raw: DataFrame): DataFrame = {
     val events = normalize(raw)
