@@ -1788,6 +1788,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // --- rolling 7-day median of daily counts per type: selection at
+    // integer rank over the frame, robust to single-day spikes ---
+    "q_rolling_median" -> ((s, dir) => {
+      val daily = TraceGen.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.analysis.RobustStats.rollingMedian(daily, "event_type",
+          "day", "n", window = 7)
+        .select(col("event_type"), col("day"), col("n"),
+          col("roll_n"), col("roll_med"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // --- per-key exact percentiles, same refinement keyed throughout ---
     "q_quantile_by_key" -> ((s, dir) => {
       val ev = TraceGen.eventsTable(s, dir).select(col("event_type"),
@@ -4690,6 +4704,20 @@ object SparkEntry {
         |       CAST(SUM(ABS(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS tv_num
         |FROM c JOIN t ON c.k = t.k
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, n,
+        |         list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS f
+        |  FROM d)
+        |SELECT event_type, day, n, CAST(len(f) AS BIGINT) AS roll_n,
+        |       f[CAST((len(f) + 1) // 2 AS INT)] AS roll_med
+        |FROM r ORDER BY 1, 2""".stripMargin,
 
     "q_quantile_by_key" ->
       """WITH v AS (SELECT event_type AS k,

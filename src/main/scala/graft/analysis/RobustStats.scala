@@ -105,4 +105,28 @@ object RobustStats {
         col("__val").as(valCol), col("__med").as("med"),
         col("__mad").as("mad"), col("__dev").as("dev"))
   }
+
+  /** Rolling median over the last `window` rows per key — the robust
+    * smoother for noisy counters (a single spike moves a moving average
+    * by spike/W, a rolling median not at all). Selection, not
+    * interpolation: the lower median at integer rank ⌈n/2⌉ of the
+    * frame's values, so the result is a value that EXISTS in the data
+    * and is bit-identical on any engine.
+    *
+    * Plan: one keyed window; the frame's values fold via collect_list
+    * → sort_array → element_at — O(W log W) per row, fine for the
+    * small W (7/28/90) rolling stats use. Frames at the series head
+    * are partial (n < W), matching the usual "expanding then rolling"
+    * dashboard convention. */
+  def rollingMedian(df: DataFrame, keyCol: String, tickCol: String,
+                    valCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tickCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn("__frame", sort_array(collect_list(col(valCol)).over(w)))
+      .withColumn("roll_n", size(col("__frame")).cast("long"))
+      .withColumn("roll_med",
+        element_at(col("__frame"), expr("(roll_n + 1) div 2").cast("int")))
+      .drop("__frame")
+  }
 }

@@ -65,4 +65,31 @@ class RobustStatsSpec extends SparkSpec {
       Seq(1 -> 100L, 2 -> 100L, 3 -> 100L, 4 -> 200L, 5 -> 200L,
         6 -> 200L, 7 -> 300L, 8 -> 300L, 9 -> 300L))
   }
+
+  test("rolling median smooths a spike that wrecks the moving average") {
+    import spark.implicits._
+    // constant 10 with one 1000 spike at t=5, window 3
+    val df = (0L to 9L).map(t => ("a", t, if (t == 5) 1000L else 10L))
+      .toDF("k", "t", "v")
+    val out = RobustStats.rollingMedian(df, "k", "t", "v", window = 3)
+      .orderBy("t").select("roll_n", "roll_med")
+      .as[(Long, Long)].collect()
+    // expanding head: n=1 then 2; every 3-frame containing the spike
+    // still has median 10 (two of three values are 10)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L) ++ Seq.fill(8)(3L))
+    assert(out.map(_._2).forall(_ == 10L))
+  }
+
+  test("rolling median equals brute-force frame selection on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val vals = Seq.tabulate(50)(t => ("z", t.toLong, rng.nextInt(100).toLong))
+    val out = RobustStats.rollingMedian(vals.toDF("k", "t", "v"),
+        "k", "t", "v", window = 7)
+      .orderBy("t").select("roll_med").as[Long].collect()
+    vals.indices.foreach { i =>
+      val frame = vals.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+      assert(out(i) === frame((frame.size + 1) / 2 - 1), s"at $i")
+    }
+  }
 }
