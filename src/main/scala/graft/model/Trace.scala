@@ -66,6 +66,8 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
   def idleTime(idleFunctions: Seq[String] = Seq("Idle"),
                mpiEvents: Boolean = false): DataFrame =
     Profiles.idleTime(events, idleFunctions, mpiEvents)
+  def idleGaps(minGapNs: Long = 0L): DataFrame =
+    Profiles.idleGaps(events, minGapNs)
   def timeProfile(numBins: Int = 50, normalized: Boolean = false): DataFrame =
     TimeProfile.timeProfile(events, numBins, normalized)
   def detectPattern(startEvent: String, iterations: Option[Int] = None,
