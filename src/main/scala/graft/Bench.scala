@@ -40,7 +40,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: shared memoized stages (enrichment, signatures,
+    // k-means fits) get charged to a DETERMINISTIC first consumer, so
+    // per-query numbers are comparable round over round
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failing query must be VISIBLE in the output, not a silently
       // deflated timing
@@ -51,7 +54,8 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val resultMap = results.toMap
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Full dump for humans / the judge: every query, full precision.
@@ -68,7 +72,7 @@ object Bench {
     }
 
     // Compact line for the harness tail window.
-    val compactQs = headline.flatMap(n => results.get(n).map(v => "\"" + n + "\":" + fmt(v)))
+    val compactQs = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$compactQs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
