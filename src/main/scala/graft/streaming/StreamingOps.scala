@@ -482,6 +482,19 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Exactly-once-EFFECT ingest from an at-least-once source: drop
+    * replayed rows by id, with state bounded by the watermark horizon
+    * (`dropDuplicates` alone would remember every id forever — the
+    * classic unbounded-state leak). A replay arriving after its id
+    * aged out of state passes through: the guarantee is scoped to the
+    * watermark window, which is exactly the contract
+    * dropDuplicatesWithinWatermark formalizes. */
+  def dedupIds(events: DataFrame, idCols: Seq[String],
+               timeCol: String = "event_time",
+               watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   case class CdcIn(k: Long, seq: Long, op: String, v: Long)
   case class CdcState(seq: Long, op: String, v: Long, applied: Boolean)
   case class CdcOut(k: Long, seq: Long, op: String, v: Long,
