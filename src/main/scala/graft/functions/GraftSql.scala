@@ -41,7 +41,16 @@ object GraftSql {
       new ExpressionInfo(classOf[VecHamming].getName, "vec_hamming"),
       { case Seq(a, b) => VecHamming(a, b)
         case args => throw new IllegalArgumentException(
-          s"vec_hamming takes 2 arguments, got ${args.length}") }))
+          s"vec_hamming takes 2 arguments, got ${args.length}") }),
+    (FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKLongs].getName, "top_k"),
+      { case Seq(o, p,
+          org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+            org.apache.spark.sql.types.IntegerType)) =>
+          TopKLongs(o, p, k)
+        case args => throw new IllegalArgumentException(
+          "top_k takes (ord, payload, k literal int), got " +
+            args.mkString(", ")) }))
 
   /** Register on an already-built session (overwrites are no-ops). */
   def register(spark: SparkSession): Unit =

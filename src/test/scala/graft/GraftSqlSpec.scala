@@ -36,7 +36,20 @@ class GraftSqlSpec extends SparkSpec {
     // consume every entry (session-build path: spark.sql.extensions)
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftSql.functions.map(_._1.funcName).toSet ==
-      Set("vec_cosine", "vec_dot", "vec_sign_pack", "vec_hamming"))
+      Set("vec_cosine", "vec_dot", "vec_sign_pack", "vec_hamming", "top_k"))
+  }
+
+  test("top_k aggregate works from spark.sql") {
+    GraftSql.register(spark)
+    Seq((1L, 5L, 10L), (1L, 9L, 11L), (1L, 7L, 12L), (2L, 1L, 13L))
+      .toDF("k", "ord", "id").createOrReplaceTempView("tk")
+    val rows = spark.sql(
+      "SELECT k, top_k(ord, id, 2) AS t FROM tk GROUP BY k ORDER BY k")
+      .collect()
+    val t1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(t1 == Seq((9L, 11L), (7L, 12L)))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(1L))
   }
 
   test("vec_sign_pack/vec_hamming in spark.sql match the Column API") {
