@@ -11,13 +11,15 @@ class IdleGapsSpec extends SparkSpec {
 
   // process 0: spans [0,10] gap 5 [15,20] gap 10 [30,40]; a nested child
   // [31,33] must NOT split its parent; process 1: one span (no gaps)
-  private def trace = EventMatcher.enrich(Seq(
+  private def raw = Seq(
     (0L, 0L, Enter, "a", 0), (1L, 10L, Leave, "a", 0),
     (2L, 15L, Enter, "b", 0), (3L, 20L, Leave, "b", 0),
     (4L, 30L, Enter, "c", 0), (5L, 31L, Enter, "c1", 0),
     (6L, 33L, Leave, "c1", 0), (7L, 40L, Leave, "c", 0),
     (8L, 5L, Enter, "x", 1), (9L, 9L, Leave, "x", 1)
-  ).toDF(EventId, TimestampNs, EventType, Name, Process))
+  ).toDF(EventId, TimestampNs, EventType, Name, Process)
+
+  private def trace = EventMatcher.enrich(raw)
 
   test("gaps between top-level spans, nested spans ignored, zero-fill") {
     val out = Profiles.idleGaps(trace)
@@ -32,5 +34,14 @@ class IdleGapsSpec extends SparkSpec {
       .filter(col(Process) === 0)
       .select("n_gaps", "idle_gap_total").as[(Long, Long)].head()
     assert(out === ((1L, 10L))) // only the 10-tick gap survives >5
+  }
+
+  test("identical under the bounded matcher mode (raw events in)") {
+    val buffered = Profiles.idleGaps(raw).orderBy(Process).collect()
+    graft.util.GraftConfig.setOption("matcher_mode", "bounded")
+    try {
+      val bounded = Profiles.idleGaps(raw).orderBy(Process).collect()
+      assert(bounded.toSeq === buffered.toSeq)
+    } finally graft.util.GraftConfig.resetOption("matcher_mode")
   }
 }
