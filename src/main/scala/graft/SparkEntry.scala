@@ -1209,6 +1209,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- REAL pprof decode: per-doc protobuf profile blobs (the
+    //     Go/async-profiler/py-spy export format) parsed by the
+    //     from-scratch wire-format reader, fleet flat profile as
+    //     decode + groupBy ---
+    "pprof_flat" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val names = Seq("main", s"work_${id % 3}", s"leaf_${id % 5}")
+          val blobs = graft.ingest.PprofReader.encode(names, Seq(
+            (Seq(3, 2, 1), 10L + id % 7),
+            (Seq(2, 1), 1L + id % 4)),
+            gzip = id % 2 == 0)
+          (id, blobs)
+        }.toDF("doc_id", "payload")
+      graft.ingest.PprofReader.samples(withPayload)
+        .groupBy(col("leaf_function"))
+        .agg(count(lit(1)).as("n_samples"), sum(col("value")).as("total"),
+          max(col("stack_depth")).as("max_depth"))
+        .orderBy(col("leaf_function"))
+    }),
+
     // --- REAL video decode: deterministic Y4M (YUV4MPEG2) payloads
     //     round-tripped through the header/FRAME parser; every 2nd
     //     frame's luma plane folded into an exact integer sum ---
@@ -4116,6 +4138,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       ROUND(pxsum * 1.0 / (w * h) / 255, 6) AS mean_luma
         |FROM px ORDER BY doc_id""".stripMargin,
+
+    "pprof_flat" ->
+      """WITH s AS (
+        |  SELECT 'leaf_' || (doc_id % 5) AS leaf, 10 + doc_id % 7 AS v,
+        |         3 AS d
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'work_' || (doc_id % 3), 1 + doc_id % 4, 2 FROM documents)
+        |SELECT leaf AS leaf_function, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(v) AS BIGINT) AS total,
+        |       CAST(MAX(d) AS INT) AS max_depth
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "video_features" ->
       """WITH dims AS (
