@@ -1231,6 +1231,23 @@ object SparkEntry {
         .orderBy(col("leaf_function"))
     }),
 
+    // --- folded stacks (flamegraph.pl interchange) straight from the
+    //     decoded pprof samples: one groupBy is the flame graph ---
+    "pprof_folded" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val names = Seq("main", s"work_${id % 3}", s"leaf_${id % 5}")
+          (id, graft.ingest.PprofReader.encode(names, Seq(
+            (Seq(3, 2, 1), 10L + id % 7),
+            (Seq(2, 1), 1L + id % 4))))
+        }.toDF("doc_id", "payload")
+      graft.ingest.PprofReader.samples(withPayload)
+        .groupBy(col("stack_folded"))
+        .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("stack_folded"))
+    }),
+
     // --- REAL video decode: deterministic Y4M (YUV4MPEG2) payloads
     //     round-tripped through the header/FRAME parser; every 2nd
     //     frame's luma plane folded into an exact integer sum ---
@@ -4149,6 +4166,18 @@ object SparkEntry {
         |SELECT leaf AS leaf_function, CAST(COUNT(*) AS BIGINT) AS n_samples,
         |       CAST(SUM(v) AS BIGINT) AS total,
         |       CAST(MAX(d) AS INT) AS max_depth
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pprof_folded" ->
+      """WITH s AS (
+        |  SELECT 'main;work_' || (doc_id % 3) || ';leaf_' || (doc_id % 5)
+        |           AS stack_folded,
+        |         10 + doc_id % 7 AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'main;work_' || (doc_id % 3), 1 + doc_id % 4 FROM documents)
+        |SELECT stack_folded, CAST(SUM(v) AS BIGINT) AS total,
+        |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "video_features" ->

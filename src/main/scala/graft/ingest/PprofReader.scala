@@ -32,7 +32,10 @@ object PprofReader {
     StructField("leaf_function", StringType, nullable = false),
     StructField("root_function", StringType, nullable = false),
     StructField("stack_depth", IntegerType, nullable = false),
-    StructField("value", LongType, nullable = false)))
+    StructField("value", LongType, nullable = false),
+    // root-first ";"-joined frames — flamegraph.pl's folded format, so
+    // `groupBy(stack_folded).sum(value)` IS a flame graph input file
+    StructField("stack_folded", StringType, nullable = false)))
 
   // ---- wire-format primitives -------------------------------------
 
@@ -171,7 +174,8 @@ object PprofReader {
     samples.toSeq.map { s =>
       // pprof convention: location_id[0] is the LEAF, last is the root
       new GenericRowWithSchema(Array[Any](
-        nameOf(s.locs.head), nameOf(s.locs.last), s.locs.length, s.value),
+        nameOf(s.locs.head), nameOf(s.locs.last), s.locs.length, s.value,
+        s.locs.reverse.map(nameOf).mkString(";")),
         sampleSchema): Row
     }
   }

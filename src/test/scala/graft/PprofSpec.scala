@@ -14,6 +14,8 @@ class PprofSpec extends SparkSpec {
       ("leaf", "main", 3, 42L),
       ("work", "main", 2, 7L),
       ("main", "main", 1, 1L)))
+    assert(PprofReader.decodeSamples(blob).map(_.getString(4)) === Seq(
+      "main;work;leaf", "main;work", "main"))
   }
 
   test("gzip-wrapped profiles decode transparently") {
