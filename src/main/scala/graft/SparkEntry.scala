@@ -1248,6 +1248,27 @@ object SparkEntry {
         .orderBy(col("stack_folded"))
     }),
 
+    // --- profile diff (pprof -diff_base semantics): per-leaf totals
+    //     of the "after" fleet half minus the "before" half ---
+    "pprof_diff" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val names = Seq("main", s"leaf_${id % 5}")
+          (id, graft.ingest.PprofReader.encode(names,
+            Seq((Seq(2, 1), 10L + id % 7))))
+        }.toDF("doc_id", "payload")
+      graft.ingest.PprofReader.samples(withPayload)
+        .withColumn("side", (col("doc_id") % 2).cast("int"))
+        .groupBy(col("leaf_function"))
+        .agg(sum(when(col("side") === 0, col("value")).otherwise(0L))
+            .as("before_total"),
+          sum(when(col("side") === 1, col("value")).otherwise(0L))
+            .as("after_total"))
+        .withColumn("delta", col("after_total") - col("before_total"))
+        .orderBy(col("leaf_function"))
+    }),
+
     // --- REAL video decode: deterministic Y4M (YUV4MPEG2) payloads
     //     round-tripped through the header/FRAME parser; every 2nd
     //     frame's luma plane folded into an exact integer sum ---
@@ -4166,6 +4187,21 @@ object SparkEntry {
         |SELECT leaf AS leaf_function, CAST(COUNT(*) AS BIGINT) AS n_samples,
         |       CAST(SUM(v) AS BIGINT) AS total,
         |       CAST(MAX(d) AS INT) AS max_depth
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pprof_diff" ->
+      """WITH s AS (
+        |  SELECT 'leaf_' || (doc_id % 5) AS leaf_function,
+        |         10 + doc_id % 7 AS v, CAST(doc_id % 2 AS INT) AS side
+        |  FROM documents)
+        |SELECT leaf_function,
+        |       CAST(SUM(CASE WHEN side = 0 THEN v ELSE 0 END) AS BIGINT)
+        |         AS before_total,
+        |       CAST(SUM(CASE WHEN side = 1 THEN v ELSE 0 END) AS BIGINT)
+        |         AS after_total,
+        |       CAST(SUM(CASE WHEN side = 1 THEN v ELSE 0 END)
+        |          - SUM(CASE WHEN side = 0 THEN v ELSE 0 END) AS BIGINT)
+        |         AS delta
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pprof_folded" ->
