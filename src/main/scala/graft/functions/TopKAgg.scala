@@ -41,11 +41,19 @@ case class TopKLongs(ordExpr: Expression, payloadExpr: Expression, k: Int,
   override def createAggregationBuffer(): TopKLongs.Heap =
     new TopKLongs.Heap(k)
 
+  private def asLong(a: Any): Long = a match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"top_k expects integral inputs, got ${other.getClass.getSimpleName}")
+  }
+
   override def update(b: TopKLongs.Heap, input: InternalRow): TopKLongs.Heap = {
     val o = ordExpr.eval(input)
     val p = payloadExpr.eval(input)
-    if (o != null && p != null)
-      b.offer(o.asInstanceOf[Long], p.asInstanceOf[Long])
+    if (o != null && p != null) b.offer(asLong(o), asLong(p))
     b
   }
 

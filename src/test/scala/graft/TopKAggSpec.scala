@@ -41,6 +41,14 @@ class TopKAggSpec extends SparkSpec {
       === win.orderBy("k", "ord", "id").as[(String, Long, Long)].collect())
   }
 
+  test("int columns widen instead of class-casting") {
+    val out = Seq((1, 3, 7), (1, 9, 8)).toDF("k", "ord", "id")
+      .groupBy($"k").agg(TopKLongs.topK(1, $"ord", $"id").as("t"))
+      .select(explode($"t")).select($"col.ord", $"col.payload")
+      .as[(Long, Long)].head()
+    assert(out === ((9L, 8L)))
+  }
+
   test("fewer rows than k returns all of them") {
     val out = Seq(("a", 1L, 10L)).toDF("k", "ord", "id")
       .groupBy($"k").agg(TopKLongs.topK(5, $"ord", $"id").as("t"))
