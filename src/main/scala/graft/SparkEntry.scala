@@ -902,6 +902,11 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       lshComponents(s, dir).orderBy(col("node"))),
 
+    "dedup_retained_best" -> ((s, dir) =>
+      Dedup.keepBestByComponents(T(s, dir, "documents"),
+          lshComponents(s, dir), "n_chars")
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
     "dedup_retained" -> ((s, dir) =>
       Dedup.dropByComponents(T(s, dir, "documents"), lshComponents(s, dir))
         .select(col("doc_id")).orderBy(col("doc_id"))),
@@ -3155,6 +3160,18 @@ object SparkEntry {
       lshLosersCte +
       """SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
         |ORDER BY doc_id""".stripMargin),
+
+    "dedup_retained_best" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      lshLosersCte +
+      """, comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS comp, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |best AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM lab)
+        |SELECT doc_id FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
     "pq_codes" -> (pqCte() +
       "SELECT vec_id, code0, code1, code2, code3 FROM codes ORDER BY vec_id"),

@@ -208,6 +208,29 @@ object Dedup {
     docs.join(losers, Seq(idCol), "leftanti")
   }
 
+  /** Quality-priority retention: keep the BEST-scoring member of each
+    * near-dup cluster instead of [[dropByComponents]]' canonical-id
+    * member — "dedup should delete the worse copy" (shorter, truncated,
+    * boilerplate-heavy), which min-id retention gets wrong whenever the
+    * best copy doesn't happen to carry the smallest id. Docs in no
+    * cluster are their own singleton and always survive. Ties on the
+    * score break by ascending id — deterministic. One keyed window over
+    * cluster-sized groups; the docs↔components join is on the id. */
+  def keepBestByComponents(docs: DataFrame, components: DataFrame,
+                           scoreCol: String,
+                           idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = docs.join(
+        components.select(col("node").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labeled.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(docs.columns.map(col): _*)
+  }
+
   /** Connected components over near-duplicate candidate pairs — the
     * clustering step that turns pairs into dedup groups (component id =
     * the minimum member id, the canonical representative).

@@ -68,6 +68,23 @@ class RoundOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("keepBestByComponents keeps the top-scoring member per cluster") {
+    import graft.scale.Dedup
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L), (9L, 1L))
+      .toDF("doc_id", "score")
+    // cluster {1,2,3} (canonical 1), singleton 4 implicit, 9 labeled self
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("node", "component")
+    val kept = Dedup.keepBestByComponents(docs, comps, "score")
+      .select("doc_id").as[Long].collect().sorted
+    // best of {1,2,3} is 2 (score 50, tie vs 3 broken by lower id);
+    // min-id retention would have kept 1 — the whole point
+    assert(kept.toSeq === Seq(2L, 4L, 9L))
+    val minId = Dedup.dropByComponents(docs, comps)
+      .select("doc_id").as[Long].collect().sorted
+    assert(minId.toSeq === Seq(1L, 4L, 9L))
+  }
+
   test("tvDrift equals the direct two-histogram computation") {
     val rng = new Random(23)
     for (_ <- 1 to 5) {
