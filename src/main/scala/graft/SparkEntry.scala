@@ -1867,6 +1867,16 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // --- quantity-weighted price percentiles: running WEIGHT crossing,
+    // same histogram refinement ---
+    "q_weighted_quantile" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      graft.scale.Sketches.histQuantilesWeighted(li, "cents", "qty")
+        .orderBy(col("per_mille"))
+    }),
+
     // --- per-key exact percentiles, same refinement keyed throughout ---
     "q_quantile_by_key" -> ((s, dir) => {
       val ev = TraceGen.eventsTable(s, dir).select(col("event_type"),
@@ -4834,6 +4844,28 @@ object SparkEntry {
         |SELECT event_type, day, n, CAST(len(f) AS BIGINT) AS roll_n,
         |       f[CAST((len(f) + 1) // 2 AS INT)] AS roll_med
         |FROM r ORDER BY 1, 2""".stripMargin,
+
+    "q_weighted_quantile" ->
+      """WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x,
+        |                  CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |b AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+        |             CAST(SUM(wt) AS BIGINT) AS n,
+        |             MAX(x) - MIN(x) + 1 AS w FROM v),
+        |q AS (SELECT UNNEST([500, 900, 990]) AS pm),
+        |t AS (SELECT pm, (pm * n + 999) // 1000 AS r, lo, w, n
+        |      FROM q CROSS JOIN b),
+        |byv AS (SELECT x, CAST(SUM(wt) AS BIGINT) AS vw FROM v GROUP BY 1),
+        |run AS (SELECT x, vw,
+        |               CAST(SUM(vw) OVER (ORDER BY x) AS BIGINT) AS cw
+        |        FROM byv)
+        |SELECT CAST(t.pm AS INT) AS per_mille, t.n AS total_weight,
+        |       CAST(t.lo + ((((r2.x - t.lo) * 1024) // t.w) * t.w) // 1024
+        |            AS BIGINT) AS est,
+        |       r2.x AS exact,
+        |       CAST(ABS(r2.x - (t.lo + ((((r2.x - t.lo) * 1024) // t.w) * t.w)
+        |            // 1024)) AS BIGINT) AS abs_err
+        |FROM t JOIN run r2 ON r2.cw >= t.r AND r2.cw - r2.vw < t.r
+        |ORDER BY 1""".stripMargin,
 
     "q_quantile_by_key" ->
       """WITH v AS (SELECT event_type AS k,

@@ -153,6 +153,51 @@ object Sketches {
         abs(col("__v") - col("__est")).as("abs_err"))
   }
 
+  /** WEIGHTED [[histQuantiles]]: the value at the rank where the
+    * running WEIGHT crosses ⌈q·W/1000⌉ — "the price below which 90% of
+    * the QUANTITY trades", "the doc length below which 99% of TOKENS
+    * sit". Same two-phase refinement with weight sums in place of
+    * counts; the refine pass finds the crossing row by a running-sum
+    * window over the one extracted bin. Integral weights keep every
+    * stat exact. */
+  def histQuantilesWeighted(values: DataFrame, valCol: String,
+                            weightCol: String, bins: Int = 1024,
+                            perMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = values.select(col(valCol).cast("long").as("__v"),
+      col(weightCol).cast("long").as("__wt"))
+    val bounds = v.agg(min("__v").as("__lo"), max("__v").as("__hi"),
+      sum("__wt").as("__n"))
+    val binned = v.join(broadcast(bounds))
+      .withColumn("__w", col("__hi") - col("__lo") + 1)
+      .withColumn("__bin", expr(s"((__v - __lo) * $bins) div __w"))
+    val cum = binned.groupBy("__bin").agg(sum("__wt").as("__c"))
+      .withColumn("__cum", sum("__c").over(Window.orderBy(col("__bin"))))
+      .withColumn("__bef", col("__cum") - col("__c"))
+    val targets = bounds
+      .withColumn("__q", explode(array(perMille.map(lit(_)): _*)))
+      .withColumn("__r", expr("(__q * __n + 999) div 1000"))
+      .withColumn("__wd", col("__hi") - col("__lo") + 1)
+    val sel = targets.join(broadcast(cum),
+        col("__cum") >= col("__r") && col("__bef") < col("__r"))
+      .select(col("__q"), col("__n"), col("__bin"),
+        (col("__r") - col("__bef")).as("__rl"),
+        (col("__lo") + expr(s"(__bin * __wd) div $bins")).as("__est"))
+    // running weight inside the extracted bin, ordered by value (ties
+    // pre-summed per value so intra-value order cannot matter)
+    val byVal = binned.select(col("__v"), col("__bin"), col("__wt"))
+      .join(broadcast(sel), "__bin")
+      .groupBy(col("__q"), col("__n"), col("__est"), col("__rl"), col("__v"))
+      .agg(sum(col("__wt")).as("__vw"))
+    val wq = Window.partitionBy(col("__q")).orderBy(col("__v"))
+    byVal.withColumn("__cw", sum(col("__vw")).over(wq))
+      .filter(col("__cw") >= col("__rl") &&
+        col("__cw") - col("__vw") < col("__rl"))
+      .select(col("__q").as("per_mille"), col("__n").as("total_weight"),
+        col("__est").as("est"), col("__v").as("exact"),
+        abs(col("__v") - col("__est")).as("abs_err"))
+  }
+
   /** Per-key [[histQuantiles]] — the form a feature pipeline actually
     * runs ("p99 of every feature/partner/day at once"). Identical
     * two-phase refinement with every stage keyed: bounds and bin

@@ -68,6 +68,27 @@ class HistQuantilesSpec extends SparkSpec {
       .foreach { case (est, exact) => assert(est <= exact) }
   }
 
+  test("weighted quantiles cross at the running-weight rank") {
+    // values 1..4 with weights 1,1,1,7 → W=10; p50 rank 5 → running
+    // weights 1,2,3,10 cross at value 4; p250 rank 3 → value 3
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 7L)).toDF("x", "wt")
+    val out = Sketches.histQuantilesWeighted(df, "x", "wt", bins = 4,
+        perMille = Seq(250, 500))
+      .orderBy("per_mille")
+      .select("per_mille", "total_weight", "exact")
+      .as[(Int, Long, Long)].collect()
+    assert(out === Seq((250, 10L, 3L), (500, 10L, 4L)))
+  }
+
+  test("weighted with unit weights equals the unweighted exact values") {
+    val df = (1L to 200L).map(v => (v, 1L)).toDF("x", "wt")
+    val w = Sketches.histQuantilesWeighted(df, "x", "wt")
+      .select("per_mille", "exact").as[(Int, Long)].collect().toMap
+    val u = Sketches.histQuantiles((1L to 200L).toDF("x"), "x")
+      .select("per_mille", "exact").as[(Int, Long)].collect().toMap
+    assert(w === u)
+  }
+
   test("no corpus-sized single-partition exchange in the plan") {
     val df = (1L to 1000L).toDF("x").repartition(7)
     val plan = Sketches.histQuantiles(df, "x")
