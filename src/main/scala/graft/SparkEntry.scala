@@ -1867,6 +1867,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // --- Gini concentration of order revenue: Σ rank·x over the
+    // DISTRIBUTED dense ranking (assignDenseIds — never a global
+    // window); G = (2·sum_rank_x/(n·sum_x)) − (n+1)/n at presentation,
+    // from exact integer sufficient statistics ---
+    "q_gini" -> ((s, dir) => {
+      val v = T(s, dir, "orders").select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      graft.ingest.Ingest.assignDenseIds(v, "rk",
+          col("cents"), col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_x"),
+          sum((col("rk") + 1) * col("cents")).as("sum_rank_x"))
+    }),
+
     // --- quantity-weighted price percentiles: running WEIGHT crossing,
     // same histogram refinement ---
     "q_weighted_quantile" -> ((s, dir) => {
@@ -4844,6 +4858,17 @@ object SparkEntry {
         |SELECT event_type, day, n, CAST(len(f) AS BIGINT) AS roll_n,
         |       f[CAST((len(f) + 1) // 2 AS INT)] AS roll_med
         |FROM r ORDER BY 1, 2""".stripMargin,
+
+    "q_gini" ->
+      """WITH v AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |                  o_orderkey FROM orders),
+        |r AS (SELECT cents,
+        |             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk
+        |      FROM v)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_x,
+        |       CAST(SUM(rk * cents) AS BIGINT) AS sum_rank_x
+        |FROM r""".stripMargin,
 
     "q_weighted_quantile" ->
       """WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x,
