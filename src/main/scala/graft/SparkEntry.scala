@@ -1867,6 +1867,14 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // --- Benford first-digit audit of order totals (cents) ---
+    "q_benford" -> ((s, dir) =>
+      graft.scale.DataQuality.benford(
+          T(s, dir, "orders").select(
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "cents")
+        .orderBy(col("digit"))),
+
     // --- Gini concentration of order revenue: Σ rank·x over the
     // DISTRIBUTED dense ranking (assignDenseIds — never a global
     // window); G = (2·sum_rank_x/(n·sum_x)) − (n+1)/n at presentation,
@@ -4858,6 +4866,15 @@ object SparkEntry {
         |SELECT event_type, day, n, CAST(len(f) AS BIGINT) AS roll_n,
         |       f[CAST((len(f) + 1) // 2 AS INT)] AS roll_med
         |FROM r ORDER BY 1, 2""".stripMargin,
+
+    "q_benford" ->
+      """WITH v AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x
+        |           FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit,
+        |             CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM d)
+        |SELECT digit, n, n * 1000000 // tot AS share_micro
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
 
     "q_gini" ->
       """WITH v AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,

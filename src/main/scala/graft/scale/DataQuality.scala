@@ -72,4 +72,22 @@ object DataQuality {
     * materializes the report. */
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_))
+
+  /** Benford first-digit profile of a positive numeric column — the
+    * classic fabricated-data tripwire (organic multiplicative data
+    * leads with 1 ~30% of the time; uniform or hand-typed data
+    * doesn't). Emits per leading digit the exact count and the
+    * micro-unit share n·10⁶ div total; comparison against the Benford
+    * expectation (log₁₀(1+1/d)) is presentation-side. One aggregation
+    * over 9 groups + a broadcast total. */
+  def benford(df: DataFrame, c: String): DataFrame = {
+    val digits = df.filter(col(c) > 0)
+      .select(substring(col(c).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("__tot"))
+    digits.join(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div __tot").as("share_micro"))
+  }
 }

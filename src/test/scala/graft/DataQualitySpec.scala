@@ -37,6 +37,14 @@ class DataQualitySpec extends SparkSpec {
     assert(out === ((4L, 1L)))
   }
 
+  test("benford counts leading digits of positives, shares sum to ~1e6") {
+    val df = Seq(100L, 150L, 190L, 200L, 900L, -5L, 0L).toDF("v")
+    val out = benford(df, "v").orderBy("digit")
+      .select("digit", "n", "share_micro").as[(Int, Long, Long)].collect()
+    assert(out.map(x => (x._1, x._2)).toSeq === Seq((1, 3L), (2, 1L), (9, 1L)))
+    assert(out.map(_._3).sum >= 999998L && out.map(_._3).sum <= 1000000L)
+  }
+
   test("report unions checks and never plans a cartesian product") {
     val parent = Seq(1L).toDF("pk")
     val rep = report(Seq(
