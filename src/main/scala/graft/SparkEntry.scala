@@ -1944,6 +1944,30 @@ object SparkEntry {
       graft.scale.LinAlg.covNumMicro(T(s, dir, "embeddings"), "embedding")
         .orderBy(col("i"), col("j"))),
 
+    // --- kNN classification: majority label among the 5 cosine
+    // neighbors from the labeled corpus, ties by smaller label —
+    // the eval-harness workload on the same ANN machinery ---
+    "knn_classify" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val test = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val nn = Similarity.bruteForceTopK(corpus, test, 5,
+          excludeSelf = false)
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+      val votes = nn.groupBy(col("query_id"), col("n_label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("n_label"))
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .select(col("query_id"), col("true_label"),
+          col("n_label").as("pred_label"), col("votes"))
+        .orderBy(col("query_id"))
+    }),
+
     // --- exact maximum-inner-product top-k (the MIPS objective) ---
     "ann_mips" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -5010,6 +5034,28 @@ object SparkEntry {
         |SELECT g.i, g.j, si.n * g.sg - si.si * sj.si AS cov_num
         |FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i
         |ORDER BY g.i, g.j""".stripMargin,
+
+    "knn_classify" ->
+      """WITH nn AS (
+        |  SELECT query_id, n_label FROM (
+        |    SELECT q.vec_id AS query_id, c.label AS n_label,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |                      c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id >= 20
+        |    WHERE q.vec_id < 20)
+        |  WHERE rank <= 5),
+        |v AS (SELECT query_id, n_label, CAST(COUNT(*) AS BIGINT) AS votes
+        |      FROM nn GROUP BY 1, 2),
+        |p AS (SELECT query_id, n_label, votes,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |               ORDER BY votes DESC, n_label) AS rn
+        |      FROM v)
+        |SELECT p.query_id, e.label AS true_label, p.n_label AS pred_label,
+        |       p.votes
+        |FROM p JOIN embeddings e ON e.vec_id = p.query_id
+        |WHERE p.rn = 1 ORDER BY p.query_id""".stripMargin,
 
     "ann_mips" ->
       """SELECT query_id, rank, neighbor_id, ROUND(ip, 4) AS ip FROM (
