@@ -393,6 +393,23 @@ object SparkEntry {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // --- Pareto set of functions: which names cover 90% of total
+    // exclusive time (the "optimize these first" list); per-name
+    // profile is tiny, the one window runs over |names| rows ---
+    "trace_pareto" -> ((s, dir) => {
+      val prof = callEnriched(s, dir).filter(col(EventType) === Enter)
+        .groupBy(col(Name)).agg(sum(col(TimeExc)).as("exc"))
+      val total = prof.agg(sum(col("exc")).as("__tot"))
+      val w = Window.orderBy(col("exc").desc, col(Name))
+      prof.join(broadcast(total))
+        .withColumn("cum_exc", sum(col("exc")).over(w))
+        .select(col(Name), col("exc").cast("long").as("exc"),
+          col("cum_exc").cast("long").as("cum_exc"),
+          ((col("cum_exc") - col("exc")) * 10 < col("__tot") * 9)
+            .as("in_p90_set"))
+        .orderBy(col(Name))
+    }),
+
     // --- idle gaps: holes between consecutive top-level spans per
     // process (the un-instrumented complement of idle_time) ---
     "trace_gaps" -> ((s, dir) =>
@@ -2228,6 +2245,18 @@ object SparkEntry {
         |                    event_id DESC) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "trace_pareto" -> (callCte + excByNameProcSql +
+      """, prof AS (SELECT name, CAST(SUM(sum_exc) AS BIGINT) AS exc
+        |           FROM pp GROUP BY 1),
+        |t AS (SELECT CAST(SUM(exc) AS BIGINT) AS tot FROM prof),
+        |c AS (SELECT name, exc,
+        |             CAST(SUM(exc) OVER (ORDER BY exc DESC, name) AS BIGINT)
+        |               AS cum_exc
+        |      FROM prof)
+        |SELECT c.name, c.exc, c.cum_exc,
+        |       (c.cum_exc - c.exc) * 10 < t.tot * 9 AS in_p90_set
+        |FROM c CROSS JOIN t ORDER BY c.name""".stripMargin),
 
     "trace_gaps" -> (callCte +
       """, g AS (
