@@ -393,6 +393,23 @@ object SparkEntry {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // --- deterministic per-key uniform sample: bottom-3 by md5 hash
+    // via the SAME native bounded aggregate (ord = −hash) — k rows per
+    // key cross the exchange, never a per-key sort of everything ---
+    "sample_per_key" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(
+        col("event_type"), col("event_id"),
+        expr("cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      ev.groupBy(col("event_type"))
+        .agg(graft.functions.TopKLongs.topK(3, -col("h"), col("event_id"))
+          .as("picked"))
+        .select(col("event_type"), posexplode(col("picked")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.payload").as("event_id"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // --- Pareto set of functions: which names cover 90% of total
     // exclusive time (the "optimize these first" list); per-name
     // profile is tiny, the one window runs over |names| rows ---
@@ -2245,6 +2262,19 @@ object SparkEntry {
         |                    event_id DESC) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "sample_per_key" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id,
+        |         CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, event_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |               ORDER BY hv, event_id) AS INT) AS rank
+        |      FROM h)
+        |SELECT event_type, rank, event_id FROM r
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "trace_pareto" -> (callCte + excByNameProcSql +
       """, prof AS (SELECT name, CAST(SUM(sum_exc) AS BIGINT) AS exc
