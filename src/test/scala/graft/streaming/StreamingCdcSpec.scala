@@ -66,6 +66,40 @@ class StreamingCdcSpec extends SparkSpec {
     assert(out == List(CdcOut(3L, 30L, "U", 3L, deleted = false, n_stale = 0L)))
   }
 
+  test("streaming end state matches the batch MergeApply") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val log = Seq(
+      (1L, 10L, "I", 5L), (2L, 11L, "I", 6L), (1L, 20L, "U", 7L),
+      (3L, 12L, "I", 1L), (3L, 30L, "D", 0L), (2L, 25L, "U", 9L))
+    val stream = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamingOps.cdcApply(
+        stream.toDF().toDF("user_id", "seq", "op", "val_c"))
+      .writeStream.format("memory").queryName("cdc_par")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = log.splitAt(3)
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      // live streaming state = last emitted row per key, minus deletes
+      val streamed = spark.table("cdc_par").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3),
+          r.getBoolean(4))))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2).toMap
+        .filter(!_._2._4)
+        .map { case (k, (seq, op, v, _)) => (k, seq, op, v) }.toSet
+      val batch = graft.analysis.MergeApply.applyCdc(
+          log.toDF("user_id", "seq", "op", "val_c")
+            .withColumn("event_id", lit(0L)),
+          Seq("user_id"), "seq", Seq("event_id"), "op")
+        .select("user_id", "seq", "op", "val_c")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("timeout removes state silently") {
     val timedOut = state(timeout = true,
       Some(CdcState(9L, "U", 1L, applied = true)))
