@@ -1108,6 +1108,20 @@ object SparkEntry {
           col("retained").cast("int").as("retained"))
         .orderBy(col("doc_id"))),
 
+    // --- the curation pipeline as an auditable funnel: survivor
+    // counts at each gate (quality → repetition → near-dup) ---
+    "pipeline_funnel" -> ((s, dir) =>
+      Curation.curate(T(s, dir, "documents"), 0.9283, 0.40,
+          components = Some(lshComponents(s, dir)))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("quality") >= 0.9283, 1L).otherwise(0L))
+            .as("n_quality"),
+          sum(when(col("quality") >= 0.9283 &&
+              col("unique_token_ratio") >= 0.40, 1L).otherwise(0L))
+            .as("n_quality_ratio"),
+          sum(when(col("is_near_dup"), 1L).otherwise(0L)).as("n_near_dup"),
+          sum(when(col("retained"), 1L).otherwise(0L)).as("n_retained"))),
+
     // --- similarity search ---
     "ann_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -3650,6 +3664,30 @@ object SparkEntry {
          |FROM documents d JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
          |LEFT JOIN losers l ON d.doc_id = l.node
          |ORDER BY d.doc_id""".stripMargin),
+
+    "pipeline_funnel" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      lshLosersCte +
+      s""", qual AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+         |rep AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), ' +')), 4) AS unique_token_ratio
+         |  FROM documents),
+         |verd AS (
+         |  SELECT q.quality, r.unique_token_ratio,
+         |         CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END AS nd,
+         |         CASE WHEN q.quality >= 0.9283 AND r.unique_token_ratio >= 0.4
+         |              AND l.node IS NULL THEN 1 ELSE 0 END AS ret
+         |  FROM documents d JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+         |  LEFT JOIN losers l ON d.doc_id = l.node)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(CASE WHEN quality >= 0.9283 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality,
+         |  CAST(SUM(CASE WHEN quality >= 0.9283 AND unique_token_ratio >= 0.4
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ratio,
+         |  CAST(SUM(nd) AS BIGINT) AS n_near_dup,
+         |  CAST(SUM(ret) AS BIGINT) AS n_retained
+         |FROM verd""".stripMargin),
 
     "simhash" ->
       """WITH tok AS (
