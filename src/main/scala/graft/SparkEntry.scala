@@ -2021,7 +2021,65 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.mipsTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // --- C4-style duplicate-tile REMOVAL (keep one canonical copy of
+    // every repeated 5-word tile; per-doc rewrite witness) ---
+    "tile_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicateTiles(T(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // --- leakage-safe train/val/test split: the split hash is taken on
+    // the near-dup component representative, so clusters never straddle
+    // the boundary ---
+    "split_safe" -> ((s, dir) =>
+      Curation.leakageSafeSplit(T(s, dir, "documents"), lshComponents(s, dir))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
+          sum(when(col("in_cluster"), 1L).otherwise(0L)).as("n_clustered"))
+        .orderBy(col("split"))),
+
+    // --- the leakage audit: near-dup pairs straddling the split
+    // boundary under a naive per-doc hash vs the component-keyed split
+    // (the latter is 0 by construction — proved, not assumed) ---
+    "split_leakage" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(minhashSigs(s, dir)).select("a", "b")
+      val safe = Curation.leakageSafeSplit(docs, lshComponents(s, dir))
+        .select(col("doc_id"), col("split"))
+      val naive = docs.select(col("doc_id"),
+        (TextOps.md5Hash60(col("doc_id").cast("string"), 11) % 10)
+          .cast("int").as("split"))
+      def audit(assign: DataFrame, method: String) =
+        pairs
+          .join(assign.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+          .join(assign.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+              .as("cross_pairs"))
+          .select(lit(method).as("method"), col("n_pairs"), col("cross_pairs"))
+      audit(naive, "naive").unionByName(audit(safe, "component"))
+        .orderBy(col("method"))
+    }),
+
+    // --- CUSUM change point per event type over daily volumes (exact
+    // integer cross-multiplied deviation, keyed windows only) ---
+    "q_changepoint" -> ((s, dir) => {
+      val daily = TraceGen.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.analysis.Changepoint.cusumMax(daily, "event_type", "day", "n")
+        .orderBy(col("event_type"))
+    }),
+
+    // --- DAU + trailing-7-day rolling distinct actives (contribution
+    // explode of the deduped user-day table — no per-day rescans) ---
+    "q_rolling_active" -> ((s, dir) =>
+      Sessionize.rollingActive(
+          TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
+        .orderBy(col("day")))
   )
 
   // ----------------------------------------------------------------- oracle
@@ -5165,7 +5223,105 @@ object SparkEntry {
         |                    c.vec_id) AS INT) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "tile_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |tl AS (
+        |  SELECT doc_id, i AS idx,
+        |         array_to_string(toks[(i*5+1):(i*5+5)], ' ') AS tile,
+        |         LEAST(5, len(toks) - i*5) AS nw,
+        |         doc_id * 1000000 + i AS okey
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0,
+        |            CAST((len(toks) + 4) // 5 AS INT) - 1)) AS i
+        |        FROM t)),
+        |st AS (
+        |  SELECT md5(tile) AS tkey, COUNT(DISTINCT doc_id) AS nd,
+        |         MIN(okey) AS canon
+        |  FROM tl GROUP BY 1),
+        |mk AS (
+        |  SELECT tl.doc_id, tl.idx, tl.tile, tl.nw,
+        |         (st.nd < 2 OR tl.okey = st.canon) AS keep
+        |  FROM tl JOIN st ON md5(tl.tile) = st.tkey)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+        |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_removed,
+        |       CAST(SUM(CASE WHEN keep THEN nw ELSE 0 END) AS BIGINT)
+        |         AS kept_words,
+        |       md5(COALESCE(string_agg(tile, ' ' ORDER BY idx)
+        |                      FILTER (WHERE keep), '')) AS kept_md5
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "split_safe" -> (splitAssignCte +
+      """SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(regexp_split_to_array(trim(d.text), ' +'))) AS BIGINT)
+        |         AS n_tokens,
+        |       CAST(SUM(CASE WHEN a.in_cluster THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clustered
+        |FROM assign a JOIN documents d USING (doc_id)
+        |GROUP BY a.split ORDER BY a.split""".stripMargin),
+
+    "split_leakage" -> (splitAssignCte +
+      """, naive AS (
+        |  SELECT doc_id,
+        |         CAST(CAST(concat('0x',
+        |             substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT) % 10 AS INT) AS split
+        |  FROM documents)
+        |SELECT method, n_pairs, cross_pairs FROM (
+        |  SELECT 'naive' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(CASE WHEN na.split != nb.split THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cross_pairs
+        |  FROM prs p JOIN naive na ON na.doc_id = p.a
+        |              JOIN naive nb ON nb.doc_id = p.b
+        |  UNION ALL
+        |  SELECT 'component', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END)
+        |           AS BIGINT)
+        |  FROM prs p JOIN assign sa ON sa.doc_id = p.a
+        |              JOIN assign sb ON sb.doc_id = p.b)
+        |ORDER BY method""".stripMargin),
+
+    "q_changepoint" ->
+      """WITH v AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, day,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS r,
+        |         SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS m,
+        |         SUM(n) OVER (PARTITION BY event_type) AS t
+        |  FROM v),
+        |s2 AS (
+        |  SELECT event_type, day, ABS(m * cum - r * t) AS score, m, t,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY ABS(m * cum - r * t) DESC, day) AS rn
+        |  FROM sc)
+        |SELECT event_type, day AS change_bucket,
+        |       CAST(score AS BIGINT) AS score,
+        |       CAST(m AS BIGINT) AS n_buckets, CAST(t AS BIGINT) AS total
+        |FROM s2 WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + i AS day
+        |  FROM ud, generate_series(0, 6) g(i)),
+        |roll AS (
+        |  SELECT c.day, CAST(COUNT(*) AS BIGINT) AS rolling_active
+        |  FROM contrib c JOIN days d USING (day) GROUP BY 1)
+        |SELECT day, dau, rolling_active
+        |FROM dau JOIN roll USING (day) ORDER BY day""".stripMargin
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations
@@ -5425,6 +5581,27 @@ object SparkEntry {
       |  FROM band x JOIN band y ON x.band = y.band AND x.band_key = y.band_key
       |  WHERE x.doc_id < y.doc_id)
       |""".stripMargin
+
+  /** [[lshPairsCte]] + transitive closure + the leakage-safe split
+    * assignment (split hash over the component representative — mirrors
+    * [[graft.scale.Curation.leakageSafeSplit]], seed 11, 10 splits).
+    * Requires the RECURSIVE WITH. */
+  private def splitAssignCte: String =
+    shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + lshPairsCte +
+      """, cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM cedges
+        |  UNION
+        |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+        |assign AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep,
+        |         c.node IS NOT NULL AS in_cluster,
+        |         CAST(CAST(concat('0x', substr(md5('11:' ||
+        |             CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 15))
+        |           AS BIGINT) % 10 AS INT) AS split
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |""".stripMargin
 
   /** [[lshPairsCte]] + transitive closure → `losers` = every doc that is
     * not its component's min-id representative (requires the WITH to be

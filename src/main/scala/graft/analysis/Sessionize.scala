@@ -117,4 +117,33 @@ object Sessionize {
         col("cohort_size"),
         round(col("n_active") / col("cohort_size"), 4).as("retention"))
   }
+
+  /** Daily + rolling-window active users (DAU / WAU-style): per observed
+    * day, the count of distinct users active that day and the count of
+    * distinct users active in the trailing `window` days. The hard part
+    * at scale is the ROLLING DISTINCT — a naive formulation re-scans the
+    * window per day or funnels the stream through a global window. Here:
+    * dedup to (user, day) once (one keyed agg over the corpus, the only
+    * corpus-sized shuffle), then each user-day CONTRIBUTES itself to the
+    * `window` report days it covers (explode ×window of the already tiny
+    * user-day table), dedup (user, report_day), and count — linear in
+    * |user-days|·window, no per-day rescans. Report days are restricted
+    * to observed days (broadcast semi-join with the day set), so a
+    * sparse tail never fabricates trailing rows. */
+  def rollingActive(events: DataFrame, keyCol: String = "user_id",
+                    tsCol: String = "t_us", window: Int = 7,
+                    dayMicros: Long = 86400000000L): DataFrame = {
+    val userDay = events
+      .select(col(keyCol), expr(s"$tsCol div $dayMicros").as("day"))
+      .distinct()
+    val days = userDay.select(col("day")).distinct()
+    val dau = userDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val rolling = userDay
+      .select(col(keyCol),
+        explode(sequence(col("day"), col("day") + (window - 1))).as("day"))
+      .distinct()
+      .join(broadcast(days), Seq("day"), "leftsemi")
+      .groupBy(col("day")).agg(count(lit(1)).as("rolling_active"))
+    dau.join(rolling, Seq("day"))
+  }
 }

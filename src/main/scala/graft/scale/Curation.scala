@@ -413,4 +413,32 @@ object Curation {
           col("unique_token_ratio") >= minUniqueRatio &&
           !coalesce(col("is_near_dup"), lit(false))).as("retained"))
   }
+
+  /** Train/val/test assignment that cannot leak near-duplicates across
+    * the split boundary: the hash that decides a document's split is
+    * taken over its near-dup COMPONENT representative, not the document
+    * id, so every member of a dedup cluster lands in the same split by
+    * construction. A naive per-doc hash split puts ~(1 − 1/nSplits) of
+    * every surviving near-dup pair across the train/eval boundary — the
+    * classic train-on-the-test-set failure that no amount of downstream
+    * eval hygiene can undo.
+    *
+    * `components` is [[Dedup.connectedComponents]] output (share the one
+    * memoized run); docs in no pair are their own singleton component.
+    * Split id = md5-hash(rep) mod `nSplits` — deterministic, engine-
+    * replicable, and scan-local after ONE broadcast-sized join with the
+    * component table (components only carry clustered docs, a small
+    * fraction of the corpus). Returns docs + (rep, in_cluster, split). */
+  def leakageSafeSplit(docs: DataFrame, components: DataFrame,
+                       nSplits: Int = 10, seed: Int = 11,
+                       idCol: String = "doc_id"): DataFrame = {
+    docs.join(components.select(col("node").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("component"), col(idCol)))
+      .withColumn("in_cluster", col("component").isNotNull)
+      .withColumn("split",
+        (TextOps.md5Hash60(col("rep").cast("string"), seed) % nSplits)
+          .cast("int"))
+      .drop("component")
+  }
 }

@@ -478,4 +478,55 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
+
+  /** Duplicate-text REMOVAL at tile granularity — the C4/RefinedWeb
+    * curation move (drop any repeated span from the corpus, keep one
+    * canonical occurrence) as opposed to [[duplicatedSpans]], which only
+    * AUDITS duplication. Documents are cut into NON-overlapping k-word
+    * tiles (the removal unit: overlapping shingles can't be removed
+    * independently); a tile instance is dropped iff its text occurs in
+    * ≥ `minDocs` distinct docs AND it is not the corpus-wide canonical
+    * occurrence (minimum (doc, position), kept so shared text survives
+    * exactly once).
+    *
+    * Plan shape: tile explode (one scan) → per-tile-hash stats (one
+    * keyed agg: distinct-doc count + canonical key) → join back on the
+    * 32-hex tile hash (tile TEXT never shuffles twice) → per-doc
+    * reassembly agg. Three keyed exchanges, no window over the corpus,
+    * map-side combinable throughout. The canonical key packs
+    * (doc_id·10⁶ + tile_idx) into one BIGINT — valid while docs stay
+    * under 10⁶ tiles (= 5·10⁶ words at k=5); beyond that widen the
+    * packing, don't switch to a struct MIN (engines disagree on struct
+    * comparison).
+    *
+    * Returns per doc: tile counts, removed count, surviving word count,
+    * and the md5 of the reassembled (kept tiles in order) text — a
+    * compact equality witness for the rewritten corpus. */
+  def removeDuplicateTiles(docs: DataFrame, k: Int = 5, minDocs: Int = 2,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val tiles = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"(size(toks) + ${k - 1}) div $k").cast("int") - 1)).as("idx"))
+      .select(col(idCol), col("idx"),
+        concat_ws(" ", slice(col("toks"), col("idx") * k + 1, lit(k))).as("tile"),
+        least(lit(k), size(col("toks")) - col("idx") * k).as("nw"),
+        (col(idCol) * 1000000L + col("idx")).as("okey"))
+    val keyed = tiles.withColumn("tkey", md5(col("tile")))
+    val stats = keyed.groupBy(col("tkey"))
+      .agg(countDistinct(col(idCol)).as("nd"), min(col("okey")).as("canon"))
+    keyed.join(stats, Seq("tkey"))
+      .withColumn("keep", col("nd") < minDocs || col("okey") === col("canon"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("keep"), col("nw")).otherwise(0L)).cast("long")
+          .as("kept_words"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("tile"))))),
+          x => x.getField("tile")))).as("kept_md5"))
+  }
 }
