@@ -2079,7 +2079,27 @@ object SparkEntry {
     "q_rolling_active" -> ((s, dir) =>
       Sessionize.rollingActive(
           TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
-        .orderBy(col("day")))
+        .orderBy(col("day"))),
+
+    // --- matryoshka-style truncation audit: recall@5 of cosine ranking
+    // on the first 16 of 64 dims vs the full-dimension neighbors — the
+    // "can we serve at quarter cost" measurement, same integer-hits
+    // shape as ann_pq_recall ---
+    "ann_trunc_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      val tr = Similarity.bruteForceTopK(trunc,
+        trunc.filter(col("vec_id") < 10), 5)
+      val hits = bf.join(tr.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy(col("query_id"))
+    })
   )
 
   // ----------------------------------------------------------------- oracle
@@ -5321,7 +5341,40 @@ object SparkEntry {
         |  SELECT c.day, CAST(COUNT(*) AS BIGINT) AS rolling_active
         |  FROM contrib c JOIN days d USING (day) GROUP BY 1)
         |SELECT day, dau, rolling_active
-        |FROM dau JOIN roll USING (day) ORDER BY day""".stripMargin
+        |FROM dau JOIN roll USING (day) ORDER BY day""".stripMargin,
+
+    "ann_trunc_recall" ->
+      """WITH full5 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |                 CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 5),
+        |tr5 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |                 CAST(q.embedding[1:16] AS DOUBLE[]),
+        |                 CAST(c.embedding[1:16] AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM full5 f JOIN tr5 t
+        |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+        |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations

@@ -564,6 +564,44 @@ object StreamingOps {
         tv.as("tv_num"))
   }
 
+  /** Per-key twin of [[windowedDrift]]: every key's windowed histogram is
+    * compared against the SAME reference shape (each source/stratum vs
+    * the expected corpus distribution — the per-source ingest monitor).
+    * Still exactly one watermarked aggregation, now keyed by
+    * (key, window): state is O(bins · |keys| · windows-in-flight), so
+    * the key column must be low-cardinality (sources, languages, types —
+    * not user ids); watermark expiry bounds the window axis. A per-key
+    * REFERENCE would need a static join after the aggregation, which
+    * append-mode streaming aggs don't allow — derive drift-vs-own-past
+    * downstream instead if that's the question. */
+  def keyedWindowedDrift(events: DataFrame, keyCol: String,
+                         refCounts: Seq[Long],
+                         window: String, watermark: String,
+                         lo: Long, width: Long,
+                         timeCol: String = "event_time",
+                         valCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.functions.{window => windowFn}
+    val bins = refCounts.length
+    require(bins > 0, "reference histogram must have at least one bin")
+    val nRef = refCounts.sum
+    val binExpr = expr(
+      s"least(greatest((($valCol - ${lo}L) * $bins) div ${width}L, 0L), ${bins - 1}L)")
+    val aggs = (0 until bins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val g = events
+      .withWatermark(timeCol, watermark)
+      .withColumn("__bin", binExpr)
+      .groupBy(col(keyCol), windowFn(col(timeCol), window))
+      .agg(aggs.head, aggs.tail: _*)
+    val nObs = (0 until bins).map(b => col(s"__c$b")).reduce(_ + _)
+    val tv = (0 until bins).map(b =>
+      abs(col(s"__c$b") * lit(nRef) - lit(refCounts(b)) * col("n_obs")))
+      .reduce(_ + _)
+    g.withColumn("n_obs", nObs)
+      .select(col(keyCol), col("window.start").as("window_start"),
+        col("n_obs"), tv.as("tv_num"))
+  }
+
   case class IvIn(k: Long, s: Long, e: Long)
   case class IvState(s: Long, e: Long, n: Long, inOrder: Boolean,
                      open: Boolean)

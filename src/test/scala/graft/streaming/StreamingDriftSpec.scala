@@ -60,4 +60,30 @@ class StreamingDriftSpec extends SparkSpec {
       assert(out(10000L) === 12L)
     } finally q.stop()
   }
+
+  test("keyedWindowedDrift tracks each key against the shared reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Long)]
+    val events = stream.toDF().toDF("src", "t_ms", "v")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val q = StreamingOps.keyedWindowedDrift(events, "src", Seq(1L, 1L),
+        "10 seconds", "0 seconds", lo = 0L, width = 4L)
+      .writeStream.format("memory").queryName("kdrift")
+      .outputMode("update").start()
+    try {
+      // same window, two keys: a matches the balanced reference, b is
+      // all-high — the keyed state must keep them apart
+      stream.addData(
+        ("a", 1000L, 0L), ("a", 2000L, 3L),
+        ("b", 1000L, 3L), ("b", 2000L, 3L))
+      q.processAllAvailable()
+      val out = spark.table("kdrift").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      // a: c=(1,1), n=2, ref=(1,1), n_ref=2 → tv 0
+      assert(out(("a", 0L)) === ((2L, 0L)))
+      // b: c=(0,2) → |0·2−1·2| + |2·2−1·2| = 2 + 2
+      assert(out(("b", 0L)) === ((2L, 4L)))
+    } finally q.stop()
+  }
 }
