@@ -2099,7 +2099,15 @@ object SparkEntry {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy(col("query_id"))
-    })
+    }),
+
+    // --- ANALYZE-style per-column statistics (rows/nulls/exact NDV/
+    // min/max), one scan + one keyed agg — the CBO-feed / data-contract
+    // profile ---
+    "column_profile" -> ((s, dir) =>
+      graft.scale.DataQuality.columnProfile(T(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("column_name")))
   )
 
   // ----------------------------------------------------------------- oracle
@@ -5374,7 +5382,19 @@ object SparkEntry {
         |SELECT q.vec_id AS query_id,
         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
         |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
-        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
+        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "column_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  ROUND(CAST(MIN($c) AS DOUBLE), 4) AS min_v,
+           |  ROUND(CAST(MAX($c) AS DOUBLE), 4) AS max_v
+           |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations

@@ -90,4 +90,29 @@ object DataQuality {
       .select(col("digit"), col("n"),
         expr("n * 1000000 div __tot").as("share_micro"))
   }
+
+  /** ANALYZE-style column profile — the statistics table a cost-based
+    * planner (or a data contract) wants per column: row count, nulls,
+    * EXACT distinct count, min/max. One `stack` melt (single scan, rows
+    * ×|cols| only inside the aggregation pipeline) and one aggregation
+    * KEYED by column name, so each column's distinct-count shuffles
+    * independently — profiling 50 columns is 50-way parallel, never a
+    * driver loop of 50 jobs (the naive `for c in cols: df.agg(...)`
+    * formulation re-scans the table per column). Values profile through
+    * DOUBLE: uniform schema across columns; exactness of the distinct
+    * count is unaffected (doubles compare exactly — no arithmetic is
+    * performed on them). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val stacked = df.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', cast($c as double)").mkString(", ") +
+        ") as (column_name, v)"))
+    stacked.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        round(min(col("v")), 4).as("min_v"),
+        round(max(col("v")), 4).as("max_v"))
+  }
 }
