@@ -2108,6 +2108,14 @@ object SparkEntry {
       graft.scale.DataQuality.columnProfile(T(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("column_name")))
+,
+    // --- bottom-up (caller-attribution) profile: exclusive time of each
+    // function split by WHO CALLED IT — the view that tells you which
+    // call site to fix; one self-join on parent_event_id over Enter rows
+    // of the shared enriched cache ---
+    "trace_callers" -> ((s, dir) =>
+      Profiles.callersProfile(callEnriched(s, dir))
+        .orderBy(col(Name), col("caller")))
   )
 
   // ----------------------------------------------------------------- oracle
@@ -5394,7 +5402,24 @@ object SparkEntry {
            |  ROUND(CAST(MIN($c) AS DOUBLE), 4) AS min_v,
            |  ROUND(CAST(MAX($c) AS DOUBLE), 4) AS max_v
            |FROM lineitem""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "trace_callers" -> (callCte +
+      """, osum AS (SELECT ok, CAST(SUM(qty * 1000 - 10) AS BIGINT) AS child
+        |           FROM item GROUP BY ok),
+        |calls AS (
+        |  SELECT o.name AS name, '<root>' AS caller,
+        |         CAST(999000 - COALESCE(s.child, 0) AS BIGINT) AS exc
+        |  FROM ord o LEFT JOIN osum s ON o.ok = s.ok
+        |  UNION ALL
+        |  SELECT i.name, 'order_' || i.prio, CAST(qty * 500 + 90 AS BIGINT)
+        |  FROM item i
+        |  UNION ALL
+        |  SELECT i.ship_name, i.name, CAST(qty * 500 - 100 AS BIGINT)
+        |  FROM item i)
+        |SELECT name, caller, CAST(COUNT(*) AS BIGINT) AS n_calls,
+        |       CAST(SUM(exc) AS BIGINT) AS exc_sum
+        |FROM calls GROUP BY 1, 2 ORDER BY name, caller""".stripMargin)
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations

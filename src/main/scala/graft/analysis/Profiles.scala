@@ -47,6 +47,23 @@ object Profiles {
         metrics.tail.map(m => avg(col(m)).as(m)): _*)
   }
 
+  /** Bottom-up (caller-attribution) profile: each function's call count
+    * and exclusive time split by the CALLING function — the view that
+    * says which call site to fix, complementing [[flatProfile]] (who is
+    * hot) and `Cct.subtreeRollup` (top-down). Root-level calls attribute
+    * to `<root>`. One self-join of Enter rows on `parent_event_id`
+    * (both sides shuffle on event ids — no windows, no corpus sort) over
+    * an already-enriched trace. */
+  def callersProfile(events0: DataFrame): DataFrame = {
+    val events = ensureMetrics(events0, Seq(TimeExc))
+    val e = events.filter(col(EventType) === Enter)
+    val parents = e.select(col(EventId).as("__pid"), col(Name).as("__pname"))
+    e.join(parents, col(ParentEventId) === col("__pid"), "left")
+      .groupBy(col(Name), coalesce(col("__pname"), lit("<root>")).as("caller"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(col(TimeExc)).cast("long").as("exc_sum"))
+  }
+
   /** load_imbalance (pipit/trace.py:555-598): per function,
     * imbalance = max(per-process metric) / mean(per-process metric), the
     * mean, and the top-k processes by metric (ties broken by DESCENDING

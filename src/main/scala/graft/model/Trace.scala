@@ -77,6 +77,7 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
 
   // ---- sinks ----
   def cctRollup(): DataFrame = Cct.subtreeRollup(events)
+  def callersProfile(): DataFrame = Profiles.callersProfile(events)
   def matchMessages(): DataFrame = CommOps.matchMessages(events)
   def commWait(): DataFrame = CommOps.commWait(events)
   def commUnmatched(): DataFrame = CommOps.commUnmatched(events)

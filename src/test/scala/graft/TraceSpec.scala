@@ -229,4 +229,18 @@ class TraceSpec extends SparkSpec {
       "main->a" -> ((1L, 15L, 20L)),
       "main->a->b" -> ((1L, 5L, 5L))))
   }
+
+  test("callers profile: exclusive time attributed to the calling site") {
+    val got = trace.callersProfile().collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // foo() called once from main(), exc 12 s; bar() once from main(),
+    // exc 26 s; main() itself is a root on both processes
+    assert(got(("foo()", "main()")) === ((1L, 12L * S)))
+    assert(got(("bar()", "main()")) === ((1L, 26L * S)))
+    assert(got(("main()", "<root>"))._1 === 2L)
+    // child calls attribute to their enclosing function, not the root
+    assert(got(("MPI_Send", "foo()")) === ((1L, 2L * S)))
+    assert(got(("Idle", "bar()")) === ((1L, 8L * S)))
+  }
 }
