@@ -2115,7 +2115,27 @@ object SparkEntry {
     // of the shared enriched cache ---
     "trace_callers" -> ((s, dir) =>
       Profiles.callersProfile(callEnriched(s, dir))
-        .orderBy(col(Name), col("caller")))
+        .orderBy(col(Name), col("caller"))),
+
+    // --- day-2 incremental dedup: the new batch (doc_id ≥ 400) dedups
+    // against the persisted band index of the historical corpus without
+    // re-hashing it; result = the full run's pairs touching a new doc ---
+    "minhash_incremental" -> ((s, dir) => {
+      val sigs = minhashSigs(s, dir)
+      Dedup.minhashLshPairsIncremental(
+          sigs.filter(col("doc_id") >= 400),
+          Dedup.bandTable(sigs.filter(col("doc_id") < 400)))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- deterministic mixture-weighted epoch schedule (smooth weighted
+    // round-robin): src0 4×, src1 2×, everything else 1× — exact
+    // integer fraction ordering, global position via the distributed
+    // dense-id sort ---
+    "epoch_order" -> ((s, dir) =>
+      Curation.epochOrder(T(s, dir, "documents"),
+          Seq("src0" -> 4, "src1" -> 2))
+        .orderBy(col("pos")))
   )
 
   // ----------------------------------------------------------------- oracle
@@ -5419,7 +5439,26 @@ object SparkEntry {
         |  FROM item i)
         |SELECT name, caller, CAST(COUNT(*) AS BIGINT) AS n_calls,
         |       CAST(SUM(exc) AS BIGINT) AS exc_sum
-        |FROM calls GROUP BY 1, 2 ORDER BY name, caller""".stripMargin)
+        |FROM calls GROUP BY 1, 2 ORDER BY name, caller""".stripMargin),
+
+    "minhash_incremental" -> (shinglesCte + lshPairsCte +
+      """SELECT a, b FROM prs
+        |WHERE a >= 400 OR b >= 400 ORDER BY a, b""".stripMargin),
+
+    "epoch_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, r,
+        |         r * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |              ELSE 4 END) AS key
+        |  FROM r)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, source, r) - 1 AS BIGINT)
+        |         AS pos,
+        |       doc_id, source
+        |FROM k ORDER BY pos""".stripMargin
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations

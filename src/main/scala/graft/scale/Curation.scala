@@ -429,6 +429,41 @@ object Curation {
     * replicable, and scan-local after ONE broadcast-sized join with the
     * component table (components only carry clustered docs, a small
     * fraction of the corpus). Returns docs + (rep, in_cluster, split). */
+  /** Deterministic training-epoch ORDER from integer mixture weights —
+    * smooth weighted round-robin at corpus scale: a source with weight w
+    * appears w× as often as a weight-1 source at every prefix of the
+    * schedule, not just in expectation (the "don't front-load one
+    * source" property an RNG shuffle only gives asymptotically).
+    *
+    * Key: the r-th document of source s sorts at r/w_s; comparing
+    * fractions is done EXACTLY by scaling to r·(L/w_s) with
+    * L = lcm(weights) — all integer, engine-replicable. Ties (equal
+    * fractions across sources) break by (source, r). Plan: one keyed
+    * window for the per-source rank, then ONE distributed range sort for
+    * the global position via [[graft.ingest.Ingest.assignDenseIds]] —
+    * never a single-partition window.
+    *
+    * @param weights (source → positive integer weight); absent sources
+    *                weigh 1 */
+  def epochOrder(docs: DataFrame, weights: Seq[(String, Int)],
+                 srcCol: String = "source",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    def lcm(a: Long, b: Long): Long = a / BigInt(a).gcd(BigInt(b)).toLong * b
+    val l = weights.map(_._2.toLong).foldLeft(1L)(lcm)
+    val wmap = weights.toMap
+    val scale = typedLit(wmap.map { case (s, w) => s -> l / w })
+    val r = row_number().over(
+      Window.partitionBy(col(srcCol)).orderBy(col(idCol))).cast("long")
+    val keyed = docs.select(col(idCol), col(srcCol))
+      .withColumn("__r", r)
+      .withColumn("__key",
+        col("__r") * coalesce(element_at(scale, col(srcCol)), lit(l)))
+    graft.ingest.Ingest.assignDenseIds(keyed, "pos",
+        col("__key").asc, col(srcCol).asc, col("__r").asc)
+      .select(col("pos"), col(idCol), col(srcCol))
+  }
+
   def leakageSafeSplit(docs: DataFrame, components: DataFrame,
                        nSplits: Int = 10, seed: Int = 11,
                        idCol: String = "doc_id"): DataFrame = {

@@ -68,17 +68,25 @@ object Dedup {
     * unchanged. Only the literal pair list shrinks (relevant if the pairs
     * feed [[minhashEstimate]] verification: star pairs estimate against
     * the hub only). Default Int.MaxValue = clique everywhere. */
-  def minhashLshPairs(signatures: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
-                      idCol: String = "doc_id",
-                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded = signatures
+  /** (id, band, band_key) table from a signature table — the LSH "index"
+    * representation. Persist THIS per corpus snapshot: day-2 ingest then
+    * dedups a new batch against it via [[minhashLshPairsIncremental]]
+    * without re-hashing the historical corpus. Band key is the md5 of the
+    * ':'-joined decimal minhashes in seed order (replicable in SQL as
+    * md5(string_agg(minhash, ':' ORDER BY seed))). */
+  def bandTable(signatures: DataFrame, rowsPerBand: Int = 4,
+                idCol: String = "doc_id"): DataFrame =
+    signatures
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(col(idCol), col("band"))
-      // deterministic band key: ':'-joined decimal minhashes in seed order
-      // (replicable in SQL as md5(string_agg(minhash, ':' ORDER BY seed)))
       .agg(md5(concat_ws(":", transform(
         sort_array(collect_list(struct(col("seed"), col("minhash")))),
         x => x.getField("minhash").cast("string")))).as("band_key"))
+
+  def minhashLshPairs(signatures: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
+                      idCol: String = "doc_id",
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded = bandTable(signatures, rowsPerBand, idCol)
     // bucket size + hub in one window pass, partitioned on the join key
     // (the self-join below shuffles on the same key — exchange reused)
     val w = org.apache.spark.sql.expressions.Window
@@ -96,6 +104,31 @@ object Dedup {
     val star = sized.filter(col("bsz") > maxBucketSize && col(idCol) =!= col("hub"))
       .select(col("hub").as("a"), col(idCol).as("b"))
     clique.unionByName(star).distinct()
+  }
+
+  /** Incremental near-dup candidate generation — the day-2 ingest shape:
+    * a NEW batch is deduped against the persisted [[bandTable]] of the
+    * historical corpus (plus itself) WITHOUT re-shingling or re-hashing
+    * one historical document. Work is |new bands| joined against the
+    * index on (band, band_key) — proportional to the batch, not the
+    * corpus. Emits exactly the candidate pairs a full-corpus run would
+    * emit that touch ≥ 1 new document (normalized a < b) — proved by the
+    * equivalence property spec. New-batch signatures must use the same
+    * (numHashes, rowsPerBand) family as the index, or band keys are
+    * incomparable garbage. */
+  def minhashLshPairsIncremental(newSigs: DataFrame, indexBands: DataFrame,
+                                 rowsPerBand: Int = 4,
+                                 idCol: String = "doc_id"): DataFrame = {
+    val nb = bandTable(newSigs, rowsPerBand, idCol)
+    val all = indexBands.select(col(idCol), col("band"), col("band_key"))
+      .unionByName(nb)
+    nb.select(col(idCol).as("a"), col("band"), col("band_key"))
+      .join(all.select(col(idCol).as("b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")), greatest(col("a"), col("b")))
+      .toDF("a", "b")
+      .distinct()
   }
 
   /** Full minhash+LSH dedup: candidate pairs from banding. */
