@@ -2135,7 +2135,53 @@ object SparkEntry {
     "epoch_order" -> ((s, dir) =>
       Curation.epochOrder(T(s, dir, "documents"),
           Seq("src0" -> 4, "src1" -> 2))
-        .orderBy(col("pos")))
+        .orderBy(col("pos"))),
+
+    // --- per-function DURATION-DISTRIBUTION drift between two runs
+    // (same split convention as trace_multirun) — catches regressions
+    // that leave the mean alone (bimodality, tail growth), integer TV
+    // numerator over pooled bins ---
+    "trace_dur_drift" -> ((s, dir) => {
+      val durs = callEnriched(s, dir).filter(col(EventType) === Enter)
+        .select(col(Name), col(TimeInc).cast("long").as("dur"),
+          ((col(EventId) / lit(1000000L)).cast("long") % 2).cast("int")
+            .as("run"))
+      graft.analysis.Drift.tvDrift(durs, Name, "dur", "run")
+        .orderBy(col(Name))
+    }),
+
+    // --- retrieval eval: MRR@10 and same-label hits of the cosine
+    // ranking against the labeled corpus (1e6 div rank keeps the
+    // reciprocal rank integer-exact) ---
+    "retrieval_mrr" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val nn = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+      nn.groupBy(col("query_id"), col("true_label"))
+        .agg(min(when(col("n_label") === col("true_label"), col("rank")))
+            .as("fr"),
+          sum(when(col("n_label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_rel10"))
+        .select(col("query_id"), col("true_label"),
+          coalesce(col("fr"), lit(0)).cast("int").as("first_rank"),
+          coalesce(expr("1000000 div fr"), lit(0L)).cast("long")
+            .as("mrr_micro"),
+          col("n_rel10"))
+        .orderBy(col("query_id"))
+    }),
+
+    // --- join-skew diagnosis: exact p50/p90/p99 of rows-per-join-key
+    // via the distributed histogram refinement (never a global sort) ---
+    "q_skew_report" -> ((s, dir) => {
+      val counts = T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).cast("long").as("rows_per_key"))
+      graft.scale.Sketches.histQuantiles(counts, "rows_per_key")
+        .orderBy(col("per_mille"))
+    })
   )
 
   // ----------------------------------------------------------------- oracle
@@ -5458,7 +5504,82 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, source, r) - 1 AS BIGINT)
         |         AS pos,
         |       doc_id, source
-        |FROM k ORDER BY pos""".stripMargin
+        |FROM k ORDER BY pos""".stripMargin,
+
+    "trace_dur_drift" -> (callCte +
+      """, durs AS (
+        |  SELECT name, CAST(999000 AS BIGINT) AS dur, ok % 2 AS run FROM ord
+        |  UNION ALL SELECT name, CAST(qty * 1000 - 10 AS BIGINT), ok % 2
+        |  FROM item
+        |  UNION ALL SELECT ship_name, CAST(qty * 500 - 100 AS BIGINT), ok % 2
+        |  FROM item),
+        |b AS (SELECT name, MIN(dur) AS lo, MAX(dur) - MIN(dur) + 1 AS w
+        |      FROM durs GROUP BY 1),
+        |bn AS (SELECT d.name, ((d.dur - b.lo) * 16) // b.w AS bin, d.run
+        |       FROM durs d JOIN b ON d.name = b.name),
+        |c AS (SELECT name, bin,
+        |             CAST(SUM(CASE WHEN run = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(SUM(CASE WHEN run = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM bn GROUP BY 1, 2),
+        |t AS (SELECT name, CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c GROUP BY 1)
+        |SELECT c.name, t.n1, t.n2,
+        |       CAST(SUM(ABS(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS tv_num
+        |FROM c JOIN t ON c.name = t.name
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+
+    "retrieval_mrr" ->
+      """WITH nn AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |                 CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS INT) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 10),
+        |j AS (
+        |  SELECT nn.query_id, eq.label AS true_label, nn.rank,
+        |         en.label AS n_label
+        |  FROM nn JOIN embeddings en ON en.vec_id = nn.neighbor_id
+        |          JOIN embeddings eq ON eq.vec_id = nn.query_id)
+        |SELECT query_id, true_label,
+        |       CAST(COALESCE(MIN(CASE WHEN n_label = true_label
+        |                              THEN rank END), 0) AS INT) AS first_rank,
+        |       CAST(COALESCE(1000000 // MIN(CASE WHEN n_label = true_label
+        |                                         THEN rank END), 0) AS BIGINT)
+        |         AS mrr_micro,
+        |       CAST(SUM(CASE WHEN n_label = true_label THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_rel10
+        |FROM j GROUP BY 1, 2 ORDER BY query_id""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH v AS (SELECT CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM lineitem GROUP BY l_orderkey),
+        |b AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+        |             CAST(COUNT(*) AS BIGINT) AS n,
+        |             MAX(x) - MIN(x) + 1 AS w FROM v),
+        |bin AS (SELECT x, ((x - lo) * 1024) // w AS bn FROM v, b),
+        |c AS (SELECT bn, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM bin GROUP BY 1),
+        |cum AS (SELECT bn,
+        |               CAST(SUM(cnt) OVER (ORDER BY bn) AS BIGINT) AS cm,
+        |               CAST(SUM(cnt) OVER (ORDER BY bn) - cnt AS BIGINT) AS bef
+        |        FROM c),
+        |q AS (SELECT UNNEST([500, 900, 990]) AS pm),
+        |t AS (SELECT pm, (pm * n + 999) // 1000 AS r, lo, w, n
+        |      FROM q CROSS JOIN b),
+        |sel AS (SELECT t.pm, t.r, t.n,
+        |               t.lo + (cum.bn * t.w) // 1024 AS est
+        |        FROM t JOIN cum ON cum.cm >= t.r AND cum.bef < t.r),
+        |sorted AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT CAST(sel.pm AS INT) AS per_mille, sel.n AS n,
+        |       CAST(sel.est AS BIGINT) AS est, s.x AS exact,
+        |       ABS(s.x - sel.est) AS abs_err
+        |FROM sel JOIN sorted s ON s.rn = sel.r
+        |ORDER BY 1""".stripMargin
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations
