@@ -495,6 +495,32 @@ object StreamingOps {
     events.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming windowed DISTINCT actives (the DAU counter) — the
+    * incremental twin of `Sessionize.rollingActive`'s per-day count.
+    * Exact within the watermark contract via CHAINED stateful operators
+    * (legal since the multi-stateful-op support Structured Streaming
+    * grew): dropDuplicatesWithinWatermark on (key, window) collapses a
+    * user's repeat events to one row per window — state is one row per
+    * ACTIVE (user, window), pruned at the watermark, never a forever-set
+    * — then a plain windowed count aggregates the survivors. Append
+    * mode: a window's count emits once, when the watermark closes it. */
+  def windowedActive(events: DataFrame, keyCol: String = "user_id",
+                     window: String = "1 day",
+                     watermark: String = "0 seconds",
+                     timeCol: String = "event_time"): DataFrame = {
+    import org.apache.spark.sql.functions.{window => windowFn}
+    events.withWatermark(timeCol, watermark)
+      // dedup key = the window START as a plain LONG: aliasing the
+      // window STRUCT itself would tag a second event-time column and
+      // fail analysis ("at most one event time column per stream")
+      .withColumn("__wb",
+        unix_millis(windowFn(col(timeCol), window).getField("start")))
+      .dropDuplicatesWithinWatermark(Seq(keyCol, "__wb"))
+      .groupBy(windowFn(col(timeCol), window))
+      .agg(count(lit(1)).as("active"))
+      .select(col("window.start").as("window_start"), col("active"))
+  }
+
   case class CdcIn(k: Long, seq: Long, op: String, v: Long)
   case class CdcState(seq: Long, op: String, v: Long, applied: Boolean)
   case class CdcOut(k: Long, seq: Long, op: String, v: Long,

@@ -86,4 +86,28 @@ class StreamingDriftSpec extends SparkSpec {
       assert(out(("b", 0L)) === ((2L, 4L)))
     } finally q.stop()
   }
+
+  test("windowedActive counts distinct users per window (chained stateful ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val events = stream.toDF().toDF("user_id", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val q = StreamingOps.windowedActive(events, window = "10 seconds")
+      .writeStream.format("memory").queryName("wactive")
+      .outputMode("append").start()
+    try {
+      // window [0,10s): u1 three times + u2 once → 2 distinct;
+      // [10,20s): u1 once → 1
+      stream.addData((1L, 1000L), (1L, 2000L), (2L, 3000L), (1L, 1500L),
+        (1L, 11000L))
+      q.processAllAvailable()
+      // advance the watermark past both windows so append emits them
+      stream.addData((9L, 31000L))
+      q.processAllAvailable()
+      val out = spark.table("wactive").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      assert(out(0L) === 2L)
+      assert(out(10000L) === 1L)
+    } finally q.stop()
+  }
 }
