@@ -26,7 +26,9 @@ object Bench {
     "token_count",
     "ann_topk", "ann_ivf", "ann_ivfpq", "semdedup",
     "q_sessionize", "graph_triangles",
-    "quantile_sketch", "dq_report", "q_autocorr", "video_features")
+    "quantile_sketch", "dq_report", "q_autocorr", "video_features",
+    "tile_dedup", "split_leakage", "minhash_incremental", "epoch_order",
+    "trace_callers", "q_skew_report")
 
   private def fmt(v: Double): String = f"$v%.3f"
 

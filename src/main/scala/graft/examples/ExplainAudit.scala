@@ -32,7 +32,11 @@ object ExplainAudit {
             "fuzzy_names", "q_zorder", "q_skyline",
             "q_merge_upsert", "q_autocorr", "emb_gram", "emb_cov",
             "ann_mips", "quantile_sketch", "dq_report", "value_drift",
-            "trace_chrome_roundtrip", "video_features"))) {
+            "trace_chrome_roundtrip", "video_features",
+            "tile_dedup", "split_leakage", "q_changepoint",
+            "q_rolling_active", "ann_trunc_recall", "column_profile",
+            "trace_callers", "minhash_incremental", "epoch_order",
+            "trace_dur_drift", "retrieval_mrr", "q_skew_report"))) {
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
