@@ -2181,6 +2181,40 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("rows_per_key"))
       graft.scale.Sketches.histQuantiles(counts, "rows_per_key")
         .orderBy(col("per_mille"))
+    }),
+
+    // --- which sources carry the duplication: per-source near-dup
+    // cluster membership and loser share (micro-unit integer rate) ---
+    "dedup_rate_by_source" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .join(lshComponents(s, dir)
+          .select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("component").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum(when(col("component").isNotNull &&
+              col("component") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_losers"))
+        .withColumn("dup_rate_micro", expr("n_losers * 1000000 div n_docs"))
+        .orderBy(col("source"))),
+
+    // --- embedding-space health: per-label L2 norm stats in micro-unit
+    // integers (per-row double sqrt is IEEE-deterministic; the cross-row
+    // SUM stays integer, so order-free) ---
+    "emb_norms" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      emb.withColumn("__n",
+          sqrt(graft.functions.VecMath.dot(col("embedding"), col("embedding"))))
+        .select(col("label"), floor(col("__n") * 1000000).cast("long")
+          .as("norm_micro"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("norm_micro")).cast("long").as("sum_norm_micro"),
+          min(col("norm_micro")).as("min_norm_micro"),
+          max(col("norm_micro")).as("max_norm_micro"))
+        .orderBy(col("label"))
     })
   )
 
@@ -5579,7 +5613,35 @@ object SparkEntry {
         |       CAST(sel.est AS BIGINT) AS est, s.x AS exact,
         |       ABS(s.x - sel.est) AS abs_err
         |FROM sel JOIN sorted s ON s.rn = sel.r
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "dedup_rate_by_source" -> (splitAssignCte +
+      """SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_clustered,
+        |       CAST(SUM(CASE WHEN c.node IS NOT NULL AND
+        |                          c.component != d.doc_id
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_losers,
+        |       CAST(SUM(CASE WHEN c.node IS NOT NULL AND
+        |                          c.component != d.doc_id
+        |                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+        |         AS BIGINT) AS dup_rate_micro
+        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "emb_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         CAST(FLOOR(sqrt(list_dot_product(
+        |             CAST(embedding AS DOUBLE[]),
+        |             CAST(embedding AS DOUBLE[]))) * 1000000) AS BIGINT)
+        |           AS norm_micro
+        |  FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(norm_micro) AS BIGINT) AS sum_norm_micro,
+        |       MIN(norm_micro) AS min_norm_micro,
+        |       MAX(norm_micro) AS max_norm_micro
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Oracle for [[graft.scale.Bpe.learnMerges]]: the n merge iterations
