@@ -74,6 +74,53 @@ object StreamingLsh {
       .toDF()
   }
 
+  /** Stream-side band keys in the BATCH [[graft.scale.Dedup.bandTable]]
+    * format — (doc_id, band, band_key = md5 of the ':'-joined decimal
+    * minhashes) — as one stateless projection. Anything the batch index
+    * writer produced joins against this directly. */
+  def bandKeys(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+               shingleK: Int = 3, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val toks = split(trim(col(textCol)), " +")
+    val nSh = greatest(size(toks) - (shingleK - 1), lit(1))
+    val shingles = transform(sequence(lit(1), nSh),
+      i => concat_ws(" ", slice(toks, i, lit(shingleK))))
+    def minhash(seed: Int) = array_min(transform(shingles, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") +
+        lit(seed.toLong) * conv(substring(md5(s), 17, 14), 16, 10).cast("long")))
+    val rows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(":", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(s => minhash(s).cast("string")): _*)).as("band_key"))
+    }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array(rows: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** Dedup-at-ingest against the HISTORICAL corpus: candidate pairs of
+    * each streaming document against the persisted batch band index — a
+    * STATELESS stream-static inner join (watermark-free, no state
+    * store); the streaming twin of
+    * [[graft.scale.Dedup.minhashLshPairsIncremental]]'s new-vs-index
+    * half. Pairs WITHIN the stream are [[lshCandidates]]' job — run
+    * both for full coverage. A pair may surface once per matching band
+    * (downstream component/dedup stages are insensitive to duplicate
+    * edges); `dropDuplicates` on an unbounded stream would reintroduce
+    * state, so dedup pairs downstream if it matters. */
+  def candidatesAgainstIndex(docs: DataFrame, indexBands: DataFrame,
+                             numHashes: Int = 16, bands: Int = 4,
+                             shingleK: Int = 3, textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame =
+    bandKeys(docs, numHashes, bands, shingleK, textCol, idCol)
+      .join(indexBands.select(col(idCol).as("index_id"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("index_id"))
+      .select(col("doc_id"), col("index_id"), col("band"))
+
   private[streaming] def bucketGroup(maxBucketSize: Int,
       idleTimeout: Option[String] = None)(
       bucket: String, rows: Iterator[BandRow],

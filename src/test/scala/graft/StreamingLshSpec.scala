@@ -72,4 +72,39 @@ class StreamingLshSpec extends SparkSpec {
       assert(buckets.toSet == expected)
     } finally q.stop()
   }
+
+  test("stream-static candidates equal the batch incremental new-vs-index half") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.util.Random
+    val rng = new Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val texts = (0L until 40L).map(i =>
+      (i, Seq.fill(8 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")))
+    val (old, fresh) = texts.partition(_._1 < 25L)
+    val oldDf = old.toDF("doc_id", "text")
+    val index = graft.scale.Dedup.bandTable(
+      graft.scale.Dedup.minhashSignatures(oldDf)).localCheckpoint()
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingLsh.candidatesAgainstIndex(docs, index)
+      .writeStream.format("memory").queryName("lshidx")
+      .outputMode("append").start()
+    try {
+      stream.addData(fresh: _*)
+      q.processAllAvailable()
+      val got = spark.table("lshidx").select("doc_id", "index_id")
+        .distinct().as[(Long, Long)].collect()
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      // batch ground truth: incremental pairs, new-vs-OLD half only
+      val sigs = graft.scale.Dedup.minhashSignatures(texts.toDF("doc_id", "text"))
+      val expect = graft.scale.Dedup.minhashLshPairsIncremental(
+          sigs.filter(col("doc_id") >= 25), index)
+        .filter(col("a") < 25 || col("b") < 25) // drop new-vs-new
+        .as[(Long, Long)].collect().toSet
+      assert(got === expect)
+      assert(got.nonEmpty) // the tiny vocabulary guarantees collisions
+    } finally q.stop()
+  }
 }
