@@ -24,15 +24,21 @@ object CorpusDemo {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = graft.model.Corpus.fromParquet(spark, s"$sfDir/documents.parquet")
+    val docs = corpus.docs
     println(s"=== corpus: ${docs.count()} documents ===")
 
-    val verdict = Curation.curate(docs, minQuality = 0.9, minUniqueRatio = 0.4)
+    val verdict = corpus.curate(minQuality = 0.9, minUniqueRatio = 0.4)
     println("=== curation verdict (quality ∧ repetition ∧ dedup) ===")
     verdict.groupBy(col("retained")).count().show()
 
     val curated = docs.join(verdict.filter(col("retained"))
       .select(col("doc_id")), Seq("doc_id"))
+
+    println("=== leakage-safe split of the curated corpus ===")
+    val comps = corpus.nearDupComponents()
+    graft.model.Corpus(curated).leakageSafeSplit(comps, nSplits = 10)
+      .groupBy(col("split")).count().orderBy(col("split")).show(3)
 
     println("=== language mixture after down-weighting English ===")
     import spark.implicits._

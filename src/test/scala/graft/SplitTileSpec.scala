@@ -39,6 +39,41 @@ class SplitTileSpec extends SparkSpec {
     assert(out === 0L)
   }
 
+  test("removeDuplicateTiles invariants on random corpora") {
+    val rng = new scala.util.Random(31)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    for (trial <- 1 to 3) {
+      val texts = (0L until 50L).map(i =>
+        (i, Seq.fill(5 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")))
+      val out = Dedup.removeDuplicateTiles(texts.toDF("doc_id", "text"))
+        .select("doc_id", "n_tiles", "n_removed")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // single-threaded recompute: per tile string, kept instances must
+      // be exactly 1 when it spans ≥2 docs, else all instances
+      val tiles = texts.flatMap { case (id, t) =>
+        t.split(" +").grouped(5).zipWithIndex
+          .map { case (w, ix) => (id, ix, w.mkString(" ")) }.toSeq
+      }
+      val byTile = tiles.groupBy(_._3)
+      val expectRemovedPerDoc = tiles.groupBy(_._1).map { case (id, ts) =>
+        id -> ts.count { case (d, ix, tile) =>
+          val inst = byTile(tile)
+          val nd = inst.map(_._1).distinct.size
+          nd >= 2 && (d, ix) != inst.map(t => (t._1, t._2)).min
+        }.toLong
+      }
+      texts.foreach { case (id, t) =>
+        val nTiles = (t.split(" +").length + 4) / 5
+        val (gotTiles, gotRemoved) = (out(id)._1, out(id)._2)
+        assert(gotTiles === nTiles.toLong, s"trial $trial doc $id tiles")
+        assert(gotRemoved === expectRemovedPerDoc(id),
+          s"trial $trial doc $id removed")
+      }
+    }
+  }
+
   test("leakageSafeSplit puts every member of a component in one split") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // components: {1,2,3} labeled 1 and {10,11} labeled 10
