@@ -2200,6 +2200,17 @@ object SparkEntry {
         .withColumn("dup_rate_micro", expr("n_losers * 1000000 div n_docs"))
         .orderBy(col("source"))),
 
+    // --- CEP-lite guarded sequence: purchases attributed to a click
+    // within 1 h unless an error intervened — one keyed window, running
+    // strict-past maxima, no self-join ---
+    "q_guarded_match" -> ((s, dir) =>
+      Sessionize.guardedMatch(
+          TraceGen.eventsTable(s, dir)
+            .withColumn("t_us", expr("ts div 1000")),
+          target = "purchase", trigger = "click", blocker = "error",
+          windowUs = 3600000000L)
+        .orderBy(col("user_id"))),
+
     // --- embedding-space health: per-label L2 norm stats in micro-unit
     // integers (per-row double sqrt is IEEE-deterministic; the cross-row
     // SUM stays integer, so order-free) ---
@@ -5628,6 +5639,28 @@ object SparkEntry {
         |         AS BIGINT) AS dup_rate_micro
         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_guarded_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, t,
+        |         MAX(CASE WHEN event_type = 'click' THEN t END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS lt,
+        |         MAX(CASE WHEN event_type = 'error' THEN t END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS lb
+        |  FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_targets,
+        |       CAST(SUM(CASE WHEN lt IS NOT NULL AND t - lt <= 3600000000
+        |                          AND (lb IS NULL OR lb <= lt)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "emb_norms" ->
       """WITH n AS (

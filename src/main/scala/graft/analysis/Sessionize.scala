@@ -130,6 +130,37 @@ object Sessionize {
     * |user-days|·window, no per-day rescans. Report days are restricted
     * to observed days (broadcast semi-join with the day set), so a
     * sparse tail never fabricates trailing rows. */
+  /** CEP-style guarded sequence match — "target preceded by trigger
+    * within `windowUs`, with NO blocker between" (MATCH_RECOGNIZE-lite:
+    * the purchase-attributed-to-click-unless-error-intervened shape).
+    * One keyed window per key ordered by (ts, id): running MAX of the
+    * last trigger/blocker timestamp over the strict-past frame decides
+    * each target row locally — never a per-target rescan or a
+    * self-join. The id tie-break makes equal-timestamp streams
+    * deterministic. Returns per key: targets seen, targets matched. */
+  def guardedMatch(events: DataFrame, target: String, trigger: String,
+                   blocker: String, windowUs: Long,
+                   keyCol: String = "user_id", tsCol: String = "t_us",
+                   typeCol: String = "event_type",
+                   idCol: String = "event_id"): DataFrame = {
+    val past = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__lt",
+        max(when(col(typeCol) === trigger, col(tsCol))).over(past))
+      .withColumn("__lb",
+        max(when(col(typeCol) === blocker, col(tsCol))).over(past))
+      .filter(col(typeCol) === target)
+      .withColumn("__m",
+        col("__lt").isNotNull &&
+          col(tsCol) - col("__lt") <= windowUs &&
+          (col("__lb").isNull || col("__lb") <= col("__lt")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_targets"),
+        sum(when(col("__m"), 1L).otherwise(0L)).as("n_matched"))
+  }
+
   def rollingActive(events: DataFrame, keyCol: String = "user_id",
                     tsCol: String = "t_us", window: Int = 7,
                     dayMicros: Long = 86400000000L): DataFrame = {

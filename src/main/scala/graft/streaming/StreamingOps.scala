@@ -253,6 +253,58 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming twin of `Sessionize.guardedMatch` — CEP-lite "target
+    * preceded by trigger within `windowUs`, no blocker between", with
+    * O(1) state per key: only the last trigger and last blocker
+    * timestamps. Each target row decides from state at arrival and
+    * emits (key, target ts, matched); in-order streams reproduce the
+    * batch verdicts exactly (spec'd), disorder degrades gracefully
+    * (a late trigger can't retro-match an already-emitted target —
+    * streams cannot retract). */
+  def guardedMatch(events: DataFrame, target: String, trigger: String,
+                   blocker: String, windowUs: Long,
+                   keyCol: String = "user_id", tsCol: String = "t",
+                   idCol: String = "event_id",
+                   typeCol: String = "event_type",
+                   idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("s")).as[TransIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        guardGroup(target, trigger, blocker, windowUs, idleTimeout))(
+        Encoders.product[GuardState], Encoders.product[GuardOut])
+      .toDF()
+  }
+
+  case class GuardState(lt: Long, lb: Long) // -1 = unseen
+  case class GuardOut(k: Long, t: Long, matched: Boolean)
+
+  private[streaming] def guardGroup(target: String, trigger: String,
+      blocker: String, windowUs: Long, idleTimeout: Option[String] = None)(
+      key: Long, rows: Iterator[TransIn],
+      state: org.apache.spark.sql.streaming.GroupState[GuardState]): Iterator[GuardOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(GuardState(-1L, -1L))
+    val out = scala.collection.mutable.ArrayBuffer[GuardOut]()
+    for (r <- rows.toSeq.sortBy(x => (x.t, x.id))) {
+      if (r.s == target)
+        out += GuardOut(key, r.t,
+          st.lt >= 0 && r.t - st.lt <= windowUs &&
+            (st.lb < 0 || st.lb <= st.lt))
+      if (r.s == trigger && r.t > st.lt) st = st.copy(lt = r.t)
+      if (r.s == blocker && r.t > st.lb) st = st.copy(lb = r.t)
+    }
+    state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
   case class TransIn(k: Long, t: Long, id: Long, s: String)
   case class TransState(t: Long, id: Long, s: String)
   case class TransOut(k: Long, from_state: String, to_state: String,
