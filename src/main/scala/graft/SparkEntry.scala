@@ -2200,6 +2200,31 @@ object SparkEntry {
         .withColumn("dup_rate_micro", expr("n_losers * 1000000 div n_docs"))
         .orderBy(col("source"))),
 
+    // --- is the quality score meaningful? decile-calibration report:
+    // per quality decile (dense ranks, no global window) the doc count,
+    // near-dup membership, and token mass — a good score should
+    // concentrate duplication in the bottom deciles ---
+    "quality_calibration" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = TextOps.qualityScore(docs)
+        .join(docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks")),
+          Seq("doc_id"))
+        .join(lshComponents(s, dir)
+          .select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .localCheckpoint()
+      val n = scored.count()
+      graft.ingest.Ingest.assignDenseIds(scored, "__rk",
+          col("quality").desc, col("doc_id").asc)
+        .groupBy(expr(s"(10 * __rk) div $n").cast("int").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("component").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum(col("toks")).cast("long").as("n_tokens"))
+        .orderBy(col("decile"))
+    }),
+
     // --- CEP-lite guarded sequence: purchases attributed to a click
     // within 1 h unless an error intervened — one keyed window, running
     // strict-past maxima, no self-join ---
@@ -5639,6 +5664,22 @@ object SparkEntry {
         |         AS BIGINT) AS dup_rate_micro
         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "quality_calibration" -> (splitAssignCte +
+      s""", qd AS (SELECT doc_id, $qualitySql AS quality,
+         |         len(regexp_split_to_array(trim(text), ' +')) AS toks
+         |  FROM documents),
+         |r AS (SELECT doc_id, quality, toks,
+         |        ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) - 1 AS rk,
+         |        COUNT(*) OVER () AS n
+         |      FROM qd)
+         |SELECT CAST((10 * rk) // n AS INT) AS decile,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_clustered,
+         |       CAST(SUM(toks) AS BIGINT) AS n_tokens
+         |FROM r LEFT JOIN comp c ON c.node = r.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_guarded_match" ->
       """WITH e AS (
