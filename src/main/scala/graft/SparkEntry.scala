@@ -2200,6 +2200,43 @@ object SparkEntry {
         .withColumn("dup_rate_micro", expr("n_losers * 1000000 div n_docs"))
         .orderBy(col("source"))),
 
+    // --- collocation mining: top bigrams by count with micro-unit PMI
+    // (per-row ln on identical integer ratios — engine-exact); bigram
+    // and unigram counts are two keyed aggs + one join, never all-pairs ---
+    "colloc_pmi" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val bigrams = graft.scale.Shingles.wordShingles(docs, 2)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("c_xy"))
+      val n = toks.count()
+      val w = bigrams
+        .withColumn("x", split(col("shingle"), " ").getItem(0))
+        .withColumn("y", split(col("shingle"), " ").getItem(1))
+        .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+        .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+        .withColumn("pmi_micro",
+          round(log(col("c_xy") * lit(n) /
+            (col("c_x") * col("c_y")).cast("double")) * 1000000).cast("long"))
+        .select(col("shingle").as("bigram"), col("c_xy"), col("c_x"),
+          col("c_y"), col("pmi_micro"))
+      w.orderBy(col("c_xy").desc, col("bigram")).limit(50)
+    }),
+
+    // --- tokenizer fertility per language: subword-ish tokens per
+    // whitespace word in micro-units — the mixture-planning metric ---
+    "token_fertility" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ws"),
+          size(TextOps.bpeishTokens(col("text"))).cast("long").as("bp"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws")).cast("long").as("ws_tokens"),
+          sum(col("bp")).cast("long").as("bpeish_tokens"))
+        .withColumn("fertility_micro",
+          expr("bpeish_tokens * 1000000 div ws_tokens"))
+        .orderBy(col("lang"))),
+
     // --- is the quality score meaningful? decile-calibration report:
     // per quality decile (dense ranks, no global window) the doc count,
     // near-dup membership, and token mass — a good score should
@@ -5664,6 +5701,43 @@ object SparkEntry {
         |         AS BIGINT) AS dup_rate_micro
         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "colloc_pmi" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |tok AS (SELECT unnest(toks) AS tok FROM t),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+        |bg AS (
+        |  SELECT array_to_string(toks[i:i+1], ' ') AS bigram
+        |  FROM (SELECT toks,
+        |          unnest(generate_series(1, GREATEST(len(toks) - 1, 1))) AS i
+        |        FROM t)),
+        |bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |       FROM bg GROUP BY 1)
+        |SELECT b.bigram, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |       CAST(ROUND(ln(CAST(b.c_xy AS DOUBLE) * nn.n /
+        |                     (ux.c * uy.c)) * 1000000) AS BIGINT) AS pmi_micro
+        |FROM bc b CROSS JOIN nn
+        |JOIN uni ux ON ux.tok = string_split(b.bigram, ' ')[1]
+        |JOIN uni uy ON uy.tok = string_split(b.bigram, ' ')[2]
+        |WHERE len(string_split(b.bigram, ' ')) = 2
+        |ORDER BY b.c_xy DESC, b.bigram LIMIT 50""".stripMargin,
+
+    "token_fertility" ->
+      """SELECT lang,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+        |    + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')))
+        |    AS BIGINT) AS bpeish_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+        |    + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')))
+        |    * 1000000 //
+        |    SUM(len(regexp_split_to_array(trim(text), ' +')))
+        |    AS BIGINT) AS fertility_micro
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "quality_calibration" -> (splitAssignCte +
       s""", qd AS (SELECT doc_id, $qualitySql AS quality,
