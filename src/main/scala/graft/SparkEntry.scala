@@ -2200,6 +2200,24 @@ object SparkEntry {
         .withColumn("dup_rate_micro", expr("n_losers * 1000000 div n_docs"))
         .orderBy(col("source"))),
 
+    // --- IVF tuning curve: recall@5 vs nprobe over the SAME memoized
+    // quantizer fit — the probes-vs-recall report that picks the
+    // serving configuration from data (lsh_tuning's ANN sibling) ---
+    "ann_probe_sweep" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(emb, q, 5)
+      Seq(1, 2, 4).map { p =>
+        val ivf = Similarity.ivfTopK(emb, q, 5, nprobe = p,
+          centroids = Some(embCentroids(s, dir)))
+        bf.join(ivf.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "leftsemi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(p).as("nprobe"), col("n_hits"),
+            lit(50L).as("n_truth"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    }),
+
     // --- collocation mining: top bigrams by count with micro-unit PMI
     // (per-row ln on identical integer ratios — engine-exact); bigram
     // and unigram counts are two keyed aggs + one join, never all-pairs ---
@@ -5701,6 +5719,43 @@ object SparkEntry {
         |         AS BIGINT) AS dup_rate_micro
         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "ann_probe_sweep" -> (kmeansCte() +
+      """, bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |                      c.vec_id) AS INT) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 5)""".stripMargin +
+      Seq(1, 2, 4).map(p =>
+        s""", qp$p AS (
+           |  SELECT vec_id, j AS cluster FROM (
+           |    SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_distance(e.v, c.v), c.j) AS rn
+           |    FROM e CROSS JOIN c5 c WHERE e.vec_id < 10) WHERE rn <= $p),
+           |iv$p AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |             ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+           |                                             CAST(xe.embedding AS DOUBLE[])) DESC,
+           |                      x.vec_id) AS INT) AS rank
+           |    FROM qp$p q JOIN assign x
+           |      ON q.cluster = x.cluster AND q.vec_id != x.vec_id
+           |    JOIN embeddings qe ON qe.vec_id = q.vec_id
+           |    JOIN embeddings xe ON xe.vec_id = x.vec_id)
+           |  WHERE rank <= 5),
+           |h$p AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+           |        FROM bf JOIN iv$p USING (query_id, neighbor_id))""".stripMargin)
+        .mkString("\n") +
+      Seq(1, 2, 4).map(p =>
+        s"""SELECT $p AS nprobe, h$p.c AS n_hits,
+           |       CAST(50 AS BIGINT) AS n_truth FROM h$p""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY nprobe")),
 
     "colloc_pmi" ->
       """WITH t AS (
