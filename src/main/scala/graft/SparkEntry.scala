@@ -308,6 +308,13 @@ object SparkEntry {
       Profiles.timeImbalance(callEnriched(s, dir))
         .orderBy(col("bin"))),
 
+    // --- timeline heatmap feed: (process × time-bin) busy matrix of
+    // top-level spans, sparse — the Vampir-style visualization table
+    // timeImbalance aggregates ---
+    "trace_heatmap" -> ((s, dir) =>
+      Profiles.binnedBusy(callEnriched(s, dir))
+        .orderBy(col("bin"), col(Process))),
+
     "trace_idle_time" -> ((s, dir) =>
       Profiles.idleTime(callEnriched(s, dir), Seq("item_R"))
         .select(col(Process), col("idle_time")).orderBy(col(Process))),
@@ -2403,6 +2410,32 @@ object SparkEntry {
         |SELECT d.name, d.process, d.time_exc, d.med, md.mad, d.dev
         |FROM d JOIN mad md USING (name)
         |WHERE d.dev > md.mad * 3 ORDER BY d.name, d.process""".stripMargin),
+
+    "trace_heatmap" -> (callCte +
+      """, ext AS (
+        |  SELECT MIN(t0) AS lo, MAX(t1) AS hi FROM ord),
+        |wdt AS (
+        |  SELECT lo, GREATEST((hi - lo + 49) // 50, 1) AS w FROM ext),
+        |pre AS (
+        |  SELECT s.process, s.t0, s.t1, w.lo, w.w,
+        |         (s.t0 - w.lo) // w.w AS b0,
+        |         LEAST((s.t1 - 1 - w.lo) // w.w, 49) AS b1
+        |  FROM ord s CROSS JOIN wdt w),
+        |b AS (
+        |  SELECT process, t0, t1, lo, w,
+        |         unnest(generate_series(b0, b1)) AS bin
+        |  FROM pre),
+        |busy AS (
+        |  SELECT bin, process, SUM(
+        |           LEAST(t1, lo + (bin + 1) * w)
+        |           - GREATEST(t0, lo + bin * w)) AS busy
+        |  FROM b
+        |  WHERE LEAST(t1, lo + (bin + 1) * w) > GREATEST(t0, lo + bin * w)
+        |  GROUP BY 1, 2)
+        |SELECT busy.bin, w.lo + busy.bin * w.w AS bin_start, busy.process,
+        |       CAST(busy.busy AS BIGINT) AS busy
+        |FROM busy CROSS JOIN wdt w
+        |ORDER BY busy.bin, busy.process""".stripMargin),
 
     "trace_imbalance_time" -> (callCte +
       """, ext AS (

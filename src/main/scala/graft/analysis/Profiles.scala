@@ -103,20 +103,20 @@ object Profiles {
     * bin happens on exact integers. Same explode-by-`sequence` shape as
     * time_profile (span/bin_width row amplification, no crossJoin); one
     * (bin, process) aggregation then a tiny per-bin rollup. */
-  def timeImbalance(events0: DataFrame, numBins: Int = 50): DataFrame = {
+  /** Shared core of [[timeImbalance]] / [[binnedBusy]]: the sparse
+    * per-(bin, process) busy-ns table of top-level spans, plus the
+    * (lo, binWidth, nproc) scalars. None on an empty trace. */
+  private def binnedBusyCore(events0: DataFrame, numBins: Int)
+      : Option[(DataFrame, Long, Long, Long)] = {
     val events =
       if (events0.columns.contains(MatchingTs)) events0
       else graft.enrich.EventMatcher.enrich(events0)
     val extRow = events.agg(min(col(TimestampNs)), max(col(TimestampNs)),
       countDistinct(when(col(EventType) === Enter, col(Process)))).head
-    if (extRow.isNullAt(0)) // empty trace: no profile, correct schema
-      return events.sparkSession.range(0).select(
-        col("id").as("bin"), lit(0L).as("bin_start"), lit(0L).as("max_busy"),
-        lit(0L).as("total_busy"), lit(0.0).as("imbalance"))
+    if (extRow.isNullAt(0)) return None
     val (lo, hi, nproc) =
       (extRow.getLong(0), extRow.getLong(1), extRow.getLong(2))
     val w = math.max((hi - lo + numBins - 1) / numBins, 1L)
-
     val spans = events
       .filter(col(EventType) === Enter && col(MatchingTs).isNotNull &&
         col(ParentEventId).isNull)
@@ -131,6 +131,30 @@ object Profiles {
           greatest(col("t0"), lit(lo) + col("bin") * w)).as("o"))
       .filter(col("o") > 0)
       .groupBy(col("bin"), col(Process)).agg(sum(col("o")).as("busy"))
+    Some((busy, lo, w, nproc))
+  }
+
+  /** The timeline heatmap feed (Vampir-style (process × time-bin) busy
+    * matrix), sparse — only cells with busy time. Same binning contract
+    * as [[timeImbalance]], which aggregates exactly this table. */
+  def binnedBusy(events0: DataFrame, numBins: Int = 50): DataFrame =
+    binnedBusyCore(events0, numBins) match {
+      case None =>
+        events0.sparkSession.range(0).select(col("id").as("bin"),
+          lit(0L).as("bin_start"), lit(0).as(Process), lit(0L).as("busy"))
+      case Some((busy, lo, w, _)) =>
+        busy.select(col("bin"), (lit(lo) + col("bin") * w).as("bin_start"),
+          col(Process), col("busy"))
+    }
+
+  def timeImbalance(events0: DataFrame, numBins: Int = 50): DataFrame = {
+    val core = binnedBusyCore(events0, numBins)
+    if (core.isEmpty) // empty trace: no profile, correct schema
+      return events0.sparkSession.range(0).select(
+        col("id").as("bin"), lit(0L).as("bin_start"), lit(0L).as("max_busy"),
+        lit(0L).as("total_busy"), lit(0.0).as("imbalance"))
+    val (busy, lo, w, nproc) = core.get
+    val events = events0 // (only the session is needed below)
     val perBin = busy.groupBy(col("bin"))
       .agg(max(col("busy")).as("max_busy"), sum(col("busy")).as("total_busy"))
     events.sparkSession.range(numBins).select(col("id").as("bin"))

@@ -85,6 +85,8 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
     CriticalPath.stallChain(events, maxRounds)
   def criticalPath(maxRounds: Int = 40): DataFrame =
     CriticalPath.criticalPath(events, maxRounds)
+  def binnedBusy(numBins: Int = 50): DataFrame =
+    Profiles.binnedBusy(events, numBins)
   def timeImbalance(numBins: Int = 50): DataFrame =
     Profiles.timeImbalance(events, numBins)
 
