@@ -315,6 +315,19 @@ object SparkEntry {
       Profiles.binnedBusy(callEnriched(s, dir))
         .orderBy(col("bin"), col(Process))),
 
+    // --- time-resolved comm matrix: which links are hot WHEN (the
+    // animated comm-matrix feed), sparse cells, one keyed agg ---
+    "comm_matrix_over_time" -> ((s, dir) =>
+      CommOps.commMatrixOverTime(TraceGen.commTrace(s, dir))
+        .orderBy(col("sender"), col("receiver"), col("bin"))),
+
+    // --- longest consecutive-day streak histogram (gaps-and-islands
+    // over the deduped user-day table, all keyed) ---
+    "q_streaks" -> ((s, dir) =>
+      Sessionize.streakHistogram(
+          TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
+        .orderBy(col("streak_len"))),
+
     "trace_idle_time" -> ((s, dir) =>
       Profiles.idleTime(callEnriched(s, dir), Seq("item_R"))
         .select(col(Process), col("idle_time")).orderBy(col(Process))),
@@ -2410,6 +2423,32 @@ object SparkEntry {
         |SELECT d.name, d.process, d.time_exc, d.med, md.mad, d.dev
         |FROM d JOIN mad md USING (name)
         |WHERE d.dev > md.mad * 3 ORDER BY d.name, d.process""".stripMargin),
+
+    "comm_matrix_over_time" -> (commCte +
+      """, ext AS (
+        |  SELECT MIN(timestamp_ns) AS lo, MAX(timestamp_ns) AS hi FROM comm)
+        |SELECT process AS sender, attr_receiver AS receiver,
+        |       CAST(((timestamp_ns - e.lo) * 20) // (e.hi - e.lo + 1) AS INT)
+        |         AS bin,
+        |       CAST(SUM(attr_msg_length) AS BIGINT) AS volume
+        |FROM comm CROSS JOIN ext e
+        |WHERE name IN ('MpiSend', 'MpiIsend')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "q_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |           AS grp
+        |  FROM ud),
+        |isl AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        |        FROM g GROUP BY user_id, grp),
+        |lg AS (SELECT user_id, MAX(len) AS streak_len FROM isl GROUP BY 1)
+        |SELECT streak_len, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "trace_heatmap" -> (callCte +
       """, ext AS (

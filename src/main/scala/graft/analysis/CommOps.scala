@@ -30,6 +30,28 @@ object CommOps {
       .agg(vol.cast("long").as("volume"))
   }
 
+  /** Time-resolved communication matrix — (sender, receiver, time-bin,
+    * volume), the animated-comm-matrix / channel-timeline feed: which
+    * links are hot WHEN, where [[commMatrix]] only says how much in
+    * total. Sparse (only active cells), one filter + one keyed
+    * aggregation; bin edges from the trace extent like
+    * [[commOverTime]] (integer arithmetic — bin = (t−lo)·bins div
+    * (hi−lo+1), exact in any engine). */
+  def commMatrixOverTime(events: DataFrame, output: String = "size",
+                         bins: Int = 20): DataFrame = {
+    val extRow = events.agg(min(col(TimestampNs)), max(col(TimestampNs))).head
+    require(!extRow.isNullAt(0), "comm_matrix_over_time: empty trace")
+    val (lo, hi) = (extRow.getLong(0), extRow.getLong(1))
+    val w = hi - lo + 1
+    val vol = if (output == "size") sum(col(AttrMsgLength)) else count(lit(1))
+    events.filter(col(Name).isin(SendNames: _*))
+      .withColumn("bin",
+        expr(s"((timestamp_ns - ${lo}L) * $bins) div ${w}L").cast("int"))
+      .groupBy(col(Process).as("sender"), col(AttrReceiver).as("receiver"),
+        col("bin"))
+      .agg(vol.cast("long").as("volume"))
+  }
+
   /** Dense ranks×ranks matrix, reference-shaped (driver-side; only for
     * presentation / API parity at the collect boundary). */
   def commMatrixDense(events: DataFrame, output: String = "size"): Array[Array[Long]] = {

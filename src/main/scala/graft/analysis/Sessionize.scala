@@ -130,6 +130,26 @@ object Sessionize {
     * |user-days|·window, no per-day rescans. Report days are restricted
     * to observed days (broadcast semi-join with the day set), so a
     * sparse tail never fabricates trailing rows. */
+  /** Longest consecutive-day activity streak per key, rolled up to a
+    * histogram — the classic gaps-and-islands engagement metric. Island
+    * id = day − row_number (constant within a consecutive run), so the
+    * whole computation is one keyed window + three keyed aggregations
+    * over the deduped user-day table; output is |distinct streak
+    * lengths| rows. */
+  def streakHistogram(events: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "t_us",
+                      dayMicros: Long = 86400000000L): DataFrame = {
+    val ud = events
+      .select(col(keyCol), expr(s"$tsCol div $dayMicros").as("day"))
+      .distinct()
+    val grp = col("day") - row_number().over(
+      Window.partitionBy(col(keyCol)).orderBy(col("day")))
+    ud.withColumn("grp", grp)
+      .groupBy(col(keyCol), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col(keyCol)).agg(max(col("len")).as("streak_len"))
+      .groupBy(col("streak_len")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** CEP-style guarded sequence match — "target preceded by trigger
     * within `windowUs`, with NO blocker between" (MATCH_RECOGNIZE-lite:
     * the purchase-attributed-to-click-unless-error-intervened shape).

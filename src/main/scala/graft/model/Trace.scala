@@ -53,6 +53,8 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
   def commOverTime(output: String = "size", messageType: String = "send",
                    bins: Int = 50): DataFrame =
     CommOps.commOverTime(events, output, messageType, bins)
+  def commMatrixOverTime(output: String = "size", bins: Int = 20): DataFrame =
+    CommOps.commMatrixOverTime(events, output, bins)
   def commByProcess(output: String = "size"): DataFrame =
     CommOps.commByProcess(events, output)
   def commStructure(bins: Int = 20): DataFrame =
