@@ -328,6 +328,46 @@ object SparkEntry {
           TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
         .orderBy(col("streak_len"))),
 
+    // --- leakage-free rolling features: each user's trailing-7-day
+    // count and cent volume as of (strictly before) their LAST event —
+    // the feature-store shape: one keyed range window, no self-join ---
+    "q_lag_features" -> ((s, dir) => {
+      val w7 = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rangeBetween(-7L * 86400000000L, -1L)
+      val last = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us").desc, col("event_id").desc)
+      TraceGen.eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("t_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n_prev7", count(lit(1)).over(w7))
+        .withColumn("cents_prev7",
+          coalesce(sum(col("cents")).over(w7), lit(0L)))
+        .withColumn("__rn", row_number().over(last))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("n_prev7"), col("cents_prev7"))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- in-flight message depth over time: per bin net sends−recvs
+    // and the running depth (cumsum over the tiny bin table only) ---
+    "comm_inflight" -> ((s, dir) => {
+      val t = TraceGen.commTrace(s, dir)
+      val extRow = t.agg(min(col(TimestampNs)), max(col(TimestampNs))).head
+      val (lo, hi) = (extRow.getLong(0), extRow.getLong(1))
+      val binned = t
+        .filter(col(Name).isin("MpiSend", "MpiIsend", "MpiRecv", "MpiIrecv"))
+        .withColumn("bin",
+          expr(s"((timestamp_ns - ${lo}L) * 50) div ${hi - lo + 1}L")
+            .cast("int"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col(Name).isin("MpiSend", "MpiIsend"), 1L)
+          .otherwise(-1L)).as("net"))
+      binned.withColumn("inflight",
+          sum(col("net")).over(Window.orderBy(col("bin"))))
+        .orderBy(col("bin"))
+    }),
+
     "trace_idle_time" -> ((s, dir) =>
       Profiles.idleTime(callEnriched(s, dir), Seq("item_R"))
         .select(col(Process), col("idle_time")).orderBy(col(Process))),
@@ -2434,6 +2474,40 @@ object SparkEntry {
         |FROM comm CROSS JOIN ext e
         |WHERE name IN ('MpiSend', 'MpiIsend')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "q_lag_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, t_us,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS n_prev7,
+        |         CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT)
+        |           AS cents_prev7,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY t_us DESC, event_id DESC) AS rn
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |               RANGE BETWEEN 604800000000 PRECEDING
+        |                         AND 1 PRECEDING))
+        |SELECT user_id, n_prev7, cents_prev7
+        |FROM f WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "comm_inflight" -> (commCte +
+      """, ext AS (
+        |  SELECT MIN(timestamp_ns) AS lo, MAX(timestamp_ns) AS hi FROM comm),
+        |b AS (
+        |  SELECT CAST(((timestamp_ns - e.lo) * 50) // (e.hi - e.lo + 1) AS INT)
+        |           AS bin,
+        |         CAST(SUM(CASE WHEN name IN ('MpiSend', 'MpiIsend')
+        |                       THEN 1 ELSE -1 END) AS BIGINT) AS net
+        |  FROM comm CROSS JOIN ext e
+        |  WHERE name IN ('MpiSend', 'MpiIsend', 'MpiRecv', 'MpiIrecv')
+        |  GROUP BY 1)
+        |SELECT bin, net,
+        |       CAST(SUM(net) OVER (ORDER BY bin) AS BIGINT) AS inflight
+        |FROM b ORDER BY bin""".stripMargin),
 
     "q_streaks" ->
       """WITH ud AS (
