@@ -328,6 +328,13 @@ object SparkEntry {
           TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
         .orderBy(col("streak_len"))),
 
+    // --- per-source boilerplate tiles (the header/footer signal):
+    // tiles in ≥ 8% of a source's docs are template, not content ---
+    "boilerplate_tiles" -> ((s, dir) =>
+      Dedup.boilerplateTiles(T(s, dir, "documents"),
+          minShareMicro = 80000L)
+        .orderBy(col("source"), col("tile"))),
+
     // --- leakage-free rolling features: each user's trailing-7-day
     // count and cent volume as of (strictly before) their LAST event —
     // the feature-store shape: one keyed range window, no self-join ---
@@ -2474,6 +2481,28 @@ object SparkEntry {
         |FROM comm CROSS JOIN ext e
         |WHERE name IN ('MpiSend', 'MpiIsend')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "boilerplate_tiles" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |tl AS (
+        |  SELECT DISTINCT source, doc_id,
+        |         array_to_string(toks[(i*5+1):(i*5+5)], ' ') AS tile
+        |  FROM (SELECT source, doc_id, toks,
+        |          unnest(generate_series(0,
+        |            CAST((len(toks) + 4) // 5 AS INT) - 1)) AS i
+        |        FROM t)),
+        |sd AS (SELECT source, COUNT(DISTINCT doc_id) AS src_docs
+        |       FROM t GROUP BY 1),
+        |c AS (SELECT tl.source, tile, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM tl GROUP BY 1, 2)
+        |SELECT c.source, c.tile, c.n_docs,
+        |       CAST(c.n_docs * 1000000 // sd.src_docs AS BIGINT)
+        |         AS share_micro
+        |FROM c JOIN sd USING (source)
+        |WHERE c.n_docs * 1000000 // sd.src_docs >= 80000
+        |ORDER BY c.source, c.tile""".stripMargin,
 
     "q_lag_features" ->
       """WITH e AS (

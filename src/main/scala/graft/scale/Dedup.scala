@@ -512,6 +512,37 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Per-source boilerplate detection — the header/footer signal: tiles
+    * (non-overlapping k-word blocks, as in [[removeDuplicateTiles]])
+    * that appear in at least `minShare` micro-share of a SOURCE's
+    * documents are template text, not content — remove them per-source
+    * where cross-corpus tile dedup would wrongly keep one canonical
+    * copy of every site's navigation bar. Plan: tile explode → distinct
+    * (source, tile, doc) → per-(source, tile) doc counts joined with
+    * broadcast per-source doc totals — keyed aggregations only. */
+  def boilerplateTiles(docs: DataFrame, k: Int = 5,
+                       minShareMicro: Long = 300000L,
+                       srcCol: String = "source", textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val tiles = docs
+      .select(col(srcCol), col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(srcCol), col(idCol),
+        explode(sequence(lit(0),
+          expr(s"(size(toks) + ${k - 1}) div $k").cast("int") - 1)).as("i"),
+        col("toks"))
+      .select(col(srcCol), col(idCol),
+        concat_ws(" ", slice(col("toks"), col("i") * k + 1, lit(k))).as("tile"))
+      .distinct()
+    val perSource = docs.groupBy(col(srcCol))
+      .agg(countDistinct(col(idCol)).as("src_docs"))
+    tiles.groupBy(col(srcCol), col("tile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(perSource), Seq(srcCol))
+      .withColumn("share_micro", expr("n_docs * 1000000 div src_docs"))
+      .filter(col("share_micro") >= minShareMicro)
+      .select(col(srcCol), col("tile"), col("n_docs"), col("share_micro"))
+  }
+
   /** Duplicate-text REMOVAL at tile granularity — the C4/RefinedWeb
     * curation move (drop any repeated span from the corpus, keep one
     * canonical occurrence) as opposed to [[duplicatedSpans]], which only
