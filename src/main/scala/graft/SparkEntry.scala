@@ -328,6 +328,25 @@ object SparkEntry {
           TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
         .orderBy(col("streak_len"))),
 
+    // --- SemDeDup threshold sweep: pair/doc counts at cosine 0.2/0.3/
+    // 0.5 from ONE cluster-restricted pair pass — the data-driven
+    // threshold report before committing to a semantic-dedup cut ---
+    "semdedup_sweep" -> ((s, dir) => {
+      val pairs = Similarity.cosinePairs(
+          Similarity.withCluster(T(s, dir, "embeddings"),
+            embCentroids(s, dir)),
+          threshold = 0.2, bucketCol = "cluster")
+        .localCheckpoint()
+      Seq(0.2, 0.3, 0.5).map { t =>
+        pairs.filter(col("sim") >= t)
+          .select(explode(array(col("a"), col("b"))).as("d"))
+          .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+            countDistinct(col("d")).as("n_docs"))
+          .select(lit(math.round(t * 1000000).toLong).as("threshold_micro"),
+            col("n_pairs"), col("n_docs"))
+      }.reduce(_ unionByName _).orderBy(col("threshold_micro"))
+    }),
+
     // --- per-source boilerplate tiles (the header/footer signal):
     // tiles in ≥ 8% of a source's docs are template, not content ---
     "boilerplate_tiles" -> ((s, dir) =>
@@ -2481,6 +2500,27 @@ object SparkEntry {
         |FROM comm CROSS JOIN ext e
         |WHERE name IN ('MpiSend', 'MpiIsend')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "semdedup_sweep" -> (kmeansCte() +
+      """, prs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+        |                                      CAST(ey.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM assign x JOIN assign y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |  JOIN embeddings ey ON ey.vec_id = y.vec_id)""".stripMargin +
+      Seq(0.2, 0.3, 0.5).map { t =>
+        val tm = math.round(t * 1000000)
+        s"""SELECT CAST($tm AS BIGINT) AS threshold_micro,
+           |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |       CAST((SELECT COUNT(DISTINCT d) FROM (
+           |              SELECT a AS d FROM prs WHERE sim >= $t
+           |              UNION SELECT b FROM prs WHERE sim >= $t)) AS BIGINT)
+           |         AS n_docs
+           |FROM prs WHERE sim >= $t""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\nORDER BY threshold_micro")),
 
     "boilerplate_tiles" ->
       """WITH t AS (
