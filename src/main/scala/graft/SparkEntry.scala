@@ -328,6 +328,40 @@ object SparkEntry {
           TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
         .orderBy(col("streak_len"))),
 
+    // --- A/B experiment report: deterministic variant split (user md5
+    // parity), exposure vs conversion (any purchase) in exact integer
+    // sufficient statistics + micro-unit rates ---
+    "q_abtest" -> ((s, dir) => {
+      val perUser = TraceGen.eventsTable(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant",
+          (TextOps.md5Hash60(col("user_id").cast("string"), 5) % 2)
+            .cast("int"))
+      perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).cast("long").as("n_converted"))
+        .withColumn("conv_micro", expr("n_converted * 1000000 div n_users"))
+        .orderBy(col("variant"))
+    }),
+
+    // --- packing-efficiency audit: per shard, the token budget wasted
+    // by the LAST (partial) batch — padding waste is training cost ---
+    "pack_efficiency" -> ((s, dir) => {
+      val packed = Curation.packBatches(T(s, dir, "documents"))
+      packed.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          (max(col("batch_id")) + 1).cast("long").as("n_batches"))
+        .withColumn("budget", col("n_batches") * 4096L)
+        // a straddling last doc can push tokens past the budget — clamp
+        // so the integer division sign convention can't differ by engine
+        .withColumn("waste_micro",
+          expr("greatest(budget - n_tokens, 0L) * 1000000 div budget"))
+        .orderBy(col("shard"))
+    }),
+
     // --- SemDeDup threshold sweep: pair/doc counts at cosine 0.2/0.3/
     // 0.5 from ONE cluster-restricted pair pass — the data-driven
     // threshold report before committing to a semantic-dedup cut ---
@@ -2500,6 +2534,48 @@ object SparkEntry {
         |FROM comm CROSS JOIN ext e
         |WHERE name IN ('MpiSend', 'MpiIsend')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "q_abtest" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT user_id, converted,
+        |         CAST(CAST(concat('0x',
+        |             substr(md5('5:' || CAST(user_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT) % 2 AS INT) AS variant
+        |  FROM pu)
+        |SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |       CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT)
+        |         AS conv_micro
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pack_efficiency" ->
+      """WITH w AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND 1 PRECEDING), 0) AS before
+        |  FROM w),
+        |b AS (SELECT shard, n_tokens, before // 4096 AS batch_id FROM r),
+        |agg AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |         CAST(MAX(batch_id) + 1 AS BIGINT) AS n_batches
+        |  FROM b GROUP BY shard)
+        |SELECT shard, n_docs, n_tokens, n_batches,
+        |       CAST(n_batches * 4096 AS BIGINT) AS budget,
+        |       CAST(GREATEST(n_batches * 4096 - n_tokens, 0) * 1000000
+        |            // (n_batches * 4096) AS BIGINT) AS waste_micro
+        |FROM agg ORDER BY shard""".stripMargin,
 
     "semdedup_sweep" -> (kmeansCte() +
       """, prs AS (
