@@ -328,6 +328,32 @@ object SparkEntry {
           TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
         .orderBy(col("streak_len"))),
 
+    // --- where duplication lives inside documents: per position
+    // tercile (start/middle/end of doc), the share of shingle instances
+    // whose text is cross-doc duplicated — boilerplate concentrates at
+    // the edges, plagiarized cores in the middle ---
+    "dup_positions" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          expr("greatest(size(toks) - 2, 1)").as("nsh"), col("toks"))
+        .select(col("doc_id"), col("nsh"),
+          posexplode(transform(sequence(lit(1), col("nsh")),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
+        .select(col("doc_id"),
+          least(expr("(pos * 3) div nsh"), lit(2)).cast("int").as("tercile"),
+          col("col").as("shingle"))
+      val df2 = sh.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      sh.join(df2, Seq("shingle"))
+        .groupBy(col("tercile"))
+        .agg(count(lit(1)).as("n_instances"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_instances"))
+        .withColumn("dup_share_micro",
+          expr("n_dup_instances * 1000000 div n_instances"))
+        .orderBy(col("tercile"))
+    }),
+
     // --- A/B experiment report: deterministic variant split (user md5
     // parity), exposure vs conversion (any purchase) in exact integer
     // sufficient statistics + micro-unit rates ---
@@ -2534,6 +2560,29 @@ object SparkEntry {
         |FROM comm CROSS JOIN ext e
         |WHERE name IN ('MpiSend', 'MpiIsend')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "dup_positions" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, GREATEST(len(toks) - 2, 1) AS nsh, i - 1 AS pos,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+        |        FROM t)),
+        |p AS (SELECT doc_id,
+        |             CAST(LEAST((pos * 3) // nsh, 2) AS INT) AS tercile,
+        |             shingle
+        |      FROM sh),
+        |d AS (SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY 1)
+        |SELECT tercile, CAST(COUNT(*) AS BIGINT) AS n_instances,
+        |       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_instances,
+        |       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1000000
+        |            // COUNT(*) AS BIGINT) AS dup_share_micro
+        |FROM p JOIN d USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_abtest" ->
       """WITH pu AS (
