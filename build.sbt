@@ -13,8 +13,16 @@ Test / fork := true
 run / fork := true
 // Forward the forked program's stdout verbatim (no "[info] " logger
 // prefix) — the bench driver parses the JSON summary line from stdout
-// and a logger prefix breaks line-oriented parsing.
+// and a logger prefix breaks line-oriented parsing. The unscoped key is
+// what Defaults.forkOptionsTask actually reads (a `run /` scoping is
+// ignored by the run task — verified against BENCH_r03's still-prefixed
+// tail); set both to be safe.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time:" trailer after the run — keeps the bench
+// JSON line as the LAST line of sbt output for tail-window parsers.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
