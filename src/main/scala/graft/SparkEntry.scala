@@ -9,7 +9,7 @@ import graft.cct.Cct
 import graft.demo.TraceGen
 import graft.enrich.{EventMatcher, Metrics}
 import graft.model.Schemas._
-import graft.scale.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.scale.{Bitext, Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 +
   * scale extensions), each with a DuckDB oracle over the same parquet
@@ -879,6 +879,11 @@ object SparkEntry {
       CommOps.commUnmatched(TraceGen.commTrace(s, dir))
         .orderBy(col("src"), col("dst"), col("side"))),
 
+    // --- late-sender vs late-receiver wait classification per channel ---
+    "comm_wait_classes" -> ((s, dir) =>
+      CommOps.waitClasses(TraceGen.commTrace(s, dir))
+        .orderBy(col("src"), col("dst"))),
+
     // --- per-channel message-latency order statistics (rank-selected,
     // integer ns — no interpolation, engine-exact) ---
     "comm_latency_pctl" -> ((s, dir) => {
@@ -1274,6 +1279,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // --- cross-lingual margin mining: best de candidate per en doc by
+    // the ratio-margin criterion, integer micro-units end to end ---
+    "xlingual_margin" -> ((s, dir) =>
+      Bitext.marginPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
+          "en", "de")
+        .orderBy(col("src_id"))),
 
     // --- SQ8 scalar quantization: per-dim [min,max] fit (cached like
     // the k-means/PQ models), codes packed by a codegen'd loop — the
@@ -3026,6 +3038,33 @@ object SparkEntry {
         |FROM sends s JOIN recvs r ON s.src = r.src AND s.dst = r.dst AND s.k = r.k
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    "comm_wait_classes" -> (commCte +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         timestamp_ns AS send_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         timestamp_ns AS recv_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv'))
+        |SELECT s.src, s.dst, CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |       CAST(SUM(CASE WHEN r.recv_ts < s.send_ts THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_late_sender,
+        |       CAST(SUM(CASE WHEN r.recv_ts < s.send_ts
+        |                     THEN s.send_ts - r.recv_ts ELSE 0 END)
+        |         AS BIGINT) AS late_sender_wait_ns,
+        |       CAST(SUM(CASE WHEN r.recv_ts >= s.send_ts THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_late_receiver,
+        |       CAST(SUM(CASE WHEN r.recv_ts >= s.send_ts
+        |                     THEN r.recv_ts - s.send_ts ELSE 0 END)
+        |         AS BIGINT) AS late_receiver_transit_ns
+        |FROM sends s JOIN recvs r ON s.src = r.src AND s.dst = r.dst AND s.k = r.k
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "comm_unmatched" -> (commCte +
       """, sends AS (
         |  SELECT process AS src, attr_receiver AS dst,
@@ -4396,6 +4435,36 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // shifted micro-cosines make every margin value a non-negative
+    // integer, so DuckDB's // and Spark's div agree (both truncating,
+    // truncation == floor for non-negatives)
+    "xlingual_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |lv AS (SELECT d.lang, e.vec_id, e.v
+        |       FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |a AS (SELECT vec_id AS src_id, v FROM lv WHERE lang = 'en'),
+        |b AS (SELECT vec_id AS dst_id, v FROM lv WHERE lang = 'de'),
+        |p AS (SELECT a.src_id, b.dst_id,
+        |             CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000)
+        |               AS BIGINT) + 1000000 AS s
+        |      FROM a, b),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY s DESC, dst_id) AS rn_src,
+        |        ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY s DESC, src_id) AS rn_dst
+        |      FROM p),
+        |sums AS (SELECT *,
+        |        SUM(CASE WHEN rn_src <= 4 THEN s END) OVER (PARTITION BY src_id) AS sum_src,
+        |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst
+        |      FROM r),
+        |m AS (SELECT src_id, dst_id, s,
+        |             s * 8 * 1000000 // (sum_src + sum_dst) AS margin_micro
+        |      FROM sums),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |           ORDER BY margin_micro DESC, dst_id) AS rn FROM m)
+        |SELECT src_id, dst_id, s - 1000000 AS sim_micro, margin_micro
+        |FROM best WHERE rn = 1 AND margin_micro > 1050000
+        |ORDER BY src_id""".stripMargin,
 
     // the engine packs codes in a codegen'd loop; DuckDB re-derives
     // them per (vec, dim). Identical IEEE double expression + LEAST

@@ -251,6 +251,32 @@ object CommOps {
         sum(col("late")).as("n_late_sends"),
         sum(col("wait")).as("total_wait_ns"))
 
+  /** Per-channel wait-state CLASSIFICATION of the matched messages —
+    * the Scalasca late-sender / late-receiver split. A pair where the
+    * receive was posted before the send ever started (recv_ts < send_ts)
+    * is a LATE SENDER: the receiver burned (send_ts − recv_ts) ns
+    * blocked. A pair where the send completed first is a LATE RECEIVER:
+    * the message sat buffered/in-flight for (recv_ts − send_ts) ns —
+    * rendezvous-protocol sender stall risk at large message sizes.
+    * Per (src, dst) channel: pair counts and total ns in each class.
+    * Scale shape: inherits [[matchMessages]]'s one-exchange-per-side
+    * channel-keyed plan; the rollup is a partial-aggregated groupBy on
+    * the same channel key, so no extra wide shuffle of the pair table. */
+  def waitClasses(events: DataFrame): DataFrame =
+    matchMessages(events)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(when(col("recv_ts") < col("send_ts"), 1L).otherwise(0L))
+          .as("n_late_sender"),
+        sum(when(col("recv_ts") < col("send_ts"),
+          col("send_ts") - col("recv_ts")).otherwise(0L))
+          .as("late_sender_wait_ns"),
+        sum(when(col("recv_ts") >= col("send_ts"), 1L).otherwise(0L))
+          .as("n_late_receiver"),
+        sum(when(col("recv_ts") >= col("send_ts"),
+          col("recv_ts") - col("send_ts")).otherwise(0L))
+          .as("late_receiver_transit_ns"))
+
   /** Unmatched-message audit — the anti-join complement of
     * [[matchMessages]]: per channel, how many sends never met a receive
     * and vice versa (dropped messages, truncated traces, asymmetric

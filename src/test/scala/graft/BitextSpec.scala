@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analysis.CommOps
+import graft.model.Schemas._
+import graft.scale.Bitext
+
+/** Margin-based cross-lingual mining + comm wait classification. */
+class BitextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, Seq[Float], String)*) = {
+    val emb = rows.map { case (id, v, _) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val docs = rows.map { case (id, _, lang) => (id, lang) }
+      .toDF("doc_id", "lang")
+    (emb, docs)
+  }
+
+  /** Driver-side reference of the exact integer margin pipeline. */
+  private def refMarginsClean(a: Seq[(Long, Seq[Float])],
+                              b: Seq[(Long, Seq[Float])],
+                              k: Int): Map[(Long, Long), Long] = {
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i)
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val s = (for ((ai, av) <- a; (bi, bv) <- b)
+      yield (ai, bi) -> (math.floor(cos(av, bv) * 1e6).toLong + 1000000L)).toMap
+    val sumSrc = a.map { case (ai, _) =>
+      ai -> b.map { case (bi, _) => (s((ai, bi)), bi) }
+        .sortBy { case (v, id) => (-v, id) }.take(k).map(_._1).sum
+    }.toMap
+    val sumDst = b.map { case (bi, _) =>
+      bi -> a.map { case (ai, _) => (s((ai, bi)), ai) }
+        .sortBy { case (v, id) => (-v, id) }.take(k).map(_._1).sum
+    }.toMap
+    s.map { case ((ai, bi), sim) =>
+      (ai, bi) -> sim * 2 * k * 1000000L / (sumSrc(ai) + sumDst(bi))
+    }
+  }
+
+  test("margin pipeline matches the driver-side integer reference exactly") {
+    val a = Seq(1L -> Seq(1f, 0f, 0f, 0.2f), 2L -> Seq(0f, 1f, 0.3f, 0f),
+      3L -> Seq(0.5f, 0.5f, 0f, 0.1f))
+    val b = Seq(10L -> Seq(0.9f, 0.1f, 0f, 0.2f), 11L -> Seq(0f, 0.8f, 0.4f, 0f),
+      12L -> Seq(0.4f, 0.4f, 0.2f, 0f), 13L -> Seq(-0.3f, 0.2f, 0.9f, 0f))
+    val (emb, docs) = corpus(
+      (a ++ b).map { case (id, v) =>
+        (id, v, if (id < 10) "en" else "de")
+      }: _*)
+    val k = 2
+    val ref = refMarginsClean(a, b, k)
+    val bestRef = a.map { case (ai, _) =>
+      val cands = b.map { case (bi, _) => (ref((ai, bi)), bi) }
+      val (m, bi) = cands.sortBy { case (v, id) => (-v, id) }.head
+      (ai, bi, m)
+    }.filter(_._3 > 0L) // threshold 0: keep every best pair
+    val got = Bitext.marginPairs(emb, docs, "en", "de", k = k,
+        thresholdMicro = 0L)
+      .select("src_id", "dst_id", "margin_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == bestRef.toSet)
+  }
+
+  test("hub suppression: the everything-neighbor loses to the specific match") {
+    // hub 20 is decently close to all three src docs; specialist 21 is very
+    // close to src 1 only. Raw cosine ranks the hub first for src 1, but
+    // the margin's neighborhood normalizer must prefer the specialist.
+    val a = Seq(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0f, 0f, 1f))
+    val hub = Seq(0.64f, 0.6f, 0.6f) // cos with src1 ≈ 0.60 — top-1 by cosine
+    val spec = Seq(0.9f, 0.52f, 0f) // cos with src1 ≈ 0.87, junk elsewhere
+    val b = Seq(20L -> hub, 21L -> spec, 22L -> Seq(-1f, 0.1f, 0.1f))
+    val (emb, docs) = corpus(
+      (a ++ b).map { case (id, v) => (id, v, if (id < 10) "en" else "de") }: _*)
+    val got = Bitext.marginPairs(emb, docs, "en", "de", k = 2,
+        thresholdMicro = 0L)
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 21L)
+  }
+
+  test("k larger than the candidate side still computes (sums over available)") {
+    val (emb, docs) = corpus(
+      (1L, Seq(1f, 0f), "en"), (10L, Seq(0.9f, 0.1f), "de"),
+      (11L, Seq(0f, 1f), "de"))
+    val rows = Bitext.marginPairs(emb, docs, "en", "de", k = 4,
+      thresholdMicro = 0L).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("dst_id") == 10L)
+  }
+
+  test("wait classes partition the matched pairs and sum their times") {
+    // channel 0->1: send@10/recv@25 (late receiver, transit 15),
+    //               send@40/recv@30 (late sender, wait 10)
+    // channel 1->0: send@5/recv@5 (ties count as late receiver, transit 0)
+    val ev = Seq(
+      (0L, 10L, "MpiSend", 0, 1), (1L, 40L, "MpiSend", 0, 1),
+      (2L, 25L, "MpiRecv", 1, 0), (3L, 30L, "MpiRecv", 1, 0),
+      (4L, 5L, "MpiSend", 1, 0), (5L, 5L, "MpiRecv", 0, 1)
+    ).toDF("eid", "ts", "nm", "proc", "peer")
+      .select(col("eid").as(EventId), col("ts").as(TimestampNs),
+        col("nm").as(Name), col("proc").as(Process),
+        col("peer").as(AttrReceiver), lit("Instant").as(EventType))
+    val out = CommOps.waitClasses(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    val c01 = out((0, 1))
+    assert(c01.getAs[Long]("n_matched") == 2L)
+    assert(c01.getAs[Long]("n_late_sender") == 1L)
+    assert(c01.getAs[Long]("late_sender_wait_ns") == 10L)
+    assert(c01.getAs[Long]("n_late_receiver") == 1L)
+    assert(c01.getAs[Long]("late_receiver_transit_ns") == 15L)
+    val c10 = out((1, 0))
+    assert(c10.getAs[Long]("n_late_receiver") == 1L &&
+      c10.getAs[Long]("late_receiver_transit_ns") == 0L)
+  }
+}
