@@ -406,11 +406,15 @@ object TextOps {
   def winnowFingerprint(docs: DataFrame, k: Int = 3, w: Int = 4,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nSh = greatest(size(toks) - (k - 1), lit(1))
-    val sh = docs.select(col(idCol), nSh.as("nsh"),
+    // materialize the token array BEFORE the transform lambda: higher-order
+    // functions evaluate interpreted, so an unmaterialized split() inside
+    // the lambda re-tokenizes the document once per element — O(tokens²)
+    // per doc (measured 6× slower at sf0.1)
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val nSh = greatest(size(col("_toks")) - (k - 1), lit(1))
+    val sh = base.select(col(idCol), nSh.as("nsh"),
         posexplode(transform(sequence(lit(1), nSh),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
+          i => concat_ws(" ", slice(col("_toks"), i, lit(k))))))
       .select(col(idCol), col("nsh"), (col("pos") + 1).as("pos"),
         col("col").as("shingle"))
     val h40 = conv(substring(md5(concat(lit("0:"), col("shingle"))), 1, 10),

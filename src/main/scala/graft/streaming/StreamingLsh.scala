@@ -30,6 +30,31 @@ object StreamingLsh {
   case class BucketState(ids: List[Long])
   case class CandPair(a: Long, b: Long, bucket: String)
 
+  /** Per-row materialized Kirsch-Mitzenmacher hash pair arrays `_h1`/`_h2`
+    * (one md5 per shingle, split into two independent 56/60-bit halves).
+    * Higher-order functions evaluate interpreted, so leaving the shingle
+    * construction as a raw expression re-tokenizes the document inside
+    * every minhash seed's lambda — numHashes × O(tokens²) per doc. Three
+    * stacked projections pin tokens → shingles → md5 halves each to ONE
+    * evaluation per row; every seed is then a cheap zip_with over the
+    * materialized arrays. Same hash family as Dedup.minhashSignatures. */
+  private def hashedShingles(docs: DataFrame, shingleK: Int,
+                             textCol: String): DataFrame = {
+    val nSh = greatest(size(col("_toks")) - (shingleK - 1), lit(1))
+    docs
+      .withColumn("_toks", split(trim(col(textCol)), " +"))
+      .withColumn("_shingles", transform(sequence(lit(1), nSh),
+        i => concat_ws(" ", slice(col("_toks"), i, lit(shingleK)))))
+      .withColumn("_h1", transform(col("_shingles"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+      .withColumn("_h2", transform(col("_shingles"),
+        s => conv(substring(md5(s), 17, 14), 16, 10).cast("long")))
+  }
+
+  /** seed-th minhash over the [[hashedShingles]] arrays. */
+  private def minhash(seed: Int) = array_min(
+    zip_with(col("_h1"), col("_h2"), (a, b) => a + lit(seed.toLong) * b))
+
   /** Candidate near-dup pairs (a < b by arrival-independent id order)
     * from a streaming document source with (`idCol`: long, `textCol`:
     * string). numHashes = bands × rowsPerBand as in the batch op.
@@ -47,22 +72,14 @@ object StreamingLsh {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-
-    val toks = split(trim(col(textCol)), " +")
-    val nSh = greatest(size(toks) - (shingleK - 1), lit(1))
-    val shingles = transform(sequence(lit(1), nSh),
-      i => concat_ws(" ", slice(toks, i, lit(shingleK))))
-    // same hash family as Dedup.minhashSignatures: h1 + seed·h2 per shingle
-    def minhash(seed: Int) = array_min(transform(shingles, s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long") +
-        lit(seed.toLong) * conv(substring(md5(s), 17, 14), 16, 10).cast("long")))
     val bandKeys = (0 until bands).map { b =>
       val key = concat_ws(":",
         (b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(s => minhash(s).cast("string")): _*)
       concat(lit(s"$b|"), key)
     }
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    hashedShingles(docs, shingleK, textCol)
+      .select(col(idCol).cast("long").as("doc_id"),
         explode(array(bandKeys: _*)).as("bucket"))
       .as[(Long, String)].map { case (id, bk) => BandRow(bk, id) }
       .groupByKey(_.bucket)
@@ -83,19 +100,13 @@ object StreamingLsh {
                idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val toks = split(trim(col(textCol)), " +")
-    val nSh = greatest(size(toks) - (shingleK - 1), lit(1))
-    val shingles = transform(sequence(lit(1), nSh),
-      i => concat_ws(" ", slice(toks, i, lit(shingleK))))
-    def minhash(seed: Int) = array_min(transform(shingles, s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long") +
-        lit(seed.toLong) * conv(substring(md5(s), 17, 14), 16, 10).cast("long")))
     val rows = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(":", (b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(s => minhash(s).cast("string")): _*)).as("band_key"))
     }
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    hashedShingles(docs, shingleK, textCol)
+      .select(col(idCol).cast("long").as("doc_id"),
         explode(array(rows: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
