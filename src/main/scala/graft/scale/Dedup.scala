@@ -400,8 +400,14 @@ object Dedup {
     * Scale shape: one shingle scan, a df aggregation, two per-document
     * windows (set size, canonical rank), a self-join restricted to prefix
     * rows (rare tokens → short posting lists; never all-pairs), and a
-    * candidate-bounded verification join. All shuffles key on shingle or
-    * doc id; no global ordering or driver state. Returns
+    * candidate-bounded verification against per-document shingle ARRAYS
+    * (set sizes ride along) — two doc-keyed joins and an in-memory
+    * array_intersect per candidate, instead of re-exploding both sides
+    * to shingle rows and aggregating the pair intersections (that
+    * formulation shuffled |cand|·|doc| rows; this one shuffles |cand|).
+    * Document shingle sets are row-bounded (a document's own size), so
+    * the arrays never blow a task. All shuffles key on shingle or doc
+    * id; no global ordering or driver state. Returns
     * (a, b, inter, sza, szb) — the Jaccard value itself is presentation
     * (inter / (sza+szb−inter)). */
   def jaccardPrefixPairs(docs: DataFrame, shingleK: Int = 3,
@@ -433,14 +439,15 @@ object Dedup {
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col(idCol).as("a"), col("set").as("set_a"),
+        col("sz").as("sza")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("set").as("set_b"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .filter(col("inter") * tauDen >=
         (col("sza") + col("szb") - col("inter")) * tauNum)
       .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"))
