@@ -2295,6 +2295,13 @@ object SparkEntry {
           Seq("src0" -> 4, "src1" -> 2))
         .orderBy(col("pos"))),
 
+    // --- shard-level epoch schedule: the same smooth weighted
+    // round-robin over PACKED SHARDS (what a dataloader actually opens) ---
+    "epoch_shards" -> ((s, dir) =>
+      Curation.epochShards(T(s, dir, "documents"),
+          Seq("src0" -> 4, "src1" -> 2), docsPerShard = 8)
+        .orderBy(col("pos"))),
+
     // --- per-function DURATION-DISTRIBUTION drift between two runs
     // (same split convention as trace_multirun) — catches regressions
     // that leave the mean alone (bimodality, tail growth), integer TV
@@ -6038,6 +6045,25 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, source, r) - 1 AS BIGINT)
         |         AS pos,
         |       doc_id, source
+        |FROM k ORDER BY pos""".stripMargin,
+
+    "epoch_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source, (rn - 1) // 8 AS shard_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM r GROUP BY 1, 2),
+        |k AS (
+        |  SELECT source, shard_id, n_docs,
+        |         (shard_id + 1) * (CASE source WHEN 'src0' THEN 1
+        |              WHEN 'src1' THEN 2 ELSE 4 END) AS key
+        |  FROM sh)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, source, shard_id) - 1
+        |         AS BIGINT) AS pos,
+        |       source, shard_id, n_docs
         |FROM k ORDER BY pos""".stripMargin,
 
     "trace_dur_drift" -> (callCte +

@@ -464,6 +464,40 @@ object Curation {
       .select(col("pos"), col(idCol), col(srcCol))
   }
 
+  /** Shard-level epoch schedule — [[epochOrder]] lifted from documents to
+    * SHARDS, the granularity a training dataloader actually consumes: a
+    * reader opens whole shard files, so a doc-level interleave that
+    * alternates sources every few documents forces either tiny files or
+    * random I/O inside big ones. Here each source's documents pack into
+    * fixed-size shards in id order ((rank−1) div docsPerShard), and the
+    * smooth weighted round-robin runs over the shard sequence: the r-th
+    * shard of source s sorts at the exact integer fraction key
+    * r·(lcm(w)/w_s), global position by the distributed dense-id sort.
+    * Output is the shard MANIFEST (pos, source, shard_id, n_docs) — the
+    * order training reads shards; within a shard, docs keep id order.
+    * One keyed window over the corpus, then shard-count-sized work. */
+  def epochShards(docs: DataFrame, weights: Seq[(String, Int)],
+                  docsPerShard: Int, srcCol: String = "source",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(docsPerShard > 0, s"docsPerShard must be positive: $docsPerShard")
+    def lcm(a: Long, b: Long): Long = a / BigInt(a).gcd(BigInt(b)).toLong * b
+    val l = weights.map(_._2.toLong).foldLeft(1L)(lcm)
+    val scale = typedLit(weights.toMap.map { case (s, w) => s -> l / w })
+    val rn = row_number().over(
+      Window.partitionBy(col(srcCol)).orderBy(col(idCol))).cast("long")
+    val shards = docs.select(col(idCol), col(srcCol))
+      .withColumn("__rn", rn)
+      .withColumn("shard_id", expr(s"(__rn - 1) div $docsPerShard"))
+      .groupBy(col(srcCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__key",
+        (col("shard_id") + 1L) * coalesce(element_at(scale, col(srcCol)), lit(l)))
+    graft.ingest.Ingest.assignDenseIds(shards, "pos",
+        col("__key").asc, col(srcCol).asc, col("shard_id").asc)
+      .select(col("pos"), col(srcCol), col("shard_id"), col("n_docs"))
+  }
+
   def leakageSafeSplit(docs: DataFrame, components: DataFrame,
                        nSplits: Int = 10, seed: Int = 11,
                        idCol: String = "doc_id"): DataFrame = {

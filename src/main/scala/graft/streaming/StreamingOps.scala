@@ -429,6 +429,70 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming stage-1 of `Sessionize.rollingActive`'s trailing-window
+    * distinct count: per user, emit one CONTRIBUTION row per day the
+    * user's activity covers — a user active on day d contributes to the
+    * trailing `window`-day active count of days d..d+window−1 — with each
+    * (user, day) contribution emitted exactly once. The trailing-WAU per
+    * day is then a plain downstream count of `kind = "rolling"` rows per
+    * day (and DAU of `kind = "dau"` rows): the wide per-day distinct
+    * union becomes a stateless aggregation over this stream.
+    *
+    * O(1) state per user (last event day + highest emitted contribution
+    * day): with in-order day arrival the un-emitted contribution range is
+    * always the contiguous (lastEmitted, d+window−1] tail. An event from
+    * an EARLIER day than the user's latest cannot be folded into that
+    * invariant, so it surfaces as `in_order = false` (kind = "late") for
+    * a batch backfill to reconcile — the repo-wide bounded-state
+    * streaming contract — rather than silently undercounting. */
+  def rollingContributions(events: DataFrame, keyCol: String = "user_id",
+                           tsCol: String = "t_us", window: Int = 7,
+                           dayMicros: Long = 86400000000L,
+                           idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(window > 0, s"window must be positive: $window")
+    events.select(col(keyCol).cast("long").as("k"),
+        expr(s"$tsCol div $dayMicros").as("day")).as[CohortIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        rollGroup(window, idleTimeout))(
+        Encoders.product[RollState], Encoders.product[RollOut])
+      .toDF()
+  }
+
+  case class RollState(lastDay: Long, lastEmitted: Long)
+  case class RollOut(k: Long, day: Long, kind: String, in_order: Boolean)
+
+  private[streaming] def rollGroup(window: Int,
+      idleTimeout: Option[String] = None)(
+      key: Long, rows: Iterator[CohortIn],
+      state: org.apache.spark.sql.streaming.GroupState[RollState]): Iterator[RollOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(RollState(Long.MinValue, Long.MinValue))
+    val out = scala.collection.mutable.ArrayBuffer[RollOut]()
+    for (r <- rows.toSeq.sortBy(_.day)) {
+      if (r.day < st.lastDay) {
+        out += RollOut(key, r.day, "late", in_order = false)
+      } else {
+        if (r.day > st.lastDay)
+          out += RollOut(key, r.day, "dau", in_order = true)
+        var d = math.max(st.lastEmitted + 1, r.day)
+        val hi = r.day + window - 1
+        while (d <= hi) {
+          out += RollOut(key, d, "rolling", in_order = true); d += 1
+        }
+        st = RollState(r.day, math.max(st.lastEmitted, hi))
+      }
+    }
+    state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
   case class CohortIn(k: Long, day: Long)
   case class CohortState(cohortDay: Long, days: List[Long])
   case class CohortOut(k: Long, cohort_day: Long, day_offset: Long)

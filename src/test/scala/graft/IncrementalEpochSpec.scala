@@ -60,4 +60,25 @@ class IncrementalEpochSpec extends SparkSpec {
     assert(a.map(_._1).toSeq === (0L until 40L))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("epochShards: packs id-ordered shards and interleaves at shard level") {
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 60) "hv" else "lo")).toDF("doc_id", "source")
+    val out = Curation.epochShards(docs, Seq("hv" -> 3, "lo" -> 1),
+        docsPerShard = 8)
+      .orderBy("pos").as[(Long, String, Long, Long)].collect()
+    // conservation + packing: full shards of 8, remainder in the last
+    assert(out.map(_._4).sum === 100L)
+    val hv = out.filter(_._2 == "hv").sortBy(_._3).map(_._4)
+    assert(hv.toSeq === Seq(8L, 8L, 8L, 8L, 8L, 8L, 8L, 4L))
+    val lo = out.filter(_._2 == "lo").sortBy(_._3).map(_._4)
+    assert(lo.toSeq === Seq(8L, 8L, 8L, 8L, 8L))
+    // dense deterministic positions; weight-3 source never starved in a prefix
+    assert(out.map(_._1).toSeq === (0L until out.length.toLong))
+    var (h, l) = (0, 0)
+    out.foreach { r =>
+      if (r._2 == "hv") h += 1 else l += 1
+      assert(h >= l - 1, s"prefix hv=$h lo=$l")
+    }
+  }
 }
