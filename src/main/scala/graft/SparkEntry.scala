@@ -126,6 +126,8 @@ object SparkEntry {
     for (k <- bpeCache.keys if k._1 == s) bpeCache.remove(k)
     for (k <- ivfIndexCache.keys if k._1 == s;
          path <- ivfIndexCache.remove(k)) deleteRecursively(new java.io.File(path))
+    for (k <- otf2ExportCache.keys if k._1 == s;
+         path <- otf2ExportCache.remove(k)) deleteRecursively(new java.io.File(path))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -157,6 +159,8 @@ object SparkEntry {
             // run leaves a corpus-sized directory behind in /tmp
             ivfIndexCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
             ivfIndexCache.clear()
+            otf2ExportCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
+            otf2ExportCache.clear()
             cleanupHooked.remove(sc) // don't pin the dead SparkContext
           }
         })
@@ -191,8 +195,10 @@ object SparkEntry {
   // backstop for processes that never call spark.stop() (test harnesses):
   // whatever indexes remain are removed when the JVM exits
   private lazy val ivfShutdownHook: Unit =
-    sys.addShutdownHook(
-      ivfIndexCache.values.foreach(p => deleteRecursively(new java.io.File(p)))): Unit
+    sys.addShutdownHook {
+      ivfIndexCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
+      otf2ExportCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
+    }: Unit
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate((s, dir), {
       registerCleanup(s)
@@ -205,6 +211,24 @@ object SparkEntry {
       val path = s"/tmp/graft_ivf_index_${dirTag}_" +
         s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
       Similarity.writeIvfIndex(T(s, dir, "embeddings"), path, embCentroids(s, dir))
+      path
+    })
+
+  /** On-disk OTF2 export per (session, sfDir): the call trace written
+    * once as a real OTF2 archive ([[graft.ingest.Otf2Writer]]), which
+    * `trace_otf2_roundtrip` then re-ingests through the binary reader —
+    * the full write→bytes→read interchange loop under the oracle gate. */
+  private val otf2ExportCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def otf2ExportPath(s: SparkSession, dir: String): String =
+    otf2ExportCache.getOrElseUpdate((s, dir), {
+      registerCleanup(s)
+      ivfShutdownHook
+      val dirTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val path = s"/tmp/graft_otf2_export_${dirTag}_" +
+        s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
+      graft.ingest.Otf2Writer.save(TraceGen.callTrace(s, dir), path)
       path
     })
 
@@ -591,6 +615,15 @@ object SparkEntry {
         .select(col(TimestampNs), col(EventType), col(Name), col(Process))
         .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))
     }),
+
+    // --- OTF2 archive round trip: canonical trace → Otf2Writer binary
+    // archive on disk → Otf2Reader re-ingest → canonical again (the
+    // interchange loop with Score-P tooling, proven lossless against
+    // the relational truth; archive written once per (session, sf)) ---
+    "trace_otf2_roundtrip" -> ((s, dir) =>
+      graft.ingest.Otf2Reader.read(s, otf2ExportPath(s, dir))
+        .select(col(TimestampNs), col(EventType), col(Name), col(Process))
+        .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))),
 
     // --- A1: comm matrix (size + count) ---
     "comm_matrix" -> ((s, dir) => CommOps.commMatrix(TraceGen.commTrace(s, dir))
@@ -2960,6 +2993,18 @@ object SparkEntry {
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "trace_chrome_roundtrip" -> (callCte +
+      """SELECT * FROM (
+        |  SELECT t0 AS timestamp_ns, 'Enter' AS event_type, name, process FROM ord
+        |  UNION ALL SELECT t1, 'Leave', name, process FROM ord
+        |  UNION ALL SELECT t0, 'Enter', name, process FROM item
+        |  UNION ALL SELECT t1, 'Leave', name, process FROM item
+        |  UNION ALL SELECT s0, 'Enter', ship_name, process FROM item
+        |  UNION ALL SELECT s1, 'Leave', ship_name, process FROM item
+        |) ORDER BY timestamp_ns, event_type, name, process""".stripMargin),
+
+    // same relational truth as the Chrome round trip: a lossless
+    // write→read loop must reproduce exactly the canonical event set
+    "trace_otf2_roundtrip" -> (callCte +
       """SELECT * FROM (
         |  SELECT t0 AS timestamp_ns, 'Enter' AS event_type, name, process FROM ord
         |  UNION ALL SELECT t1, 'Leave', name, process FROM ord
