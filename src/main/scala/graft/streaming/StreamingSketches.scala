@@ -63,4 +63,37 @@ object StreamingSketches {
       .select(col("window.start").as("window_start"), col(groupCol),
         col("bucket"), col("reg"))
   }
+
+  /** Per-window top-k heavy hitters by total weight — the live "what is
+    * hot right now" feed (hot keys, hot links, top talkers). Two stages
+    * inside ONE watermarked aggregation pipeline: a (window, key)
+    * weight rollup, then the k-bounded native heap aggregate
+    * [[graft.functions.TopKLongs.topK]] per window, so the state the
+    * engine keeps is per-key partial sums plus ONE k-heap per in-flight
+    * window — never a sorted per-window key list. Emits (window_start,
+    * rank, key, weight) in rank order, largest first; weight ties break
+    * by the heap's deterministic payload order. Append mode: a
+    * window's ranking emits once, when the watermark closes it. */
+  def windowTopK(events: DataFrame, keyCol: String = "user_id",
+                 weightCol: String = "weight", k: Int = 5,
+                 window: String = "10 seconds",
+                 watermark: String = "30 seconds",
+                 timeCol: String = "event_time"): DataFrame = {
+    val win = org.apache.spark.sql.functions.window(col(timeCol), window)
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(win, col(keyCol).cast("long").as("key"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      // chained stateful aggs are streaming-legal post multi-stateful-op
+      // support; the second stage re-windows on window_time() so its
+      // state is ALSO watermark-expired (grouping the raw struct would
+      // be a non-time group and leak state forever)
+      .groupBy(org.apache.spark.sql.functions.window(
+        window_time(col("window")), window))
+      .agg(graft.functions.TopKLongs.topK(k, col("w"), col("key")).as("top"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("window_start"), (col("i") + 1).as("rank"),
+        col("e.payload").as("key"), col("e.ord").as("weight"))
+  }
 }

@@ -70,4 +70,33 @@ class StreamingSketchesSpec extends SparkSpec {
       assert(streamed == expected && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming windowed top-k ranks per-window weight totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long)] // (user, weight, t_ms)
+    val ev = stream.toDF().toDF("user_id", "weight", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val q = StreamingSketches.windowTopK(ev, k = 2,
+        window = "10 seconds", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wtopk")
+      .outputMode("append").start()
+    try {
+      // window [0,10): u1=30, u2=25, u3=5 → top2 = u1, u2
+      // window [10,20): u2=50, u1=10 → top2 = u2, u1
+      stream.addData((1L, 10L, 1000L), (2L, 25L, 2000L), (1L, 20L, 3000L),
+        (3L, 5L, 4000L), (2L, 50L, 12000L), (1L, 10L, 13000L))
+      // advance the watermark past both windows so append emits them
+      stream.addData((9L, 1L, 40000L))
+      q.processAllAvailable()
+      val got = spark.table("wtopk")
+        .select(unix_millis(col("window_start")), col("rank"), col("key"),
+          col("weight"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.contains((0L, 1, 1L, 30L)) && got.contains((0L, 2, 2L, 25L)))
+      assert(got.contains((10000L, 1, 2L, 50L)) &&
+        got.contains((10000L, 2, 1L, 10L)))
+      assert(!got.exists(r => r._1 == 0L && r._3 == 3L)) // u3 cut by k=2
+    } finally q.stop()
+  }
 }
