@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analysis.{CommOps, CriticalPath, Profiles, TimeProfile, PatternDetect}
 import graft.cct.Cct
 import graft.enrich.{EventMatcher, Metrics}
-import graft.ingest.{ChromeWriter, CsvReader, HpctoolkitReader, NsightReader, Otf2Reader, ParquetTraceIO, ProjectionsReader}
+import graft.ingest.{ChromeWriter, CsvReader, HpctoolkitReader, NsightReader, Otf2Reader, Otf2Writer, ParquetTraceIO, ProjectionsReader}
 
 /** User-facing trace container + method surface, mirroring the reference's
   * `Trace` API (pipit/trace.py:11; pipit/__init__.py:6-7 exports `Trace`).
@@ -82,6 +82,7 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
   def callersProfile(): DataFrame = Profiles.callersProfile(events)
   def matchMessages(): DataFrame = CommOps.matchMessages(events)
   def commWait(): DataFrame = CommOps.commWait(events)
+  def waitClasses(): DataFrame = CommOps.waitClasses(events)
   def commUnmatched(): DataFrame = CommOps.commUnmatched(events)
   def stallChain(maxRounds: Int = 40): DataFrame =
     CriticalPath.stallChain(events, maxRounds)
@@ -94,6 +95,9 @@ case class Trace(events: DataFrame, definitions: Option[DataFrame] = None,
 
   def toChrome(path: String): Unit = ChromeWriter.write(events, path)
   def chromeProjection: DataFrame = ChromeWriter.project(events)
+  /** Export as an OTF2 archive ([[graft.ingest.Otf2Writer]]); returns
+    * (locations, events written, rows dropped as un-encodable). */
+  def toOtf2(dir: String): (Long, Long, Long) = Otf2Writer.save(events, dir)
 }
 
 object Trace {
