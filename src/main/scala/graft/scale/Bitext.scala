@@ -62,15 +62,18 @@ object Bitext {
           .cast(LongType) + 1000000L))
       .select(col("src_id"), col("dst_id"), col("s"))
 
+    // same-key windows kept ADJACENT so each partitioning's exchange is
+    // computed once and shared (alternating src/dst windows would plan
+    // five exchanges over the pair table; this shape plans three)
     val bySrc = Window.partitionBy(col("src_id"))
     val byDst = Window.partitionBy(col("dst_id"))
     val scored = pairs
       .withColumn("rn_src", row_number().over(
         bySrc.orderBy(col("s").desc, col("dst_id"))))
-      .withColumn("rn_dst", row_number().over(
-        byDst.orderBy(col("s").desc, col("src_id"))))
       .withColumn("sum_src",
         sum(when(col("rn_src") <= k, col("s"))).over(bySrc))
+      .withColumn("rn_dst", row_number().over(
+        byDst.orderBy(col("s").desc, col("src_id"))))
       .withColumn("sum_dst",
         sum(when(col("rn_dst") <= k, col("s"))).over(byDst))
       .withColumn("margin_micro",
