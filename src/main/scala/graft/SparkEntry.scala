@@ -1320,6 +1320,13 @@ object SparkEntry {
           "en", "de")
         .orderBy(col("src_id"))),
 
+    // --- mutual best matches: b is a's argmax AND a is b's (the
+    // deployed mining criterion; hubs keep at most one pair) ---
+    "xlingual_mutual" -> ((s, dir) =>
+      Bitext.mutualPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
+          "en", "de")
+        .orderBy(col("src_id"))),
+
     // --- SQ8 scalar quantization: per-dim [min,max] fit (cached like
     // the k-means/PQ models), codes packed by a codegen'd loop — the
     // exploded (vec,dim,code) form is presentation-only ---
@@ -4516,6 +4523,36 @@ object SparkEntry {
         |           ORDER BY margin_micro DESC, dst_id) AS rn FROM m)
         |SELECT src_id, dst_id, s - 1000000 AS sim_micro, margin_micro
         |FROM best WHERE rn = 1 AND margin_micro > 1050000
+        |ORDER BY src_id""".stripMargin,
+
+    "xlingual_mutual" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |lv AS (SELECT d.lang, e.vec_id, e.v
+        |       FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |a AS (SELECT vec_id AS src_id, v FROM lv WHERE lang = 'en'),
+        |b AS (SELECT vec_id AS dst_id, v FROM lv WHERE lang = 'de'),
+        |p AS (SELECT a.src_id, b.dst_id,
+        |             CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000)
+        |               AS BIGINT) + 1000000 AS s
+        |      FROM a, b),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY s DESC, dst_id) AS rn_src,
+        |        ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY s DESC, src_id) AS rn_dst
+        |      FROM p),
+        |sums AS (SELECT *,
+        |        SUM(CASE WHEN rn_src <= 4 THEN s END) OVER (PARTITION BY src_id) AS sum_src,
+        |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst
+        |      FROM r),
+        |m AS (SELECT src_id, dst_id, s,
+        |             s * 8 * 1000000 // (sum_src + sum_dst) AS margin_micro
+        |      FROM sums),
+        |best AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY src_id
+        |          ORDER BY margin_micro DESC, dst_id) AS rf,
+        |        ROW_NUMBER() OVER (PARTITION BY dst_id
+        |          ORDER BY margin_micro DESC, src_id) AS rb FROM m)
+        |SELECT src_id, dst_id, s - 1000000 AS sim_micro, margin_micro
+        |FROM best WHERE rf = 1 AND rb = 1 AND margin_micro > 1000000
         |ORDER BY src_id""".stripMargin,
 
     // the engine packs codes in a codegen'd loop; DuckDB re-derives

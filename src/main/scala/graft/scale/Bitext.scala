@@ -46,7 +46,49 @@ object Bitext {
                   k: Int = 4, thresholdMicro: Long = 1050000L,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   docIdCol: String = "doc_id",
-                  langCol: String = "lang"): DataFrame = {
+                  langCol: String = "lang"): DataFrame =
+    scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol, docIdCol,
+        langCol)
+      .withColumn("best", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin_micro").desc, col("dst_id"))))
+      .filter(col("best") === 1 && col("margin_micro") > thresholdMicro)
+      .select(col("src_id"), col("dst_id"),
+        (col("s") - 1000000L).as("sim_micro"), col("margin_micro"))
+
+  /** MUTUAL best matches — the working criterion of deployed bitext
+    * miners: (a, b) survives only if b is a's best candidate by margin
+    * AND a is b's best. The margin value itself is direction-symmetric
+    * (it normalizes by both endpoints' neighborhoods), so mutuality is
+    * two argmax windows over the SAME scored pair table — one more
+    * exchange, not a second mining pass. Stricter than [[marginPairs]]:
+    * output ⊆ the forward run, and hubs that win several forward rows
+    * keep at most one. */
+  def mutualPairs(emb: DataFrame, docs: DataFrame,
+                  srcLang: String, dstLang: String,
+                  k: Int = 4, thresholdMicro: Long = 1000000L,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  docIdCol: String = "doc_id",
+                  langCol: String = "lang"): DataFrame =
+    scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol, docIdCol,
+        langCol)
+      .withColumn("best_fwd", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin_micro").desc, col("dst_id"))))
+      .withColumn("best_bwd", row_number().over(
+        Window.partitionBy(col("dst_id"))
+          .orderBy(col("margin_micro").desc, col("src_id"))))
+      .filter(col("best_fwd") === 1 && col("best_bwd") === 1 &&
+        col("margin_micro") > thresholdMicro)
+      .select(col("src_id"), col("dst_id"),
+        (col("s") - 1000000L).as("sim_micro"), col("margin_micro"))
+
+  /** Shared margin-scored pair table: (src_id, dst_id, s, margin_micro)
+    * for every cross-language pair. */
+  private def scoredPairs(emb: DataFrame, docs: DataFrame,
+                          srcLang: String, dstLang: String, k: Int,
+                          idCol: String, vecCol: String,
+                          docIdCol: String, langCol: String): DataFrame = {
     require(k > 0, s"neighborhood size k must be positive, got $k")
     val tagged = emb.join(
       docs.select(col(docIdCol).as(idCol), col(langCol)), idCol)
@@ -78,12 +120,6 @@ object Bitext {
         sum(when(col("rn_dst") <= k, col("s"))).over(byDst))
       .withColumn("margin_micro",
         expr(s"s * ${2L * k} * 1000000 div (sum_src + sum_dst)"))
-
     scored
-      .withColumn("best", row_number().over(
-        bySrc.orderBy(col("margin_micro").desc, col("dst_id"))))
-      .filter(col("best") === 1 && col("margin_micro") > thresholdMicro)
-      .select(col("src_id"), col("dst_id"),
-        (col("s") - 1000000L).as("sim_micro"), col("margin_micro"))
   }
 }

@@ -83,6 +83,29 @@ class BitextSpec extends SparkSpec {
     assert(got(1L) == 21L)
   }
 
+  test("mutual pairs are the symmetric subset of forward best matches") {
+    val rng = new scala.util.Random(31)
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.fill(6)(rng.nextFloat() * 2 - 1f),
+        if (i % 2 == 0) "en" else "de")
+    }
+    val (emb, docs) = corpus(rows: _*)
+    val fwd = Bitext.marginPairs(emb, docs, "en", "de", k = 3,
+        thresholdMicro = 0L)
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    val bwd = Bitext.marginPairs(emb, docs, "de", "en", k = 3,
+        thresholdMicro = 0L)
+      .select("src_id", "dst_id").as[(Long, Long)].collect()
+      .map { case (s, d) => (d, s) }.toSet
+    val mutual = Bitext.mutualPairs(emb, docs, "en", "de", k = 3,
+        thresholdMicro = 0L)
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    assert(mutual == (fwd intersect bwd))
+    assert(mutual.nonEmpty && mutual.subsetOf(fwd))
+    // at most one pair per endpoint on either side
+    assert(mutual.groupBy(_._2).values.forall(_.size == 1))
+  }
+
   test("k larger than the candidate side still computes (sums over available)") {
     val (emb, docs) = corpus(
       (1L, Seq(1f, 0f), "en"), (10L, Seq(0.9f, 0.1f), "de"),
