@@ -616,6 +616,13 @@ object SparkEntry {
         .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))
     }),
 
+    // --- structure-preserving trace reduction: keep 2/5 of top-level
+    // call trees (whole subtrees, so the sample stays matchable) ---
+    "trace_sample_calls" -> ((s, dir) =>
+      graft.analysis.TraceSample.sampleCalls(TraceGen.callTrace(s, dir), 2, 5)
+        .select(col(TimestampNs), col(EventType), col(Name), col(Process))
+        .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))),
+
     // --- OTF2 archive round trip: canonical trace → Otf2Writer binary
     // archive on disk → Otf2Reader re-ingest → canonical again (the
     // interchange loop with Score-P tooling, proven lossless against
@@ -3007,6 +3014,24 @@ object SparkEntry {
         |  UNION ALL SELECT t1, 'Leave', name, process FROM item
         |  UNION ALL SELECT s0, 'Enter', ship_name, process FROM item
         |  UNION ALL SELECT s1, 'Leave', ship_name, process FROM item
+        |) ORDER BY timestamp_ns, event_type, name, process""".stripMargin),
+
+    // a kept order carries ALL its events (order + item + ship rows) —
+    // the tree key is the order's own t0 on every row
+    "trace_sample_calls" -> (callCte +
+      """, keep AS (
+        |  SELECT ok FROM ord
+        |  WHERE CAST(concat('0x', substr(md5(
+        |          '7:' || CAST(process AS VARCHAR) || ':' || CAST(t0 AS VARCHAR)),
+        |          1, 15)) AS BIGINT) % 5 < 2)
+        |SELECT * FROM (
+        |  SELECT t0 AS timestamp_ns, 'Enter' AS event_type, name, process
+        |  FROM ord JOIN keep USING (ok)
+        |  UNION ALL SELECT t1, 'Leave', name, process FROM ord JOIN keep USING (ok)
+        |  UNION ALL SELECT t0, 'Enter', name, process FROM item JOIN keep USING (ok)
+        |  UNION ALL SELECT t1, 'Leave', name, process FROM item JOIN keep USING (ok)
+        |  UNION ALL SELECT s0, 'Enter', ship_name, process FROM item JOIN keep USING (ok)
+        |  UNION ALL SELECT s1, 'Leave', ship_name, process FROM item JOIN keep USING (ok)
         |) ORDER BY timestamp_ns, event_type, name, process""".stripMargin),
 
     // same relational truth as the Chrome round trip: a lossless
