@@ -429,6 +429,83 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming twin of [[graft.analysis.TraceSample.sampleCalls]]:
+    * structure-preserving call-tree sampling of a LIVE event stream
+    * (the always-on tracing shape — sample at ingest, store a fraction).
+    * O(1) state per process (current depth, current tree key, event-time
+    * high-water mark) replaces the batch window scan; the keep decision
+    * is the same md5(seed:process:root_ts) mod den < num, so a streamed
+    * sample equals the batch sample of the same events (parity spec).
+    * Out-of-order events would corrupt the running depth, so they flag
+    * `in_order = false` (and are NOT sampled) for a batch backfill —
+    * the repo-wide bounded-state streaming contract. */
+  def sampledCalls(events: DataFrame, num: Int, den: Int, seed: Int = 7,
+                   idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(den > 0 && num >= 0 && num <= den,
+      s"sample fraction must be a rational in [0, 1]: $num/$den")
+    events.select(col(Process).cast("int").as("p"),
+        col(TimestampNs).cast("long").as("ts"),
+        col(EventType).as("et"), col(Name).as("nm")).as[SampIn]
+      .groupByKey(_.p)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        sampGroup(num, den, seed, idleTimeout))(
+        Encoders.product[SampState], Encoders.product[SampOut])
+      .toDF()
+      .withColumnRenamed("p", Process).withColumnRenamed("ts", TimestampNs)
+      .withColumnRenamed("et", EventType).withColumnRenamed("nm", Name)
+  }
+
+  case class SampIn(p: Int, ts: Long, et: String, nm: String)
+  case class SampState(depth: Long, rootTs: Long, hw: Long)
+  case class SampOut(p: Int, ts: Long, et: String, nm: String,
+                     in_order: Boolean)
+
+  /** 60-bit md5 hash, identical to TextOps.md5Hash60 on the same key. */
+  private def md5Hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private[streaming] def sampGroup(num: Int, den: Int, seed: Int,
+      idleTimeout: Option[String] = None)(
+      key: Int, rows: Iterator[SampIn],
+      state: org.apache.spark.sql.streaming.GroupState[SampState]): Iterator[SampOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(
+      SampState(0L, Long.MinValue, Long.MinValue))
+    val out = scala.collection.mutable.ArrayBuffer[SampOut]()
+    // Enter < Instant < Leave at equal timestamps, as in the batch scan
+    for (r <- rows.toSeq.sortBy(x => (x.ts, x.et))) {
+      if (r.ts < st.hw) {
+        out += SampOut(key, r.ts, r.et, r.nm, in_order = false)
+      } else {
+        var depth = st.depth
+        var rootTs = st.rootTs
+        if (r.et == graft.model.Schemas.Enter) {
+          depth += 1
+          if (depth == 1L) rootTs = r.ts
+        } else if (r.et == graft.model.Schemas.Leave) depth -= 1
+        // concat_ws skips NULLs in the batch op: an unset tree key is
+        // the bare process, no trailing separator
+        val treeKey =
+          if (rootTs == Long.MinValue) s"$key" else s"$key:$rootTs"
+        if (md5Hash60Jvm(s"$seed:$treeKey") % den < num)
+          out += SampOut(key, r.ts, r.et, r.nm, in_order = true)
+        st = SampState(depth, rootTs, r.ts)
+      }
+    }
+    state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
   /** Streaming stage-1 of `Sessionize.rollingActive`'s trailing-window
     * distinct count: per user, emit one CONTRIBUTION row per day the
     * user's activity covers — a user active on day d contributes to the

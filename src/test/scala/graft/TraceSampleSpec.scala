@@ -55,4 +55,5 @@ class TraceSampleSpec extends SparkSpec {
     assert(TraceSample.sampleCalls(trace, 5, 5).count() == trace.count())
     assert(TraceSample.sampleCalls(trace, 0, 5).count() == 0L)
   }
+
 }
