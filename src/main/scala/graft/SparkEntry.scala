@@ -616,6 +616,19 @@ object SparkEntry {
         .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))
     }),
 
+    // --- cross-run clock alignment: run B is the call trace under a
+    // per-process clock skew (+ (process+1)·1000 ns); aligning it onto
+    // run A by first-Enter offsets must recover A's timeline EXACTLY ---
+    "trace_align" -> ((s, dir) => {
+      val a = TraceGen.callTrace(s, dir)
+      val skewed = a.withColumn(TimestampNs,
+        col(TimestampNs) + (col(Process) + 1).cast("long") * 1000L)
+      graft.analysis.TraceAlign.align(a, skewed)
+        .filter(col("aligned"))
+        .select(col(TimestampNs), col(EventType), col(Name), col(Process))
+        .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))
+    }),
+
     // --- structure-preserving trace reduction: keep 2/5 of top-level
     // call trees (whole subtrees, so the sample stays matchable) ---
     "trace_sample_calls" -> ((s, dir) =>
@@ -1109,6 +1122,15 @@ object SparkEntry {
     "jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPrefixPairs(T(s, dir, "documents"), 3, 1, 5)
         .orderBy(col("a"), col("b"))),
+
+    // --- per-source token budget: best-first fill, boundary doc may
+    // overflow (src0 squeezed to 300 tokens, everyone else 800) ---
+    "sample_budget" -> ((s, dir) =>
+      Curation.budgetTruncate(T(s, dir, "documents"),
+          Seq("src0" -> 300L), defaultBudget = 800L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality"), col("cum_before"))
+        .orderBy(col("doc_id"))),
 
     // --- per-source quota: rank by quality, keep the top 20 per source ---
     "q_domain_cap" -> ((s, dir) =>
@@ -3016,6 +3038,18 @@ object SparkEntry {
         |  UNION ALL SELECT s1, 'Leave', ship_name, process FROM item
         |) ORDER BY timestamp_ns, event_type, name, process""".stripMargin),
 
+    // exact-recovery truth: aligning the skewed twin back must land on
+    // the original relational event set, timestamp for timestamp
+    "trace_align" -> (callCte +
+      """SELECT * FROM (
+        |  SELECT t0 AS timestamp_ns, 'Enter' AS event_type, name, process FROM ord
+        |  UNION ALL SELECT t1, 'Leave', name, process FROM ord
+        |  UNION ALL SELECT t0, 'Enter', name, process FROM item
+        |  UNION ALL SELECT t1, 'Leave', name, process FROM item
+        |  UNION ALL SELECT s0, 'Enter', ship_name, process FROM item
+        |  UNION ALL SELECT s1, 'Leave', ship_name, process FROM item
+        |) ORDER BY timestamp_ns, event_type, name, process""".stripMargin),
+
     // a kept order carries ALL its events (order + item + ship rows) —
     // the tree key is the order's own t0 on every row
     "trace_sample_calls" -> (callCte +
@@ -4497,6 +4531,24 @@ object SparkEntry {
         |           JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE i * 5 >= (sa.sz + sb.sz - i) * 1
         |ORDER BY a, b""".stripMargin),
+
+    "sample_budget" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+         |           AS n_tokens,
+         |         $qualitySql AS quality
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens, quality,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM q)
+         |SELECT doc_id, source, n_tokens, quality, cum_before FROM c
+         |WHERE cum_before < (CASE source WHEN 'src0' THEN 300 ELSE 800 END)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_domain_cap" ->
       s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents)

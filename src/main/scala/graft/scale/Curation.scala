@@ -498,6 +498,37 @@ object Curation {
       .select(col("pos"), col(srcCol), col("shard_id"), col("n_docs"))
   }
 
+  /** Per-source TOKEN-BUDGET truncation — "this domain gets at most B
+    * training tokens": rank each source's documents by quality (best
+    * first, id tiebreak) and keep documents while the cumulative token
+    * mass BEFORE them is under the source's budget, so the pool fills
+    * with its best material and the boundary document may overflow by
+    * at most its own length (the standard fill rule — a hard cut would
+    * starve a source whose best document alone exceeds the budget).
+    * This is the budgeted generalization of a per-source doc-count cap
+    * ([[capPerGroup]]): budgets are expressed in what training actually
+    * consumes. One keyed window over the corpus; budgets ride along as
+    * a broadcast map literal. */
+  def budgetTruncate(docs: DataFrame, budgets: Seq[(String, Long)],
+                     defaultBudget: Long,
+                     srcCol: String = "source", textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(budgets.forall(_._2 >= 0L) && defaultBudget >= 0L,
+      "budgets must be non-negative")
+    val bmap = typedLit(budgets.toMap)
+    val scored = docs.select(col(idCol), col(srcCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+      TextOps.quality(col(textCol)).as("quality"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("quality").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") <
+        coalesce(element_at(bmap, col(srcCol)), lit(defaultBudget)))
+  }
+
   def leakageSafeSplit(docs: DataFrame, components: DataFrame,
                        nSplits: Int = 10, seed: Int = 11,
                        idCol: String = "doc_id"): DataFrame = {

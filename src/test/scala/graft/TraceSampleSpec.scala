@@ -56,4 +56,33 @@ class TraceSampleSpec extends SparkSpec {
     assert(TraceSample.sampleCalls(trace, 0, 5).count() == 0L)
   }
 
+  test("clock alignment recovers the reference timeline exactly") {
+    import graft.analysis.TraceAlign
+    val a = trace
+    val skewed = a.withColumn(TimestampNs,
+      col(TimestampNs) + (col(Process) + 7).cast("long") * 12345L)
+    val off = TraceAlign.offsets(a, skewed)
+      .as[(Int, Long)].collect().toMap
+    assert(off(0) == -7L * 12345L && off(1) == -8L * 12345L)
+    val back = TraceAlign.align(a, skewed)
+    assert(back.filter(!col("aligned")).count() == 0L)
+    val got = back.select(col(Process), col(TimestampNs))
+      .as[(Int, Long)].collect().sorted.toSeq
+    val want = a.select(col(Process), col(TimestampNs))
+      .as[(Int, Long)].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("processes unseen in the reference pass through unaligned") {
+    import graft.analysis.TraceAlign
+    val a = trace.filter(col(Process) === 0)
+    val b = trace.withColumn(TimestampNs, col(TimestampNs) + 500L)
+    val back = TraceAlign.align(a, b)
+    assert(back.filter(col(Process) === 1 && col("aligned")).count() == 0L)
+    // the unaligned process keeps its own (shifted) clock untouched
+    val p1 = back.filter(col(Process) === 1).agg(min(col(TimestampNs)))
+      .head.getLong(0)
+    assert(p1 == trace.filter(col(Process) === 1)
+      .agg(min(col(TimestampNs))).head.getLong(0) + 500L)
+  }
 }
