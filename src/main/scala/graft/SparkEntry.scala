@@ -1489,6 +1489,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- resize-then-featurize: nearest-neighbor normalization to a
+    // fixed 4x3 ahead of feature extraction (the vision-pipeline
+    // preprocessing shape), integer source grid so the oracle can
+    // recompute the exact resized raster ---
+    "image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+          (id, Multimodal.encodePgm(w, h, i => ((id * 31 + i * 7) % 256).toInt))
+        }.toDF("doc_id", "payload")
+      Multimodal.extractFeatures(
+          Multimodal.transformPayload(withPayload, Multimodal.resizePgm(4, 3)),
+          decoder = Multimodal.decodePgm)
+        .select(col("doc_id"), col("features.width").as("width"),
+          col("features.height").as("height"),
+          round(col("features.mean_luma"), 6).as("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- REAL pprof decode: per-doc protobuf profile blobs (the
     //     Go/async-profiler/py-spy export format) parsed by the
     //     from-scratch wire-format reader, fleet flat profile as
@@ -5205,6 +5225,23 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       ROUND(pxsum * 1.0 / (w * h) / 255, 6) AS mean_luma
+        |FROM px ORDER BY doc_id""".stripMargin,
+
+    // resized pixel (x,y) samples source index sy*w + sx with the same
+    // integral truncation the engine uses; value = (id*31 + idx*7) % 256
+    "image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         SUM((d.doc_id * 31
+        |              + ((i.i // 4) * d.h // 3 * d.w + (i.i % 4) * d.w // 4) * 7)
+        |             % 256) AS pxsum
+        |  FROM dims d JOIN generate_series(0, 11) i(i) ON true
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+        |       ROUND(pxsum * 1.0 / 12 / 255, 6) AS mean_luma
         |FROM px ORDER BY doc_id""".stripMargin,
 
     "pprof_flat" ->

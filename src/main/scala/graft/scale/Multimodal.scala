@@ -66,7 +66,9 @@ object Multimodal {
     * the raster into (width, height, n_frames=1, mean_luma = mean
     * pixel / maxval). Throws on malformed input — a corrupt payload
     * should surface, not silently skew features. */
-  def decodePgm(payload: Array[Byte]): Row = {
+  /** Parse a P5 header: (width, height, maxval, raster offset), with the
+    * whole-raster length check. Shared by [[decodePgm]]/[[resizePgm]]. */
+  private def parsePgm(payload: Array[Byte]): (Int, Int, Int, Int) = {
     def fail(msg: String) = throw new IllegalArgumentException(s"bad PGM: $msg")
     if (payload.length < 2 || payload(0) != 'P' || payload(1) != '5')
       fail("missing P5 magic")
@@ -99,11 +101,53 @@ object Multimodal {
     // describe this raster (same silent-skew risk as a short raster)
     if (payload.length - pos != n)
       fail(s"raster length ${payload.length - pos} != $n")
+    (w, h, maxval, pos)
+  }
+
+  def decodePgm(payload: Array[Byte]): Row = {
+    val (w, h, maxval, pos) = parsePgm(payload)
+    val n = w.toLong * h
     var sum = 0L
     var i = 0
     while (i < n) { sum += (payload(pos + i.toInt) & 0xff); i += 1 }
     new GenericRowWithSchema(Array[Any](
       w, h, 1, sum.toDouble / n / maxval), featureSchema)
+  }
+
+  /** Nearest-neighbor PGM resize — the preprocessing normalization step
+    * of every vision pipeline (fixed input resolution before feature
+    * extraction), done inside the per-partition decode path like every
+    * other multimodal transform here. Source index is the integral
+    * truncation sx = x·w div outW, sy = y·h div outH — exactly
+    * replicable in SQL, so the resized raster is oracle-checkable.
+    * Output is a well-formed P5 payload (same maxval): resize composes
+    * with [[decodePgm]]/[[extractFeatures]] and round-trips the parser's
+    * integrity checks. */
+  def resizePgm(outW: Int, outH: Int)(payload: Array[Byte]): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"bad target dims $outW x $outH")
+    val (w, h, maxval, pos) = parsePgm(payload)
+    encodePgm(outW, outH, { i =>
+      val sx = (i % outW) * w / outW
+      val sy = (i / outW) * h / outH
+      payload(pos + sy * w + sx) & 0xff
+    }, maxval)
+  }
+
+  /** Per-partition payload→payload transform (resize, transcode,
+    * redact): replaces `payloadCol` in place, null payloads pass
+    * through. Same batch shape as [[extractFeatures]]. */
+  def transformPayload(df: DataFrame, f: Array[Byte] => Array[Byte],
+                       payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema
+    val pIdx = schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out = r.toSeq.toArray
+        if (!r.isNullAt(pIdx))
+          out(pIdx) = f(r.getAs[Array[Byte]](pIdx))
+        new GenericRowWithSchema(out, schema): Row
+      }
+    }(Encoders.row(schema))
   }
 
   val audioFeatureSchema: StructType = StructType(Seq(

@@ -72,4 +72,32 @@ class PgmDecodeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2)))).toMap
     assert(m(1L) == ((2, 1.0)) && m(2L) == ((3, 0.0)))
   }
+
+  test("nearest-neighbor resize samples the exact integer grid") {
+    // 4x2 gradient raster 0..7; resize to 2x2 → sx ∈ {0,2}, sy ∈ {0,1}
+    val src = Multimodal.encodePgm(4, 2, i => i * 30)
+    val out = Multimodal.resizePgm(2, 2)(src)
+    val r = Multimodal.decodePgm(out) // parser integrity checks pass
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2)
+    val raster = out.takeRight(4).map(_ & 0xff).toSeq
+    assert(raster == Seq(0, 60, 120, 180)) // idx 0,2,4,6 × 30
+    // identity resize is a byte-level no-op on the raster
+    val same = Multimodal.resizePgm(4, 2)(src)
+    assert(Multimodal.decodePgm(same).getDouble(3) ==
+      Multimodal.decodePgm(src).getDouble(3))
+    // upscale replicates pixels; mean over an even replication is exact
+    val up = Multimodal.resizePgm(8, 2)(src)
+    assert(Multimodal.decodePgm(up).getInt(0) == 8)
+  }
+
+  test("transformPayload passes nulls through and keeps other columns") {
+    val df = Seq((1L, Multimodal.encodePgm(2, 2, _ => 10)),
+        (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.transformPayload(df, Multimodal.resizePgm(1, 1))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Array[Byte]]("payload"))).toMap
+    assert(out(2L).isEmpty)
+    assert(Multimodal.decodePgm(out(1L).get).getInt(0) == 1)
+  }
 }
