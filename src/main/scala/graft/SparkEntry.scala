@@ -781,6 +781,15 @@ object SparkEntry {
         col("n_events"))
       .orderBy(col("user_id"), col("session_id"))),
 
+    // --- per-session engagement: dwell time + bounce flag ---
+    "q_dwell" -> ((s, dir) => Sessionize.sessionStats(
+        TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")),
+        "user_id", "t_us", "event_id", 1800000000L)
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+        col("n_events"), col("duration_us").cast("long").as("duration_us"),
+        col("bounce").cast("int").as("bounce"))
+      .orderBy(col("user_id"), col("session_id"))),
+
     // --- concurrency profile: time at each open-span count, via the
     // +1/−1 sweep (no quadratic overlap self-join); spans are events
     // lasting round(value·100)·10 µs at process user_id%16 ---
@@ -1760,6 +1769,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("view_event_id").cast("long").as("view_event_id"),
           (col("t_us") - col("view_t_us")).cast("long").as("wait_us"),
+          round(col("view_value"), 4).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- forward as-of: FIRST view at or after each purchase, per user ---
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+      AsOfJoin.asOfForward(purchases, views, Seq("user_id"), "t_us", "t_us",
+          "event_id", Seq("event_id" -> "view_event_id",
+            "t_us" -> "view_t_us", "value" -> "view_value"))
+        .select(col("event_id"), col("user_id"),
+          col("view_event_id").cast("long").as("view_event_id"),
+          (col("view_t_us") - col("t_us")).cast("long").as("wait_us"),
           round(col("view_value"), 4).as("view_value"))
         .orderBy(col("event_id"))
     }),
@@ -3480,6 +3506,23 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, t,
+        |         SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us,
+        |       CAST(CASE WHEN COUNT(*) = 1 THEN 1 ELSE 0 END AS INT) AS bounce
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_user_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
         |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
@@ -5127,6 +5170,20 @@ object SparkEntry {
         |       CAST(p.t - v.t AS BIGINT) AS wait_us,
         |       ROUND(v.value, 4) AS view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t
+        |ORDER BY p.event_id""".stripMargin,
+
+    // DuckDB's native ASOF with the comparator flipped — an independent
+    // implementation of the forward direction
+    "q_asof_fwd" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |       CAST(v.event_id AS BIGINT) AS view_event_id,
+        |       CAST(v.t - p.t AS BIGINT) AS wait_us,
+        |       ROUND(v.value, 4) AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t <= v.t
         |ORDER BY p.event_id""".stripMargin,
 
     "hybrid_topk" ->

@@ -44,7 +44,28 @@ object AsOfJoin {
   def asOfBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTsCol: String, rightTsCol: String,
                    rightIdCol: String,
-                   carry: Seq[(String, String)]): DataFrame = {
+                   carry: Seq[(String, String)]): DataFrame =
+    asOfImpl(left, right, keyCols, leftTsCol, rightTsCol, rightIdCol,
+      carry, forward = false)
+
+  /** FORWARD as-of: attach the EARLIEST right row with
+    * `rightTs >= leftTs` per key — "the next reading at or after this
+    * moment" (next heartbeat after a deploy, next quote after an order,
+    * label-at-horizon joins). Same union + one-keyed-window shape as
+    * [[asOfBackward]] with the scan direction reversed; equal
+    * timestamps match (inclusive), ties break to the smallest right id. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTsCol: String, rightTsCol: String,
+                  rightIdCol: String,
+                  carry: Seq[(String, String)]): DataFrame =
+    asOfImpl(left, right, keyCols, leftTsCol, rightTsCol, rightIdCol,
+      carry, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTsCol: String, rightTsCol: String,
+                       rightIdCol: String,
+                       carry: Seq[(String, String)],
+                       forward: Boolean): DataFrame = {
     val outNames = carry.map(_._2)
     val leftCols = left.columns.toSeq
     val collisions = outNames.filter(n => leftCols.exists(_.equalsIgnoreCase(n)))
@@ -68,8 +89,15 @@ object AsOfJoin {
     val rPadded = leftCols.filterNot(keyCols.contains)
       .foldLeft(rSide)((d, n) => d.withColumn(n, lit(null)))
     val unioned = lSide.unionByName(rPadded.select(lSide.columns.toIndexedSeq.map(col): _*))
+    // forward = the same running scan over REVERSED time: right rows at
+    // the left row's own timestamp stay visible (__side orders them
+    // first either way); among equal right timestamps the last carry
+    // wins, so rid runs desc in the forward scan to keep the smallest
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__rid").asc)
+      .orderBy(
+        if (forward) col("__ts").desc else col("__ts").asc,
+        col("__side").asc,
+        if (forward) col("__rid").desc else col("__rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))

@@ -32,6 +32,19 @@ object Sessionize {
       .groupBy(col(keyCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Per-session engagement report — the product-analytics staples on
+    * top of [[sessionize]]: event count, dwell (last−first event time;
+    * 0 for singletons), and the bounce flag (a one-event session).
+    * Same single keyed exchange as sessionize; the rollup rides the
+    * (key, session) grouping with map-side partial aggregation. */
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: String,
+                   orderCol: String, gapMicros: Long): DataFrame =
+    sessionize(events, keyCol, tsCol, orderCol, gapMicros)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration_us"),
+        when(count(lit(1)) === 1, 1).otherwise(0).as("bounce"))
+
   /** Ordered conversion funnel: for each key, the earliest time each
     * step completes GIVEN the previous step completed before it —
     * t₁ = min ts of step 1, tᵢ = min ts of step i strictly after tᵢ₋₁

@@ -98,4 +98,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.select("r_id").as[Long].collect().toSeq == Seq(10L, 10L))
   }
+
+  private def runFwd(left: Seq[(Long, Long, Long)],
+                     right: Seq[(Long, Long, Long, Double)]) = {
+    val l = left.toDF("event_id", "k", "t")
+    val r = right.toDF("event_id", "k", "t", "v")
+    AsOfJoin.asOfForward(l, r, Seq("k"), "t", "t", "event_id",
+        Seq("event_id" -> "r_id", "t" -> "r_t", "v" -> "r_v"))
+      .select(col("event_id"), col("r_id").cast("long"), col("r_v"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) -999.0 else x.getDouble(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("forward: picks the earliest right row at or after, inclusive ties to smallest id") {
+    val out = runFwd(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 8L, 200L)),
+      right = Seq((10L, 7L, 50L, 1.0), (11L, 7L, 200L, 2.0), (12L, 8L, 150L, 3.0)))
+    // left 1 → next right at 200; left 2 → nothing after → null;
+    // left 3 (key 8) → right 150 is BEFORE it → null
+    assert(out == Seq((1L, 11L, 2.0), (2L, -1L, -999.0), (3L, -1L, -999.0)))
+    // inclusive equality + smallest-id tie-break
+    val eq = runFwd(Seq((1L, 7L, 100L)),
+      Seq((12L, 7L, 100L, 3.0), (10L, 7L, 100L, 1.0)))
+    assert(eq == Seq((1L, 10L, 1.0)))
+  }
+
+  test("forward matches the naive min-following formulation on pseudo-random data") {
+    val rng = new scala.util.Random(41)
+    val l = Seq.tabulate(200)(i => (i.toLong, rng.nextInt(5).toLong,
+      rng.nextInt(1000).toLong))
+    val r = Seq.tabulate(300)(i => (1000L + i, rng.nextInt(5).toLong,
+      rng.nextInt(1000).toLong, rng.nextDouble()))
+    val got = runFwd(l, r).map { case (a, b, c) => a -> ((b, c)) }.toMap
+    val naive = l.map { case (id, k, t) =>
+      val cands = r.filter(x => x._2 == k && x._3 >= t)
+      if (cands.isEmpty) id -> ((-1L, -999.0))
+      else {
+        val best = cands.minBy(x => (x._3, x._1))
+        id -> ((best._1, best._4))
+      }
+    }.toMap
+    assert(got == naive)
+  }
 }
