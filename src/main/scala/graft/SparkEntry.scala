@@ -915,6 +915,12 @@ object SparkEntry {
         "user_id", "t_us", "event_id", "event_type")
       .orderBy(col("from_state"), col("to_state"))),
 
+    // --- order-3 path mining: consecutive event-type trigram counts ---
+    "q_transitions3" -> ((s, dir) => Sessionize.transitions3(
+        TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")),
+        "user_id", "t_us", "event_id", "event_type")
+      .orderBy(col("s1"), col("s2"), col("s3"))),
+
     // --- robust outliers: |v − median| > 5·MAD per event_type, median
     // and MAD rank-selected in integer centi-units ---
     "q_outliers" -> ((s, dir) => {
@@ -924,6 +930,19 @@ object SparkEntry {
       graft.analysis.RobustStats.madOutliers(ev, "event_type", "value_c",
           "event_id")
         .orderBy(col("event_id"))
+    }),
+
+    // --- 10% winsorized mean per event type: tails clamped to the
+    // rank-selected p10/p90 bounds, all integer ---
+    "q_winsor" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      graft.analysis.RobustStats.winsorMean(ev, "event_type", "value_c",
+          "event_id")
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          col("winsor_sum"), col("winsor_mean"))
+        .orderBy(col("event_type"))
     }),
 
     // --- send/recv matching: k-th send p->q pairs k-th recv at q from p ---
@@ -3627,6 +3646,44 @@ object SparkEntry {
         |SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n, t.row_total
         |FROM c JOIN t USING (from_state)
         |ORDER BY from_state, to_state""".stripMargin,
+
+    "q_transitions3" ->
+      """WITH s AS (
+        |  SELECT event_type AS s1,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS s2,
+        |         LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS s3
+        |  FROM events)
+        |SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY s1, s2, s3""".stripMargin,
+
+    "q_winsor" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, value_c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY value_c, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |bounds AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |         MAX(CASE WHEN rn = (n + 9) // 10 THEN value_c END) AS lo,
+        |         MAX(CASE WHEN rn = n + 1 - (n + 9) // 10 THEN value_c END) AS hi
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT r.event_type, b.n, b.lo, b.hi,
+        |         GREATEST(b.lo, LEAST(b.hi, r.value_c)) AS cv
+        |  FROM r JOIN bounds b USING (event_type))
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |       MAX(lo) AS lo, MAX(hi) AS hi,
+        |       CAST(SUM(cv) AS BIGINT) AS winsor_sum,
+        |       CAST(SUM(cv) // MAX(n) AS BIGINT) AS winsor_mean
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_outliers" ->
       """WITH v AS (

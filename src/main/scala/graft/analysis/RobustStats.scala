@@ -57,6 +57,38 @@ object RobustStats {
       .withColumnRenamed("__key", keyCol)
   }
 
+  /** Per-key WINSORIZED mean — the robust location estimate that keeps
+    * every observation (unlike a trimmed mean) but clamps the tails:
+    * values below the p(num/den) order statistic rise to it, values
+    * above the mirrored upper statistic drop to it, then a plain mean.
+    * The clamp bounds are rank-SELECTED (⌈n·num/den⌉ and its mirror
+    * n+1−⌈n·num/den⌉ in (value, id) order), so with integral inputs
+    * every emitted number — bounds, clamped sum, truncated mean — is
+    * bit-identical across engines. One keyed ranking window + one
+    * aggregation, the [[percentiles]] plan shape. */
+  def winsorMean(df: DataFrame, keyCol: String, valCol: String,
+                 idCol: String, num: Int = 1, den: Int = 10): DataFrame = {
+    require(num > 0 && den > 0 && 2 * num < den,
+      s"tail fraction must be in (0, 1/2): $num/$den")
+    val w = Window.partitionBy(col("__key")).orderBy(col("__val"), col("__id"))
+    val byKey = Window.partitionBy(col("__key"))
+    reserved(df, keyCol, valCol, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__lo",
+        max(when(col("__rn") === rankAt(num, den), col("__val"))).over(byKey))
+      .withColumn("__hi",
+        max(when(col("__rn") === col("__n") + 1 - rankAt(num, den),
+          col("__val"))).over(byKey))
+      .groupBy(col("__key"))
+      .agg(max(col("__n")).as("n"),
+        max(col("__lo")).as("lo"), max(col("__hi")).as("hi"),
+        sum(greatest(col("__lo"), least(col("__hi"), col("__val"))))
+          .as("winsor_sum"))
+      .withColumn("winsor_mean", expr("winsor_sum div n"))
+      .withColumnRenamed("__key", keyCol)
+  }
+
   /** Per-key equi-depth bucket boundaries: the `buckets`−1 interior
     * quantile values read at ranks ⌈q·n/buckets⌉, q = 1..buckets−1 —
     * the rank-selected (engine-exact) version of an equi-depth

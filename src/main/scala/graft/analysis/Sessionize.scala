@@ -111,6 +111,25 @@ object Sessionize {
     steps.join(broadcast(totals), Seq("from_state"))
   }
 
+  /** Order-3 path mining — the trigram extension of [[transitions]]:
+    * counts of consecutive (s₁ → s₂ → s₃) state sequences per key
+    * ordering, the "what do users do in threes" view that exposes loops
+    * and funnels a first-order transition matrix averages away. Same
+    * single keyed window (two leads share one sort), then a global
+    * |states|³-bounded aggregation with map-side combine. */
+  def transitions3(events: DataFrame, keyCol: String, tsCol: String,
+                   idCol: String, stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__s2", lead(col(stateCol), 1).over(w))
+      .withColumn("__s3", lead(col(stateCol), 2).over(w))
+      .filter(col("__s3").isNotNull)
+      .groupBy(col(stateCol).as("s1"), col("__s2").as("s2"),
+        col("__s3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def cohortRetention(events: DataFrame, keyCol: String = "user_id",
                       tsCol: String = "t_us",
                       dayMicros: Long = 86400000000L): DataFrame = {
