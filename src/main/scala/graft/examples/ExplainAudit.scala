@@ -36,7 +36,11 @@ object ExplainAudit {
             "tile_dedup", "split_leakage", "q_changepoint",
             "q_rolling_active", "ann_trunc_recall", "column_profile",
             "trace_callers", "minhash_incremental", "epoch_order",
-            "trace_dur_drift", "retrieval_mrr", "q_skew_report"))) {
+            "trace_dur_drift", "retrieval_mrr", "q_skew_report",
+            "xlingual_margin", "xlingual_mutual", "comm_wait_classes",
+            "epoch_shards", "trace_sample_calls", "trace_align",
+            "sample_budget", "q_asof_fwd", "q_dwell", "q_winsor",
+            "q_transitions3", "image_resize"))) {
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
