@@ -2251,6 +2251,16 @@ object SparkEntry {
     // --- Deequ-style data-quality gate: exact violation counts for
     // null/range/uniqueness/referential checks, one scan or shuffle
     // each, unioned into the audit report ---
+    // --- functional-dependency audit: one FD that must hold (unique
+    // key determines anything) and one that genuinely fails ---
+    "dq_fd" -> ((s, dir) => {
+      import graft.scale.DataQuality._
+      report(Seq(
+        functionalDependency(T(s, dir, "orders"), "o_orderkey", "o_custkey"),
+        functionalDependency(T(s, dir, "lineitem"), "l_orderkey", "l_returnflag")
+      )).orderBy(col("check"))
+    }),
+
     "dq_report" -> ((s, dir) => {
       val orders = T(s, dir, "orders")
       val li = T(s, dir, "lineitem")
@@ -6061,6 +6071,26 @@ object SparkEntry {
         |            AS BIGINT) AS abs_err
         |FROM t JOIN srt s ON s.k = t.k AND s.rn = t.r
         |ORDER BY 1, 2""".stripMargin,
+
+    "dq_fd" ->
+      """WITH f1 AS (SELECT o_orderkey, COUNT(*) AS c,
+        |                   COUNT(DISTINCT o_custkey) AS d
+        |            FROM orders GROUP BY 1),
+        |f2 AS (SELECT l_orderkey, COUNT(*) AS c,
+        |              COUNT(DISTINCT l_returnflag) AS d
+        |       FROM lineitem GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'fd(l_orderkey->l_returnflag)' AS "check",
+        |         CAST(SUM(c) AS BIGINT) AS n_checked,
+        |         CAST(SUM(CASE WHEN d > 1 THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_violations
+        |  FROM f2
+        |  UNION ALL
+        |  SELECT 'fd(o_orderkey->o_custkey)',
+        |         CAST(SUM(c) AS BIGINT),
+        |         CAST(SUM(CASE WHEN d > 1 THEN c ELSE 0 END) AS BIGINT)
+        |  FROM f1
+        |) ORDER BY "check"""".stripMargin,
 
     "dq_report" ->
       """SELECT * FROM (

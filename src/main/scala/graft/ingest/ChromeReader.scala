@@ -75,29 +75,28 @@ object ChromeReader {
       col(TimestampNs), col(EventType), col(Name), col(Process))
   }
 
-  /** Phase normalization (streaming-safe: filter/select/explode only). */
+  /** Phase normalization (streaming-safe: filter/select/explode only).
+    * ONE pass over the parsed records: a branch-per-phase union would
+    * re-run the from_json parse — the dominant cost — once per branch
+    * (measured 2× the JSON work on the round-trip query); instead every
+    * surviving record explodes a conditional 1- or 2-element array. */
   private def normalize(raw: DataFrame): DataFrame = {
     // round, don't truncate: µs doubles carry ~2⁻⁵² relative error from
     // the writer's ns→µs division, so a plain cast could lose 1 ns
     def toNs(c: Column): Column = round(c * 1000.0).cast(LongType)
-    val be = raw.filter(col("ph").isin("B", "E", "i", "I"))
-      .select(
-        when(col("ph") === "B", Enter)
-          .when(col("ph") === "E", Leave)
-          .otherwise(Instant).as(EventType),
-        col("name").as(Name), toNs(col("ts")).as(TimestampNs),
-        col("pid"), col("tid"))
-    val x = raw.filter(col("ph") === "X")
-      .select(explode(array(
+    raw.filter(col("ph").isin("B", "E", "i", "I", "X"))
+      .select(explode(when(col("ph") === "X", array(
           struct(lit(Enter).as(EventType), toNs(col("ts")).as(TimestampNs)),
           struct(lit(Leave).as(EventType),
             toNs(col("ts") + coalesce(col("dur"), lit(0.0))).as(TimestampNs))))
-          .as("e"),
+        .otherwise(array(struct(
+          when(col("ph") === "B", Enter)
+            .when(col("ph") === "E", Leave)
+            .otherwise(Instant).as(EventType),
+          toNs(col("ts")).as(TimestampNs))))).as("e"),
         col("name").as(Name), col("pid"), col("tid"))
       .select(col("e." + EventType).as(EventType), col(Name),
-        col("e." + TimestampNs).as(TimestampNs), col("pid"), col("tid"))
-    be.unionByName(x)
-      .select(col(EventType), col(Name), col(TimestampNs),
+        col("e." + TimestampNs).as(TimestampNs),
         col("pid").cast(IntegerType).as(Process),
         col("tid").cast(IntegerType).as(Thread))
   }

@@ -67,6 +67,23 @@ object DataQuality {
         col("v").cast("long").as("n_violations"))
   }
 
+  /** Functional-dependency audit `det → dep`: rows whose determinant
+    * value maps to MORE than one dependent value (every row of a
+    * violating determinant group counts, mirroring [[unique]]'s
+    * row-level intuition). The schema-inference / normalization check
+    * Deequ ships as hasUniqueness-style constraints: "customer_id →
+    * country should hold — where doesn't it?". One groupBy on the
+    * determinant with countDistinct(dep), map-side partial. */
+  def functionalDependency(df: DataFrame, det: String,
+                           dep: String): DataFrame = {
+    val g = df.groupBy(col(det))
+      .agg(count(lit(1)).as("__c"),
+        countDistinct(col(dep)).as("__d"))
+    one(s"fd($det->$dep)",
+      sum(col("__c")),
+      sum(when(col("__d") > 1, col("__c")).otherwise(0L)), g)
+  }
+
   /** Union of independent checks — each keeps its own (already
     * minimal) plan; Spark runs them as one job DAG when the caller
     * materializes the report. */
