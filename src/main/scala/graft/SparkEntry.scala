@@ -965,6 +965,12 @@ object SparkEntry {
       CommOps.waitClasses(TraceGen.commTrace(s, dir))
         .orderBy(col("src"), col("dst"))),
 
+    // --- eager→rendezvous switch: CUSUM argmax over size-ordered
+    // matched-message latencies per channel ---
+    "comm_protocol_switch" -> ((s, dir) =>
+      CommOps.protocolSwitch(TraceGen.commTrace(s, dir))
+        .orderBy(col("src"), col("dst"))),
+
     // --- per-channel message-latency order statistics (rank-selected,
     // integer ns — no interpolation, engine-exact) ---
     "comm_latency_pctl" -> ((s, dir) => {
@@ -3257,6 +3263,43 @@ object SparkEntry {
         |         AS BIGINT) AS late_receiver_transit_ns
         |FROM sends s JOIN recvs r ON s.src = r.src AND s.dst = r.dst AND s.k = r.k
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "comm_protocol_switch" -> (commCte +
+      """, sends AS (
+        |  SELECT process AS src, attr_receiver AS dst,
+        |         timestamp_ns AS send_ts, attr_msg_length AS bytes,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT process AS dst, attr_receiver AS src,
+        |         timestamp_ns AS recv_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv')),
+        |mm AS (
+        |  SELECT s.src, s.dst, s.bytes * 10000000 + s.k AS bucket,
+        |         (r.recv_ts - s.send_ts) // 1000000 AS lat_ms
+        |  FROM sends s JOIN recvs r
+        |    ON s.src = r.src AND s.dst = r.dst AND s.k = r.k),
+        |r2 AS (
+        |  SELECT src, dst, bucket, lat_ms,
+        |         ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY bucket) AS rr,
+        |         SUM(lat_ms) OVER (PARTITION BY src, dst ORDER BY bucket
+        |                           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         COUNT(*) OVER (PARTITION BY src, dst) AS m,
+        |         SUM(lat_ms) OVER (PARTITION BY src, dst) AS t
+        |  FROM mm),
+        |sc AS (SELECT src, dst, bucket, ABS(m * cum - rr * t) AS score, m, t
+        |       FROM r2),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+        |           ORDER BY score DESC, bucket) AS rn FROM sc)
+        |SELECT src, dst,
+        |       CAST(bucket // 10000000 AS BIGINT) AS threshold_bytes,
+        |       CAST(score AS BIGINT) AS score,
+        |       CAST(m AS BIGINT) AS n_msgs,
+        |       CAST(t AS BIGINT) AS lat_ms_total
+        |FROM best WHERE rn = 1 ORDER BY src, dst""".stripMargin),
 
     "comm_unmatched" -> (commCte +
       """, sends AS (

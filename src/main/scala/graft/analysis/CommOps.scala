@@ -277,6 +277,43 @@ object CommOps {
           col("recv_ts") - col("send_ts")).otherwise(0L))
           .as("late_receiver_transit_ns"))
 
+  /** Protocol-switch detection per channel — where does the latency
+    * REGIME change as message size grows? MPI implementations switch
+    * from eager (fire-and-forget, flat latency) to rendezvous
+    * (handshake, latency jumps) at a size threshold; recovering that
+    * threshold from a trace is the classic LogGP-calibration companion
+    * to [[latencyModel]]'s single linear fit. Matched messages are
+    * ordered by size within each channel and the integer CUSUM argmax
+    * ([[graft.analysis.Changepoint.cusumMax]]) over their
+    * millisecond latencies marks the size where the cumulative latency
+    * leaves the uniform ramp — exact BIGINT cross-multiplication, no
+    * float drift. The per-channel (size, seq) order is packed into one
+    * orderable bucket (bytes·10⁷ + k, so ≤10⁷ messages per channel —
+    * require()d), and the threshold size unpacks from the argmax.
+    * Plan: the matchMessages window pair + one size join, then
+    * channel-keyed windows — one exchange per side, nothing global. */
+  def protocolSwitch(events: DataFrame): DataFrame = {
+    val sizes = events.select(col(EventId).as("send_event_id"),
+      col(AttrMsgLength).as("bytes"))
+    val paired = matchMessages(events)
+      .join(sizes, Seq("send_event_id"))
+      .withColumn("channel", concat_ws(":", col("src"), col("dst")))
+      // per-row loud failure on packing overflow, not silent misordering
+      .withColumn("bucket", when(assert_true(col("k") < 10000000L,
+          lit("protocolSwitch: >10^7 messages on one channel — widen the bucket packing"))
+        .isNull, col("bytes") * 10000000L + col("k")))
+      .withColumn("lat_ms", expr("latency_ns div 1000000"))
+    graft.analysis.Changepoint.cusumMax(
+        paired.select(col("channel"), col("bucket"), col("lat_ms")),
+        "channel", "bucket", "lat_ms")
+      .select(
+        split(col("channel"), ":").getItem(0).cast("int").as("src"),
+        split(col("channel"), ":").getItem(1).cast("int").as("dst"),
+        expr("change_bucket div 10000000").as("threshold_bytes"),
+        col("score"), col("n_buckets").as("n_msgs"),
+        col("total").as("lat_ms_total"))
+  }
+
   /** Unmatched-message audit — the anti-join complement of
     * [[matchMessages]]: per channel, how many sends never met a receive
     * and vice versa (dropped messages, truncated traces, asymmetric

@@ -115,6 +115,29 @@ class BitextSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[Long]("dst_id") == 10L)
   }
 
+  test("protocol switch finds a planted eager->rendezvous size threshold") {
+    // channel 0->1: sizes 10..50 step 10; latency 2ms below 40 bytes,
+    // 50ms at 40+ — the CUSUM argmax must land on the last eager size
+    val sizes = Seq(10L, 20L, 30L, 40L, 50L)
+    val rows = sizes.zipWithIndex.flatMap { case (sz, i) =>
+      val lat = if (sz >= 40L) 50000000L else 2000000L // ns
+      val sendTs = 1000000000L * (i + 1)
+      Seq(
+        (i * 2L, sendTs, "MpiSend", 0, 1, sz),
+        (i * 2L + 1L, sendTs + lat, "MpiRecv", 1, 0, sz))
+    }
+    val ev = rows.toDF("eid", "ts", "nm", "proc", "peer", "len")
+      .select(col("eid").as(EventId), col("ts").as(TimestampNs),
+        col("nm").as(Name), col("proc").as(Process),
+        col("peer").as(AttrReceiver), col("len").as(AttrMsgLength),
+        lit("Instant").as(EventType))
+    val out = CommOps.protocolSwitch(ev).collect()
+    val c01 = out.find(r => r.getInt(0) == 0 && r.getInt(1) == 1).get
+    // argmax of |m*C_r - r*T| sits at the LAST pre-shift message (30)
+    assert(c01.getAs[Long]("threshold_bytes") == 30L)
+    assert(c01.getAs[Long]("n_msgs") == 5L)
+  }
+
   test("wait classes partition the matched pairs and sum their times") {
     // channel 0->1: send@10/recv@25 (late receiver, transit 15),
     //               send@40/recv@30 (late sender, wait 10)
