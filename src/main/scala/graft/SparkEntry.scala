@@ -1005,6 +1005,17 @@ object SparkEntry {
         TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
       .orderBy(col("cohort_day"), col("day_offset"))),
 
+    // --- cohort LTV: per (acquisition cohort, age) revenue + running
+    // cumulative, integer cents throughout ---
+    "q_cohort_ltv" -> ((s, dir) => Sessionize.cohortValue(
+        TraceGen.eventsTable(s, dir)
+          .withColumn("t_us", expr("ts div 1000"))
+          .withColumn("value_c", round(col("value") * 100).cast("long")))
+      .select(col("cohort_day").cast("long").as("cohort_day"),
+        col("age").cast("long").as("age"), col("revenue"),
+        col("n_users"), col("cum_revenue"))
+      .orderBy(col("cohort_day"), col("age"))),
+
     // --- text analysis ---
     "text_stats" -> ((s, dir) => TextOps.textStats(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
@@ -3787,6 +3798,26 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_segments
         |FROM c WHERE nxt IS NOT NULL
         |GROUP BY 1, 2 ORDER BY process, level""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+        |       FROM c GROUP BY 1),
+        |pa AS (
+        |  SELECT c.cohort_day, e.day - c.cohort_day AS age,
+        |         CAST(SUM(e.value_c) AS BIGINT) AS revenue
+        |  FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(pa.cohort_day AS BIGINT) AS cohort_day,
+        |       CAST(pa.age AS BIGINT) AS age, pa.revenue, sz.n_users,
+        |       CAST(SUM(pa.revenue) OVER (PARTITION BY pa.cohort_day
+        |         ORDER BY pa.age ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_revenue
+        |FROM pa JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, age""".stripMargin,
 
     "q_retention" ->
       """WITH ud AS (

@@ -213,6 +213,32 @@ object Sessionize {
         sum(when(col("__m"), 1L).otherwise(0L)).as("n_matched"))
   }
 
+  /** Cohort LIFETIME-VALUE curves — [[cohortRetention]]'s revenue
+    * sibling: per acquisition cohort (a user's first event day) and
+    * cohort age in days, the cohort's value that day and the running
+    * cumulative ("how much has the day-X cohort produced by age Y" —
+    * the payback-period view). Integer value units in, integer sums
+    * out — engine-exact. Plan: one per-user min, one keyed join back,
+    * a (cohort, age) aggregation with map-side combine, and a window
+    * over cohort-sized groups for the cumulative. */
+  def cohortValue(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "t_us", valCol: String = "value_c",
+                  dayMicros: Long = 86400000000L): DataFrame = {
+    val base = events.select(col(keyCol),
+      expr(s"$tsCol div $dayMicros").as("day"), col(valCol))
+    val cohorts = base.groupBy(col(keyCol))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val perAge = base.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age"))
+      .agg(sum(col(valCol)).as("revenue"))
+    perAge.join(sizes, Seq("cohort_day"))
+      .withColumn("cum_revenue", sum(col("revenue")).over(
+        Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   def rollingActive(events: DataFrame, keyCol: String = "user_id",
                     tsCol: String = "t_us", window: Int = 7,
                     dayMicros: Long = 86400000000L): DataFrame = {
