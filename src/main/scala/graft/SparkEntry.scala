@@ -781,6 +781,12 @@ object SparkEntry {
         col("n_events"))
       .orderBy(col("user_id"), col("session_id"))),
 
+    // --- session entry→exit paths: how sessions begin vs end ---
+    "q_session_paths" -> ((s, dir) => Sessionize.sessionPaths(
+        TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")),
+        "user_id", "t_us", "event_id", "event_type", 1800000000L)
+      .orderBy(col("entry_type"), col("exit_type"))),
+
     // --- per-session engagement: dwell time + bounce flag ---
     "q_dwell" -> ((s, dir) => Sessionize.sessionStats(
         TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")),
@@ -3588,6 +3594,33 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, t,
+        |         SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, session_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+        |           ORDER BY t, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id, session_id) AS n
+        |  FROM s),
+        |fe AS (
+        |  SELECT user_id, session_id,
+        |         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+        |  FROM r GROUP BY 1, 2)
+        |SELECT fe.entry_type, r.event_type AS exit_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM r JOIN fe USING (user_id, session_id)
+        |WHERE r.rn = r.n GROUP BY 1, 2
+        |ORDER BY entry_type, exit_type""".stripMargin,
 
     "q_dwell" ->
       """WITH e AS (

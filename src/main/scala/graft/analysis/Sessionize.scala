@@ -213,6 +213,27 @@ object Sessionize {
         sum(when(col("__m"), 1L).otherwise(0L)).as("n_matched"))
   }
 
+  /** Session entry→exit paths: how sessions begin and how they end —
+    * per (first event type, last event type) pair, the session count
+    * ("users who arrive via X mostly leave after Y"). First/last are
+    * rank-selected inside the session's existing (ts, id) order, so the
+    * whole report rides [[sessionize]]'s single keyed exchange plus one
+    * |types|²-bounded aggregation. */
+  def sessionPaths(events: DataFrame, keyCol: String, tsCol: String,
+                   orderCol: String, typeCol: String,
+                   gapMicros: Long): DataFrame = {
+    val bySession = Window.partitionBy(col(keyCol), col("session_id"))
+    val ordered = bySession.orderBy(col(tsCol), col(orderCol))
+    sessionize(events, keyCol, tsCol, orderCol, gapMicros)
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(bySession))
+      .withColumn("__entry",
+        max(when(col("__rn") === 1, col(typeCol))).over(bySession))
+      .filter(col("__rn") === col("__n"))
+      .groupBy(col("__entry").as("entry_type"), col(typeCol).as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Cohort LIFETIME-VALUE curves — [[cohortRetention]]'s revenue
     * sibling: per acquisition cohort (a user's first event day) and
     * cohort age in days, the cohort's value that day and the running
