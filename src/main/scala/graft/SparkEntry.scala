@@ -1011,6 +1011,21 @@ object SparkEntry {
         TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
       .orderBy(col("cohort_day"), col("day_offset"))),
 
+    // --- survival sufficient stats: per lifetime age, users at risk
+    // and ended (the Kaplan-Meier inputs, exact integers) ---
+    "q_survival" -> ((s, dir) => Sessionize.survivalCounts(
+        TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
+      .select(col("age").cast("long").as("age"), col("n_ended"),
+        col("n_at_risk").cast("long").as("n_at_risk"))
+      .orderBy(col("age"))),
+
+    // --- market-basket rules: co-purchased part pairs with integer
+    // micro-unit confidence/lift ---
+    "q_basket_rules" -> ((s, dir) =>
+      graft.analysis.Basket.pairRules(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("a"), col("b"))),
+
     // --- cohort LTV: per (acquisition cohort, age) revenue + running
     // cumulative, integer cents throughout ---
     "q_cohort_ltv" -> ((s, dir) => Sessionize.cohortValue(
@@ -3831,6 +3846,37 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_segments
         |FROM c WHERE nxt IS NOT NULL
         |GROUP BY 1, 2 ORDER BY process, level""".stripMargin,
+
+    "q_survival" ->
+      """WITH lt AS (
+        |  SELECT user_id,
+        |         MAX(epoch_us(ts) // 86400000000)
+        |           - MIN(epoch_us(ts) // 86400000000) AS age
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT age, CAST(COUNT(*) AS BIGINT) AS n_ended
+        |      FROM lt GROUP BY 1)
+        |SELECT CAST(age AS BIGINT) AS age, n_ended,
+        |       CAST(SUM(n_ended) OVER (ORDER BY age DESC
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+        |FROM e ORDER BY age""".stripMargin,
+
+    "q_basket_rules" ->
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         |            FROM lineitem),
+         |n AS (SELECT COUNT(DISTINCT b) AS nb FROM bi),
+         |sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS sup FROM bi GROUP BY 1),
+         |p AS (
+         |  SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS sup_ab
+         |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT p.a, p.b, p.sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+         |       CAST(p.sup_ab * 1000000 // sa.sup AS BIGINT) AS conf_ab_micro,
+         |       CAST(p.sup_ab * 1000000 // sb.sup AS BIGINT) AS conf_ba_micro,
+         |       CAST(p.sup_ab * n.nb * 1000000 // (sa.sup * sb.sup) AS BIGINT)
+         |         AS lift_micro
+         |FROM p JOIN sup sa ON sa.i = p.a JOIN sup sb ON sb.i = p.b
+         |CROSS JOIN n
+         |ORDER BY p.a, p.b""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH e AS (

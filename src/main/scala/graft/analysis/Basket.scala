@@ -1,0 +1,50 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules — frequent pair mining over
+  * (basket, item) rows: which items co-occur beyond chance, the
+  * recommender/assortment primitive. For every co-occurring item pair
+  * (a < b): joint support, each side's support, both directed
+  * confidences, and lift — all derived from exact integer counts with
+  * micro-unit integral division, so the report is bit-identical across
+  * engines (confidence/lift as floats would drift).
+  *
+  * Scale shape: one distinct over (basket, item), an inverted-index
+  * self-join on the BASKET key (work Σ|basket|² — bounded by basket
+  * sizes, never corpus-quadratic; cap pathological baskets upstream
+  * with `maxBasketSize`), and item/pair aggregations with map-side
+  * combine. `minSupport` prunes the pair tail before it shuffles into
+  * the rollup. */
+object Basket {
+
+  def pairRules(rows: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long = 2L,
+                maxBasketSize: Int = Int.MaxValue): DataFrame = {
+    require(minSupport >= 1L, s"minSupport must be >= 1: $minSupport")
+    val bi = rows.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val sized =
+      if (maxBasketSize == Int.MaxValue) bi
+      else bi.join(
+        bi.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") <= maxBasketSize).select(col("b")),
+        Seq("b"), "leftsemi")
+    val nBaskets = sized.select(col("b")).distinct().count()
+    val itemSup = sized.groupBy(col("i")).agg(count(lit(1)).as("sup"))
+    val pairSup = sized.as("x").join(sized.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSupport)
+    pairSup
+      .join(itemSup.select(col("i").as("a"), col("sup").as("sup_a")), Seq("a"))
+      .join(itemSup.select(col("i").as("b"), col("sup").as("sup_b")), Seq("b"))
+      .select(col("a"), col("b"), col("sup_ab"), col("sup_a"), col("sup_b"),
+        expr("sup_ab * 1000000 div sup_a").as("conf_ab_micro"),
+        expr("sup_ab * 1000000 div sup_b").as("conf_ba_micro"),
+        expr(s"sup_ab * ${nBaskets}L * 1000000 div (sup_a * sup_b)")
+          .as("lift_micro"))
+  }
+}

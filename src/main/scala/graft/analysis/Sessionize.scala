@@ -213,6 +213,30 @@ object Sessionize {
         sum(when(col("__m"), 1L).otherwise(0L)).as("n_matched"))
   }
 
+  /** Survival (churn) sufficient statistics — the Kaplan-Meier inputs
+    * over observed user lifetimes: per lifetime age t (days between a
+    * user's first and last event), how many users were still AT RISK at
+    * t (lifetime ≥ t) and how many ended exactly there. The survival
+    * curve S(t) = Π(1 − d_i/n_i) is a ratio PRODUCT — presentation
+    * arithmetic; the distributed work is these exact integer counts,
+    * and emitting them keeps the result engine-exact where a float
+    * product would drift. Plan: one per-user min/max aggregation, one
+    * age rollup, and a reverse cumulative window over the age-count
+    * table (ages-sized, tiny). */
+  def survivalCounts(events: DataFrame, keyCol: String = "user_id",
+                     tsCol: String = "t_us",
+                     dayMicros: Long = 86400000000L): DataFrame = {
+    val lifetimes = events
+      .select(col(keyCol), expr(s"$tsCol div $dayMicros").as("day"))
+      .groupBy(col(keyCol))
+      .agg((max(col("day")) - min(col("day"))).as("age"))
+    val ended = lifetimes.groupBy(col("age"))
+      .agg(count(lit(1)).as("n_ended"))
+    ended.withColumn("n_at_risk", sum(col("n_ended")).over(
+      Window.orderBy(col("age").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Session entry→exit paths: how sessions begin and how they end —
     * per (first event type, last event type) pair, the session count
     * ("users who arrive via X mostly leave after Y"). First/last are
