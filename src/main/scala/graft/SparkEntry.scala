@@ -616,6 +616,13 @@ object SparkEntry {
         .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))
     }),
 
+    // --- two-class overlap: time item and ship spans were open at once
+    // per process (the compute/copy pipelining-efficiency sweep) ---
+    "trace_overlap" -> ((s, dir) =>
+      graft.analysis.Concurrency.classOverlap(
+          TraceGen.callIntervals(s, dir), "item", "ship")
+        .orderBy(col("process"))),
+
     // --- cross-run clock alignment: run B is the call trace under a
     // per-process clock skew (+ (process+1)·1000 ns); aligning it onto
     // run A by first-Enter offsets must recover A's timeline EXACTLY ---
@@ -3150,6 +3157,14 @@ object SparkEntry {
         |  UNION ALL SELECT s0, 'Enter', ship_name, process FROM item
         |  UNION ALL SELECT s1, 'Leave', ship_name, process FROM item
         |) ORDER BY timestamp_ns, event_type, name, process""".stripMargin),
+
+    // ship spans sit strictly inside their item span, so the overlap
+    // truth is the ship spans themselves (one segment each)
+    "trace_overlap" -> (callCte +
+      """SELECT process,
+        |       CAST(SUM(s1 - s0) AS BIGINT) AS overlap_total,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments
+        |FROM item GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // exact-recovery truth: aligning the skewed twin back must land on
     // the original relational event set, timestamp for timestamp

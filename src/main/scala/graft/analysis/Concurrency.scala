@@ -48,4 +48,39 @@ object Concurrency {
       .agg(sum(col("nxt") - col("t")).as("total"),
         count(lit(1)).as("n_segments"))
   }
+
+  /** Two-class OVERLAP time per key — the pipelining-efficiency question
+    * ("how much did compute overlap the copies", kernel vs memcpy,
+    * request vs downstream call): total time ≥1 `classA` span AND ≥1
+    * `classB` span were open simultaneously. Same sweep as
+    * [[concurrencyProfile]] with one running counter per class: the
+    * per-(key, tick) net deltas are summed per class BEFORE the scan, so
+    * half-open [start, end) semantics and intra-tick order fall out for
+    * free, and the plan is the identical one-aggregation + one-keyed-
+    * window shape — never the quadratic interval-intersection join. */
+  def classOverlap(intervals: DataFrame, classA: String, classB: String,
+                   keyCol: String = "process", classCol: String = "cls",
+                   startCol: String = "start", endCol: String = "end")
+      : DataFrame = {
+    val relevant = intervals.filter(col(classCol).isin(classA, classB))
+    val deltas = relevant.select(col(keyCol), col(classCol),
+        col(startCol).as("t"), lit(1L).as("delta"))
+      .unionByName(relevant.select(col(keyCol), col(classCol),
+        col(endCol).as("t"), lit(-1L).as("delta")))
+    val net = deltas.groupBy(col(keyCol), col("t"))
+      .agg(sum(when(col(classCol) === classA, col("delta"))
+        .otherwise(0L)).as("net_a"),
+        sum(when(col(classCol) === classB, col("delta"))
+          .otherwise(0L)).as("net_b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+    net
+      .withColumn("open_a", sum(col("net_a")).over(w))
+      .withColumn("open_b", sum(col("net_b")).over(w))
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("nxt").isNotNull &&
+        col("open_a") > 0 && col("open_b") > 0)
+      .groupBy(col(keyCol))
+      .agg(sum(col("nxt") - col("t")).as("overlap_total"),
+        count(lit(1)).as("n_segments"))
+  }
 }

@@ -109,6 +109,26 @@ object TraceGen {
         lit(0L).as("tid"))
   }
 
+  /** Item and ship spans as CLASSED interval rows (process, cls,
+    * start, end) — the two-stream shape for overlap analysis; same
+    * derivation as [[callTrace]]'s item level (ship strictly inside its
+    * item, so the relational overlap truth is the ship span itself). */
+  def callIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val iBase = col("ok") * 1000000L + col("rn") * 50000L
+    rankedItems(spark, sfDir, orders)
+      .select((col("ck") % 64).cast(IntegerType).as("process"),
+        explode(array(
+          struct(lit("item").as("cls"), iBase.as("start"),
+            (iBase + col("l_quantity").cast(LongType) * 1000L - 10L).as("end")),
+          struct(lit("ship").as("cls"), (iBase + 100L).as("start"),
+            (iBase + col("l_quantity").cast(LongType) * 500L).as("end"))))
+          .as("s"))
+      .select(col("process"), col("s.cls").as("cls"),
+        col("s.start").as("start"), col("s.end").as("end"))
+  }
+
   /** events table with `ts` normalized to a NANOSECOND epoch Long (the
     * canonical trace timestamp), whatever the generator wrote:
     *

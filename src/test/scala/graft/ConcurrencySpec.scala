@@ -36,4 +36,25 @@ class ConcurrencySpec extends SparkSpec {
     val iv = Seq.empty[(Int, Long, Long)].toDF("process", "start", "end")
     assert(Concurrency.concurrencyProfile(iv).count() == 0)
   }
+
+  test("class overlap measures partial intersections, half-open") {
+    // key 0: A[0,10) B[5,20)  → overlap [5,10) = 5
+    //        A[30,40) B[40,50) → touching endpoints, no overlap
+    //        A[60,70) A[65,80) B[75,90) → overlap [75,80) = 5 (stacked A)
+    // key 1: only A → no overlap row
+    val iv = Seq(
+      (0, "A", 0L, 10L), (0, "B", 5L, 20L),
+      (0, "A", 30L, 40L), (0, "B", 40L, 50L),
+      (0, "A", 60L, 70L), (0, "A", 65L, 80L), (0, "B", 75L, 90L),
+      (1, "A", 0L, 100L)
+    ).toDF("process", "cls", "start", "end")
+    val got = Concurrency.classOverlap(iv, "A", "B").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0) == ((10L, 2L)))
+    assert(!got.contains(1))
+    // class C spans are ignored entirely
+    val withC = iv.union(Seq((0, "C", 0L, 1000L)).toDF("process", "cls", "start", "end"))
+    assert(Concurrency.classOverlap(withC, "A", "B").collect()
+      .map(r => r.getLong(1)).sum == 10L)
+  }
 }
