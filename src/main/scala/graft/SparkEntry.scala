@@ -3118,8 +3118,11 @@ object SparkEntry {
         |  FROM events),
         |r AS (SELECT event_type, event_id,
         |             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-        |               ORDER BY hv, event_id) AS INT) AS rank
+        |               ORDER BY hv, event_id DESC) AS INT) AS rank
         |      FROM h)
+        |-- event_id DESC on hash ties mirrors the k-heap's (ord, payload)
+        |-- descending tie order — divergence only matters on a 60-bit
+        |-- md5 collision, but the oracle should define the same total order
         |SELECT event_type, rank, event_id FROM r
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
@@ -4889,10 +4892,12 @@ object SparkEntry {
         |      FROM p),
         |sums AS (SELECT *,
         |        SUM(CASE WHEN rn_src <= 4 THEN s END) OVER (PARTITION BY src_id) AS sum_src,
-        |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst
+        |        SUM(CASE WHEN rn_src <= 4 THEN 1 END) OVER (PARTITION BY src_id) AS cnt_src,
+        |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst,
+        |        SUM(CASE WHEN rn_dst <= 4 THEN 1 END) OVER (PARTITION BY dst_id) AS cnt_dst
         |      FROM r),
         |m AS (SELECT src_id, dst_id, s,
-        |             s * 8 * 1000000 // (sum_src + sum_dst) AS margin_micro
+        |             s * (cnt_src + cnt_dst) * 1000000 // (sum_src + sum_dst) AS margin_micro
         |      FROM sums),
         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
         |           ORDER BY margin_micro DESC, dst_id) AS rn FROM m)
@@ -4916,10 +4921,12 @@ object SparkEntry {
         |      FROM p),
         |sums AS (SELECT *,
         |        SUM(CASE WHEN rn_src <= 4 THEN s END) OVER (PARTITION BY src_id) AS sum_src,
-        |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst
+        |        SUM(CASE WHEN rn_src <= 4 THEN 1 END) OVER (PARTITION BY src_id) AS cnt_src,
+        |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst,
+        |        SUM(CASE WHEN rn_dst <= 4 THEN 1 END) OVER (PARTITION BY dst_id) AS cnt_dst
         |      FROM r),
         |m AS (SELECT src_id, dst_id, s,
-        |             s * 8 * 1000000 // (sum_src + sum_dst) AS margin_micro
+        |             s * (cnt_src + cnt_dst) * 1000000 // (sum_src + sum_dst) AS margin_micro
         |      FROM sums),
         |best AS (SELECT *,
         |        ROW_NUMBER() OVER (PARTITION BY src_id

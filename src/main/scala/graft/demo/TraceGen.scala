@@ -141,6 +141,14 @@ object TraceGen {
     *  - µs-precision naive timestamp (`isAdjustedToUTC=false`): Spark
     *    reads TIMESTAMP_NTZ; convert naive→epoch under UTC so the value
     *    equals DuckDB's `epoch_us(ts)` exactly (no zone shift), ×1000.
+    *
+    * SIDE EFFECT (deliberate, session-wide): pins the session's
+    * `nanosAsLong` legacy conf and — on the NTZ layout — the session
+    * time zone to UTC, because the NTZ→epoch cast binds the zone at
+    * analysis time. Every harness main already runs pinned to UTC
+    * (build.sbt / Verify), so this only matters if the library is
+    * embedded in a non-UTC session: convert your own timestamps first
+    * in that case.
     */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

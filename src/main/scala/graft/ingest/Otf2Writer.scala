@@ -55,8 +55,16 @@ object Otf2Writer {
 
   private[ingest] def rec(t: Int, parts: Array[Byte]*): Array[Byte] = {
     val payload = parts.flatten.toArray
-    require(payload.length < 0xff, s"record payload ${payload.length} needs long form")
-    Array(t.toByte, payload.length.toByte) ++ payload
+    if (payload.length < 0xff)
+      Array(t.toByte, payload.length.toByte) ++ payload
+    else {
+      // long form (reader-supported): 0xff marker + u64 LE length —
+      // needed for e.g. >250-byte mangled C++ region names
+      val b = java.nio.ByteBuffer.allocate(10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(t.toByte); b.put(0xff.toByte); b.putLong(payload.length.toLong)
+      b.array() ++ payload
+    }
   }
 
   private[ingest] def tsRec(ticks: Long): Array[Byte] = {
@@ -83,6 +91,12 @@ object Otf2Writer {
                           attrs: Map[String, String],
                           regionRef: Map[String, Long]): Option[Array[Byte]] = {
     def a(k: String): Long = attrs.get(k).map(_.toLong).getOrElse(0L)
+    // the reader emits "communicator" -> "Comm N"; accept that, a plain
+    // int under either key, or absence — a re-export of a trace the
+    // reader produced must not silently zero every communicator
+    def comm(): Long =
+      attrs.get("communicator").orElse(attrs.get("communicator_id"))
+        .map(v => v.stripPrefix("Comm").trim.toLong).getOrElse(0L)
     def recvOr(k: String): Long =
       if (receiver != null) receiver.longValue() else a(k)
     val len = if (msgLen != null) msgLen.longValue() else a("msg_length")
@@ -91,23 +105,23 @@ object Otf2Writer {
       case Leave => Some(rec(0x0d, comp(regionRef(name))))
       case Instant => name match {
         case "MpiSend" =>
-          Some(rec(0x0e, comp(recvOr("receiver")), comp(a("communicator_id")),
+          Some(rec(0x0e, comp(recvOr("receiver")), comp(comm()),
             comp(a("msg_tag")), comp(len)))
         case "MpiRecv" =>
-          Some(rec(0x12, comp(recvOr("sender")), comp(a("communicator_id")),
+          Some(rec(0x12, comp(recvOr("sender")), comp(comm()),
             comp(a("msg_tag")), comp(len)))
         case "MpiIsend" =>
-          Some(rec(0x0f, comp(recvOr("receiver")), comp(a("communicator_id")),
+          Some(rec(0x0f, comp(recvOr("receiver")), comp(comm()),
             comp(a("msg_tag")), comp(len), comp(a("request_id"))))
         case "MpiIrecv" =>
-          Some(rec(0x13, comp(recvOr("sender")), comp(a("communicator_id")),
+          Some(rec(0x13, comp(recvOr("sender")), comp(comm()),
             comp(a("msg_tag")), comp(len), comp(a("request_id"))))
         case "MpiIsendComplete" => Some(rec(0x10, comp(a("request_id"))))
         case "MpiIrecvRequest" => Some(rec(0x11, comp(a("request_id"))))
         case "MpiCollectiveBegin" => Some(rec(0x16))
         case "MpiCollectiveEnd" =>
           Some(rec(0x17, Array(a("collective_op").toByte),
-            comp(a("communicator_id")), comp(a("root")),
+            comp(comm()), comp(a("root")),
             comp(a("size_sent")), comp(a("size_received"))))
         case _ => None
       }

@@ -44,6 +44,11 @@ object PprofReader {
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (true) {
+        // bound against THIS reader's end: a truncated/corrupt
+        // length-delimited field must throw, not silently read into the
+        // bytes of the field that follows it
+        if (pos >= end)
+          throw new IllegalArgumentException("bad pprof: varint past field end")
         val b = buf(pos); pos += 1
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
@@ -58,17 +63,23 @@ object PprofReader {
       val t = varint()
       ((t >>> 3).toInt, (t & 7).toInt)
     }
+    private def advance(n: Int): Unit = {
+      if (n < 0 || pos + n > end)
+        throw new IllegalArgumentException(
+          s"bad pprof: field of $n bytes exceeds enclosing message")
+      pos += n
+    }
     def lenDelim(): Reader = {
       val n = varint().toInt
-      val r = new Reader(buf, pos, pos + n)
-      pos += n
-      r
+      val start = pos
+      advance(n)
+      new Reader(buf, start, start + n)
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint(): Unit
-      case 1 => pos += 8
-      case 2 => val n = varint().toInt; pos += n
-      case 5 => pos += 4
+      case 1 => advance(8)
+      case 2 => advance(varint().toInt)
+      case 5 => advance(4)
       case w => throw new IllegalArgumentException(s"bad pprof: wire type $w")
     }
     def bytes(): Array[Byte] = java.util.Arrays.copyOfRange(buf, pos, end)

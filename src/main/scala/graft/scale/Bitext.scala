@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.LongType
   * (floor(cos·10⁶)+10⁶ ∈ [0, 2·10⁶], so every later value is a
   * non-negative integer and truncating and flooring division agree
   * across engines). Ranking, neighborhood sums, and the margin ratio
-  *   margin_micro = s · 2k · 10⁶ div (Σtopk_src + Σtopk_dst)
+  *   margin_micro = s · (n_src + n_dst) · 10⁶ div (Σtop_src + Σtop_dst)
   * are then pure integer ops — order-free and bit-identical in any
   * engine (a float mean would drift with summation order).
   *
@@ -114,12 +114,21 @@ object Bitext {
         bySrc.orderBy(col("s").desc, col("dst_id"))))
       .withColumn("sum_src",
         sum(when(col("rn_src") <= k, col("s"))).over(bySrc))
+      // the numerator scales by the ACTUAL neighborhood sizes (≤ k when
+      // a side has fewer than k candidates): a fixed 2k numerator over
+      // short sums would inflate margins on small language sides. cnt
+      // windows sit adjacent to their same-key sum so each exchange is
+      // still shared.
+      .withColumn("cnt_src",
+        sum(when(col("rn_src") <= k, 1L)).over(bySrc))
       .withColumn("rn_dst", row_number().over(
         byDst.orderBy(col("s").desc, col("src_id"))))
       .withColumn("sum_dst",
         sum(when(col("rn_dst") <= k, col("s"))).over(byDst))
+      .withColumn("cnt_dst",
+        sum(when(col("rn_dst") <= k, 1L)).over(byDst))
       .withColumn("margin_micro",
-        expr(s"s * ${2L * k} * 1000000 div (sum_src + sum_dst)"))
+        expr("s * (cnt_src + cnt_dst) * 1000000 div (sum_src + sum_dst)"))
     scored
   }
 }

@@ -214,6 +214,11 @@ object Curation {
     * (array ops, no shuffle); row amplification ≈ n_tokens/stride. */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // stride > chunkTokens would leave token gaps (and can emit an empty
+    // trailing chunk with tok_start > tok_end), breaking the documented
+    // every-token-covered contract
+    require(stride > 0 && chunkTokens > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
     val lastChunk =
       s"(greatest(n_tokens - $chunkTokens, 0) + ${stride - 1}) div $stride"
     docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))

@@ -98,7 +98,11 @@ object DataQuality {
     * expectation (log₁₀(1+1/d)) is presentation-side. One aggregation
     * over 9 groups + a broadcast total. */
   def benford(df: DataFrame, c: String): DataFrame = {
-    val digits = df.filter(col(c) > 0)
+    // gate on the CAST value: a fractional 0 < x < 1 truncates to 0 and
+    // would pollute the report with a bogus digit-0 bucket instead of
+    // its first significant digit — scale sub-unit columns (cents,
+    // micro-units) before profiling
+    val digits = df.filter(col(c).cast("long") >= 1)
       .select(substring(col(c).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))

@@ -38,6 +38,13 @@ object LinAlg {
             acc = new Array[Long](dim * (dim + 1) / 2)
             xi = new Array[Long](dim)
           }
+          // ragged inputs must fail loudly: a longer vector would be
+          // silently truncated to the partition's first-row dim (and a
+          // shorter one would throw an opaque index error), corrupting
+          // the Gram/covariance with mixed statistics
+          if (v.length != dim)
+            throw new IllegalArgumentException(
+              s"gramMicro: inconsistent embedding dims ${v.length} vs $dim")
           var i = 0
           while (i < dim) {
             xi(i) = math.floor(v(i).toDouble * 1000000d).toLong; i += 1

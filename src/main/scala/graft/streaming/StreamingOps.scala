@@ -727,9 +727,15 @@ object StreamingOps {
       CdcState(Long.MinValue, "", 0L, applied = false))
     var stale = 0L
     var changed = false
-    for (r <- rows.toSeq.sortBy(_.seq)) {
-      if (st.applied && r.seq <= st.seq) stale += 1
-      else { st = CdcState(r.seq, r.op, r.v, applied = true); changed = true }
+    // total order (seq, op, v) mirrors MergeApply.applyCdc's
+    // (seqCol, tieCols...) rule: equal-seq changes resolve to the SAME
+    // deterministic winner as the batch op, not to micro-batch
+    // iterator order; an exact replay of the applied change is stale
+    for (r <- rows.toSeq.sortBy(x => (x.seq, x.op, x.v))) {
+      val newer = !st.applied || Ordering[(Long, String, Long)]
+        .gt((r.seq, r.op, r.v), (st.seq, st.op, st.v))
+      if (newer) { st = CdcState(r.seq, r.op, r.v, applied = true); changed = true }
+      else stale += 1
     }
     state.update(st)
     idleTimeout.foreach(state.setTimeoutDuration)

@@ -38,8 +38,10 @@ class BitextSpec extends SparkSpec {
       bi -> a.map { case (ai, _) => (s((ai, bi)), ai) }
         .sortBy { case (v, id) => (-v, id) }.take(k).map(_._1).sum
     }.toMap
+    val cntSrc = math.min(k, b.size).toLong
+    val cntDst = math.min(k, a.size).toLong
     s.map { case ((ai, bi), sim) =>
-      (ai, bi) -> sim * 2 * k * 1000000L / (sumSrc(ai) + sumDst(bi))
+      (ai, bi) -> sim * (cntSrc + cntDst) * 1000000L / (sumSrc(ai) + sumDst(bi))
     }
   }
 

@@ -65,6 +65,25 @@ class Otf2WriterSpec extends SparkSpec {
     assert(rattrs("sender") == "0" && rattrs("msg_tag") == "5")
   }
 
+  test("re-exporting a READER-produced trace keeps communicators and long names") {
+    // reader attribute convention: "communicator" -> "Comm N"
+    val longName = "ns::" + ("x" * 300) + "::work" // forces a long-form record
+    val t = Seq(
+      (0L, 10L, Enter, longName, 0, null, null, Map.empty[String, String]),
+      (1L, 20L, Instant, "MpiSend", 0, Int.box(1), Long.box(512L),
+        Map("communicator" -> "Comm 3", "msg_tag" -> "9")),
+      (2L, 90L, Leave, longName, 0, null, null, Map.empty[String, String])
+    ).toDF(EventId, TimestampNs, EventType, Name, Process,
+      AttrReceiver, AttrMsgLength, Attributes)
+    val d = Files.createTempDirectory("otf2-writer-comm").toString
+    Otf2Writer.save(t, d)
+    val back = Otf2Reader.read(spark, d)
+    assert(back.filter(col(Name) === longName).count() == 2L)
+    val send = back.filter(col(Name) === "MpiSend").collect()(0)
+    val attrs = send.getMap[String, String](send.fieldIndex(Attributes))
+    assert(attrs("communicator") == "Comm 3" && attrs("msg_tag") == "9")
+  }
+
   test("a second write round-trips a trace without attribute columns") {
     val bare = trace.filter(col(EventType).isin(Enter, Leave))
       .select(col(EventId), col(TimestampNs), col(EventType), col(Name),

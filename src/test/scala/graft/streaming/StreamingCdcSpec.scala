@@ -47,11 +47,17 @@ class StreamingCdcSpec extends SparkSpec {
   test("stale replays below the high-water mark drop and are counted") {
     val live = state(timeout = false,
       Some(CdcState(50L, "U", 4L, applied = true)))
+    // below the high-water (seq, op, v) order: stale. An equal-seq row
+    // with a HIGHER tie (50,U,98 > 50,U,4) wins, exactly as batch
+    // applyCdc's (seq, tieCols) rule would rank it.
     val out = StreamingOps.cdcGroup(None)(2L, Iterator(
       CdcIn(2L, 40L, "U", 99L), CdcIn(2L, 50L, "U", 98L)), live).toList
-    // nothing newer arrived: state unchanged, audit row reports 2 stale
-    assert(out == List(CdcOut(2L, 50L, "U", 4L, deleted = false, n_stale = 2L)))
-    assert(live.get == CdcState(50L, "U", 4L, applied = true))
+    assert(out == List(CdcOut(2L, 50L, "U", 98L, deleted = false, n_stale = 1L)))
+    assert(live.get == CdcState(50L, "U", 98L, applied = true))
+    // an exact replay of the applied change is stale, not re-applied
+    val replay = StreamingOps.cdcGroup(None)(2L,
+      Iterator(CdcIn(2L, 50L, "U", 98L)), live).toList
+    assert(replay == List(CdcOut(2L, 50L, "U", 98L, deleted = false, n_stale = 1L)))
     // a quiet batch for this key emits nothing
     val quiet = StreamingOps.cdcGroup(None)(2L, Iterator.empty, live).toList
     assert(quiet.isEmpty)
