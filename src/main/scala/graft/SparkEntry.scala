@@ -1219,6 +1219,11 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // --- LSH candidate precision vs EXACT Jaccard at tau = 1/2 ---
+    "lsh_precision" -> ((s, dir) =>
+      Dedup.lshPrecision(T(s, dir, "documents"),
+        Dedup.minhashLshPairs(minhashSigs(s, dir)))),
+
     "dedup_components" -> ((s, dir) =>
       lshComponents(s, dir).orderBy(col("node"))),
 
@@ -4513,6 +4518,31 @@ object SparkEntry {
         |                / CAST(t.n + t.v AS DOUBLE))), 4) AS mean_nll
         |FROM dt LEFT JOIN freq f USING (tok) CROSS JOIN tot t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "lsh_precision" -> (shinglesCte + lshPairsCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sets AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |         FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM prs p
+        |  JOIN dsh sa ON sa.doc_id = p.a
+        |  JOIN dsh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.a, p.b, COALESCE(i.i, 0) AS i, za.sz AS sza, zb.sz AS szb
+        |  FROM prs p
+        |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        |  JOIN sets za ON za.doc_id = p.a
+        |  JOIN sets zb ON zb.doc_id = p.b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |       CAST(SUM(CASE WHEN i * 2 >= (sza + szb - i) * 1
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |       CAST(CASE WHEN COUNT(*) > 0
+        |         THEN SUM(CASE WHEN i * 2 >= (sza + szb - i) * 1
+        |                       THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+        |         ELSE 0 END AS BIGINT) AS precision_micro
+        |FROM j""".stripMargin),
 
     "minhash_estimate" -> (shinglesCte + lshPairsCte +
       """SELECT p.a, p.b,

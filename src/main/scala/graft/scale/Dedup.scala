@@ -215,6 +215,43 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstimate)
   }
 
+  /** Candidate-set PRECISION against the exact Jaccard — the LSH eval a
+    * production dedup pipeline runs before trusting its banding config:
+    * of the candidate pairs the bands emitted, how many are TRUE
+    * near-dups at threshold tauNum/tauDen? One row:
+    * (n_candidates, n_true, precision_micro). The verdict is the exact
+    * integer cross-multiplication over true shingle-set sizes and
+    * array_intersect intersections (the [[jaccardPrefixPairs]]
+    * verification shape — candidates-sized work, no corpus re-scan
+    * beyond one shingle pass), so the report is engine-exact. The
+    * recall side lives in `lsh_tuning` (banding sweep) — together they
+    * bound the config from both directions. */
+  def lshPrecision(docs: DataFrame, pairs: DataFrame,
+                   tauNum: Int = 1, tauDen: Int = 2, shingleK: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1]: $tauNum/$tauDen")
+    val sets = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("sz"))
+    pairs
+      .join(sets.select(col(idCol).as("a"), col("set").as("set_a"),
+        col("sz").as("sza")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("set").as("set_b"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("i",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("i") * tauDen >= (col("sza") + col("szb") - col("i")) * tauNum,
+          1L).otherwise(0L)).as("n_true"))
+      .select(col("n_candidates"), col("n_true"),
+        when(col("n_candidates") > 0,
+          expr("n_true * 1000000 div n_candidates")).otherwise(0L)
+          .as("precision_micro"))
+  }
+
   /** The retained corpus after exact dedup: the minimum-id document of
     * every distinct content survives (semi-join against [[exact]]'s
     * representatives — no wide row shuffle of the corpus itself). */
