@@ -50,6 +50,14 @@ case class Corpus(docs: DataFrame) {
     Curation.leakageSafeSplit(docs, components, nSplits)
   def epochOrder(weights: Seq[(String, Int)]): DataFrame =
     Curation.epochOrder(docs, weights)
+  def epochShards(weights: Seq[(String, Int)], docsPerShard: Int): DataFrame =
+    Curation.epochShards(docs, weights, docsPerShard)
+  def budgetTruncate(budgets: Seq[(String, Long)],
+                     defaultBudget: Long): DataFrame =
+    Curation.budgetTruncate(docs, budgets, defaultBudget)
+  def lshPrecision(pairs: DataFrame, tauNum: Int = 1,
+                   tauDen: Int = 2): DataFrame =
+    Dedup.lshPrecision(docs, pairs, tauNum, tauDen)
   def packBatches(budgetTokens: Long = 4096L): DataFrame =
     Curation.packBatches(docs, budgetTokens)
 
