@@ -1434,6 +1434,24 @@ object SparkEntry {
           "en", "de")
         .orderBy(col("src_id"))),
 
+    // --- candidate-FED margin mining: the corpus-scale Bitext path —
+    // candidates come from a keyed bucket join (here: equal embedding
+    // label, the SQL-expressible stand-in for clusterCandidates'
+    // kmeans-probe buckets), margins computed within the candidate set;
+    // never the |src|×|dst| cross product ---
+    "xlingual_margin_cand" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings"); val docs = T(s, dir, "documents")
+      val lang = docs.select(col("doc_id").as("vec_id"), col("lang"))
+      val tagged = emb.select("vec_id", "label").join(lang, "vec_id")
+      val cand = tagged.filter(col("lang") === "en")
+          .select(col("vec_id").as("src_id"), col("label"))
+        .join(tagged.filter(col("lang") === "de")
+          .select(col("vec_id").as("dst_id"), col("label")), "label")
+        .select("src_id", "dst_id")
+      Bitext.marginPairs(emb, docs, "en", "de", candidates = Some(cand))
+        .orderBy(col("src_id"))
+    }),
+
     // --- SQ8 scalar quantization: per-dim [min,max] fit (cached like
     // the k-means/PQ models), codes packed by a codegen'd loop — the
     // exploded (vec,dim,code) form is presentation-only ---
@@ -4903,69 +4921,36 @@ object SparkEntry {
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // shifted micro-cosines make every margin value a non-negative
-    // integer, so DuckDB's // and Spark's div agree (both truncating,
-    // truncation == floor for non-negatives)
-    "xlingual_margin" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |lv AS (SELECT d.lang, e.vec_id, e.v
-        |       FROM e JOIN documents d ON d.doc_id = e.vec_id),
-        |a AS (SELECT vec_id AS src_id, v FROM lv WHERE lang = 'en'),
-        |b AS (SELECT vec_id AS dst_id, v FROM lv WHERE lang = 'de'),
-        |p AS (SELECT a.src_id, b.dst_id,
-        |             CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000)
-        |               AS BIGINT) + 1000000 AS s
-        |      FROM a, b),
-        |r AS (SELECT *,
-        |        ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY s DESC, dst_id) AS rn_src,
-        |        ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY s DESC, src_id) AS rn_dst
-        |      FROM p),
-        |sums AS (SELECT *,
-        |        SUM(CASE WHEN rn_src <= 4 THEN s END) OVER (PARTITION BY src_id) AS sum_src,
-        |        SUM(CASE WHEN rn_src <= 4 THEN 1 END) OVER (PARTITION BY src_id) AS cnt_src,
-        |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst,
-        |        SUM(CASE WHEN rn_dst <= 4 THEN 1 END) OVER (PARTITION BY dst_id) AS cnt_dst
-        |      FROM r),
-        |m AS (SELECT src_id, dst_id, s,
-        |             s * (cnt_src + cnt_dst) * 1000000 // (sum_src + sum_dst) AS margin_micro
-        |      FROM sums),
-        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-        |           ORDER BY margin_micro DESC, dst_id) AS rn FROM m)
-        |SELECT src_id, dst_id, s - 1000000 AS sim_micro, margin_micro
+    // engine-exact bitext scoring: per-component micro-quantization
+    // (floor(x·10⁶) as BIGINT) makes dot/norms order-free integers; the
+    // cosine is then ONE fixed IEEE expression (mul, sqrt, div, floor —
+    // all correctly rounded) over identical integer inputs, so it is
+    // bit-identical to Spark's VecDotMicro/VecNorm2Micro path. The
+    // margin is the TRUE unshifted ratio with sign-explicit division
+    // (|num| // |den| is trunc==floor; signs applied outside).
+    "xlingual_margin" -> (xlingualScoredCte +
+      """best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |           ORDER BY margin_micro DESC, dst_id) AS rn FROM mm)
+        |SELECT src_id, dst_id, s AS sim_micro, margin_micro
         |FROM best WHERE rn = 1 AND margin_micro > 1050000
-        |ORDER BY src_id""".stripMargin,
+        |ORDER BY src_id""".stripMargin),
 
-    "xlingual_mutual" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |lv AS (SELECT d.lang, e.vec_id, e.v
-        |       FROM e JOIN documents d ON d.doc_id = e.vec_id),
-        |a AS (SELECT vec_id AS src_id, v FROM lv WHERE lang = 'en'),
-        |b AS (SELECT vec_id AS dst_id, v FROM lv WHERE lang = 'de'),
-        |p AS (SELECT a.src_id, b.dst_id,
-        |             CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000)
-        |               AS BIGINT) + 1000000 AS s
-        |      FROM a, b),
-        |r AS (SELECT *,
-        |        ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY s DESC, dst_id) AS rn_src,
-        |        ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY s DESC, src_id) AS rn_dst
-        |      FROM p),
-        |sums AS (SELECT *,
-        |        SUM(CASE WHEN rn_src <= 4 THEN s END) OVER (PARTITION BY src_id) AS sum_src,
-        |        SUM(CASE WHEN rn_src <= 4 THEN 1 END) OVER (PARTITION BY src_id) AS cnt_src,
-        |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst,
-        |        SUM(CASE WHEN rn_dst <= 4 THEN 1 END) OVER (PARTITION BY dst_id) AS cnt_dst
-        |      FROM r),
-        |m AS (SELECT src_id, dst_id, s,
-        |             s * (cnt_src + cnt_dst) * 1000000 // (sum_src + sum_dst) AS margin_micro
-        |      FROM sums),
-        |best AS (SELECT *,
+    "xlingual_mutual" -> (xlingualScoredCte +
+      """best AS (SELECT *,
         |        ROW_NUMBER() OVER (PARTITION BY src_id
         |          ORDER BY margin_micro DESC, dst_id) AS rf,
         |        ROW_NUMBER() OVER (PARTITION BY dst_id
-        |          ORDER BY margin_micro DESC, src_id) AS rb FROM m)
-        |SELECT src_id, dst_id, s - 1000000 AS sim_micro, margin_micro
+        |          ORDER BY margin_micro DESC, src_id) AS rb FROM mm)
+        |SELECT src_id, dst_id, s AS sim_micro, margin_micro
         |FROM best WHERE rf = 1 AND rb = 1 AND margin_micro > 1000000
-        |ORDER BY src_id""".stripMargin,
+        |ORDER BY src_id""".stripMargin),
+
+    "xlingual_margin_cand" -> (xlingualScoredCte("AND b.label = a.label") +
+      """best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |           ORDER BY margin_micro DESC, dst_id) AS rn FROM mm)
+        |SELECT src_id, dst_id, s AS sim_micro, margin_micro
+        |FROM best WHERE rn = 1 AND margin_micro > 1050000
+        |ORDER BY src_id""".stripMargin),
 
     // the engine packs codes in a codegen'd loop; DuckDB re-derives
     // them per (vec, dim). Identical IEEE double expression + LEAST
@@ -7064,6 +7049,70 @@ object SparkEntry {
       |  LEFT JOIN rc ON rc.bucket = g.generate_series
       |  LEFT JOIN tc ON tc.bucket = g.generate_series CROSS JOIN tot t),
       |db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM f GROUP BY 1, 2)
+      |""".stripMargin
+
+  /** Shared bitext scoring pipeline (see Bitext.scala header): quantize
+    * components to integer micro-units, integer dot/norm², ONE IEEE
+    * expression for the cosine, true ratio margin with sign-explicit
+    * integer division. Ends at `mm(src_id, dst_id, s, margin_micro)`,
+    * ready for a final best-row CTE. */
+  private def xlingualScoredCte: String = xlingualScoredCte("")
+
+  /** `candRestrict` is an extra predicate over the candidate sides `a`
+    * and `b` (each carries the embedding `label`) — "" is the brute-force
+    * cross product; "AND b.label = a.label" is the label-bucketed
+    * candidate path (the SQL-expressible twin of candidate-fed mining:
+    * margins are computed WITHIN the candidate set, matching
+    * Bitext.scoredPairs with `candidates` supplied). */
+  private def xlingualScoredCte(candRestrict: String): String =
+    s"""WITH x AS (
+      |  SELECT vec_id, CAST(i AS INT) AS i,
+      |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM (SELECT vec_id, embedding,
+      |               UNNEST(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings)),
+      |a AS (SELECT d.doc_id AS vec_id, e.label FROM documents d
+      |      JOIN embeddings e ON e.vec_id = d.doc_id WHERE d.lang = 'en'),
+      |b AS (SELECT d.doc_id AS vec_id, e.label FROM documents d
+      |      JOIN embeddings e ON e.vec_id = d.doc_id WHERE d.lang = 'de'),
+      |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM x GROUP BY 1),
+      |dots AS (
+      |  SELECT xa.vec_id AS src_id, xb.vec_id AS dst_id,
+      |         CAST(SUM(xa.v * xb.v) AS BIGINT) AS dot
+      |  FROM x xa JOIN a ON xa.vec_id = a.vec_id
+      |       JOIN x xb ON xb.i = xa.i
+      |       JOIN b ON xb.vec_id = b.vec_id $candRestrict
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT d.src_id, d.dst_id,
+      |         CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(FLOOR(CAST(d.dot AS DOUBLE) * 1000000 /
+      |                   SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+      |                AS BIGINT) END AS s
+      |  FROM dots d JOIN n na ON na.vec_id = d.src_id
+      |       JOIN n nb ON nb.vec_id = d.dst_id),
+      |r AS (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY s DESC, dst_id) AS rn_src,
+      |        ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY s DESC, src_id) AS rn_dst
+      |      FROM p),
+      |sums AS (SELECT *,
+      |        SUM(CASE WHEN rn_src <= 4 THEN s END) OVER (PARTITION BY src_id) AS sum_src,
+      |        SUM(CASE WHEN rn_src <= 4 THEN 1 END) OVER (PARTITION BY src_id) AS cnt_src,
+      |        SUM(CASE WHEN rn_dst <= 4 THEN s END) OVER (PARTITION BY dst_id) AS sum_dst,
+      |        SUM(CASE WHEN rn_dst <= 4 THEN 1 END) OVER (PARTITION BY dst_id) AS cnt_dst
+      |      FROM r),
+      |m AS (SELECT src_id, dst_id, s,
+      |             CAST(s * (cnt_src + cnt_dst) * 1000000 AS BIGINT) AS num,
+      |             CAST(sum_src + sum_dst AS BIGINT) AS den
+      |      FROM sums),
+      |mm AS (SELECT src_id, dst_id, s,
+      |         CASE WHEN den = 0 THEN
+      |                CASE WHEN num > 0 THEN CAST(9000000000000000 AS BIGINT)
+      |                     WHEN num < 0 THEN CAST(-9000000000000000 AS BIGINT)
+      |                     ELSE CAST(0 AS BIGINT) END
+      |              WHEN (num >= 0) = (den > 0) THEN ABS(num) // ABS(den)
+      |              ELSE -(ABS(num) // ABS(den)) END AS margin_micro
+      |       FROM m),
       |""".stripMargin
 
   private def lshPairsCte: String =

@@ -200,6 +200,127 @@ case class VecDotSafe(left: Expression, right: Expression)
       newRight: Expression): VecDotSafe = copy(left = newLeft, right = newRight)
 }
 
+/** Engine-exact integer dot product: each component is quantized to
+  * micro-units — `(long) floor((double) x · 10⁶)` — and the products are
+  * summed as longs. Integer addition is associative, so the result is
+  * independent of summation order and bit-identical in ANY engine that
+  * quantizes the same way (DuckDB: `CAST(FLOOR(CAST(x AS DOUBLE) *
+  * 1000000) AS BIGINT)`), unlike a float dot whose last ulp depends on
+  * loop order. This is the similarity kernel for operators whose oracle
+  * comparison is hash-exact (bitext mining): the float → floor boundary
+  * flip that plagued `floor(cosine·10⁶)` cannot occur because no float
+  * accumulation happens at all.
+  *
+  * Range: 64-dim unit-scale embeddings give |q| ≤ ~10⁶, per-term ≤ 10¹²,
+  * sum ≤ ~10¹⁴ — five orders below Long overflow. */
+case class VecDotMicro(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = VecMath.checkVecTypes(left, right)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_micro"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val af = elemIsFloat(left); val bf = elemIsFloat(right)
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += math.floor(x * 1000000d).toLong * math.floor(y * 1000000d).toLong
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // freshName'd locals — see VecCosine.doGenCode
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (long) java.lang.Math.floor((double) $a.$aGet($i) * 1000000.0)
+         |        * (long) java.lang.Math.floor((double) $b.$bGet($i) * 1000000.0);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDotMicro = copy(left = newLeft, right = newRight)
+}
+
+/** Engine-exact squared norm of the micro-quantized vector — the other
+  * sufficient statistic [[VecDotMicro]]-based cosine needs. Same
+  * quantization contract; computed ONCE per vector (not per pair). */
+case class VecNorm2Micro(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm2_micro needs array<float|double>, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_norm2_micro"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val af = elemIsFloat
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val q = math.floor(
+        (if (af) a.getFloat(i).toDouble else a.getDouble(i)) * 1000000d).toLong
+      s += q * q
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val s = ctx.freshName("s")
+    val q = ctx.freshName("q")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $q = (long) java.lang.Math.floor((double) $a.$get($i) * 1000000.0);
+         |  $s += $q * $q;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm2Micro =
+    copy(child = newChild)
+}
+
 object VecMath {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -214,4 +335,6 @@ object VecMath {
   }
   def cosine(a: Column, b: Column): Column = column(VecCosine(expression(a), expression(b)))
   def dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
+  def dotMicro(a: Column, b: Column): Column = column(VecDotMicro(expression(a), expression(b)))
+  def norm2Micro(a: Column): Column = column(VecNorm2Micro(expression(a)))
 }

@@ -3,7 +3,7 @@ package graft.scale
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.DoubleType
 
 /** Cross-lingual parallel-candidate mining over an embedding column —
   * the LASER/CCMatrix bitext-mining workload: for every document in a
@@ -15,46 +15,67 @@ import org.apache.spark.sql.types.LongType
   * of both endpoints' k-nearest neighborhoods, so only pairs that are
   * MUTUALLY unusually close survive.
   *
-  * Engine-exact arithmetic: cosines are floored to shifted micro-units
-  * (floor(cos·10⁶)+10⁶ ∈ [0, 2·10⁶], so every later value is a
-  * non-negative integer and truncating and flooring division agree
-  * across engines). Ranking, neighborhood sums, and the margin ratio
-  *   margin_micro = s · (n_src + n_dst) · 10⁶ div (Σtop_src + Σtop_dst)
-  * are then pure integer ops — order-free and bit-identical in any
-  * engine (a float mean would drift with summation order).
+  * Engine-exact arithmetic, two layers:
   *
-  * Scale shape: the pair table here is the |src|×|dst| cross product with
-  * the DST SIDE BROADCAST — exact, and the right baseline while one side
-  * fits an executor (mining a new crawl against a pivot-language batch).
-  * When both sides are corpus-scale, generate the candidate pairs with
-  * the cluster-restricted shuffle join ([[Similarity]]'s kNN-graph shape)
-  * or the IVF index and feed them through the same margin windows: every
-  * window below keys on src_id or dst_id, so nothing in the scoring
-  * stage is quadratic — only candidate generation is, and only if you
-  * choose brute force. The three same-key window pairs (rank + sum per
-  * side, then best-per-src) plan as one exchange per key.
+  *  1. The cosine itself is computed from INTEGER sufficient statistics:
+  *     each embedding component is quantized to micro-units
+  *     (`floor(x·10⁶)` as a long — [[graft.functions.VecDotMicro]] /
+  *     [[graft.functions.VecNorm2Micro]]), so the dot product and both
+  *     squared norms are order-free exact integers in any engine. The
+  *     final `s = floor(dot · 10⁶ / sqrt(na2 · nb2))` is ONE fixed IEEE
+  *     expression tree (cast, multiply, sqrt, divide, floor — each
+  *     correctly rounded by IEEE 754) over identical integer inputs, so
+  *     it is bit-identical across engines. A float cosine accumulated in
+  *     loop order (the usual kernel) differs in the last ulp between
+  *     engines and flips `floor` at micro-unit boundaries.
+  *  2. The margin is the TRUE unshifted Artetxe-Schwenk ratio
+  *     `cos(x,y) / mean(top-k neighborhood cosines)`, carried as
+  *     `margin_micro = s·(cnt_src+cnt_dst)·10⁶ / (sum_src+sum_dst)` with
+  *     sign-explicit integer division: `sign(num)·sign(den)·
+  *     (|num| div |den|)` — truncating and flooring division agree on
+  *     non-negative operands, so the CASE is engine-exact even when a
+  *     cosine or a neighborhood sum is negative. A zero denominator
+  *     (degenerate all-zero neighborhood) maps to a signed sentinel
+  *     (±9·10¹⁵, above any finite margin). The default thresholds are
+  *     therefore honest paper values: 1.05·10⁶ IS the ratio 1.05.
+  *
+  * Scale shape: by default the pair table is the |src|×|dst| cross
+  * product with the DST SIDE BROADCAST — exact, and the right baseline
+  * while one side fits an executor (mining a new crawl against a
+  * pivot-language batch). When both sides are corpus-scale, pass
+  * `candidates` (e.g. [[Bitext.clusterCandidates]] — a shared-quantizer
+  * cluster-probe join, shuffle-keyed, never quadratic): the same margin
+  * windows then run over the candidate pairs only, and each pair's
+  * neighborhood is its top-k within the candidate set — the standard
+  * approximation deployed miners make (FAISS-retrieved neighborhoods).
+  * Every window below keys on src_id or dst_id, so nothing in the
+  * scoring stage is quadratic — only candidate generation is, and only
+  * if you choose brute force. The three same-key window pairs (rank +
+  * sum per side, then best-per-src) plan as one exchange per key.
   */
 object Bitext {
 
   /** Best dst-language candidate per src-language doc with ratio margin
     * above `thresholdMicro` (10⁶ = margin 1.0; 1.05·10⁶ is the paper's
-    * working point). `k` is the neighborhood size for the margin
-    * normalizer. Output: (src_id, dst_id, sim_micro, margin_micro),
-    * sim_micro the UNshifted floor(cos·10⁶). */
+    * working point — the margin here is the UNSHIFTED ratio, so the
+    * threshold is used at face value). `k` is the neighborhood size for
+    * the margin normalizer. Output: (src_id, dst_id, sim_micro,
+    * margin_micro), sim_micro the quantized-cosine `s` in micro-units. */
   def marginPairs(emb: DataFrame, docs: DataFrame,
                   srcLang: String, dstLang: String,
                   k: Int = 4, thresholdMicro: Long = 1050000L,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   docIdCol: String = "doc_id",
-                  langCol: String = "lang"): DataFrame =
+                  langCol: String = "lang",
+                  candidates: Option[DataFrame] = None): DataFrame =
     scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol, docIdCol,
-        langCol)
+        langCol, candidates)
       .withColumn("best", row_number().over(
         Window.partitionBy(col("src_id"))
           .orderBy(col("margin_micro").desc, col("dst_id"))))
       .filter(col("best") === 1 && col("margin_micro") > thresholdMicro)
       .select(col("src_id"), col("dst_id"),
-        (col("s") - 1000000L).as("sim_micro"), col("margin_micro"))
+        col("s").as("sim_micro"), col("margin_micro"))
 
   /** MUTUAL best matches — the working criterion of deployed bitext
     * miners: (a, b) survives only if b is a's best candidate by margin
@@ -69,9 +90,10 @@ object Bitext {
                   k: Int = 4, thresholdMicro: Long = 1000000L,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   docIdCol: String = "doc_id",
-                  langCol: String = "lang"): DataFrame =
+                  langCol: String = "lang",
+                  candidates: Option[DataFrame] = None): DataFrame =
     scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol, docIdCol,
-        langCol)
+        langCol, candidates)
       .withColumn("best_fwd", row_number().over(
         Window.partitionBy(col("src_id"))
           .orderBy(col("margin_micro").desc, col("dst_id"))))
@@ -81,27 +103,77 @@ object Bitext {
       .filter(col("best_fwd") === 1 && col("best_bwd") === 1 &&
         col("margin_micro") > thresholdMicro)
       .select(col("src_id"), col("dst_id"),
-        (col("s") - 1000000L).as("sim_micro"), col("margin_micro"))
+        col("s").as("sim_micro"), col("margin_micro"))
+
+  /** Scale-safe candidate generation: both language sides are assigned
+    * to the SAME learned coarse quantizer (the IVF playbook —
+    * [[Similarity.kmeansFit]] on the union), the src side probes its
+    * `nprobe` nearest centroids, and candidates are the src-probe ×
+    * dst-assignment pairs joined ON THE CLUSTER KEY — a keyed shuffle
+    * join whose output is Σ_c |src probing c|·|dst in c|, never the
+    * |src|×|dst| cross product. Raising `nprobe` (or `nClusters`↓)
+    * trades candidate recall against pair count, exactly like IVF
+    * search. Output: (src_id, dst_id) distinct pairs for
+    * [[marginPairs]]/[[mutualPairs]]' `candidates` input. */
+  def clusterCandidates(emb: DataFrame, docs: DataFrame,
+                        srcLang: String, dstLang: String,
+                        nClusters: Int = 8, nProbe: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        docIdCol: String = "doc_id",
+                        langCol: String = "lang"): DataFrame = {
+    val tagged = emb.join(
+      docs.select(col(docIdCol).as(idCol), col(langCol)), idCol)
+    val both = tagged.filter(col(langCol).isin(srcLang, dstLang))
+    val cents = Similarity.kmeansFit(both, nClusters, idCol = idCol,
+      vecCol = vecCol)
+    val srcProbes = Similarity.kmeansProbe(
+        tagged.filter(col(langCol) === srcLang), cents, nProbe,
+        idCol = idCol, vecCol = vecCol)
+      .select(col(idCol).as("src_id"), col("cluster"))
+    val dstAssign = Similarity.withCluster(
+        tagged.filter(col(langCol) === dstLang), cents, vecCol = vecCol)
+      .select(col(idCol).as("dst_id"), col("cluster"))
+    srcProbes.join(dstAssign, "cluster")
+      .select(col("src_id"), col("dst_id")).distinct()
+  }
 
   /** Shared margin-scored pair table: (src_id, dst_id, s, margin_micro)
-    * for every cross-language pair. */
+    * for every cross-language pair (brute force) or candidate pair. */
   private def scoredPairs(emb: DataFrame, docs: DataFrame,
                           srcLang: String, dstLang: String, k: Int,
                           idCol: String, vecCol: String,
-                          docIdCol: String, langCol: String): DataFrame = {
+                          docIdCol: String, langCol: String,
+                          candidates: Option[DataFrame]): DataFrame = {
     require(k > 0, s"neighborhood size k must be positive, got $k")
+    import graft.functions.VecMath.{dotMicro, norm2Micro}
     val tagged = emb.join(
       docs.select(col(docIdCol).as(idCol), col(langCol)), idCol)
+    // squared norms computed ONCE per vector, not per pair
     val srcSide = tagged.filter(col(langCol) === srcLang)
-      .select(col(idCol).as("src_id"), col(vecCol).as("src_vec"))
+      .select(col(idCol).as("src_id"), col(vecCol).as("src_vec"),
+        norm2Micro(col(vecCol)).as("na2"))
     val dstSide = tagged.filter(col(langCol) === dstLang)
-      .select(col(idCol).as("dst_id"), col(vecCol).as("dst_vec"))
+      .select(col(idCol).as("dst_id"), col(vecCol).as("dst_vec"),
+        norm2Micro(col(vecCol)).as("nb2"))
 
-    // shifted micro-cosine: non-negative, so div == floor-div everywhere
-    val pairs = srcSide.join(broadcast(dstSide))
+    val joined = candidates match {
+      case Some(cand) =>
+        // keyed shuffle joins — the corpus-scale path; the candidate
+        // table arrives already keyed on both ids
+        cand.select(col("src_id"), col("dst_id"))
+          .join(srcSide, "src_id").join(dstSide, "dst_id")
+      case None => srcSide.join(broadcast(dstSide))
+    }
+
+    // quantized micro-cosine: integer dot and norms (order-free exact),
+    // then one fixed IEEE expression — deterministic in every engine
+    val pairs = joined
+      .withColumn("dot", dotMicro(col("src_vec"), col("dst_vec")))
       .withColumn("s",
-        (floor(Similarity.cosine(col("src_vec"), col("dst_vec")) * 1000000d)
-          .cast(LongType) + 1000000L))
+        when(col("na2") === 0L || col("nb2") === 0L, lit(0L))
+          .otherwise(floor(col("dot").cast(DoubleType) * lit(1000000d) /
+            sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)))))
       .select(col("src_id"), col("dst_id"), col("s"))
 
     // same-key windows kept ADJACENT so each partitioning's exchange is
@@ -109,7 +181,7 @@ object Bitext {
     // five exchanges over the pair table; this shape plans three)
     val bySrc = Window.partitionBy(col("src_id"))
     val byDst = Window.partitionBy(col("dst_id"))
-    val scored = pairs
+    pairs
       .withColumn("rn_src", row_number().over(
         bySrc.orderBy(col("s").desc, col("dst_id"))))
       .withColumn("sum_src",
@@ -127,8 +199,15 @@ object Bitext {
         sum(when(col("rn_dst") <= k, col("s"))).over(byDst))
       .withColumn("cnt_dst",
         sum(when(col("rn_dst") <= k, 1L)).over(byDst))
-      .withColumn("margin_micro",
-        expr("s * (cnt_src + cnt_dst) * 1000000 div (sum_src + sum_dst)"))
-    scored
+      // true ratio margin, sign-explicit integer division (see header)
+      .withColumn("num",
+        col("s") * (col("cnt_src") + col("cnt_dst")) * lit(1000000L))
+      .withColumn("den", col("sum_src") + col("sum_dst"))
+      .withColumn("margin_micro", expr(
+        """CASE WHEN den = 0 THEN
+          |       CASE WHEN num > 0 THEN 9000000000000000
+          |            WHEN num < 0 THEN -9000000000000000 ELSE 0 END
+          |     WHEN (num >= 0) = (den > 0) THEN abs(num) div abs(den)
+          |     ELSE -(abs(num) div abs(den)) END""".stripMargin))
   }
 }

@@ -17,19 +17,26 @@ class BitextSpec extends SparkSpec {
     (emb, docs)
   }
 
-  /** Driver-side reference of the exact integer margin pipeline. */
+  /** Driver-side reference of the integer-exact margin pipeline:
+    * micro-quantized integer dot/norms, one IEEE cosine expression,
+    * true unshifted ratio margin with sign-explicit division — the
+    * Bitext.scala contract, re-derived independently. */
   private def refMarginsClean(a: Seq[(Long, Seq[Float])],
                               b: Seq[(Long, Seq[Float])],
                               k: Int): Map[(Long, Long), Long] = {
-    def cos(x: Seq[Float], y: Seq[Float]): Double = {
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      for (i <- x.indices) {
-        dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i)
-      }
-      dot / (math.sqrt(nx) * math.sqrt(ny))
+    def q(x: Seq[Float]): Seq[Long] =
+      x.map(v => math.floor(v.toDouble * 1000000d).toLong)
+    def sOf(x: Seq[Float], y: Seq[Float]): Long = {
+      val (qx, qy) = (q(x), q(y))
+      val dot = qx.zip(qy).map { case (u, v) => u * v }.sum
+      val n2x = qx.map(u => u * u).sum
+      val n2y = qy.map(u => u * u).sum
+      if (n2x == 0L || n2y == 0L) 0L
+      else math.floor(
+        dot.toDouble * 1000000d / math.sqrt(n2x.toDouble * n2y.toDouble)).toLong
     }
     val s = (for ((ai, av) <- a; (bi, bv) <- b)
-      yield (ai, bi) -> (math.floor(cos(av, bv) * 1e6).toLong + 1000000L)).toMap
+      yield (ai, bi) -> sOf(av, bv)).toMap
     val sumSrc = a.map { case (ai, _) =>
       ai -> b.map { case (bi, _) => (s((ai, bi)), bi) }
         .sortBy { case (v, id) => (-v, id) }.take(k).map(_._1).sum
@@ -41,7 +48,14 @@ class BitextSpec extends SparkSpec {
     val cntSrc = math.min(k, b.size).toLong
     val cntDst = math.min(k, a.size).toLong
     s.map { case ((ai, bi), sim) =>
-      (ai, bi) -> sim * (cntSrc + cntDst) * 1000000L / (sumSrc(ai) + sumDst(bi))
+      val num = sim * (cntSrc + cntDst) * 1000000L
+      val den = sumSrc(ai) + sumDst(bi)
+      val m =
+        if (den == 0L) { if (num > 0L) 9000000000000000L
+          else if (num < 0L) -9000000000000000L else 0L }
+        else if ((num >= 0L) == (den > 0L)) math.abs(num) / math.abs(den)
+        else -(math.abs(num) / math.abs(den))
+      (ai, bi) -> m
     }
   }
 
@@ -115,6 +129,91 @@ class BitextSpec extends SparkSpec {
     val rows = Bitext.marginPairs(emb, docs, "en", "de", k = 4,
       thresholdMicro = 0L).collect()
     assert(rows.length == 1 && rows.head.getAs[Long]("dst_id") == 10L)
+  }
+
+  test("negative cosines: margin signs follow sign(num)·sign(den) exactly") {
+    // src 1 is anti-aligned with every candidate → all pair cosines (and
+    // both neighborhood sums) negative; the ref model must agree on every
+    // margin value, exercising the ELSE branches of the sign-explicit CASE
+    val a = Seq(1L -> Seq(-1f, -0.2f, 0f), 2L -> Seq(0.1f, -0.9f, 0.2f))
+    val b = Seq(10L -> Seq(1f, 0.3f, 0f), 11L -> Seq(0.8f, 0.5f, 0.1f),
+      12L -> Seq(0.9f, 0.1f, 0.4f))
+    val (emb, docs) = corpus(
+      (a ++ b).map { case (id, v) => (id, v, if (id < 10) "en" else "de") }: _*)
+    val ref = refMarginsClean(a, b, 2)
+    val got = Bitext.marginPairs(emb, docs, "en", "de", k = 2,
+        thresholdMicro = Long.MinValue)
+      .select("src_id", "dst_id", "margin_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (s, d, m) => assert(ref((s, d)) == m) }
+  }
+
+  test("zero-norm vectors score 0, not NaN, and never win") {
+    val (emb, docs) = corpus(
+      (1L, Seq(0f, 0f), "en"), (2L, Seq(1f, 0f), "en"),
+      (10L, Seq(0.9f, 0.1f), "de"), (11L, Seq(0f, 0f), "de"))
+    val rows = Bitext.marginPairs(emb, docs, "en", "de", k = 2,
+      thresholdMicro = 0L).collect()
+    // src 2 must match dst 10; the all-zero vectors produce s = 0 rows
+    // that lose to any positive-margin candidate
+    val m = rows.map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dst_id")).toMap
+    assert(m.get(2L).contains(10L))
+    rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("margin_micro"))))
+  }
+
+  test("candidate-fed scoring equals brute force when candidates cover all pairs") {
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 24L).map { i =>
+      (i, Seq.fill(5)(rng.nextFloat() * 2 - 1f), if (i % 2 == 0) "en" else "de")
+    }
+    val (emb, docs) = corpus(rows: _*)
+    val allPairs = rows.filter(_._3 == "en").map(_._1)
+      .flatMap(s => rows.filter(_._3 == "de").map(d => (s, d._1)))
+      .toDF("src_id", "dst_id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("src_id", "dst_id", "sim_micro", "margin_micro")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val brute = norm(Bitext.marginPairs(emb, docs, "en", "de", k = 3,
+      thresholdMicro = 0L))
+    val fed = norm(Bitext.marginPairs(emb, docs, "en", "de", k = 3,
+      thresholdMicro = 0L, candidates = Some(allPairs)))
+    assert(fed == brute)
+    val bruteM = norm(Bitext.mutualPairs(emb, docs, "en", "de", k = 3,
+      thresholdMicro = 0L))
+    val fedM = norm(Bitext.mutualPairs(emb, docs, "en", "de", k = 3,
+      thresholdMicro = 0L, candidates = Some(allPairs)))
+    assert(fedM == bruteM)
+  }
+
+  test("clusterCandidates recovers planted translation pairs without the cross join") {
+    // two well-separated semantic clusters; each en doc's true de twin
+    // sits in the same cluster — cluster-probe candidates must contain
+    // every true pair, and the candidate-fed margin run must find them
+    val clusterA = Seq(1f, 0f, 0f, 0f)
+    val clusterB = Seq(0f, 0f, 1f, 0f)
+    def jitter(base: Seq[Float], eps: Float) =
+      base.map(v => v + eps)
+    val en = Seq(0L -> jitter(clusterA, 0.01f), 2L -> jitter(clusterA, 0.03f),
+      4L -> jitter(clusterB, 0.01f), 6L -> jitter(clusterB, 0.03f))
+    val de = Seq(1L -> jitter(clusterA, 0.02f), 3L -> jitter(clusterA, 0.04f),
+      5L -> jitter(clusterB, 0.02f), 7L -> jitter(clusterB, 0.04f))
+    val (emb, docs) = corpus(
+      (en.map { case (i, v) => (i, v, "en") } ++
+        de.map { case (i, v) => (i, v, "de") }): _*)
+    val cand = Bitext.clusterCandidates(emb, docs, "en", "de",
+      nClusters = 2, nProbe = 1)
+    val pairs = cand.as[(Long, Long)].collect().toSet
+    // same-cluster pairs present, cross-cluster pairs absent (nProbe=1)
+    assert(pairs.contains((0L, 1L)) && pairs.contains((4L, 5L)))
+    assert(pairs.size < en.size * de.size)
+    val mined = Bitext.mutualPairs(emb, docs, "en", "de", k = 2,
+        thresholdMicro = 0L, candidates = Some(cand))
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    assert(mined.nonEmpty)
+    // every mined pair is same-cluster: src and dst ids from one plant
+    mined.foreach { case (s, d) =>
+      assert((s <= 2L && d <= 3L) || (s >= 4L && d >= 5L)) }
   }
 
   test("protocol switch finds a planted eager->rendezvous size threshold") {
