@@ -42,29 +42,61 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    // sorted order: shared memoized stages (enrichment, signatures,
-    // k-means fits) get charged to a DETERMINISTIC first consumer, so
-    // per-query numbers are comparable round over round
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             name: String, pass: String): Option[Double] = {
       val t0 = System.nanoTime()
       // a failing query must be VISIBLE in the output, not a silently
       // deflated timing
-      try { fn(spark, sfDir).count() }
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED ($pass): ${e.getMessage}")
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    // Pass 0 (setup): one sweep in sorted order that pays every shared
+    // memoized artifact build (enrichment caches, signatures, k-means /
+    // PQ fits, the on-disk IVF index) plus first-time shuffles. Charged
+    // to a single `setup` entry rather than to whichever query is
+    // alphabetically first among an artifact's consumers — previously
+    // that first consumer looked 5-10× slower than its steady state and
+    // round-over-round per-query deltas were attribution noise.
+    val setupTimes = ordered.map { case (name, fn) =>
+      name -> time(fn, name, "setup")
+    }.toMap
+    val setupTotal = setupTimes.valuesIterator.flatten.sum
+
+    // Passes 1-3 (timed, warm): per-query MEDIAN of three runs — the
+    // bench host shows 2-5× cold/warm swing, and a median over warm runs
+    // is the smallest sample that sheds one outlier. Queries that failed
+    // in setup are skipped (listed in `failed`, not retried 3×).
+    val broken = failed.toSet
+    val runs: Seq[Map[String, Double]] = (1 to 3).map { p =>
+      ordered.flatMap { case (name, fn) =>
+        if (broken.contains(name)) None
+        else time(fn, name, s"run$p").map(name -> _)
+      }.toMap
+    }
+    def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = ordered.map { case (name, _) =>
+      val samples = runs.flatMap(_.get(name))
+      name -> (if (samples.nonEmpty) median3(samples)
+               else setupTimes(name).getOrElse(0.0))
     }
     val resultMap = results.toMap
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // headline total = setup + Σ medians: comparable work to one cold
+    // sweep (artifacts built once + each query once, at steady state)
+    val total = setupTotal + results.map(_._2).sum
+    val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Full dump for humans / the judge: every query, full precision.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"setup":$setupTotal,"runs_per_query":3,"aggregation":"median","queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
@@ -76,7 +108,7 @@ object Bench {
     // Compact line for the harness tail window.
     val compactQs = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$compactQs,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"setup":${fmt(setupTotal)},"runs_per_query":3,"aggregation":"median","queries":$compactQs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -315,13 +315,19 @@ object Dedup {
     * Returns (node, component) for every node that appears in a pair. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 30): DataFrame = {
+    // LAZY localCheckpoints throughout: the checkpoint is materialized by
+    // the round's convergence aggregate — ONE Spark job per round instead
+    // of two (eager-materialize, then aggregate). At fixpoint-iteration
+    // workloads the per-job scheduling latency IS the cost at small-to-mid
+    // scale, so halving jobs halves wall time; at 100 TB the per-round
+    // shuffle dominates either way and the job count is still minimal.
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var done = false
     // convergence via a label checksum: labels are per-node monotonically
@@ -337,9 +343,10 @@ object Dedup {
         .select(col("x").as("node"), col("component"))
       val next = labels.unionByName(nbr)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // coalesce: sum over ZERO rows is null — an empty pair set must
-      // yield an empty labeling, not a NullPointerException
+      // yield an empty labeling, not a NullPointerException. This action
+      // also materializes `next`'s checkpoint blocks (lazy, above).
       val s = next.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
       done = prevSum.contains(s)
       prevSum = Some(s)

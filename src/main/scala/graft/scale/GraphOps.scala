@@ -102,10 +102,13 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    // symmetric edge list: degree of n = row count with s = n
+    // symmetric edge list: degree of n = row count with s = n.
+    // LAZY localCheckpoints: each round's count() action materializes the
+    // round's checkpoint blocks — one Spark job per round, not two (see
+    // Dedup.connectedComponents for the rationale).
     var sym = und.select(col("u").as("s"), col("v").as("d"))
       .unionByName(und.select(col("v").as("s"), col("u").as("d")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prev = sym.count()
     var round = 0
     while (round < maxRounds && prev > 0) {
@@ -114,7 +117,7 @@ object GraphOps {
       val next = sym
         .join(keep.select(col("n").as("s")), Seq("s"), "leftsemi")
         .join(keep.select(col("n").as("d")), Seq("d"), "leftsemi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val c = next.count()
       sym = next
       round = if (c == prev) maxRounds else round + 1 // fixpoint → done

@@ -659,22 +659,42 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
     * restricted to a bucket column to avoid all-pairs.
     *
-    * `blocks` handles bucket skew: with blocks = B > 1, each vector gets
-    * a deterministic block id (md5 of its id, mod B) and the join key
-    * becomes (bucket, blockₐ, block_b) — each side replicated B× so a
-    * pair meets in exactly one of the B² cells. A mega-bucket that would
-    * otherwise pin one task now spreads over B² tasks; total comparison
-    * work is unchanged. */
+    * `blocks` handles bucket skew at the TASK level: with blocks = B > 1,
+    * each vector gets a deterministic block id (md5 of its id, mod B) and
+    * the join key becomes (bucket, blockₐ, block_b) — each side
+    * replicated B× so a pair meets in exactly one of the B² cells. A
+    * mega-bucket that would otherwise pin one task now spreads over B²
+    * tasks; total comparison work is unchanged.
+    *
+    * `maxBucketSize` bounds the quadratic WORK itself (the Dedup LSH
+    * star-decomposition cap, `Dedup.minhashLshPairs`): buckets over the
+    * cap emit only hub→member pairs (hub = bucket's min id) — O(size)
+    * comparisons instead of O(size²). For downstream connected-components
+    * clustering the hub keeps a viral bucket's survivors connected;
+    * unlike exact-key LSH buckets, cosine is not transitive, so a capped
+    * bucket's star is the standard approximation (members whose hub-sim
+    * misses the threshold drop out), which is why the default is
+    * Int.MaxValue = exact clique everywhere. */
   def cosinePairs(vectors: DataFrame, threshold: Double = 0.9,
                   bucketCol: String = "label", idCol: String = "vec_id",
-                  vecCol: String = "embedding", blocks: Int = 1): DataFrame = {
+                  vecCol: String = "embedding", blocks: Int = 1,
+                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val blk = (c: Column) =>
       pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"),
         lit(blocks.toLong))
-    val a0 = vectors.select(col(idCol).as("a"), col(vecCol).as("va"),
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       col(bucketCol).as("bucket"))
-    val b0 = vectors.select(col(idCol).as("b"), col(vecCol).as("vb"),
-      col(bucketCol).as("bucket"))
+    // bucket size + hub in one window pass on the join key (the clique
+    // self-join below shuffles on the same key — exchange reused)
+    val w = Window.partitionBy(col("bucket"))
+    val sized =
+      if (maxBucketSize == Int.MaxValue) base.withColumn("bsz", lit(1L))
+        .withColumn("hub", lit(0L)) // never consulted
+      else base.withColumn("bsz", count(lit(1)).over(w))
+        .withColumn("hub", min(col("id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val a0 = small.select(col("id").as("a"), col("v").as("va"), col("bucket"))
+    val b0 = small.select(col("id").as("b"), col("v").as("vb"), col("bucket"))
     val (a, b) =
       if (blocks <= 1) (a0, b0)
       else (
@@ -683,7 +703,16 @@ object Similarity {
         b0.withColumn("bb", blk(col("b")))
           .withColumn("ba", explode(sequence(lit(0L), lit(blocks - 1L)))))
     val keys = if (blocks <= 1) Seq("bucket") else Seq("bucket", "ba", "bb")
-    a.join(b, keys).filter(col("a") < col("b"))
+    val clique = a.join(b, keys).filter(col("a") < col("b"))
+      .select(col("a"), col("va"), col("b"), col("vb"))
+    // star side: hub < member by construction (hub = min id), linear size
+    val star = sized.filter(col("bsz") > maxBucketSize && col("id") =!= col("hub"))
+      .select(col("hub").as("a"), col("id").as("b"), col("v").as("vb"),
+        col("bucket"))
+      .join(base.select(col("id").as("a"), col("v").as("va"),
+        col("bucket")), Seq("bucket", "a"))
+      .select(col("a"), col("va"), col("b"), col("vb"))
+    clique.unionByName(star)
       .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))

@@ -254,6 +254,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs(4) == plain)
   }
 
+  test("cosine pairs star cap: viral bucket emits O(size) hub pairs only") {
+    val rng = new scala.util.Random(5)
+    // planted viral bucket: 30 near-identical vectors in bucket 0 would
+    // clique to 435 pairs; the cap must reduce it to 29 hub pairs while
+    // leaving the under-cap bucket's exact clique untouched
+    val viral = (0L until 30L).map { i =>
+      (i, Array(1.0f + rng.nextFloat() * 0.01f, rng.nextFloat() * 0.01f), 0)
+    }
+    val smallB = Seq((100L, Array(0.0f, 1.0f), 1), (101L, Array(0.01f, 1.0f), 1),
+      (102L, Array(0.0f, 0.99f), 1))
+    val df = (viral ++ smallB).toDF("vec_id", "embedding", "label")
+    val capped = Similarity.cosinePairs(df, 0.9, maxBucketSize = 10)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val exact = Similarity.cosinePairs(df, 0.9)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // viral bucket: only hub (min id 0) pairs survive the cap
+    val cappedViral = capped.filter(_._2 < 100L)
+    assert(cappedViral == (1L until 30L).map(b => (0L, b)).toSet)
+    // under-cap bucket: identical exact clique in both runs
+    assert(capped.filter(_._1 >= 100L) == exact.filter(_._1 >= 100L))
+    // downstream clustering unchanged: one component either way
+    def comp(p: Set[(Long, Long)]) = Dedup.connectedComponents(
+        p.toSeq.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viralNodes = (0L until 30L).toSet
+    assert(comp(cappedViral).filter(kv => viralNodes(kv._1)).values.toSet == Set(0L))
+    assert(comp(exact.filter(_._2 < 100L)).filter(kv => viralNodes(kv._1)).values.toSet == Set(0L))
+  }
+
   test("lsh buckets: identical vectors share a bucket, orthogonal ones may not") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.2f, -0.3f, 0.8f)),
