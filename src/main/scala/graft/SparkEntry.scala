@@ -2514,6 +2514,15 @@ object SparkEntry {
           Seq("src0" -> 4, "src1" -> 2), docsPerShard = 8)
         .orderBy(col("pos"))),
 
+    // --- the full dataloader manifest: per-source token budgets pick the
+    // pool (src0 squeezed to 300, everyone else 800), survivors pack into
+    // 8-doc shards, the smooth weighted round-robin orders them ---
+    "budgeted_shards" -> ((s, dir) =>
+      Curation.budgetedShards(T(s, dir, "documents"),
+          Seq("src0" -> 300L), defaultBudget = 800L,
+          weights = Seq("src0" -> 4, "src1" -> 2), docsPerShard = 8)
+        .orderBy(col("pos"))),
+
     // --- per-function DURATION-DISTRIBUTION drift between two runs
     // (same split convention as trace_multirun) — catches regressions
     // that leave the mean alone (bimodality, tail growth), integer TV
@@ -5417,30 +5426,42 @@ object SparkEntry {
     // independent implementation check: DuckDB's native ASOF JOIN vs. the
     // engine's union+window formulation (no ts ties in events at any sf,
     // so the ASOF tie rule cannot diverge)
+    // explicit windowed as-of (NOT DuckDB's native ASOF JOIN, whose pick
+    // among right rows sharing the minimal timestamp is unspecified):
+    // the rank order encodes the engine's documented tie-break — backward
+    // resolves equal timestamps to the HIGHEST right id
     "q_asof" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
-        |      FROM events WHERE event_type = 'view')
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id AS pid, v.event_id AS vid, v.t AS vt, v.value,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |               ORDER BY v.t DESC, v.event_id DESC) AS rn
+        |      FROM p JOIN v ON p.user_id = v.user_id AND v.t <= p.t)
         |SELECT p.event_id, p.user_id,
-        |       CAST(v.event_id AS BIGINT) AS view_event_id,
-        |       CAST(p.t - v.t AS BIGINT) AS wait_us,
-        |       ROUND(v.value, 4) AS view_value
-        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t
+        |       CAST(j.vid AS BIGINT) AS view_event_id,
+        |       CAST(p.t - j.vt AS BIGINT) AS wait_us,
+        |       ROUND(j.value, 4) AS view_value
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.pid
         |ORDER BY p.event_id""".stripMargin,
 
-    // DuckDB's native ASOF with the comparator flipped — an independent
-    // implementation of the forward direction
+    // forward direction: equal timestamps match, ties to the SMALLEST
+    // right id (AsOfJoin.asOfForward's documented tie-break)
     "q_asof_fwd" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
-        |      FROM events WHERE event_type = 'view')
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id AS pid, v.event_id AS vid, v.t AS vt, v.value,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |               ORDER BY v.t ASC, v.event_id ASC) AS rn
+        |      FROM p JOIN v ON p.user_id = v.user_id AND v.t >= p.t)
         |SELECT p.event_id, p.user_id,
-        |       CAST(v.event_id AS BIGINT) AS view_event_id,
-        |       CAST(v.t - p.t AS BIGINT) AS wait_us,
-        |       ROUND(v.value, 4) AS view_value
-        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t <= v.t
+        |       CAST(j.vid AS BIGINT) AS view_event_id,
+        |       CAST(j.vt - p.t AS BIGINT) AS wait_us,
+        |       ROUND(j.value, 4) AS view_value
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.pid
         |ORDER BY p.event_id""".stripMargin,
 
     "hybrid_topk" ->
@@ -6595,6 +6616,42 @@ object SparkEntry {
         |         AS BIGINT) AS pos,
         |       source, shard_id, n_docs
         |FROM k ORDER BY pos""".stripMargin,
+
+    "budgeted_shards" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+         |           AS n_tokens,
+         |         $qualitySql AS quality
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM q),
+         |kept AS (
+         |  SELECT doc_id, source, n_tokens FROM c
+         |  WHERE cum_before < (CASE source WHEN 'src0' THEN 300 ELSE 800 END)),
+         |r AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM kept),
+         |sh AS (
+         |  SELECT source, (rn - 1) // 8 AS shard_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM r GROUP BY 1, 2),
+         |k AS (
+         |  SELECT source, shard_id, n_docs, n_tokens,
+         |         (shard_id + 1) * (CASE source WHEN 'src0' THEN 1
+         |              WHEN 'src1' THEN 2 ELSE 4 END) AS key
+         |  FROM sh)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, source, shard_id) - 1
+         |         AS BIGINT) AS pos,
+         |       source, shard_id, n_docs, n_tokens
+         |FROM k ORDER BY pos""".stripMargin,
 
     "trace_dur_drift" -> (callCte +
       """, durs AS (

@@ -31,7 +31,12 @@ object Basket {
         bi.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
           .filter(col("__sz") <= maxBasketSize).select(col("b")),
         Seq("b"), "leftsemi")
-    val nBaskets = sized.select(col("b")).distinct().count()
+    // basket count as a 1-row aggregate joined into the plan (broadcast),
+    // NOT an eager .count() at plan-construction time — pairRules stays
+    // lazy like every other operator, and the count is computed inside
+    // the same job as the rules
+    val nb = sized.select(col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
     val itemSup = sized.groupBy(col("i")).agg(count(lit(1)).as("sup"))
     val pairSup = sized.as("x").join(sized.as("y"),
         col("x.b") === col("y.b") && col("x.i") < col("y.i"))
@@ -41,10 +46,15 @@ object Basket {
     pairSup
       .join(itemSup.select(col("i").as("a"), col("sup").as("sup_a")), Seq("a"))
       .join(itemSup.select(col("i").as("b"), col("sup").as("sup_b")), Seq("b"))
+      .crossJoin(broadcast(nb))
       .select(col("a"), col("b"), col("sup_ab"), col("sup_a"), col("sup_b"),
         expr("sup_ab * 1000000 div sup_a").as("conf_ab_micro"),
         expr("sup_ab * 1000000 div sup_b").as("conf_ba_micro"),
-        expr(s"sup_ab * ${nBaskets}L * 1000000 div (sup_a * sup_b)")
+        // DECIMAL(38,0) intermediates: sup_ab·n·10⁶ approaches n²·10⁶,
+        // past Long at ~3·10⁶ baskets; decimal128 holds to 10¹⁶ baskets
+        // and `div` still emits the exact integral quotient as BIGINT
+        expr("""CAST(sup_ab AS DECIMAL(38,0)) * n_baskets * 1000000
+               |div (CAST(sup_a AS DECIMAL(38,0)) * sup_b)""".stripMargin)
           .as("lift_micro"))
   }
 }

@@ -130,9 +130,18 @@ object Otf2Writer {
   }
 
   /** Per-location encoded event files: one (location, n_events, n_dropped,
-    * bytes) row per process, events in (timestamp, event_id) order. */
+    * bytes) row per process, events in (timestamp, event_id) order.
+    *
+    * With `writeDir` set, each location's encoded stream is written to
+    * `<writeDir>/<location>.evt` FROM THE EXECUTOR TASK at flush time and
+    * the emitted row carries an empty `bytes` — driver traffic is then
+    * O(#locations) count rows, never the trace bytes (a .collect() of
+    * full blobs would scale driver memory with total trace size). The
+    * target must be a filesystem all executors share (local mode: the
+    * local disk; a cluster: NFS/fuse-mounted object storage). */
   private def locationBlobs(events: DataFrame,
-                            regionRef: Map[String, Long]): DataFrame = {
+                            regionRef: Map[String, Long],
+                            writeDir: Option[String] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val hasAttrs = events.columns.contains(Attributes)
@@ -160,7 +169,14 @@ object Otf2Writer {
         var n = 0L
         var dropped = 0L
         def flush(): Unit = if (buf != null) {
-          out += ((cur, n, dropped, buf.toByteArray))
+          writeDir match {
+            case Some(d) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$d/$cur.evt"), buf.toByteArray)
+              out += ((cur, n, dropped, Array.emptyByteArray))
+            case None =>
+              out += ((cur, n, dropped, buf.toByteArray))
+          }
           buf = null; n = 0L; dropped = 0L
         }
         for (r <- it) {
@@ -189,7 +205,14 @@ object Otf2Writer {
 
   /** Write `events` as an OTF2 archive under `dir` (created if needed).
     * Returns (locations written, events written, rows dropped as
-    * un-encodable). */
+    * un-encodable).
+    *
+    * Each location's .evt is written by its executor task; only the
+    * per-location (id, count, dropped) rows come back to the driver, so
+    * driver memory scales with the LOCATION COUNT, not trace bytes —
+    * `dir` must be a filesystem the executors share. Rows are sorted by
+    * location id so the global-defs layout is deterministic regardless
+    * of partition order. */
   def save(events: DataFrame, dir: String,
            archiveName: String = "traces"): (Long, Long, Long) = {
     // region dimension: every Enter/Leave name, stable refs by sort order
@@ -198,9 +221,12 @@ object Otf2Writer {
       .collect().map(_.getString(0)).sorted
     val regionRef = names.zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
 
-    val blobs = locationBlobs(events, regionRef).collect()
-
+    // dirs must exist BEFORE the executor tasks flush their .evt files
     Files.createDirectories(Paths.get(s"$dir/traces"))
+    val blobs = locationBlobs(events, regionRef, Some(s"$dir/traces"))
+      .select(col("location"), col("n_events"), col("n_dropped"))
+      .collect().sortBy(_.getLong(0))
+
     Files.write(Paths.get(s"$dir/$archiveName.otf2"), Array[Byte]())
     // global defs: clock (1 tick = 1 ns), strings, regions, locations
     val lastTs = 1L + blobs.length // traceLength is informational
@@ -217,11 +243,10 @@ object Otf2Writer {
       }
     Files.write(Paths.get(s"$dir/$archiveName.def"), chunk(defs))
 
+    // .evt files were already written executor-side; only tally counts
     var written = 0L
     var dropped = 0L
     blobs.foreach { b =>
-      Files.write(Paths.get(s"$dir/traces/${b.getLong(0)}.evt"),
-        b.getAs[Array[Byte]]("bytes"))
       written += b.getLong(1); dropped += b.getLong(2)
     }
     (blobs.length.toLong, written, dropped)

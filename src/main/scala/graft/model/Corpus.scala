@@ -55,6 +55,11 @@ case class Corpus(docs: DataFrame) {
   def budgetTruncate(budgets: Seq[(String, Long)],
                      defaultBudget: Long): DataFrame =
     Curation.budgetTruncate(docs, budgets, defaultBudget)
+  def budgetedShards(budgets: Seq[(String, Long)], defaultBudget: Long,
+                     weights: Seq[(String, Int)],
+                     docsPerShard: Int): DataFrame =
+    Curation.budgetedShards(docs, budgets, defaultBudget, weights,
+      docsPerShard)
   def lshPrecision(pairs: DataFrame, tauNum: Int = 1,
                    tauDen: Int = 2): DataFrame =
     Dedup.lshPrecision(docs, pairs, tauNum, tauDen)

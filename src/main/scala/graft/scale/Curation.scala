@@ -534,6 +534,44 @@ object Curation {
         coalesce(element_at(bmap, col(srcCol)), lit(defaultBudget)))
   }
 
+  /** The end-to-end "what the dataloader opens" artifact:
+    * [[budgetTruncate]]'s per-source token-budgeted pool, packed into
+    * fixed-size shards and scheduled by [[epochShards]]' smooth weighted
+    * round-robin — one manifest row per shard (pos, source, shard_id,
+    * n_docs, n_tokens), in the order training reads them. Composing the
+    * two keeps every guarantee of each: the pool holds each source's
+    * best material within its token budget (boundary doc may overflow by
+    * its own length), shards pack survivors in id order, and every
+    * weight-w prefix of the schedule is source-balanced. Same plan
+    * shape as its parts: two keyed windows over the corpus, then
+    * shard-count-sized work — nothing new shuffles at corpus size. */
+  def budgetedShards(docs: DataFrame, budgets: Seq[(String, Long)],
+                     defaultBudget: Long, weights: Seq[(String, Int)],
+                     docsPerShard: Int, srcCol: String = "source",
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(docsPerShard > 0, s"docsPerShard must be positive: $docsPerShard")
+    def lcm(a: Long, b: Long): Long = a / BigInt(a).gcd(BigInt(b)).toLong * b
+    val l = weights.map(_._2.toLong).foldLeft(1L)(lcm)
+    val scale = typedLit(weights.toMap.map { case (s, w) => s -> l / w })
+    val kept = budgetTruncate(docs, budgets, defaultBudget, srcCol, textCol,
+      idCol)
+    val rn = row_number().over(
+      Window.partitionBy(col(srcCol)).orderBy(col(idCol))).cast("long")
+    val shards = kept
+      .withColumn("__rn", rn)
+      .withColumn("shard_id", expr(s"(__rn - 1) div $docsPerShard"))
+      .groupBy(col(srcCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("__key",
+        (col("shard_id") + 1L) * coalesce(element_at(scale, col(srcCol)), lit(l)))
+    graft.ingest.Ingest.assignDenseIds(shards, "pos",
+        col("__key").asc, col(srcCol).asc, col("shard_id").asc)
+      .select(col("pos"), col(srcCol), col("shard_id"), col("n_docs"),
+        col("n_tokens"))
+  }
+
   def leakageSafeSplit(docs: DataFrame, components: DataFrame,
                        nSplits: Int = 10, seed: Int = 11,
                        idCol: String = "doc_id"): DataFrame = {

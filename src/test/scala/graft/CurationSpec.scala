@@ -272,6 +272,35 @@ class CurationSpec extends SparkSpec {
     assert(v(3L).getAs[Boolean]("retained"))
   }
 
+  test("budgetedShards: budgets bound each source's shard mass; schedule interleaves by weight") {
+    // identical text per source → equal quality, so the budget fill order
+    // is plain id order and the kept set is hand-computable: srcA docs
+    // are 4 tokens each with budget 10 → cum_before 0,4,8 kept (3 docs,
+    // 12 tokens: the boundary doc overflows by ≤ its own length); srcB
+    // keeps all 6 under the default budget
+    val rows = (0L until 10L).map(i => (i, "t1 t2 t3 t4", "srcA")) ++
+      (100L until 106L).map(i => (i, "u1 u2 u3 u4", "srcB"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val got = Curation.budgetedShards(df, Seq("srcA" -> 10L),
+        defaultBudget = 100L, weights = Seq("srcA" -> 2, "srcB" -> 1),
+        docsPerShard = 2)
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source"),
+        r.getAs[Long]("shard_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens")))
+    // per-source mass respects budget + one-doc overflow
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(bySrc("srcA") == 12L) // 10-token budget, 4-token boundary doc
+    assert(bySrc("srcB") == 24L) // all 6 docs
+    // no shard exceeds docsPerShard; srcA's 3 survivors pack into 2+1
+    assert(got.forall(_._4 <= 2L))
+    assert(got.filter(_._2 == "srcA").map(_._4).toSeq == Seq(2L, 1L))
+    // smooth weighted round-robin: keys srcA=(1,2), srcB=(2,4,6) →
+    // exact schedule A0 A1 B0 B1 B2 (source asc breaks the key-2 tie)
+    assert(got.map(g => (g._2, g._3)).toSeq ==
+      Seq(("srcA", 0L), ("srcA", 1L), ("srcB", 0L), ("srcB", 1L), ("srcB", 2L)))
+  }
+
   test("temperature sampling keeps the smallest stratum whole") {
     // stratum "small" (4 docs, rate 1.0) vs "big" (400 docs, rate 0.1)
     val docs = ((0L until 4L).map(i => (i, "small")) ++
