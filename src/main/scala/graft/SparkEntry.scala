@@ -1286,6 +1286,34 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(T(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // --- Gopher rule-based filter: per-doc boolean verdicts, every ratio
+    // threshold via integer cross-multiplication (minWords dialed to the
+    // synthetic corpus's short docs) ---
+    "gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(T(s, dir, "documents"), minWords = 5L)
+        .orderBy(col("doc_id"))),
+
+    // --- Distinct-n diversity per source: templated/boilerplate sources
+    // show low distinct-2/3 ratios ---
+    "distinct_ngrams" -> ((s, dir) =>
+      TextOps.distinctNgrams(T(s, dir, "documents"))
+        .orderBy(col("source"), col("n"))),
+
+    // --- training-mix allocation: targets vs availability per source,
+    // epochs and deficits for a 100k-token budget at weights 4:2:1 ---
+    "mix_plan" -> ((s, dir) =>
+      Curation.mixPlan(T(s, dir, "documents"),
+          Seq("src0" -> 4, "src1" -> 2, "src2" -> 1, "src3" -> 1,
+            "src4" -> 1),
+          budgetTokens = 100000L)
+        .orderBy(col("source"))),
+
+    // --- SoftDeDup: mean shingle document-frequency per doc and the
+    // reciprocal sampling weight — dedup as downweighting, not deletion ---
+    "soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(T(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     "text_logprob" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       TextOps.unigramLogProb(docs, docs.filter(col("doc_id") % 5 === 0))
@@ -4116,6 +4144,87 @@ object SparkEntry {
         |SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS INT) AS pos,
         |       h AS fingerprint
         |FROM hashed QUALIFY pos <= 8 ORDER BY doc_id, pos""".stripMargin),
+
+    "gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n,
+        |         CAST(length(text) - (len(toks) - 1) AS BIGINT) AS chars,
+        |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+        |         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ell,
+        |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |         CAST(len(list_intersect(list_distinct(toks),
+        |              ['the','and','of','to','in','is','that','for'])) AS BIGINT) AS stops
+        |  FROM t)
+        |SELECT doc_id, n AS n_words,
+        |       n >= 5 AND n <= 100000 AS r_word_count,
+        |       chars >= n * 3 AND chars <= n * 10 AS r_mean_word_len,
+        |       hashes * 10 <= n AS r_hash_ratio,
+        |       ell * 10 <= n * 3 AS r_ellipsis_ratio,
+        |       alpha_words * 5 >= n * 4 AS r_alpha_words,
+        |       stops >= 2 AS r_stopwords,
+        |       (n >= 5 AND n <= 100000) AND (chars >= n * 3 AND chars <= n * 10)
+        |         AND hashes * 10 <= n AND ell * 10 <= n * 3
+        |         AND alpha_words * 5 >= n * 4 AND stops >= 2 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "distinct_ngrams" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |g1 AS (SELECT source, unnest(toks) AS gram FROM t),
+        |g2 AS (SELECT source, array_to_string(toks[i:i+1], ' ') AS gram
+        |       FROM (SELECT source, toks,
+        |               unnest(generate_series(1, GREATEST(len(toks) - 1, 1))) AS i
+        |             FROM t)),
+        |g3 AS (SELECT source, array_to_string(toks[i:i+2], ' ') AS gram
+        |       FROM (SELECT source, toks,
+        |               unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+        |             FROM t)),
+        |u AS (SELECT source, 1 AS n, gram FROM g1
+        |      UNION ALL SELECT source, 2, gram FROM g2
+        |      UNION ALL SELECT source, 3, gram FROM g3)
+        |SELECT source, CAST(n AS INT) AS n,
+        |       CAST(COUNT(*) AS BIGINT) AS total,
+        |       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |       CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT)
+        |         AS ratio_micro
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "mix_plan" ->
+      """WITH a AS (
+        |  SELECT source,
+        |         CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT)
+        |           AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, avail_tokens,
+        |         CAST(CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
+        |              ELSE 1 END AS BIGINT) AS weight
+        |  FROM a)
+        |SELECT source, avail_tokens, weight,
+        |       CAST(weight * 100000 // 9 AS BIGINT) AS target_tokens,
+        |       CAST(LEAST(avail_tokens, weight * 100000 // 9) AS BIGINT)
+        |         AS alloc_tokens,
+        |       CAST((weight * 100000 // 9) * 1000000 // avail_tokens AS BIGINT)
+        |         AS epochs_micro,
+        |       CAST(GREATEST(weight * 100000 // 9 - avail_tokens, 0) AS BIGINT)
+        |         AS deficit
+        |FROM w ORDER BY source""".stripMargin,
+
+    "soft_dedup" -> (shinglesCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM dsh GROUP BY 1)
+        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(f.df) AS BIGINT) AS sum_df,
+        |       CAST(SUM(f.df) * 1000000 // COUNT(*) AS BIGINT) AS mean_df_micro,
+        |       CAST(1000000000000 // (SUM(f.df) * 1000000 // COUNT(*)) AS BIGINT)
+        |         AS weight_micro
+        |FROM dsh d JOIN df f USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "tfidf_topterms" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks

@@ -572,6 +572,46 @@ object Curation {
         col("n_tokens"))
   }
 
+  /** Training-mix allocation plan — the "data mixing calculator" run
+    * before any epoch schedule exists: given target mixture weights and
+    * a total token budget, how many tokens each source must contribute,
+    * how that compares to what it HAS, and how many epochs (repeats) of
+    * the source that implies. The DoReMi/LLaMA-style mixture planning
+    * artifact: `epochs_micro > 10⁶` flags a source that must repeat to
+    * hit its target; `deficit` is the token mass the budget wants but a
+    * single pass cannot supply. All integer: targets by exact integral
+    * division of the budget (largest-remainder assignment would hide the
+    * rounding; truncation keeps Σtarget ≤ budget and is engine-exact).
+    *
+    * One corpus scan (per-source token sums, map-side combined) + a
+    * weights-sized broadcast literal — nothing else shuffles.
+    *
+    * `targetWeights` should list every source (the weight sum normalizes
+    * over the GIVEN list); a source absent from it defaults to weight 1
+    * on top of that sum, so Σ target can exceed the budget — list all
+    * sources when the budget must be exact. */
+  def mixPlan(docs: DataFrame, targetWeights: Seq[(String, Int)],
+              budgetTokens: Long, srcCol: String = "source",
+              textCol: String = "text"): DataFrame = {
+    require(targetWeights.forall(_._2 > 0), "weights must be positive")
+    require(budgetTokens >= 0L, s"budget must be >= 0: $budgetTokens")
+    val wSum = targetWeights.map(_._2.toLong).sum
+    val wmap = typedLit(targetWeights.toMap)
+    docs
+      .groupBy(col(srcCol))
+      .agg(sum(size(TextOps.tokens(col(textCol))).cast("long"))
+        .as("avail_tokens"))
+      .withColumn("weight",
+        coalesce(element_at(wmap, col(srcCol)), lit(1)).cast("long"))
+      .withColumn("target_tokens",
+        expr(s"weight * ${budgetTokens}L div ${wSum}L"))
+      .withColumn("alloc_tokens", least(col("avail_tokens"), col("target_tokens")))
+      .withColumn("epochs_micro",
+        expr("target_tokens * 1000000 div avail_tokens"))
+      .withColumn("deficit",
+        greatest(col("target_tokens") - col("avail_tokens"), lit(0L)))
+  }
+
   def leakageSafeSplit(docs: DataFrame, components: DataFrame,
                        nSplits: Int = 10, seed: Int = 11,
                        idCol: String = "doc_id"): DataFrame = {

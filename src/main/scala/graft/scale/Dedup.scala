@@ -563,6 +563,31 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** SoftDeDup document downweighting (He et al. 2024): instead of
+    * DELETING near-duplicates, score how COMMON each document's content
+    * is — the mean document-frequency of its distinct shingles — and
+    * emit a sampling weight ∝ 1/commonness. Training then sees duplicated
+    * content less often without the hard in-or-out cliff of exact dedup;
+    * the standard soft alternative when a corpus is too small to discard
+    * from. All integer: mean df and the reciprocal weight in micro-units
+    * by integral division, engine-exact.
+    *
+    * Scale shape: same inverted-index plan as [[duplicatedSpans]] — the
+    * df window partitions on the shingle key after a per-doc distinct;
+    * the shuffle carries one row per (doc, distinct shingle). */
+  def softDedupWeights(docs: DataFrame, shingleK: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val dsh = Shingles.wordShingles(docs, shingleK, textCol, idCol).distinct()
+    val df = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("shingle")))
+    dsh.withColumn("df", df)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df_micro", expr("sum_df * 1000000 div n_shingles"))
+      .withColumn("weight_micro", expr("1000000000000 div mean_df_micro"))
+  }
+
   /** Per-source boilerplate detection — the header/footer signal: tiles
     * (non-overlapping k-word blocks, as in [[removeDuplicateTiles]])
     * that appear in at least `minShare` micro-share of a SOURCE's

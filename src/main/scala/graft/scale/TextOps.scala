@@ -570,6 +570,77 @@ object TextOps {
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
   }
 
+  /** Gopher-style rule-based document filter (Rae et al. 2021 §A1.1, the
+    * rule family RefinedWeb/Dolma/FineWeb reuse): per document, one
+    * boolean per rule plus the all-rules verdict. Every ratio threshold
+    * is evaluated by INTEGER cross-multiplication (e.g. "mean word length
+    * in [3,10]" as `3·n ≤ chars ≤ 10·n`), so the verdict is engine-exact
+    * — no float ratio ever materializes.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; '#' symbols ≤ 10% of words; "..." occurrences ≤ 30% of
+    * words; ≥ 80% of words contain a letter; ≥ 2 distinct common English
+    * stopwords (the Gopher "has real sentences" proxy).
+    *
+    * One pure-columnar projection — no explode, no shuffle; at 100 TB
+    * this runs at scan speed and the verdict predicate pushes into
+    * wherever the curation pipeline filters. */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+                  maxWords: Long = 100000L, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val n = size(toks).cast("long")
+    // non-space chars = what the words are made of (mean word length
+    // numerator), exact from two lengths
+    val chars = (length(t) - (n - 1)).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ell = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stops = size(array_intersect(array_distinct(toks),
+      array(Seq("the", "and", "of", "to", "in", "is", "that", "for")
+        .map(lit): _*))).cast("long")
+    docs.select(
+      col(idCol), n.as("n_words"),
+      (n >= minWords && n <= maxWords).as("r_word_count"),
+      (chars >= n * 3L && chars <= n * 10L).as("r_mean_word_len"),
+      (hashes * 10L <= n).as("r_hash_ratio"),
+      (ell * 10L <= n * 3L).as("r_ellipsis_ratio"),
+      (alphaWords * 5L >= n * 4L).as("r_alpha_words"),
+      (stops >= 2L).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_hash_ratio") &&
+        col("r_ellipsis_ratio") && col("r_alpha_words") && col("r_stopwords"))
+  }
+
+  /** Distinct-n diversity per source (the Distinct-1/2/3 metric of Li et
+    * al. 2016): total vs distinct n-gram counts and their micro-unit
+    * ratio. Low distinct-n = templated/boilerplate-heavy source — the
+    * first audit to run on synthetic or scraped data before it enters a
+    * training mix. One explode per n, aggregations with map-side combine;
+    * the (source, ngram) distinct is the only corpus-sized shuffle. */
+  def distinctNgrams(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                     srcCol: String = "source", textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be positive: $ns")
+    val per = ns.map { n =>
+      val toks = tokens(col(textCol))
+      val grams =
+        if (n == 1) docs.select(col(srcCol), explode(toks).as("gram"))
+        else docs.select(col(srcCol),
+          explode(transform(
+            sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+            i => concat_ws(" ", slice(toks, i, lit(n))))).as("gram"))
+      grams.groupBy(col(srcCol))
+        .agg(count(lit(1)).as("total"),
+          count_distinct(col("gram")).as("n_distinct"))
+        .select(col(srcCol), lit(n).as("n"), col("total"), col("n_distinct"),
+          expr("n_distinct * 1000000 div total").as("ratio_micro"))
+    }
+    per.reduce(_ unionByName _)
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 5, kRrf: Int = 60): DataFrame = {
     val unioned = rankings
       .map(_.select(col("query_id"), col("id"), col("rank")))

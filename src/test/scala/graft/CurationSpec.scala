@@ -301,6 +301,71 @@ class CurationSpec extends SparkSpec {
       Seq(("srcA", 0L), ("srcA", 1L), ("srcB", 0L), ("srcB", 1L), ("srcB", 2L)))
   }
 
+  test("gopherRules: each planted violation trips exactly its rule") {
+    val good = "the cat and the dog walk to the park in the morning light"
+    val rows = Seq(
+      (0L, good), // passes everything (12 words, sane lengths, stopwords)
+      (1L, "too short"), // word count
+      (2L, "a b c d e f g h i j k l"), // mean word len < 3
+      (3L, "# # # the cat and of to in is that for runs fast"), // hash ratio
+      (4L, "the cat ... and ... dog ... to ... in ... is ... sits ..."), // ellipsis
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12"), // alpha words
+      (6L, "cat dog walk park light morning stream river trees stone hill path")) // no stopwords
+    val got = graft.scale.TextOps.gopherRules(rows.toDF("doc_id", "text"),
+        minWords = 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("pass"))
+    assert(!got(1L).getAs[Boolean]("r_word_count"))
+    assert(!got(2L).getAs[Boolean]("r_mean_word_len"))
+    assert(!got(3L).getAs[Boolean]("r_hash_ratio"))
+    assert(!got(4L).getAs[Boolean]("r_ellipsis_ratio"))
+    assert(!got(5L).getAs[Boolean]("r_alpha_words"))
+    assert(!got(6L).getAs[Boolean]("r_stopwords"))
+    (1L to 6L).foreach(i => assert(!got(i).getAs[Boolean]("pass"), s"doc $i"))
+  }
+
+  test("distinctNgrams: hand-computed totals and ratios") {
+    // srcA: "a b a b" + "a b" → unigrams total 6, distinct 2 (ratio 333333)
+    // bigrams: doc0 gives [a b, b a, a b] (3), doc1 gives [a b] (1):
+    // total 4, distinct 2 → 500000
+    val rows = Seq((0L, "a b a b", "srcA"), (1L, "a b", "srcA"))
+    val got = graft.scale.TextOps.distinctNgrams(
+        rows.toDF("doc_id", "text", "source"), ns = Seq(1, 2))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("total"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("ratio_micro"))).toMap
+    assert(got(("srcA", 1)) == ((6L, 2L, 333333L)))
+    assert(got(("srcA", 2)) == ((4L, 2L, 500000L)))
+  }
+
+  test("mixPlan: targets, epochs and deficits are exact integers") {
+    // srcA has 8 tokens, srcB has 2; weights 3:1, budget 12 →
+    // targets 9 and 3; srcA allocates 8 (deficit 1, epochs 1.125e6);
+    // srcB allocates 2 (deficit 1, epochs 1.5e6)
+    val rows = Seq(
+      (0L, "t1 t2 t3 t4", "srcA"), (1L, "t1 t2 t3 t4", "srcA"),
+      (2L, "u1 u2", "srcB"))
+    val got = Curation.mixPlan(rows.toDF("doc_id", "text", "source"),
+        Seq("srcA" -> 3, "srcB" -> 1), budgetTokens = 12L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("avail_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("alloc_tokens"), r.getAs[Long]("epochs_micro"),
+          r.getAs[Long]("deficit"))).toMap
+    assert(got("srcA") == ((8L, 9L, 8L, 1125000L, 1L)))
+    assert(got("srcB") == ((2L, 3L, 2L, 1500000L, 1L)))
+  }
+
+  test("softDedupWeights: duplicated content gets reciprocal weight") {
+    // docs 0 and 1 identical (every shingle df=2); doc 2 unique (df=1)
+    val rows = Seq(
+      (0L, "x y z w"), (1L, "x y z w"), (2L, "p q r s"))
+    val got = graft.scale.Dedup.softDedupWeights(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("mean_df_micro"), r.getAs[Long]("weight_micro"))).toMap
+    assert(got(0L) == ((2000000L, 500000L)) && got(1L) == got(0L))
+    assert(got(2L) == ((1000000L, 1000000L)))
+  }
+
   test("temperature sampling keeps the smallest stratum whole") {
     // stratum "small" (4 docs, rate 1.0) vs "big" (400 docs, rate 0.1)
     val docs = ((0L until 4L).map(i => (i, "small")) ++
