@@ -4985,12 +4985,17 @@ object SparkEntry {
         |             JOIN sizes sb ON inter.b = sb.doc_id)
         |WHERE cont_a >= 0.5 OR cont_b >= 0.5 ORDER BY a, b""".stripMargin),
 
+    // same 60-bit shingle hash as the engine (shared collisions keep the
+    // compare bit-identical); prefix filtering is an engine-side pruning
+    // only — the oracle verifies over ALL co-shingled pairs
     "jaccard_prefix" -> (shinglesCte +
-      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      """, dsh AS (SELECT DISTINCT doc_id,
+        |    CAST(concat('0x', substr(md5('0:' || shingle), 1, 15)) AS BIGINT) AS h
+        |  FROM sh),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY 1),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-        |  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  FROM dsh x JOIN dsh y ON x.h = y.h AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, CAST(i AS BIGINT) AS inter,
         |       CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb

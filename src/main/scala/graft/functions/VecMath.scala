@@ -321,6 +321,66 @@ case class VecNorm2Micro(child: Expression)
     copy(child = newChild)
 }
 
+/** Intersection size of two SORTED long arrays — one allocation-free
+  * merge pass. The built-in `size(array_intersect(a, b))` builds a hash
+  * set per call (per ROW in a verification join — the allocation cost
+  * dominates candidate-pair verification at corpus scale); this is the
+  * set-similarity verification kernel for hashed shingle sets. Inputs
+  * MUST be ascending-sorted (sort_array at set-build time, once per doc,
+  * not per pair); duplicate elements count once per matching pair of
+  * runs' minimum — callers pass DISTINCT sets, where this is exact. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs array<bigint> args, got $l / $r")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val c = ctx.freshName("c")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |int $i = 0, $j = 0; long $c = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) $i++; else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecMath {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -337,4 +397,6 @@ object VecMath {
   def dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def dotMicro(a: Column, b: Column): Column = column(VecDotMicro(expression(a), expression(b)))
   def norm2Micro(a: Column): Column = column(VecNorm2Micro(expression(a)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 }

@@ -441,19 +441,25 @@ object Dedup {
     * `tauDen·|A∩B| ≥ tauNum·(|A|+|B|−|A∩B|)` — no float comparison
     * anywhere, so the pair set is bit-identical across engines.
     *
-    * Scale shape: one shingle scan, a df aggregation, two per-document
-    * windows (set size, canonical rank), a self-join restricted to prefix
-    * rows (rare tokens → short posting lists; never all-pairs), and a
-    * candidate-bounded verification against per-document shingle ARRAYS
-    * (set sizes ride along) — two doc-keyed joins and an in-memory
-    * array_intersect per candidate, instead of re-exploding both sides
-    * to shingle rows and aggregating the pair intersections (that
-    * formulation shuffled |cand|·|doc| rows; this one shuffles |cand|).
-    * Document shingle sets are row-bounded (a document's own size), so
-    * the arrays never blow a task. All shuffles key on shingle or doc
-    * id; no global ordering or driver state. Returns
-    * (a, b, inter, sza, szb) — the Jaccard value itself is presentation
-    * (inter / (sza+szb−inter)). */
+    * Scale shape: shingles are HASHED to 60-bit longs at the scan
+    * (md5Hash60 — replicable in any engine, so a collision is shared and
+    * the result stays bit-identical; at 60 bits a corpus-wide collision
+    * is ~10⁻⁸ even at 10⁸ distinct shingles). Then: a df aggregation,
+    * two per-document windows (set size, canonical rank), a self-join
+    * restricted to prefix rows (rare tokens → short posting lists; never
+    * all-pairs), and a candidate-bounded verification joining each pair
+    * to its two SORTED long-array sets — the intersection is one
+    * allocation-free merge ([[graft.functions.SortedIntersectCount]])
+    * per candidate instead of a per-row hash set over string arrays
+    * (~4× less shuffle, no per-pair allocation; that string formulation
+    * was the top warm-time outlier of the whole bench). The prefix
+    * bound holds for ANY consistent global order, so ranking by
+    * (df, hash) instead of (df, string) changes candidates but never
+    * the verified result. Document shingle sets are row-bounded (a
+    * document's own size), so the arrays never blow a task. All
+    * shuffles key on shingle-hash or doc id; no global ordering or
+    * driver state. Returns (a, b, inter, sza, szb) — the Jaccard value
+    * itself is presentation (inter / (sza+szb−inter)). */
   def jaccardPrefixPairs(docs: DataFrame, shingleK: Int = 3,
                          tauNum: Int = 1, tauDen: Int = 5,
                          textCol: String = "text",
@@ -462,36 +468,38 @@ object Dedup {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0,1]: $tauNum/$tauDen")
     val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+      .select(col(idCol), TextOps.md5Hash60(col("shingle"), 0).as("h"))
       .distinct()
       // three consumers (prefix build, verify a-side, verify b-side):
       // truncate lineage once instead of recomputing the tokenize+distinct
       .localCheckpoint()
-    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfTab, Seq("shingle"))
+    val dfTab = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfTab, Seq("h"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .withColumn("r", row_number().over(Window.partitionBy(col(idCol))
-        .orderBy(col("df"), col("shingle"))))
+        .orderBy(col("df"), col("h"))))
     // prefix length |X| − ⌈τ|X|⌉ + 1 with ⌈p·sz/q⌉ as (p·sz+q−1) div q —
     // integer-exact, no binary-fraction ceil trap
     val prefix = ranked.filter(col("r") <=
         col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col(idCol), col("shingle"))
+      .select(col(idCol), col("h"))
     // true self-join (renames above the shared subtree) so the prefix
     // scan+exchange canonicalizes identically and is computed once
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") &&
+        col("x.h") === col("y.h") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
     val sets = sh.groupBy(col(idCol))
-      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(col("h"))).as("set"),
+        count(lit(1)).as("sz"))
     cand
       .join(sets.select(col(idCol).as("a"), col("set").as("set_a"),
         col("sz").as("sza")), Seq("a"))
       .join(sets.select(col(idCol).as("b"), col("set").as("set_b"),
         col("sz").as("szb")), Seq("b"))
-      .withColumn("inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("inter", graft.functions.VecMath.sortedIntersectCount(
+        col("set_a"), col("set_b")))
       .filter(col("inter") * tauDen >=
         (col("sza") + col("szb") - col("inter")) * tauNum)
       .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"))
