@@ -1320,6 +1320,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- bigram-conditional LM score (the next CCNet rung above the
+    // unigram proxy): catches locally-scrambled text unigrams miss ---
+    "text_logprob2" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextOps.bigramLogProb(docs, docs.filter(col("doc_id") % 5 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- per-cluster embedding outliers: farthest-from-centroid docs,
+    // the OOD/garbage review queue of embedding-based curation ---
+    "emb_outliers" -> ((s, dir) =>
+      Similarity.clusterOutliers(T(s, dir, "embeddings"),
+          embCentroids(s, dir))
+        .orderBy(col("cluster"), col("rank"))),
+
     "text_pii" -> ((s, dir) => {
       // corpus text is digit-free word soup, so PII extraction would be
       // vacuous on it; plant deterministic doc_id-derived PII in BOTH
@@ -5241,6 +5256,46 @@ object SparkEntry {
 
     "kmeans_assign" -> (kmeansCte() +
       "SELECT vec_id, cluster FROM assign ORDER BY vec_id"),
+
+    // distance by the ann_topk_l2 dots convention (NOT list_distance's
+    // sqrt path) so the 4dp round sees the same double as the engine
+    "emb_outliers" -> (kmeansCte() +
+      """SELECT cluster, rank, vec_id, dist_sq FROM (
+        |  SELECT a.cluster, a.vec_id,
+        |         ROUND(list_inner_product(e.v, e.v)
+        |               + list_inner_product(c.v, c.v)
+        |               - 2 * list_inner_product(e.v, c.v), 4) AS dist_sq,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY a.cluster
+        |           ORDER BY ROUND(list_inner_product(e.v, e.v)
+        |                    + list_inner_product(c.v, c.v)
+        |                    - 2 * list_inner_product(e.v, c.v), 4) DESC,
+        |                    a.vec_id) AS INT) AS rank
+        |  FROM assign a JOIN e ON e.vec_id = a.vec_id
+        |       JOIN c5 c ON c.j = a.cluster)
+        |WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin),
+
+    "text_logprob2" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |tr AS (SELECT toks FROM t WHERE doc_id % 5 = 0),
+        |uni AS (SELECT unnest(toks) AS w1, 1 AS one FROM tr),
+        |u AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM u),
+        |trb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |        FROM tr, unnest(generate_series(1, len(toks) - 1)) g(i)
+        |        WHERE len(toks) >= 2),
+        |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM trb GROUP BY 1, 2),
+        |d AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
+        |      WHERE len(toks) >= 2)
+        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(AVG(-ln((COALESCE(bi.cb, 0) + 1.0)
+        |                     / (COALESCE(u.c1, 0) + v.v))), 4) AS mean_nll
+        |FROM d LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+        |       LEFT JOIN u ON d.w1 = u.w1
+        |       CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivf_learned" -> (kmeansCte() +
       """SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (

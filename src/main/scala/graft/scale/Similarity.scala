@@ -351,6 +351,37 @@ object Similarity {
           .as("shift_micro"))
   }
 
+  /** Per-cluster embedding OUTLIERS — the data-cleaning complement of
+    * [[clusterDrift]]: the `topN` vectors FARTHEST from their assigned
+    * centroid, per cluster. Far-from-every-centroid points are the
+    * mislabeled/garbage/OOD candidates an embedding-based curation pass
+    * reviews first. Distance is the [[l2TopK]] convention — squared L2
+    * from three codegen'd dots, 4dp-rounded, id tie-break — so the
+    * ranking is reproducible across engines. One fused assignment scan
+    * + a k-row broadcast join + one per-cluster window; no corpus
+    * self-join anywhere. */
+  def clusterOutliers(vectors: DataFrame, centroids: Array[Array[Double]],
+                      topN: Int = 3, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VecMath.dot
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cluster", "cvec")
+      .select(col("cluster"), col("cvec").cast("array<double>").as("cvec"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist_sq").desc, col(idCol))
+    withCluster(vectors, centroids, vecCol)
+      .join(broadcast(cents), Seq("cluster"))
+      .withColumn("dist_sq", round(
+        dot(col(vecCol), col(vecCol)) + dot(col("cvec"), col("cvec"))
+          - lit(2.0) * dot(col(vecCol), col("cvec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("cluster"), col("rank"), col(idCol), col("dist_sq"))
+  }
+
   /** Top-`nprobe` nearest centroids per vector (the IVF probe list):
     * same fused scan as [[kmeansAssign]], but the (distance, cluster)
     * structs are sorted and the first `nprobe` exploded — `nprobe` rows

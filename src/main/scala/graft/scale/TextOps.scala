@@ -348,6 +348,47 @@ object TextOps {
         round(avg(col("nll")), 4).as("mean_nll"))
   }
 
+  /** Bigram language-model score — one order up from [[unigramLogProb]],
+    * the closer proxy for CCNet's 5-gram KenLM perplexity filter: mean
+    * negative log of the add-one-smoothed CONDITIONAL probability
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) over the document's bigrams,
+    * trained on `train`. Catches locally-scrambled text that unigram
+    * frequencies score as fluent (the exact failure mode shuffled/
+    * boilerplate-stitched documents exhibit). Documents with fewer than
+    * two tokens have no bigrams and are absent.
+    *
+    * Model = one (w₁,w₂,count) table + one (w₁,count) table; scoring is
+    * two keyed left joins + a per-doc aggregation — vocabulary-sized
+    * state, nothing driver-side. */
+  def bigramLogProb(docs: DataFrame, train: DataFrame,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    def bigrams(df: DataFrame, id: Option[String]): DataFrame = {
+      val toks = tokens(col(textCol))
+      df.filter(size(toks) >= 2)
+        .select(id.map(col).toSeq :+ explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("bg"): _*)
+        .select(id.map(col).toSeq :+ col("bg.w1") :+ col("bg.w2"): _*)
+    }
+    val uni = train.select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = bigrams(train, None)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bigrams(docs, Some(idCol))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))).as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(col("nll")), 4).as("mean_nll"))
+  }
+
   /** PII patterns — deliberately RE2-compatible (no lookarounds, no
     * backrefs) so the DuckDB oracle runs the byte-identical regex. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

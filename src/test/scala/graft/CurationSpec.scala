@@ -301,6 +301,48 @@ class CurationSpec extends SparkSpec {
       Seq(("srcA", 0L), ("srcA", 1L), ("srcB", 0L), ("srcB", 1L), ("srcB", 2L)))
   }
 
+  test("bigramLogProb: scrambled text scores worse than fluent text with the SAME unigrams") {
+    // the property unigram LM cannot express: doc 10 reuses doc-train
+    // bigrams verbatim; doc 11 is the same multiset of words shuffled so
+    // its bigrams are unseen — bigram NLL must separate them
+    val train = (0L until 5L).map(i => (i, "the cat sat on the mat"))
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "mat the on sat cat the"))
+    val got = graft.scale.TextOps.bigramLogProb(
+        (train ++ probe).toDF("doc_id", "text"),
+        train.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_nll")).toMap
+    assert(got(10L) < got(11L),
+      s"fluent ${got(10L)} must beat scrambled ${got(11L)}")
+    // the unigram score CANNOT separate them (same token multiset)
+    val uni = graft.scale.TextOps.unigramLogProb(
+        probe.toDF("doc_id", "text"), train.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_nll")).toMap
+    assert(math.abs(uni(10L) - uni(11L)) < 1e-9)
+  }
+
+  test("clusterOutliers: the planted far point is its cluster's rank-1 outlier") {
+    import graft.scale.Similarity
+    val tight = (0L until 6L).map(i =>
+      (i, Array(1.0f + i * 0.001f, 0.0f)))
+    val far = Seq((99L, Array(3.0f, 2.0f))) // same side of space, far out
+    val other = (200L until 206L).map(i => (i, Array(-1.0f, 0.0f - (i - 200) * 0.001f)))
+    val df = (tight ++ far ++ other).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, k = 2)
+    val got = Similarity.clusterOutliers(df, cents, topN = 2)
+      .collect().map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    // 99 sits with the positive-x cluster and must be its top outlier
+    val cl99 = Similarity.kmeansAssign(df, cents)
+      .filter(col("vec_id") === 99L).collect()(0).getInt(1)
+    assert(got((cl99, 1)) == 99L)
+    // ranks are dense per cluster and bounded by topN
+    assert(got.keys.forall(_._2 <= 2))
+  }
+
   test("gopherRules: each planted violation trips exactly its rule") {
     val good = "the cat and the dog walk to the park in the morning light"
     val rows = Seq(
