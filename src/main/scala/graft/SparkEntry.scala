@@ -2292,6 +2292,22 @@ object SparkEntry {
       graft.scale.LinAlg.gramMicro(T(s, dir, "embeddings"), "embedding")
         .orderBy(col("i"), col("j"))),
 
+    // --- PSI drift (the model-monitoring standard, tail-weighted where
+    // TV is linear): add-one-smoothed bins over the same halves ---
+    "value_psi" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        (expr("ts div 1000000000") % 2).cast("int").as("side"))
+      graft.analysis.Drift.psiDrift(ev, "event_type", "cents", "side")
+        .orderBy(col("event_type"))
+    }),
+
+    // --- Flesch-style readability in pure integer micro-units: words /
+    // sentences / vowel-group syllables, scan-speed curation signal ---
+    "text_readability" -> ((s, dir) =>
+      TextOps.readability(T(s, dir, "documents")).orderBy(col("doc_id"))),
+
     // --- distribution drift: total-variation distance between the
     // even- and odd-second halves of each event type's value stream,
     // integer numerator over pooled 16-bin edges ---
@@ -6354,6 +6370,50 @@ object SparkEntry {
         |SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "value_psi" ->
+      """WITH v AS (SELECT event_type AS k,
+        |                  CAST(FLOOR(value * 100) AS BIGINT) AS x,
+        |                  CAST((epoch_us(ts) // 1000000) % 2 AS INT) AS s
+        |           FROM events),
+        |b AS (SELECT k, MIN(x) AS lo, MAX(x) - MIN(x) + 1 AS w
+        |      FROM v GROUP BY 1),
+        |bn AS (SELECT v.k, ((x - lo) * 16) // w AS bin, s
+        |       FROM v JOIN b ON v.k = b.k),
+        |c AS (SELECT k, bin,
+        |             CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM bn GROUP BY 1, 2),
+        |t AS (SELECT k, CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c GROUP BY 1),
+        |g AS (SELECT t.k, t.n1, t.n2, gs.generate_series AS bin
+        |      FROM t, generate_series(0, 15) gs),
+        |p AS (SELECT g.k, g.n1, g.n2,
+        |             (COALESCE(c.c1, 0) + 1.0) / (g.n1 + 16) AS p,
+        |             (COALESCE(c.c2, 0) + 1.0) / (g.n2 + 16) AS q
+        |      FROM g LEFT JOIN c ON c.k = g.k AND c.bin = g.bin)
+        |SELECT k AS event_type, n1, n2,
+        |       ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+        |FROM p GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "text_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(GREATEST(len(regexp_split_to_array(trim(text), ' +')), 1)
+        |           AS BIGINT) AS n_words,
+        |         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |           AS BIGINT) AS n_sentences,
+        |         CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+        |           AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       CAST(n_words * 1000000 // n_sentences AS BIGINT) AS wps_micro,
+        |       CAST(n_syllables * 1000000 // n_words AS BIGINT) AS spw_micro,
+        |       CAST(206835000
+        |            - (1015 * (n_words * 1000000 // n_sentences)) // 1000
+        |            - (84600 * (n_syllables * 1000000 // n_words)) // 1000
+        |         AS BIGINT) AS flesch_micro
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "value_drift" ->
       """WITH v AS (SELECT event_type AS k,

@@ -46,4 +46,45 @@ object Drift {
         sum(abs(col("__c1") * col("__n2") - col("__c2") * col("__n1")))
           .as("tv_num"))
   }
+
+  /** Population Stability Index per key — the model-monitoring standard
+    * for "has this feature's distribution shifted between the reference
+    * and current populations": PSI = Σ_bins (p−q)·ln(p/q) with add-one
+    * count smoothing (p = (c₁+1)/(n₁+B), q likewise), over the SAME
+    * pooled equi-width bins as [[tvDrift]]. PSI weights the tail moves
+    * TV treats linearly (the conventional alert bands: <0.1 stable,
+    * 0.1–0.25 moderate, >0.25 shifted). Smoothing makes every bin —
+    * including bins one side never hits — contribute a finite term, so
+    * the full B-bin grid is generated per key (keys-sized work). Counts
+    * are exact integers; only the final 16-term Σ is float, emitted at
+    * 6dp (the repo's float-tolerance convention).
+    * @return (key, n1, n2, psi) */
+  def psiDrift(df: DataFrame, keyCol: String, valCol: String,
+               sideCol: String, bins: Int = 16): DataFrame = {
+    val v = df.select(col(keyCol).as("__k"),
+      col(valCol).cast("long").as("__v"), col(sideCol).cast("int").as("__s"))
+    val bounds = v.groupBy("__k")
+      .agg(min("__v").as("__lo"), (max("__v") - min("__v") + 1).as("__w"))
+    val binned = v.join(bounds, "__k")
+      .withColumn("__bin", expr(s"((__v - __lo) * $bins) div __w"))
+    val cells = binned.groupBy(col("__k"), col("__bin"))
+      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__c2"))
+    val totals = cells.groupBy("__k")
+      .agg(sum("__c1").as("__n1"), sum("__c2").as("__n2"))
+    // full bin grid so empty bins contribute their smoothing floor
+    val grid = totals.select(col("__k"), col("__n1"), col("__n2"),
+        explode(sequence(lit(0), lit(bins - 1))).as("__b"))
+      .withColumn("__bin", col("__b").cast("long")).drop("__b")
+    grid.join(cells, Seq("__k", "__bin"), "left")
+      .select(col("__k"), col("__n1"), col("__n2"),
+        ((coalesce(col("__c1"), lit(0L)) + 1).cast("double") /
+          (col("__n1") + bins).cast("double")).as("__p"),
+        ((coalesce(col("__c2"), lit(0L)) + 1).cast("double") /
+          (col("__n2") + bins).cast("double")).as("__q"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6)
+          .as("psi"))
+  }
 }

@@ -389,6 +389,29 @@ object TextOps {
         round(avg(col("nll")), 4).as("mean_nll"))
   }
 
+  /** Flesch-style readability per document, in ENGINE-EXACT integer
+    * micro-units: words (whitespace tokens), sentences (runs of .!? —
+    * floored at 1), syllables (vowel groups, the standard cheap proxy),
+    * then flesch_micro = 206.835 − 1.015·(w/s) − 84.6·(syl/w) carried
+    * entirely in integral micro arithmetic (each product/division stays
+    * an exact non-negative integer until the final subtraction), so the
+    * score never touches a float. Reading-ease bands at face value:
+    * 90+ very easy … <30 academic. Pure columnar — three regexp_count
+    * projections, no shuffle; a scan-speed curation signal. */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      greatest(size(tokens(t)), lit(1)).cast("long").as("n_words"),
+      greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+        .as("n_sentences"),
+      regexp_count(t, lit("[aeiouAEIOU]+")).cast("long").as("n_syllables"))
+      .withColumn("wps_micro", expr("n_words * 1000000 div n_sentences"))
+      .withColumn("spw_micro", expr("n_syllables * 1000000 div n_words"))
+      .withColumn("flesch_micro", expr(
+        "206835000 - (1015 * wps_micro) div 1000 - (84600 * spw_micro) div 1000"))
+  }
+
   /** PII patterns — deliberately RE2-compatible (no lookarounds, no
     * backrefs) so the DuckDB oracle runs the byte-identical regex. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -14,7 +14,11 @@ class DeterminismSpec extends SparkSpec {
     "doc_fingerprint",  // windowed minima
     "sample_per_key",   // bounded heap aggregate, merge order varies
     "q_skew_report",    // histogram refinement rank selection
-    "tile_dedup")       // canonical-instance min over shuffled groups
+    "tile_dedup",       // canonical-instance min over shuffled groups
+    "xlingual_margin",  // micro-quantized cosine + margin argmax windows
+    "emb_outliers",     // per-cluster distance ranking (4dp + id tie-break)
+    "budgeted_shards",  // budget fill order + dense-id shard schedule
+    "jaccard_prefix")   // hashed prefix candidates + sorted-merge verify
 
   test("rank-sensitive queries are invariant to shuffle partition count") {
     val conf = spark.conf
