@@ -138,6 +138,46 @@ object Bitext {
       .select(col("src_id"), col("dst_id")).distinct()
   }
 
+  /** One frozen dst-side index row: the quantized vector + norm² (the
+    * scoring sufficient statistics) and the dst neighborhood sum/count
+    * from the reference mining run (the margin normalizer). */
+  case class IndexEntry(dstId: Long, qvec: Array[Long], nb2: Long,
+                        sumDst: Long, cntDst: Long)
+
+  /** Build the frozen dst-side index for STREAMING mining
+    * ([[graft.streaming.StreamingOps.bitextMine]]): run the reference
+    * corpus through the batch scorer once, freeze each dst doc's
+    * neighborhood statistics, and pack them with its micro-quantized
+    * vector. The collect is bounded by the PIVOT BATCH size — the same
+    * one-side-fits contract as the broadcast cross join; a corpus-scale
+    * dst side belongs in the batch candidate path, not here. Replaying
+    * the index's own src side through the stream reproduces the batch
+    * [[marginPairs]] output exactly (spec-proved). */
+  def buildIndex(emb: DataFrame, docs: DataFrame,
+                 srcLang: String, dstLang: String, k: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 docIdCol: String = "doc_id",
+                 langCol: String = "lang"): Array[IndexEntry] = {
+    import graft.functions.VecMath.norm2Micro
+    val stats = scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol,
+        docIdCol, langCol, None)
+      .select(col("dst_id"), col("sum_dst"), col("cnt_dst")).distinct()
+    val tagged = emb.join(
+      docs.select(col(docIdCol).as(idCol), col(langCol)), idCol)
+    val dstVecs = tagged.filter(col(langCol) === dstLang)
+      .select(col(idCol).as("dst_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1000000d))).as("qvec"),
+        norm2Micro(col(vecCol)).as("nb2"))
+    dstVecs.join(stats, Seq("dst_id"))
+      .select(col("dst_id"), col("qvec"), col("nb2"),
+        col("sum_dst"), col("cnt_dst"))
+      .collect()
+      .map(r => IndexEntry(r.getLong(0), r.getSeq[Long](1).toArray,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_.dstId)
+  }
+
   /** Shared margin-scored pair table: (src_id, dst_id, s, margin_micro)
     * for every cross-language pair (brute force) or candidate pair. */
   private def scoredPairs(emb: DataFrame, docs: DataFrame,

@@ -54,6 +54,85 @@ object StreamingOps {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming bitext mining against a FROZEN pivot-language index — the
+    * firehose twin of [[graft.scale.Bitext.marginPairs]]: each arriving
+    * src-language document is scored against every index entry with the
+    * batch kernel's exact integer arithmetic (micro-quantized dot +
+    * norms, one IEEE expression for the cosine), its OWN top-k
+    * neighborhood sum is computed within the row, and the margin uses
+    * the index's frozen per-dst neighborhood statistics
+    * ([[graft.scale.Bitext.buildIndex]]). Completely STATELESS — a
+    * per-row map over an executor-broadcast index, so it runs in append
+    * mode with no state store, no watermark, no shuffle: the shape for
+    * mining a crawl stream against a fixed pivot batch. Work is
+    * O(|index|·dim) per document — the same per-doc cost as the batch
+    * broadcast path. Replaying the index's own reference src corpus
+    * reproduces batch `marginPairs` EXACTLY (parity spec): per-pair `s`
+    * and the src-side top-k sum are computed identically, and the dst
+    * sums are by construction the reference run's. */
+  def bitextMine(src: DataFrame, index: Seq[graft.scale.Bitext.IndexEntry],
+                 k: Int = 4, thresholdMicro: Long = 1050000L,
+                 idCol: String = "doc_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.toArray)
+    src.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.flatMap { case (sid, vec) =>
+          if (idx.isEmpty) Iterator.empty
+          else {
+            val q = new Array[Long](vec.length)
+            var na2 = 0L
+            var i = 0
+            while (i < vec.length) {
+              q(i) = math.floor(vec(i) * 1000000d).toLong
+              na2 += q(i) * q(i); i += 1
+            }
+            // per-entry quantized cosine — bit-identical to VecDotMicro +
+            // the batch scorer's IEEE expression
+            val ss = new Array[Long](idx.length)
+            var j = 0
+            while (j < idx.length) {
+              val e = idx(j)
+              var dot = 0L
+              val n = math.min(q.length, e.qvec.length)
+              i = 0
+              while (i < n) { dot += q(i) * e.qvec(i); i += 1 }
+              ss(j) =
+                if (na2 == 0L || e.nb2 == 0L) 0L
+                else math.floor(dot.toDouble * 1000000d /
+                  math.sqrt(na2.toDouble * e.nb2.toDouble)).toLong
+              j += 1
+            }
+            val cntSrc = math.min(k, idx.length).toLong
+            val sumSrc = ss.sorted(Ordering[Long].reverse).take(k).sum
+            // best margin, ties to the smallest dst id (batch tie-break;
+            // the index is dstId-sorted, so first-wins == smallest-id)
+            var bestJ = 0; var bestM = Long.MinValue
+            j = 0
+            while (j < idx.length) {
+              val e = idx(j)
+              val num = ss(j) * (cntSrc + e.cntDst) * 1000000L
+              val den = sumSrc + e.sumDst
+              val m =
+                if (den == 0L) { if (num > 0L) 9000000000000000L
+                  else if (num < 0L) -9000000000000000L else 0L }
+                else if ((num >= 0L) == (den > 0L)) math.abs(num) / math.abs(den)
+                else -(math.abs(num) / math.abs(den))
+              if (m > bestM) { bestM = m; bestJ = j }
+              j += 1
+            }
+            if (bestM > thresholdMicro)
+              Iterator.single((sid, idx(bestJ).dstId, ss(bestJ), bestM))
+            else Iterator.empty
+          }
+        }
+      }.toDF("src_id", "dst_id", "sim_micro", "margin_micro")
+  }
+
   /** Curation at ingest: the streaming composition of the batch pipeline
     * — quality pre-filter (stateless, codegen'd columnar expression) then
     * exact dedup within the watermark horizon ([[exactDedup]]). The

@@ -216,6 +216,44 @@ class BitextSpec extends SparkSpec {
       assert((s <= 2L && d <= 3L) || (s >= 4L && d >= 5L)) }
   }
 
+  test("streaming bitextMine over the frozen index reproduces batch marginPairs exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(13)
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.fill(6)(rng.nextFloat() * 2 - 1f), if (i % 2 == 0) "en" else "de")
+    }
+    val (emb, docs) = corpus(rows: _*)
+    val k = 3
+    val batch = Bitext.marginPairs(emb, docs, "en", "de", k = k,
+        thresholdMicro = 0L)
+      .select("src_id", "dst_id", "sim_micro", "margin_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val index = Bitext.buildIndex(emb, docs, "en", "de", k = k)
+    assert(index.length == 15 && index.sliding(2).forall(p =>
+      p.length < 2 || p(0).dstId < p(1).dstId))
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val mined = StreamingOps.bitextMine(
+      stream.toDF().toDF("doc_id", "embedding"), index.toSeq, k = k,
+      thresholdMicro = 0L)
+    val q = mined.writeStream.format("memory").queryName("bitext_mine")
+      .outputMode("append").start()
+    try {
+      // replay the reference src side across TWO micro-batches: statless
+      // per-row scoring must not care about batch boundaries
+      val srcRows = rows.filter(_._3 == "en").map(r => (r._1, r._2))
+      stream.addData(srcRows.take(7))
+      q.processAllAvailable()
+      stream.addData(srcRows.drop(7))
+      q.processAllAvailable()
+      val got = spark.table("bitext_mine")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("protocol switch finds a planted eager->rendezvous size threshold") {
     // channel 0->1: sizes 10..50 step 10; latency 2ms below 40 bytes,
     // 50ms at 40+ — the CUSUM argmax must land on the last eager size
