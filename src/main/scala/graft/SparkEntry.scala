@@ -177,6 +177,10 @@ object SparkEntry {
   private def lshComponents(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "lsh_components")(
       Dedup.connectedComponents(Dedup.minhashLshPairs(minhashSigs(s, dir))))
+  private def bitextScored(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "bitext_scored")(
+      Bitext.scoredPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
+        "en", "de"))
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "winnow_fp")(
       TextOps.winnowFingerprint(T(s, dir, "documents")))
@@ -1464,17 +1468,17 @@ object SparkEntry {
     }),
 
     // --- cross-lingual margin mining: best de candidate per en doc by
-    // the ratio-margin criterion, integer micro-units end to end ---
+    // the ratio-margin criterion, integer micro-units end to end; the
+    // scored pair table is a shared memoized artifact (margin + mutual
+    // are two windows over the SAME scoring run) ---
     "xlingual_margin" -> ((s, dir) =>
-      Bitext.marginPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
-          "en", "de")
+      Bitext.marginFromScored(bitextScored(s, dir))
         .orderBy(col("src_id"))),
 
     // --- mutual best matches: b is a's argmax AND a is b's (the
     // deployed mining criterion; hubs keep at most one pair) ---
     "xlingual_mutual" -> ((s, dir) =>
-      Bitext.mutualPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
-          "en", "de")
+      Bitext.mutualFromScored(bitextScored(s, dir))
         .orderBy(col("src_id"))),
 
     // --- candidate-FED margin mining: the corpus-scale Bitext path —
@@ -2461,6 +2465,31 @@ object SparkEntry {
     // --- leakage-safe train/val/test split: the split hash is taken on
     // the near-dup component representative, so clusters never straddle
     // the boundary ---
+    // --- corpus snapshot diff: synthetic snapshot B (every 13th doc
+    // removed, every 7th survivor edited, every 11th cloned as new)
+    // diffed against A by content hash — the incremental-reprocessing
+    // gate; unchanged rows suppressed ---
+    "corpus_diff" -> ((s, dir) => {
+      val a = T(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      Curation.corpusDiff(a, b)
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"), col("status"))
+    }),
+
+    // --- cross-split n-gram contamination under the leakage-safe split:
+    // pair-level leakage is 0 by construction, but common shingles still
+    // cross the boundary — the memorization-eval denominator ---
+    "split_ngram_overlap" -> ((s, dir) =>
+      Curation.splitNgramOverlap(T(s, dir, "documents"),
+          Curation.leakageSafeSplit(T(s, dir, "documents"),
+            lshComponents(s, dir)))
+        .orderBy(col("split"))),
+
     "split_safe" -> ((s, dir) =>
       Curation.leakageSafeSplit(T(s, dir, "documents"), lshComponents(s, dir))
         .groupBy(col("split"))
@@ -6677,6 +6706,41 @@ object SparkEntry {
         |       md5(COALESCE(string_agg(tile, ' ' ORDER BY idx)
         |                      FILTER (WHERE keep), '')) AS kept_md5
         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b0 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                   ELSE text END AS text
+        |       FROM documents WHERE doc_id % 13 != 0),
+        |b AS (SELECT doc_id, md5(text) AS hb FROM b0
+        |      UNION ALL
+        |      SELECT doc_id + 100000, md5(text) FROM documents
+        |      WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.ha IS NULL THEN 'added'
+        |            WHEN b.hb IS NULL THEN 'removed'
+        |            WHEN a.ha != b.hb THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE (CASE WHEN a.ha IS NULL THEN 'added'
+        |            WHEN b.hb IS NULL THEN 'removed'
+        |            WHEN a.ha != b.hb THEN 'changed'
+        |            ELSE 'unchanged' END) != 'unchanged'
+        |ORDER BY doc_id, status""".stripMargin,
+
+    "split_ngram_overlap" -> (splitAssignCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |ss AS (SELECT DISTINCT a.split, d.shingle
+        |       FROM dsh d JOIN assign a USING (doc_id)),
+        |cnt AS (SELECT shingle, COUNT(*) AS ns FROM ss GROUP BY 1)
+        |SELECT ss.split, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(CASE WHEN c.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared,
+        |       CAST(SUM(CASE WHEN c.ns >= 2 THEN 1 ELSE 0 END) * 1000000
+        |            // COUNT(*) AS BIGINT) AS shared_micro
+        |FROM ss JOIN cnt c USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "split_safe" -> (splitAssignCte +
       """SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,

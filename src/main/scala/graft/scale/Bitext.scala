@@ -68,8 +68,16 @@ object Bitext {
                   docIdCol: String = "doc_id",
                   langCol: String = "lang",
                   candidates: Option[DataFrame] = None): DataFrame =
-    scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol, docIdCol,
-        langCol, candidates)
+    marginFromScored(scoredPairs(emb, docs, srcLang, dstLang, k, idCol,
+      vecCol, docIdCol, langCol, candidates), thresholdMicro)
+
+  /** The margin-best selection alone, over a PREBUILT scored pair table
+    * ([[scoredPairs]]) — share one scoring run between [[marginPairs]]
+    * and [[mutualPairs]] consumers (the table is the expensive part;
+    * each selection is one window). */
+  def marginFromScored(scored: DataFrame,
+                       thresholdMicro: Long = 1050000L): DataFrame =
+    scored
       .withColumn("best", row_number().over(
         Window.partitionBy(col("src_id"))
           .orderBy(col("margin_micro").desc, col("dst_id"))))
@@ -92,8 +100,14 @@ object Bitext {
                   docIdCol: String = "doc_id",
                   langCol: String = "lang",
                   candidates: Option[DataFrame] = None): DataFrame =
-    scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol, docIdCol,
-        langCol, candidates)
+    mutualFromScored(scoredPairs(emb, docs, srcLang, dstLang, k, idCol,
+      vecCol, docIdCol, langCol, candidates), thresholdMicro)
+
+  /** [[mutualPairs]]' selection over a prebuilt scored table — see
+    * [[marginFromScored]]. */
+  def mutualFromScored(scored: DataFrame,
+                       thresholdMicro: Long = 1000000L): DataFrame =
+    scored
       .withColumn("best_fwd", row_number().over(
         Window.partitionBy(col("src_id"))
           .orderBy(col("margin_micro").desc, col("dst_id"))))
@@ -179,12 +193,14 @@ object Bitext {
   }
 
   /** Shared margin-scored pair table: (src_id, dst_id, s, margin_micro)
-    * for every cross-language pair (brute force) or candidate pair. */
-  private def scoredPairs(emb: DataFrame, docs: DataFrame,
-                          srcLang: String, dstLang: String, k: Int,
-                          idCol: String, vecCol: String,
-                          docIdCol: String, langCol: String,
-                          candidates: Option[DataFrame]): DataFrame = {
+    * for every cross-language pair (brute force) or candidate pair.
+    * Public so callers can build it ONCE and run both selections
+    * ([[marginFromScored]], [[mutualFromScored]]) over it. */
+  def scoredPairs(emb: DataFrame, docs: DataFrame,
+                  srcLang: String, dstLang: String, k: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  docIdCol: String = "doc_id", langCol: String = "lang",
+                  candidates: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"neighborhood size k must be positive, got $k")
     import graft.functions.VecMath.{dotMicro, norm2Micro}
     val tagged = emb.join(

@@ -612,6 +612,48 @@ object Curation {
         greatest(col("target_tokens") - col("avail_tokens"), lit(0L)))
   }
 
+  /** Snapshot diff between two corpus versions — the data-ops "what
+    * changed since the last crawl" audit that gates incremental
+    * reprocessing: per doc id, `added` / `removed` / `changed` /
+    * `unchanged` by content hash. One full-outer join on the id with
+    * md5 projections on both sides; at 100 TB this is the id-keyed
+    * shuffle and nothing else — text never travels, only its hash. */
+  def corpusDiff(a: DataFrame, b: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val av = a.select(col(idCol), md5(col(textCol)).as("__ha"))
+    val bv = b.select(col(idCol), md5(col(textCol)).as("__hb"))
+    av.join(bv, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged"))
+      .select(col(idCol), col("status"))
+  }
+
+  /** Cross-split n-gram contamination — the memorization-risk audit one
+    * level below [[leakageSafeSplit]]'s pair-level guarantee: per split,
+    * how many of its DISTINCT shingles also occur in some other split.
+    * A component-keyed split stops near-duplicate documents from
+    * straddling the boundary, but common n-grams still cross it — this
+    * measures how much, which is what a memorization eval actually
+    * cares about. Distinct (split, shingle) rows + one shingle-keyed
+    * window; shuffles carry distinct shingles only. */
+  def splitNgramOverlap(docs: DataFrame, splits: DataFrame,
+                        shingleK: Int = 3, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        splitCol: String = "split"): DataFrame = {
+    val ss = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+      .join(splits.select(col(idCol), col(splitCol)), Seq(idCol))
+      .select(col(splitCol), col("shingle")).distinct()
+    val w = Window.partitionBy(col("shingle"))
+    ss.withColumn("__ns", count(lit(1)).over(w))
+      .groupBy(col(splitCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__ns") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_micro", expr("n_shared * 1000000 div n_shingles"))
+  }
+
   def leakageSafeSplit(docs: DataFrame, components: DataFrame,
                        nSplits: Int = 10, seed: Int = 11,
                        idCol: String = "doc_id"): DataFrame = {

@@ -343,6 +343,29 @@ class CurationSpec extends SparkSpec {
     assert(got.keys.forall(_._2 <= 2))
   }
 
+  test("corpusDiff: each change class lands exactly once") {
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val b = Seq((1L, "one"), (2L, "two EDITED"), (4L, "four")).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(a, b).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("splitNgramOverlap: only shingles present in 2+ splits count as shared") {
+    // split 0: "a b c" → shingle "a b c"; split 1: "a b c" (shared) and
+    // "x y z" (unique to split 1)
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val splits = Seq((1L, 0), (2L, 1), (3L, 1)).toDF("doc_id", "split")
+    val got = Curation.splitNgramOverlap(docs, splits).collect()
+      .map(r => r.getAs[Int]("split") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("shared_micro"))).toMap
+    assert(got(0) == ((1L, 1L, 1000000L))) // its only shingle is shared
+    assert(got(1) == ((2L, 1L, 500000L))) // one of two shared
+  }
+
   test("gopherRules: each planted violation trips exactly its rule") {
     val good = "the cat and the dog walk to the park in the morning light"
     val rows = Seq(
