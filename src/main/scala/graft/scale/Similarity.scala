@@ -433,6 +433,21 @@ object Similarity {
     withCluster(corpus, centroids, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Append a NEW batch to an existing [[writeIvfIndex]] layout — index
+    * MAINTENANCE without a rebuild: the batch is assigned by the SAME
+    * frozen quantizer and its rows land in the matching list directories
+    * (dynamic-partition append), so day-2 ingest cost is the batch, not
+    * the corpus, and [[searchIvfIndex]] sees old + new rows through the
+    * identical partition-pruned scan. Lists drift from optimal as the
+    * data distribution moves — re-fit and rewrite when the recall
+    * audits (`ann_recall` / `ann_probe_sweep`) degrade; that cadence,
+    * not per-batch rebuilds, is what makes disk IVF viable at 100 TB. */
+  def appendIvfIndex(batch: DataFrame, path: String,
+                     centroids: Array[Array[Double]],
+                     vecCol: String = "embedding"): Unit =
+    withCluster(batch, centroids, vecCol)
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
   /** Search a [[writeIvfIndex]] layout: compute each query's `nprobe`
     * nearest lists, PRUNE the index scan to exactly those partitions
     * (the probe set is ≤ nClusters ints — driver-tiny), and score only
