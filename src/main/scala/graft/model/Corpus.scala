@@ -26,6 +26,13 @@ case class Corpus(docs: DataFrame) {
   def tokenCounts: DataFrame = docs.select(col("doc_id"),
     size(TextOps.tokens(col("text"))).as("ws_tokens"),
     size(TextOps.bpeishTokens(col("text"))).as("bpeish_tokens"))
+  def gopherRules(minWords: Long = 50L): DataFrame =
+    TextOps.gopherRules(docs, minWords)
+  def readability: DataFrame = TextOps.readability(docs)
+  def bigramLogProb(train: DataFrame): DataFrame =
+    TextOps.bigramLogProb(docs, train)
+  def distinctNgrams(ns: Seq[Int] = Seq(1, 2, 3)): DataFrame =
+    TextOps.distinctNgrams(docs, ns)
 
   // --- dedup family ---
   def exactDedup: DataFrame = Dedup.exact(docs)
@@ -39,6 +46,10 @@ case class Corpus(docs: DataFrame) {
     Dedup.dropNearDuplicates(docs, pairs)
   def removeDuplicateTiles(k: Int = 5): DataFrame =
     Dedup.removeDuplicateTiles(docs, k)
+  def softDedupWeights(shingleK: Int = 3): DataFrame =
+    Dedup.softDedupWeights(docs, shingleK)
+  def diffAgainst(other: DataFrame): DataFrame =
+    Curation.corpusDiff(docs, other)
 
   // --- curation / selection ---
   def curate(minQuality: Double, minUniqueRatio: Double): DataFrame =
@@ -60,6 +71,11 @@ case class Corpus(docs: DataFrame) {
                      docsPerShard: Int): DataFrame =
     Curation.budgetedShards(docs, budgets, defaultBudget, weights,
       docsPerShard)
+  def mixPlan(targetWeights: Seq[(String, Int)],
+              budgetTokens: Long): DataFrame =
+    Curation.mixPlan(docs, targetWeights, budgetTokens)
+  def splitNgramOverlap(splits: DataFrame, shingleK: Int = 3): DataFrame =
+    Curation.splitNgramOverlap(docs, splits, shingleK)
   def lshPrecision(pairs: DataFrame, tauNum: Int = 1,
                    tauDen: Int = 2): DataFrame =
     Dedup.lshPrecision(docs, pairs, tauNum, tauDen)

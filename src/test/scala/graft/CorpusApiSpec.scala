@@ -40,4 +40,27 @@ class CorpusApiSpec extends SparkSpec {
     val direct = graft.scale.TextOps.qualityScore(corpus.docs).collect()
     assert(corpus.qualityScore.collect() === direct)
   }
+
+  test("round-5 facade additions delegate and compose") {
+    // rule verdicts, readability, diversity: per-doc / per-source shapes
+    assert(corpus.gopherRules(minWords = 2L).count() === 4)
+    assert(corpus.readability.filter(col("doc_id") === 4)
+      .select("n_words").as[Long].head() === 12L)
+    assert(corpus.distinctNgrams(Seq(1)).filter(col("source") === "b")
+      .select("n_distinct").as[Long].head() > 0L)
+    // soft dedup downweights the exact-dup pair below the unique doc
+    val w = corpus.softDedupWeights().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_micro")).toMap
+    assert(w(1L) == w(2L) && w(1L) < w(3L))
+    // mix plan covers both sources within the budget arithmetic
+    val mp = corpus.mixPlan(Seq("a" -> 1, "b" -> 1), 20L).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("target_tokens")).toMap
+    assert(mp == Map("a" -> 10L, "b" -> 10L))
+    // diff: one edited doc detected
+    val b = corpus.docs.withColumn("text",
+      when(col("doc_id") === 3, lit("edited")).otherwise(col("text")))
+    val diff = corpus.diffAgainst(b)
+      .filter(col("status") =!= "unchanged").collect()
+    assert(diff.length === 1 && diff.head.getAs[Long]("doc_id") === 3L)
+  }
 }
