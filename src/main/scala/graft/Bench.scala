@@ -44,16 +44,17 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // a failing query must be VISIBLE in the output AND still charge its
+    // time-until-failure — returning 0 for a failure would silently
+    // deflate the totals
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-             name: String, pass: String): Option[Double] = {
+             name: String, pass: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      // a failing query must be VISIBLE in the output, not a silently
-      // deflated timing
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, true) }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED ($pass): ${e.getMessage}")
-        None
+        ((System.nanoTime() - t0) / 1e9, false)
       }
     }
 
@@ -67,36 +68,44 @@ object Bench {
     val setupTimes = ordered.map { case (name, fn) =>
       name -> time(fn, name, "setup")
     }.toMap
-    val setupTotal = setupTimes.valuesIterator.flatten.sum
+    val setupTotal = setupTimes.valuesIterator.map(_._1).sum
 
     // Passes 1-3 (timed, warm): per-query MEDIAN of three runs — the
     // bench host shows 2-5× cold/warm swing, and a median over warm runs
     // is the smallest sample that sheds one outlier. Queries that failed
-    // in setup are skipped (listed in `failed`, not retried 3×).
+    // in setup are skipped (listed in `failed`, not retried 3×) — their
+    // reported value is the setup pass's time-until-failure.
     val broken = failed.toSet
     val runs: Seq[Map[String, Double]] = (1 to 3).map { p =>
       ordered.flatMap { case (name, fn) =>
         if (broken.contains(name)) None
-        else time(fn, name, s"run$p").map(name -> _)
+        else {
+          val (sec, ok) = time(fn, name, s"run$p")
+          if (ok) Some(name -> sec) else None
+        }
       }.toMap
     }
     def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = ordered.map { case (name, _) =>
       val samples = runs.flatMap(_.get(name))
       name -> (if (samples.nonEmpty) median3(samples)
-               else setupTimes(name).getOrElse(0.0))
+               else setupTimes(name)._1)
     }
     val resultMap = results.toMap
-    // headline total = setup + Σ medians: comparable work to one cold
-    // sweep (artifacts built once + each query once, at steady state)
-    val total = setupTotal + results.map(_._2).sum
+    // headline total = the setup sweep (artifact builds + one COLD run
+    // of every query) + Σ warm medians — i.e. ~one cold sweep plus one
+    // steady-state sweep. NOT comparable 1:1 with the ≤r4 single-sweep
+    // totals; the JSON carries `setup` and `sum_medians` separately so
+    // either comparison basis is available.
+    val sumMedians = results.map(_._2).sum
+    val total = setupTotal + sumMedians
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Full dump for humans / the judge: every query, full precision.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"setup":$setupTotal,"runs_per_query":3,"aggregation":"median","queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"setup":$setupTotal,"sum_medians":$sumMedians,"runs_per_query":3,"aggregation":"median","queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
@@ -108,7 +117,7 @@ object Bench {
     // Compact line for the harness tail window.
     val compactQs = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"setup":${fmt(setupTotal)},"runs_per_query":3,"aggregation":"median","queries":$compactQs,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"setup":${fmt(setupTotal)},"sum_medians":${fmt(sumMedians)},"runs_per_query":3,"aggregation":"median","queries":$compactQs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

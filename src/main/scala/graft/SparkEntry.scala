@@ -4238,12 +4238,12 @@ object SparkEntry {
         |g1 AS (SELECT source, unnest(toks) AS gram FROM t),
         |g2 AS (SELECT source, array_to_string(toks[i:i+1], ' ') AS gram
         |       FROM (SELECT source, toks,
-        |               unnest(generate_series(1, GREATEST(len(toks) - 1, 1))) AS i
-        |             FROM t)),
+        |               unnest(generate_series(1, len(toks) - 1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
         |g3 AS (SELECT source, array_to_string(toks[i:i+2], ' ') AS gram
         |       FROM (SELECT source, toks,
-        |               unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
-        |             FROM t)),
+        |               unnest(generate_series(1, len(toks) - 2)) AS i
+        |             FROM t WHERE len(toks) >= 3)),
         |u AS (SELECT source, 1 AS n, gram FROM g1
         |      UNION ALL SELECT source, 2, gram FROM g2
         |      UNION ALL SELECT source, 3, gram FROM g3)

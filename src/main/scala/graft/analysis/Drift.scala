@@ -24,15 +24,19 @@ object Drift {
   /** @param df      rows with key, integral value, and side ∈ {0, 1}
     * @param bins    equi-width bin count over the pooled per-key range
     * @return (key, n1, n2, tv_num) */
-  def tvDrift(df: DataFrame, keyCol: String, valCol: String,
-              sideCol: String, bins: Int = 16): DataFrame = {
+  /** The shared pooled-equi-width binning pipeline both drift metrics
+    * run on — ONE definition so the metrics can never bin differently:
+    * per-(key, bin) side counts (`cells`) and per-key side totals.
+    * Per-key aggregates are |keys|-sized: joins back to the data go
+    * broadcast via AQE when small, shuffled-hash when keys are many —
+    * no hint, both shapes are right at their scale. */
+  private def binnedCells(df: DataFrame, keyCol: String, valCol: String,
+                          sideCol: String,
+                          bins: Int): (DataFrame, DataFrame) = {
     val v = df.select(col(keyCol).as("__k"),
       col(valCol).cast("long").as("__v"), col(sideCol).cast("int").as("__s"))
     val bounds = v.groupBy("__k")
       .agg(min("__v").as("__lo"), (max("__v") - min("__v") + 1).as("__w"))
-    // per-key aggregates are |keys|-sized: joins back to the data go
-    // broadcast via AQE when small, shuffled-hash when keys are many —
-    // no hint, both shapes are right at their scale
     val binned = v.join(bounds, "__k")
       .withColumn("__bin", expr(s"((__v - __lo) * $bins) div __w"))
     val cells = binned.groupBy(col("__k"), col("__bin"))
@@ -40,6 +44,12 @@ object Drift {
         sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__c2"))
     val totals = cells.groupBy("__k")
       .agg(sum("__c1").as("__n1"), sum("__c2").as("__n2"))
+    (cells, totals)
+  }
+
+  def tvDrift(df: DataFrame, keyCol: String, valCol: String,
+              sideCol: String, bins: Int = 16): DataFrame = {
+    val (cells, totals) = binnedCells(df, keyCol, valCol, sideCol, bins)
     cells.join(totals, "__k")
       .groupBy(col("__k").as(keyCol))
       .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
@@ -61,17 +71,7 @@ object Drift {
     * @return (key, n1, n2, psi) */
   def psiDrift(df: DataFrame, keyCol: String, valCol: String,
                sideCol: String, bins: Int = 16): DataFrame = {
-    val v = df.select(col(keyCol).as("__k"),
-      col(valCol).cast("long").as("__v"), col(sideCol).cast("int").as("__s"))
-    val bounds = v.groupBy("__k")
-      .agg(min("__v").as("__lo"), (max("__v") - min("__v") + 1).as("__w"))
-    val binned = v.join(bounds, "__k")
-      .withColumn("__bin", expr(s"((__v - __lo) * $bins) div __w"))
-    val cells = binned.groupBy(col("__k"), col("__bin"))
-      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__c1"),
-        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__c2"))
-    val totals = cells.groupBy("__k")
-      .agg(sum("__c1").as("__n1"), sum("__c2").as("__n2"))
+    val (cells, totals) = binnedCells(df, keyCol, valCol, sideCol, bins)
     // full bin grid so empty bins contribute their smoothing floor
     val grid = totals.select(col("__k"), col("__n1"), col("__n2"),
         explode(sequence(lit(0), lit(bins - 1))).as("__b"))

@@ -171,8 +171,22 @@ object Otf2Writer {
         def flush(): Unit = if (buf != null) {
           writeDir match {
             case Some(d) =>
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(s"$d/$cur.evt"), buf.toByteArray)
+              // write-then-atomic-rename: a retried or speculative task
+              // attempt must never interleave with another attempt's
+              // CREATE+TRUNCATE on the final path — each attempt writes
+              // its own temp (attempt-unique name) and the rename is
+              // all-or-nothing, so the surviving .evt is always one
+              // attempt's complete bytes
+              val attempt = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId()).getOrElse(
+                  java.lang.Thread.currentThread().getId)
+              val tmp = java.nio.file.Paths.get(
+                s"$d/.$cur.evt.tmp-$attempt")
+              java.nio.file.Files.write(tmp, buf.toByteArray)
+              java.nio.file.Files.move(tmp,
+                java.nio.file.Paths.get(s"$d/$cur.evt"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
               out += ((cur, n, dropped, Array.emptyByteArray))
             case None =>
               out += ((cur, n, dropped, buf.toByteArray))

@@ -152,6 +152,19 @@ object Bitext {
       .select(col("src_id"), col("dst_id")).distinct()
   }
 
+  /** The margin rule as ONE Scala definition: sign-explicit integer
+    * division with the zero-denominator sentinel — the exact semantics
+    * of the SQL CASE in [[scoredPairs]] (a spec pins the two together
+    * over the full sign/zero grid, so the streaming kernel can never
+    * drift from the batch expression). */
+  def signedMarginMicro(num: Long, den: Long): Long =
+    if (den == 0L) {
+      if (num > 0L) 9000000000000000L
+      else if (num < 0L) -9000000000000000L else 0L
+    }
+    else if ((num >= 0L) == (den > 0L)) math.abs(num) / math.abs(den)
+    else -(math.abs(num) / math.abs(den))
+
   /** One frozen dst-side index row: the quantized vector + norm² (the
     * scoring sufficient statistics) and the dst neighborhood sum/count
     * from the reference mining run (the margin normalizer). */
@@ -215,9 +228,12 @@ object Bitext {
 
     val joined = candidates match {
       case Some(cand) =>
-        // keyed shuffle joins — the corpus-scale path; the candidate
-        // table arrives already keyed on both ids
-        cand.select(col("src_id"), col("dst_id"))
+        // keyed shuffle joins — the corpus-scale path. The candidate
+        // table is DEDUPED first: a duplicated (src,dst) row would
+        // count the same pair twice in the top-k rank/sum windows and
+        // silently corrupt every margin in that neighborhood (multi-
+        // probe generators naturally emit repeats).
+        cand.select(col("src_id"), col("dst_id")).distinct()
           .join(srcSide, "src_id").join(dstSide, "dst_id")
       case None => srcSide.join(broadcast(dstSide))
     }

@@ -690,11 +690,15 @@ object TextOps {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be positive: $ns")
     val per = ns.map { n =>
       val toks = tokens(col(textCol))
+      // docs shorter than n contribute NOTHING at that n — a floored
+      // sequence would emit the whole short doc as a phantom "n-gram"
+      // and inflate exactly the short-doc-heavy sources this diversity
+      // audit exists to flag
       val grams =
         if (n == 1) docs.select(col(srcCol), explode(toks).as("gram"))
-        else docs.select(col(srcCol),
+        else docs.filter(size(toks) >= n).select(col(srcCol),
           explode(transform(
-            sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+            sequence(lit(1), size(toks) - (n - 1)),
             i => concat_ws(" ", slice(toks, i, lit(n))))).as("gram"))
       grams.groupBy(col(srcCol))
         .agg(count(lit(1)).as("total"),

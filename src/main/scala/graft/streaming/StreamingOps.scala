@@ -115,13 +115,9 @@ object StreamingOps {
             j = 0
             while (j < idx.length) {
               val e = idx(j)
-              val num = ss(j) * (cntSrc + e.cntDst) * 1000000L
-              val den = sumSrc + e.sumDst
-              val m =
-                if (den == 0L) { if (num > 0L) 9000000000000000L
-                  else if (num < 0L) -9000000000000000L else 0L }
-                else if ((num >= 0L) == (den > 0L)) math.abs(num) / math.abs(den)
-                else -(math.abs(num) / math.abs(den))
+              val m = graft.scale.Bitext.signedMarginMicro(
+                ss(j) * (cntSrc + e.cntDst) * 1000000L,
+                sumSrc + e.sumDst)
               if (m > bestM) { bestM = m; bestJ = j }
               j += 1
             }

@@ -131,6 +131,25 @@ class BitextSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[Long]("dst_id") == 10L)
   }
 
+  test("signedMarginMicro equals the batch SQL CASE over the sign/zero grid") {
+    // pins the streaming Scala rule to the exact SQL expression used by
+    // scoredPairs — the two must never drift
+    val vals = Seq(-9000000L, -7L, -1L, 0L, 1L, 7L, 9000000L)
+    val grid = for (num <- vals; den <- vals) yield (num, den)
+    val df = grid.toDF("num", "den")
+      .withColumn("sql_m", expr(
+        """CASE WHEN den = 0 THEN
+          |       CASE WHEN num > 0 THEN 9000000000000000
+          |            WHEN num < 0 THEN -9000000000000000 ELSE 0 END
+          |     WHEN (num >= 0) = (den > 0) THEN abs(num) div abs(den)
+          |     ELSE -(abs(num) div abs(den)) END""".stripMargin))
+    df.collect().foreach { r =>
+      val (num, den) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == Bitext.signedMarginMicro(num, den),
+        s"num=$num den=$den")
+    }
+  }
+
   test("negative cosines: margin signs follow sign(num)·sign(den) exactly") {
     // src 1 is anti-aligned with every candidate → all pair cosines (and
     // both neighborhood sums) negative; the ref model must agree on every
