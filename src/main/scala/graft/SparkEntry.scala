@@ -1499,6 +1499,27 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    // --- candidate-generation RECALL audit: what fraction of the
+    // brute-force mined pairs the cluster-probe candidates cover at
+    // nprobe=2 under the session's shared quantizer — the eval that
+    // picks nprobe before trusting the corpus-scale path (lsh_tuning's
+    // bitext sibling) ---
+    "xlingual_cand_recall" -> ((s, dir) => {
+      val cand = Bitext.clusterCandidates(
+        T(s, dir, "embeddings"), T(s, dir, "documents"), "en", "de",
+        nProbe = 2, centroids = Some(embCentroids(s, dir)))
+      Bitext.marginFromScored(bitextScored(s, dir))
+        .select(col("src_id"), col("dst_id"))
+        .join(cand.withColumn("__hit", lit(1L)), Seq("src_id", "dst_id"),
+          "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          when(col("n_true") > 0,
+            expr("n_found * 1000000 div n_true")).otherwise(1000000L)
+            .as("recall_micro"))
+    }),
+
     // --- SQ8 scalar quantization: per-dim [min,max] fit (cached like
     // the k-means/PQ models), codes packed by a codegen'd loop — the
     // exploded (vec,dim,code) form is presentation-only ---
@@ -5127,6 +5148,36 @@ object SparkEntry {
         |SELECT src_id, dst_id, s AS sim_micro, margin_micro
         |FROM best WHERE rf = 1 AND rb = 1 AND margin_micro > 1000000
         |ORDER BY src_id""".stripMargin),
+
+    // kmeansCte supplies e/c5/assign (the session quantizer); the scored
+    // CTE supplies mm (brute-force margins); probes at rn <= 2 mirror
+    // kmeansProbe's (distance, j) order
+    "xlingual_cand_recall" -> (kmeansCte() + ", " +
+      xlingualScoredCte.stripPrefix("WITH ") +
+      """probes AS (
+        |  SELECT vec_id, j AS cluster FROM (
+        |    SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.v), c.j) AS rn
+        |    FROM e CROSS JOIN c5 c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT pr.vec_id AS src_id, s2.vec_id AS dst_id
+        |  FROM probes pr JOIN a ON a.vec_id = pr.vec_id
+        |       JOIN assign s2 ON s2.cluster = pr.cluster
+        |       JOIN b ON b.vec_id = s2.vec_id),
+        |best AS (SELECT src_id, dst_id FROM (
+        |    SELECT src_id, dst_id, margin_micro,
+        |           ROW_NUMBER() OVER (PARTITION BY src_id
+        |             ORDER BY margin_micro DESC, dst_id) AS rn FROM mm)
+        |  WHERE rn = 1 AND margin_micro > 1050000)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+        |       CAST(SUM(CASE WHEN c.src_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_found,
+        |       CAST(CASE WHEN COUNT(*) > 0
+        |            THEN SUM(CASE WHEN c.src_id IS NOT NULL THEN 1 ELSE 0 END)
+        |                 * 1000000 // COUNT(*)
+        |            ELSE 1000000 END AS BIGINT) AS recall_micro
+        |FROM best LEFT JOIN cand c
+        |  ON c.src_id = best.src_id AND c.dst_id = best.dst_id""".stripMargin),
 
     "xlingual_margin_cand" -> (xlingualScoredCte("AND b.label = a.label") +
       """best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id

@@ -135,12 +135,18 @@ object Bitext {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         docIdCol: String = "doc_id",
-                        langCol: String = "lang"): DataFrame = {
+                        langCol: String = "lang",
+                        centroids: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     val tagged = emb.join(
       docs.select(col(docIdCol).as(idCol), col(langCol)), idCol)
-    val both = tagged.filter(col(langCol).isin(srcLang, dstLang))
-    val cents = Similarity.kmeansFit(both, nClusters, idCol = idCol,
-      vecCol = vecCol)
+    // frozen centroids (a session-shared quantizer fit) skip the union
+    // fit — the index-maintenance shape, and what an eval run shares
+    // with the ANN family's memoized model
+    val cents = centroids.getOrElse {
+      val both = tagged.filter(col(langCol).isin(srcLang, dstLang))
+      Similarity.kmeansFit(both, nClusters, idCol = idCol, vecCol = vecCol)
+    }
     val srcProbes = Similarity.kmeansProbe(
         tagged.filter(col(langCol) === srcLang), cents, nProbe,
         idCol = idCol, vecCol = vecCol)
