@@ -181,6 +181,12 @@ object SparkEntry {
     cachedDf(s, dir, "bitext_scored")(
       Bitext.scoredPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
         "en", "de"))
+  private def bigramUni(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "bigram_uni")(TextOps.bigramModel(
+      T(s, dir, "documents").filter(col("doc_id") % 5 === 0))._1)
+  private def bigramBi(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "bigram_bi")(TextOps.bigramModel(
+      T(s, dir, "documents").filter(col("doc_id") % 5 === 0))._2)
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "winnow_fp")(
       TextOps.winnowFingerprint(T(s, dir, "documents")))
@@ -1325,10 +1331,13 @@ object SparkEntry {
     }),
 
     // --- bigram-conditional LM score (the next CCNet rung above the
-    // unigram proxy): catches locally-scrambled text unigrams miss ---
+    // unigram proxy): catches locally-scrambled text unigrams miss;
+    // the model's two count tables are memoized (train once, score
+    // many — the LM twin of the k-means/PQ model caches) ---
     "text_logprob2" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      TextOps.bigramLogProb(docs, docs.filter(col("doc_id") % 5 === 0))
+      TextOps.bigramLogProbFrom(docs,
+          bigramUni(s, dir), bigramBi(s, dir))
         .orderBy(col("doc_id"))
     }),
 

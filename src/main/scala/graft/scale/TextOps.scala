@@ -360,24 +360,36 @@ object TextOps {
     * Model = one (w₁,w₂,count) table + one (w₁,count) table; scoring is
     * two keyed left joins + a per-doc aggregation — vocabulary-sized
     * state, nothing driver-side. */
-  def bigramLogProb(docs: DataFrame, train: DataFrame,
-                    textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
-    def bigrams(df: DataFrame, id: Option[String]): DataFrame = {
-      val toks = tokens(col(textCol))
-      df.filter(size(toks) >= 2)
-        .select(id.map(col).toSeq :+ explode(transform(
-          sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2")))).as("bg"): _*)
-        .select(id.map(col).toSeq :+ col("bg.w1") :+ col("bg.w2"): _*)
-    }
+  private def bigramRows(df: DataFrame, id: Option[String],
+                         textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.filter(size(toks) >= 2)
+      .select(id.map(col).toSeq :+ explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("bg"): _*)
+      .select(id.map(col).toSeq :+ col("bg.w1") :+ col("bg.w2"): _*)
+  }
+
+  /** The bigram model's two count tables — (w₁, c1) unigram contexts and
+    * (w₁, w₂, cb) bigrams. Train ONCE, score many (the
+    * k-means/PQ-model-cache convention): both tables are
+    * vocabulary-sized and persist well. */
+  def bigramModel(train: DataFrame,
+                  textCol: String = "text"): (DataFrame, DataFrame) = {
     val uni = train.select(explode(tokens(col(textCol))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = bigrams(train, None)
+    val bi = bigramRows(train, None, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    bigrams(docs, Some(idCol))
+    (uni, bi)
+  }
+
+  /** Score against a PREBUILT [[bigramModel]] — the memoized-model path. */
+  def bigramLogProbFrom(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bigramRows(docs, Some(idCol), textCol)
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -387,6 +399,13 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(col("nll")), 4).as("mean_nll"))
+  }
+
+  def bigramLogProb(docs: DataFrame, train: DataFrame,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val (uni, bi) = bigramModel(train, textCol)
+    bigramLogProbFrom(docs, uni, bi, textCol, idCol)
   }
 
   /** Flesch-style readability per document, in ENGINE-EXACT integer
