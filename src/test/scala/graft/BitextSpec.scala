@@ -205,6 +205,28 @@ class BitextSpec extends SparkSpec {
     assert(fedM == bruteM)
   }
 
+  test("candidate-fed scoring plans keyed joins — no nested-loop cross join") {
+    val rng = new scala.util.Random(3)
+    val rows = (0L until 20L).map { i =>
+      (i, Seq.fill(4)(rng.nextFloat()), if (i % 2 == 0) "en" else "de")
+    }
+    val (emb, docs) = corpus(rows: _*)
+    val cand = rows.filter(_._3 == "en").map(_._1)
+      .flatMap(s => rows.filter(_._3 == "de").map(d => (s, d._1)))
+      .toDF("src_id", "dst_id")
+    val fed = Bitext.marginPairs(emb, docs, "en", "de",
+      candidates = Some(cand)).queryExecution.executedPlan.toString
+    assert(!fed.contains("BroadcastNestedLoopJoin") &&
+      !fed.contains("CartesianProduct"),
+      s"candidate path must not plan a cross join:\n${fed.take(800)}")
+    // the brute-force default IS the broadcast cross product — the
+    // documented one-side-fits baseline; the contract is that ONLY the
+    // explicit default takes it
+    val brute = Bitext.marginPairs(emb, docs, "en", "de")
+      .queryExecution.executedPlan.toString
+    assert(brute.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("clusterCandidates recovers planted translation pairs without the cross join") {
     // two well-separated semantic clusters; each en doc's true de twin
     // sits in the same cluster — cluster-probe candidates must contain
