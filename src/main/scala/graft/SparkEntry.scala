@@ -1662,6 +1662,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- perceptual image dedup: 64-bit average hash through the REAL
+    // PGM decode (8x8 nearest-neighbor sample, floor-mean threshold);
+    // payload content keyed on doc_id % 50 so ~10 docs share each
+    // planted image and hash-groupBy finds the duplicate groups —
+    // image dedup as the same shape as text dedup_exact ---
+    "image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id % 50
+          val w = (8 + seed % 5).toInt; val h = (6 + seed % 4).toInt
+          (id, Multimodal.encodePgm(w, h,
+            i => ((seed * 31 + i * 7) % 256).toInt))
+        }.toDF("doc_id", "payload")
+      val hashed = withPayload.as[(Long, Array[Byte])].map { case (id, p) =>
+        val (hi, lo) = Multimodal.averageHashHalves(p)
+        (id, hi, lo)
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+      val groups = hashed.groupBy("ahash_hi", "ahash_lo")
+        .agg(count(lit(1)).as("n_dups"))
+      hashed.join(groups, Seq("ahash_hi", "ahash_lo"))
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+          col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- resize-then-featurize: nearest-neighbor normalization to a
     // fixed 4x3 ahead of feature extraction (the vision-pipeline
     // preprocessing shape), integer source grid so the oracle can
@@ -5821,6 +5847,38 @@ object SparkEntry {
         |       ROUND(1.0 / (1.0 + EXP(-logit)), 4) AS p_keep,
         |       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // pixel(i) = (seed*31 + i*7) % 256 over an (8 + seed%5) x (6 + seed%4)
+    // raster, seed = doc_id % 50; the oracle recomputes the 8x8 sample
+    // grid, floor-mean threshold, and 32-bit half packing directly
+    "image_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 50 AS seed,
+        |         8 + (doc_id % 50) % 5 AS w, 6 + (doc_id % 50) % 4 AS h
+        |  FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, (y.i * 8 + x.i) AS j,
+        |         (d.seed * 31 + ((y.i * d.h // 8) * d.w + (x.i * d.w // 8)) * 7)
+        |           % 256 AS v
+        |  FROM dims d, generate_series(0, 7) x(i), generate_series(0, 7) y(i)),
+        |m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM samp GROUP BY 1),
+        |bits AS (
+        |  SELECT s.doc_id, s.j, CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS b
+        |  FROM samp s JOIN m USING (doc_id)),
+        |hashes AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN j >= 32
+        |              THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |           AS BIGINT) AS ahash_hi,
+        |         CAST(SUM(CASE WHEN j < 32
+        |              THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |           AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1),
+        |g AS (SELECT ahash_hi, ahash_lo, COUNT(*) AS n
+        |      FROM hashes GROUP BY 1, 2)
+        |SELECT h.doc_id, h.ahash_hi, h.ahash_lo, CAST(g.n AS BIGINT) AS n_dups
+        |FROM hashes h JOIN g USING (ahash_hi, ahash_lo)
+        |ORDER BY h.doc_id""".stripMargin,
 
     // pixel(i) = (doc_id*31 + i*7) % 256 over a (8 + id%5) x (6 + id%4)
     // raster — the oracle recomputes what the PGM decoder must extract

@@ -104,6 +104,42 @@ object Multimodal {
     (w, h, maxval, pos)
   }
 
+  /** 64-bit AVERAGE HASH (aHash) of the decoded grayscale raster — the
+    * perceptual-dedup primitive for image corpora: sample the image on a
+    * fixed 8×8 nearest-neighbor grid, threshold each sample against the
+    * floor-mean of the 64 samples, pack the bits (j = y·8+x). Identical
+    * images — and resized/re-encoded copies that keep the sampled grid —
+    * collide exactly, so image dedup becomes the same hash-groupBy as
+    * text `dedup_exact`; Hamming distance between hashes grades
+    * near-misses (the [[graft.functions.VecBits]] machinery applies).
+    * Returned as (hi, lo) 32-bit halves: every intermediate stays a
+    * small non-negative integer, so the value is engine-replicable in
+    * plain SQL with no 1<<63 sign games. */
+  def averageHashHalves(payload: Array[Byte]): (Long, Long) = {
+    val (w, h, _, pos) = parsePgm(payload)
+    val sampled = new Array[Long](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val sx = x * w / 8; val sy = y * h / 8
+        sampled(y * 8 + x) = (payload(pos + sy * w + sx) & 0xff).toLong
+        x += 1
+      }
+      y += 1
+    }
+    val mean = sampled.sum / 64
+    var lo = 0L; var hi = 0L
+    var j = 0
+    while (j < 64) {
+      if (sampled(j) > mean) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
   def decodePgm(payload: Array[Byte]): Row = {
     val (w, h, maxval, pos) = parsePgm(payload)
     val n = w.toLong * h

@@ -90,6 +90,26 @@ class PgmDecodeSpec extends SparkSpec {
     assert(Multimodal.decodePgm(up).getInt(0) == 8)
   }
 
+  test("averageHash: exact dups and 2x upscales collide; perturbed pixels do not") {
+    def img(f: Int => Int, w: Int = 8, h: Int = 8) =
+      Multimodal.encodePgm(w, h, f)
+    val base = img(i => (i * 37) % 256)
+    val copy = img(i => (i * 37) % 256)
+    assert(Multimodal.averageHashHalves(base) ==
+      Multimodal.averageHashHalves(copy))
+    // 2x nearest-neighbor upscale samples the SAME 8x8 grid pixels
+    val up = Multimodal.resizePgm(16, 16)(base)
+    assert(Multimodal.averageHashHalves(up) ==
+      Multimodal.averageHashHalves(base))
+    // flipping a dark sampled pixel to bright changes at least one bit
+    val perturbed = img(i => if (i == 0) 255 else (i * 37) % 256)
+    assert(Multimodal.averageHashHalves(perturbed) !=
+      Multimodal.averageHashHalves(base))
+    // halves stay within 32-bit range (SQL-replicable, no sign games)
+    val (hi, lo) = Multimodal.averageHashHalves(base)
+    assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+  }
+
   test("transformPayload passes nulls through and keeps other columns") {
     val df = Seq((1L, Multimodal.encodePgm(2, 2, _ => 10)),
         (2L, null.asInstanceOf[Array[Byte]]))
