@@ -5417,12 +5417,15 @@ object SparkEntry {
         |        FROM tr, unnest(generate_series(1, len(toks) - 1)) g(i)
         |        WHERE len(toks) >= 2),
         |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM trb GROUP BY 1, 2),
-        |d AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        |      FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
-        |      WHERE len(toks) >= 2)
-        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |       ROUND(AVG(-ln((COALESCE(bi.cb, 0) + 1.0)
-        |                     / (COALESCE(u.c1, 0) + v.v))), 4) AS mean_nll
+        |d AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM (
+        |        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |        FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
+        |        WHERE len(toks) >= 2)
+        |      GROUP BY 1, 2, 3)
+        |SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+        |       ROUND(SUM(d.cnt * -ln((COALESCE(bi.cb, 0) + 1.0)
+        |                     / (COALESCE(u.c1, 0) + v.v))) / SUM(d.cnt), 4)
+        |         AS mean_nll
         |FROM d LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
         |       LEFT JOIN u ON d.w1 = u.w1
         |       CROSS JOIN v

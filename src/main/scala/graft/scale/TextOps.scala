@@ -384,21 +384,27 @@ object TextOps {
     (uni, bi)
   }
 
-  /** Score against a PREBUILT [[bigramModel]] — the memoized-model path. */
+  /** Score against a PREBUILT [[bigramModel]] — the memoized-model path.
+    * The doc stream is pre-aggregated to per-(doc, bigram) COUNTS before
+    * the model joins, so a bigram a document repeats crosses the join
+    * once and the mean is the count-weighted mean — fewer join rows on
+    * exactly the repetitive documents the score flags. */
   def bigramLogProbFrom(docs: DataFrame, uni: DataFrame, bi: DataFrame,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val vocab = uni.agg(count(lit(1)).as("v"))
     bigramRows(docs, Some(idCol), textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col(idCol),
+      .select(col(idCol), col("cnt"),
         (-log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))).as("nll"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(avg(col("nll")), 4).as("mean_nll"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt") * col("nll")) / sum(col("cnt")), 4).as("mean_nll"))
   }
 
   def bigramLogProb(docs: DataFrame, train: DataFrame,
