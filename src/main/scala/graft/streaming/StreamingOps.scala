@@ -129,6 +129,31 @@ object StreamingOps {
       }.toDF("src_id", "dst_id", "sim_micro", "margin_micro")
   }
 
+  /** Streaming IMAGE dedup — [[exactDedup]]'s multimodal twin: each
+    * arriving binary payload is reduced to its 64-bit perceptual
+    * average hash ([[graft.scale.Multimodal.averageHashHalves]] — exact
+    * copies AND nearest-neighbor rescales collide) and duplicates are
+    * dropped within the watermark horizon. The decode+hash is a
+    * stateless per-row map; only the two 32-bit halves enter the dedup
+    * state store, never the payload bytes — the property that keeps the
+    * state bounded when the stream carries megabyte images. */
+  def imageDedup(docs: DataFrame, payloadCol: String = "payload",
+                 watermark: String = "1 hour",
+                 timeCol: String = "event_time"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashUdf = udf((p: Array[Byte]) => {
+      val (hi, lo) = graft.scale.Multimodal.averageHashHalves(p)
+      (hi, lo)
+    })
+    docs.withColumn("__ah", hashUdf(col(payloadCol)))
+      .withColumn("ahash_hi", col("__ah._1"))
+      .withColumn("ahash_lo", col("__ah._2"))
+      .drop("__ah")
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("ahash_hi", "ahash_lo")
+  }
+
   /** Curation at ingest: the streaming composition of the batch pipeline
     * — quality pre-filter (stateless, codegen'd columnar expression) then
     * exact dedup within the watermark horizon ([[exactDedup]]). The

@@ -184,6 +184,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image dedup: rescaled copies collide on the perceptual hash") {
+    import graft.scale.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val base = Multimodal.encodePgm(8, 8, i => (i * 37) % 256)
+    val upscale = Multimodal.resizePgm(16, 16)(base) // same 8x8 sample grid
+    val other = Multimodal.encodePgm(8, 8, i => (i * 11 + 3) % 256)
+    val stream = MemoryStream[(Long, Array[Byte], Long)]
+    val docs = stream.toDF().toDF("doc_id", "payload", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val q = StreamingOps.imageDedup(docs, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("simg").outputMode("append").start()
+    try {
+      stream.addData((0L, base, 1000L), (1L, other, 2000L))
+      q.processAllAvailable()
+      // the 2x upscale arrives in a LATER batch and still collides
+      stream.addData((2L, upscale, 3000L))
+      q.processAllAvailable()
+      val ids = spark.table("simg").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(0L, 1L), s"upscale must dedup against base: $ids")
+    } finally q.stop()
+  }
+
   test("curated ingest: quality filter runs before stateful dedup") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Long)]
