@@ -1794,6 +1794,38 @@ object SparkEntry {
     // --- REAL audio decode: deterministic 16-bit PCM WAV payloads
     //     round-tripped through the RIFF parser; amplitude mean in
     //     integer micro-units (abs_sum exact, division integral) ---
+    // --- audio dedup: 32-bit amplitude-envelope fingerprint through the
+    // REAL WAV decode; payload content keyed on doc_id % 40 so planted
+    // recordings share fingerprints and hash-groupBy finds the groups —
+    // the audio leg of the text/image/audio dedup trio ---
+    "audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          // seed-dependent ENVELOPE (regions boosted when (region+seed)%3
+          // hits), so same-seed docs share the fingerprint and different
+          // seeds mostly differ — flat noise would hash identically
+          val seed = id % 40
+          val n = (50 + seed % 37).toInt
+          (id, Multimodal.encodeWav(1, 8000, n, { i =>
+            val r = i * 8 / n
+            // seed×region CROSS term: the gate pattern over the 8
+            // regions is seed-specific (19 distinct envelopes across
+            // the 40 seeds), not a 3-phase global
+            val boost = if ((seed * 7 + r * 3 + seed * r) % 19 < 6) 20000 else 0
+            val mag = ((seed * 37 + i * 11) % 8192 + boost).toInt
+            if (i % 2 == 0) mag else -mag
+          }))
+        }.toDF("doc_id", "payload")
+      val fp = withPayload.as[(Long, Array[Byte])].map { case (id, p) =>
+        (id, Multimodal.audioFingerprint32(p))
+      }.toDF("doc_id", "fp")
+      val groups = fp.groupBy("fp").agg(count(lit(1)).as("n_dups"))
+      fp.join(groups, Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
     "audio_features" -> ((s, dir) => {
       import s.implicits._
       val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -5972,6 +6004,38 @@ object SparkEntry {
         |       CAST(p.luma_sum AS BIGINT) AS luma_sum
         |FROM dims d JOIN px p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // |sample(i)| = (seed*37 + i*11) % 8192, +20000 in regions r where
+    // (seed*7 + r*3 + seed*r) % 19 < 6 (r = i*8//n), over n = 50+seed%37
+    // mono frames, seed = doc_id % 40; frame j = i*32 // n, bit j set
+    // iff the frame's floor-mean |amplitude| beats the overall floor-mean
+    "audio_fingerprint" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 40 AS seed,
+        |         50 + (doc_id % 40) % 37 AS n
+        |  FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, i.i AS i, d.n,
+        |         ((d.seed * 37 + i.i * 11) % 8192)
+        |           + CASE WHEN (d.seed * 7 + (i.i * 8 // d.n) * 3
+        |                        + d.seed * (i.i * 8 // d.n)) % 19 < 6
+        |                  THEN 20000 ELSE 0 END AS a
+        |  FROM dims d JOIN generate_series(0, 99) i(i) ON i.i < d.n),
+        |fr AS (SELECT doc_id, (i * 32 // n) AS j, SUM(a) AS s, COUNT(*) AS c
+        |       FROM samp GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(a) // MAX(n) AS overall
+        |        FROM samp GROUP BY 1),
+        |bits AS (
+        |  SELECT f.doc_id, f.j,
+        |         CASE WHEN f.s // f.c > t.overall THEN 1 ELSE 0 END AS b
+        |  FROM fr f JOIN tot t USING (doc_id)),
+        |fps AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(b * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS fp
+        |  FROM bits GROUP BY 1),
+        |g AS (SELECT fp, COUNT(*) AS nn FROM fps GROUP BY 1)
+        |SELECT f.doc_id, f.fp, CAST(g.nn AS BIGINT) AS n_dups
+        |FROM fps f JOIN g USING (fp) ORDER BY f.doc_id""".stripMargin,
 
     "audio_features" ->
       """WITH dims AS (SELECT doc_id, 50 + doc_id % 37 AS n FROM documents),

@@ -221,7 +221,13 @@ object Multimodal {
     * divisions, keeping downstream comparisons engine-exact. Throws on
     * malformed or non-PCM-16 input — a corrupt payload should surface,
     * not silently skew features. */
-  def decodeWav(payload: Array[Byte]): Row = {
+  /** The RIFF chunk walk shared by [[decodeWav]] and
+    * [[audioFingerprint32]]: validates fmt/data and returns (channels,
+    * sampleRate, frames, buffer positioned at the data chunk's first
+    * sample). One definition so the two consumers can never parse
+    * differently. */
+  private def wavData(payload: Array[Byte])
+      : (Int, Int, Int, java.nio.ByteBuffer) = {
     def fail(msg: String) = throw new IllegalArgumentException(s"bad WAV: $msg")
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -232,9 +238,7 @@ object Multimodal {
     buf.getInt // riff size: not trusted, chunk walk is bounds-checked
     if (tag() != "WAVE") fail("not a WAVE form")
     var channels, sampleRate, blockAlign, bits = -1
-    var frames = -1
-    var absSum = 0L
-    while (buf.remaining() >= 8 && frames < 0) {
+    while (buf.remaining() >= 8) {
       val id = tag()
       val size = buf.getInt
       if (size < 0 || size > buf.remaining()) fail(s"chunk $id overruns payload")
@@ -255,17 +259,56 @@ object Multimodal {
         case "data" =>
           if (channels < 0) fail("data chunk before fmt")
           if (size % blockAlign != 0) fail("data size not frame-aligned")
-          frames = size / blockAlign
-          var i = 0
-          val n = size / 2
-          while (i < n) { absSum += math.abs(buf.getShort.toLong); i += 1 }
+          return (channels, sampleRate, size / blockAlign, buf)
         case _ => // LIST/INFO/etc: skip, honoring the odd-size pad byte
           buf.position(buf.position() + size + (size & 1))
       }
     }
-    if (frames < 0) fail("no data chunk")
+    fail("no data chunk")
+  }
+
+  def decodeWav(payload: Array[Byte]): Row = {
+    val (channels, sampleRate, frames, buf) = wavData(payload)
+    var absSum = 0L
+    var i = 0
+    val n = frames * channels
+    while (i < n) { absSum += math.abs(buf.getShort.toLong); i += 1 }
     new GenericRowWithSchema(Array[Any](
       channels, sampleRate, frames, absSum), audioFeatureSchema)
+  }
+
+  /** 32-bit amplitude-envelope fingerprint of the decoded PCM stream —
+    * the audio-dedup primitive (the coarse cousin of chromaprint, built
+    * on what 16-bit PCM alone provides): split the sample stream into 32
+    * equal frames, take each frame's floor-mean |amplitude|, set bit j
+    * iff frame j is louder than the overall floor-mean. Re-encoded exact
+    * copies collide; envelope-preserving edits mostly collide; different
+    * material does not. All arithmetic is integer (sums, floor
+    * divisions, comparisons), so the value replicates in plain SQL and
+    * audio dedup becomes the [[graft.scale.Dedup.exact]] hash-groupBy —
+    * the audio leg of the text/image/audio dedup trio. */
+  def audioFingerprint32(payload: Array[Byte]): Long = {
+    val (channels, _, frames, buf) = wavData(payload)
+    val n = frames * channels
+    if (n == 0) return 0L
+    val sums = new Array[Long](32)
+    val cnts = new Array[Long](32)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val a = math.abs(buf.getShort.toLong)
+      val j = (i.toLong * 32 / n).toInt
+      sums(j) += a; cnts(j) += 1; total += a
+      i += 1
+    }
+    val overall = total / n
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (cnts(j) > 0 && sums(j) / cnts(j) > overall) fp |= 1L << j
+      j += 1
+    }
+    fp
   }
 
   /** Attach decoded features to rows carrying a binary payload column.

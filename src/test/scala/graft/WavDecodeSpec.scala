@@ -48,4 +48,23 @@ class WavDecodeSpec extends SparkSpec {
     // no data chunk at all: header only
     intercept[IllegalArgumentException](Multimodal.decodeWav(ok.take(36)))
   }
+
+  test("audioFingerprint32: envelope drives the bits; copies collide") {
+    // loud first half, quiet second half → low 16 bits set, high clear
+    val halfLoud = Multimodal.encodeWav(1, 8000, 64,
+      i => if (i < 32) 20000 else 100)
+    val fp = Multimodal.audioFingerprint32(halfLoud)
+    assert(fp == 0xffffL, f"expected low-16 bits, got $fp%x")
+    // a re-encoded exact copy collides
+    val copy = Multimodal.encodeWav(1, 8000, 64,
+      i => if (i < 32) 20000 else 100)
+    assert(Multimodal.audioFingerprint32(copy) == fp)
+    // the mirrored envelope is the complementary pattern
+    val mirrored = Multimodal.encodeWav(1, 8000, 64,
+      i => if (i >= 32) 20000 else 100)
+    assert(Multimodal.audioFingerprint32(mirrored) == (0xffffL << 16))
+    // flat audio: no frame beats the overall mean → zero fingerprint
+    val flat = Multimodal.encodeWav(1, 8000, 64, _ => 500)
+    assert(Multimodal.audioFingerprint32(flat) == 0L)
+  }
 }
