@@ -1688,6 +1688,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- NEAR-duplicate image dedup: Hamming-LSH over the 64-bit
+    // perceptual hash. Plants a PERTURBED variant of each group's image
+    // ((doc_id/50)%2 == 1 replaces raw pixel 0 — flips 0-6 hash bits),
+    // collapses to distinct hashes first (the 100 TB shape: near-dup
+    // cardinality is #unique images, not #docs), then 8-band Hamming-LSH
+    // + codegen'd VecHamming verification at radius 6 — provably equal to
+    // the oracle's brute-force Hamming join because radius < bands ---
+    "image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id % 50
+          val variant = (id / 50) % 2 == 1
+          val w = (8 + seed % 5).toInt; val h = (6 + seed % 4).toInt
+          (id, Multimodal.encodePgm(w, h, i =>
+            if (variant && i == 0) ((seed * 31 + 128) % 256).toInt
+            else ((seed * 31 + i * 7) % 256).toInt))
+        }.toDF("doc_id", "payload")
+      val hashed = withPayload.as[(Long, Array[Byte])].map { case (id, p) =>
+        val (hi, lo) = Multimodal.averageHashHalves(p)
+        (id, hi, lo)
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+      val uniq = hashed.groupBy("ahash_hi", "ahash_lo")
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      val pairs = Dedup.hammingBandPairs(uniq, radius = 6, bands = 8,
+        idCol = "rep_id")
+      pairs
+        .join(uniq.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
+          Seq("a"))
+        .join(uniq.select(col("rep_id").as("b"), col("n_docs").as("n_docs_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("n_docs_a"), col("n_docs_b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- resize-then-featurize: nearest-neighbor normalization to a
     // fixed 4x3 ahead of feature extraction (the vision-pipeline
     // preprocessing shape), integer source grid so the oracle can
@@ -5914,6 +5950,52 @@ object SparkEntry {
         |SELECT h.doc_id, h.ahash_hi, h.ahash_lo, CAST(g.n AS BIGINT) AS n_dups
         |FROM hashes h JOIN g USING (ahash_hi, ahash_lo)
         |ORDER BY h.doc_id""".stripMargin,
+
+    // NEAR-dup twin of image_phash: variant = (doc_id // 50) % 2 replaces
+    // raw pixel 0 with (seed*31 + 128) % 256 (a planted perturbation that
+    // flips 0-6 hash bits, measured over all 50 groups); the oracle
+    // recomputes the perturbed hashes, collapses to distinct, and does
+    // the brute-force Hamming <= 6 join that the engine's 8-band
+    // Hamming-LSH provably reproduces (radius 6 < 8 bands = lossless)
+    "image_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 50 AS seed, (doc_id // 50) % 2 AS variant,
+        |         8 + (doc_id % 50) % 5 AS w, 6 + (doc_id % 50) % 4 AS h
+        |  FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, (y.i * 8 + x.i) AS j,
+        |         CASE WHEN d.variant = 1
+        |                   AND (y.i * d.h // 8) * d.w + (x.i * d.w // 8) = 0
+        |              THEN (d.seed * 31 + 128) % 256
+        |              ELSE (d.seed * 31 +
+        |                    ((y.i * d.h // 8) * d.w + (x.i * d.w // 8)) * 7)
+        |                   % 256 END AS v
+        |  FROM dims d, generate_series(0, 7) x(i), generate_series(0, 7) y(i)),
+        |m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM samp GROUP BY 1),
+        |bits AS (
+        |  SELECT s.doc_id, s.j, CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS b
+        |  FROM samp s JOIN m USING (doc_id)),
+        |hashes AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN j >= 32
+        |              THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |           AS BIGINT) AS ahash_hi,
+        |         CAST(SUM(CASE WHEN j < 32
+        |              THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |           AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1),
+        |uniq AS (
+        |  SELECT ahash_hi, ahash_lo, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+        |  FROM hashes GROUP BY 1, 2)
+        |SELECT u1.rep_id AS a, u2.rep_id AS b,
+        |       CAST(bit_count(xor(u1.ahash_hi, u2.ahash_hi)) +
+        |            bit_count(xor(u1.ahash_lo, u2.ahash_lo)) AS INT) AS hamming,
+        |       CAST(u1.n_docs AS BIGINT) AS n_docs_a,
+        |       CAST(u2.n_docs AS BIGINT) AS n_docs_b
+        |FROM uniq u1 JOIN uniq u2 ON u1.rep_id < u2.rep_id
+        |WHERE bit_count(xor(u1.ahash_hi, u2.ahash_hi)) +
+        |      bit_count(xor(u1.ahash_lo, u2.ahash_lo)) <= 6
+        |ORDER BY a, b""".stripMargin,
 
     // pixel(i) = (doc_id*31 + i*7) % 256 over a (8 + id%5) x (6 + id%4)
     // raster — the oracle recomputes what the PGM decoder must extract

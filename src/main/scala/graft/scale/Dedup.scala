@@ -379,6 +379,98 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Hamming-LSH near-duplicate pairs over a 64-bit hash stored as two
+    * non-negative 32-bit halves (`hiCol` = bits 32..63, `loCol` = bits
+    * 0..31 — the [[graft.scale.Multimodal.averageHashHalves]] layout;
+    * a 60-bit [[simhash]] fits as lo=hash, hi=0).
+    *
+    * The hash is cut into `bands` equal bit-slices and rows sharing any
+    * slice become candidates (the classic Hamming-LSH / "chunk" scheme of
+    * Gionis et al. 1999). By pigeonhole, two hashes within Hamming
+    * distance d < bands agree on at least one whole slice, so for
+    * `radius ≤ bands − 1` the candidate set provably contains EVERY pair
+    * within the radius — banding here is an exact algorithm, not an
+    * approximation, and the verified output is engine-replicable (the
+    * oracle recomputes it as a brute-force `bit_count(xor(...))` join).
+    * Candidates are verified with the codegen'd
+    * [[graft.functions.VecHamming]] popcount merge; output is
+    * (a, b, hamming) with a < b and hamming ≤ radius.
+    *
+    * Scale shape: run this over DISTINCT hashes (group duplicates first —
+    * cardinality is #unique images, not #docs), then the band self-join
+    * keys on (band, band_key) — never all-pairs. `maxBucketSize` bounds a
+    * viral band bucket like [[minhashLshPairs]]: over-cap buckets emit
+    * hub→member star edges instead of the clique — but unlike the
+    * unverified LSH candidates, star edges are ALSO radius-verified
+    * (an unverified star edge could falsely merge two far clusters that
+    * merely share one band slice — a false dedup merge, the worst
+    * failure mode). So with a finite cap the output is a verified
+    * SUBSET of the exact pair list: every emitted pair is truly within
+    * `radius`; recall inside an over-cap bucket degrades to
+    * hub-reachability (members within radius of the bucket's minimum-id
+    * hub stay connected; member↔member pairs beyond the hub are
+    * sacrificed for the O(size) bound). Duplicate-hash buckets — the
+    * common viral case once inputs are distinct-hash rows — lose
+    * nothing: every member is at distance 0 from the hub. */
+  def hammingBandPairs(hashes: DataFrame, radius: Int, bands: Int = 8,
+                       idCol: String = "doc_id",
+                       hiCol: String = "ahash_hi", loCol: String = "ahash_lo",
+                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bands > 0 && 64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands must cut 64 bits into whole within-half slices, got $bands")
+    require(radius >= 0 && radius < bands,
+      s"lossless guarantee needs radius < bands, got radius=$radius bands=$bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val keys = (0 until bands).map { i =>
+      val src = if ((i + 1) * width <= 32) shiftright(col(loCol), i * width)
+                else shiftright(col(hiCol), i * width - 32)
+      (src.cast("long")).bitwiseAND(lit(mask))
+    }
+    val banded = hashes.select(col(idCol), col(hiCol), col(loCol),
+        posexplode(array(keys: _*)).as(Seq("band", "band_key")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key"))
+    val sized =
+      if (maxBucketSize == Int.MaxValue) banded.withColumn("bsz", lit(1L))
+        .withColumn("hubrow", struct(lit(0L), lit(0L), lit(0L))) // never consulted
+      else banded.withColumn("bsz", count(lit(1)).over(w))
+        // struct-min orders on the leading id field, so hubrow carries the
+        // minimal id TOGETHER with its hash halves in one window pass
+        .withColumn("hubrow",
+          min(struct(col(idCol), col(hiCol), col(loCol))).over(w))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val a = small.select(col(idCol).as("a"), col(hiCol).as("a_hi"),
+      col(loCol).as("a_lo"), col("band"), col("band_key"))
+    val b = small.select(col(idCol).as("b"), col(hiCol).as("b_hi"),
+      col(loCol).as("b_lo"), col("band"), col("band_key"))
+    val clique = a.join(b, Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", graft.functions.VecBits.hamming(
+        array(col("a_hi"), col("a_lo")), array(col("b_hi"), col("b_lo"))))
+      .filter(col("hamming") <= radius)
+      .select(col("a"), col("b"), col("hamming"))
+      .distinct()
+    if (maxBucketSize == Int.MaxValue) clique
+    else {
+      val star = sized.filter(col("bsz") > maxBucketSize &&
+          col(idCol) =!= col("hubrow").getField(idCol))
+        .select(col("hubrow").getField(idCol).as("a"), col(idCol).as("b"),
+          col("hubrow").getField(hiCol).as("a_hi"),
+          col("hubrow").getField(loCol).as("a_lo"),
+          col(hiCol).as("b_hi"), col(loCol).as("b_lo"))
+      // star edges are radius-verified too: an unverified edge could
+      // falsely merge far clusters that share one band slice (see doc)
+      val starPairs = star
+        .withColumn("hamming", graft.functions.VecBits.hamming(
+          array(col("a_hi"), col("a_lo")), array(col("b_hi"), col("b_lo"))))
+        .filter(col("hamming") <= radius)
+        .select(col("a"), col("b"), col("hamming"))
+        .distinct()
+      clique.unionByName(starPairs).distinct()
+    }
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing at least one
     * shingle (inverted-index join; sparse). Returns pairs with
     * jaccard ≥ minJaccard.

@@ -132,6 +132,94 @@ object StreamingLsh {
       .filter(col("doc_id") =!= col("index_id"))
       .select(col("doc_id"), col("index_id"), col("band"))
 
+  case class HashRow(bucket: String, doc_id: Long, hi: Long, lo: Long)
+  case class HashBucketState(rows: List[(Long, Long, Long)])
+  case class HamPair(a: Long, b: Long, hamming: Int, bucket: String)
+
+  /** Streaming Hamming-LSH near-duplicate pairs over a 64-bit hash in
+    * two 32-bit halves — the incremental twin of
+    * [[graft.scale.Dedup.hammingBandPairs]] (e.g. perceptual image
+    * hashes beyond the exact-collision dedup of
+    * [[StreamingOps.imageDedup]]). The band-slice keys are ONE stateless
+    * columnar projection (same bit-slice formula as the batch op); the
+    * only stateful operator is the bucket store, whose state is the
+    * member (id, hi, lo) list — 24 bytes/member, never a payload byte.
+    *
+    * Emitted pairs are VERIFIED (Hamming ≤ radius — popcount against the
+    * in-state halves is integer-cheap, unlike re-reading documents in the
+    * MinHash twin), so every output row is a true near-duplicate; for
+    * radius < bands a pair is guaranteed to meet in ≥ 1 bucket, so
+    * within-horizon recall matches the batch op. A pair can surface once
+    * per shared band; dedup downstream if the edge multiset matters
+    * (component stages are insensitive). Over-cap buckets emit verified
+    * hub→member stars exactly like the batch op — a subset, never a
+    * false merge. */
+  def hammingCandidates(hashes: DataFrame, radius: Int, bands: Int = 8,
+                        maxBucketSize: Int = 64,
+                        idCol: String = "doc_id",
+                        hiCol: String = "ahash_hi", loCol: String = "ahash_lo",
+                        idleTimeout: Option[String] = None): DataFrame = {
+    import hashes.sparkSession.implicits._
+    require(bands > 0 && 64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands must cut 64 bits into whole within-half slices, got $bands")
+    require(radius >= 0 && radius < bands,
+      s"lossless guarantee needs radius < bands, got radius=$radius bands=$bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val buckets = (0 until bands).map { i =>
+      val src = if ((i + 1) * width <= 32) shiftright(col(loCol), i * width)
+                else shiftright(col(hiCol), i * width - 32)
+      concat(lit(s"$i|"),
+        src.cast("long").bitwiseAND(lit(mask)).cast("string"))
+    }
+    hashes.select(col(idCol).cast("long").as("doc_id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"),
+        explode(array(buckets: _*)).as("bucket"))
+      .as[(Long, Long, Long, String)]
+      .map { case (id, hi, lo, bk) => HashRow(bk, id, hi, lo) }
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        hashBucketGroup(radius, maxBucketSize, idleTimeout))(
+        Encoders.product[HashBucketState], Encoders.product[HamPair])
+      .toDF()
+  }
+
+  private[streaming] def hashBucketGroup(radius: Int, maxBucketSize: Int,
+      idleTimeout: Option[String] = None)(
+      bucket: String, rows: Iterator[HashRow],
+      state: GroupState[HashBucketState]): Iterator[HamPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    def ham(ahi: Long, alo: Long, bhi: Long, blo: Long): Int =
+      java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+    val members = mutable.ArrayBuffer[(Long, Long, Long)]()
+    state.getOption.foreach(s => members ++= s.rows)
+    val out = mutable.ArrayBuffer[HamPair]()
+    for (r <- rows.toSeq.sortBy(_.doc_id)
+         if !members.exists(_._1 == r.doc_id)) {
+      if (members.length < maxBucketSize) {
+        for ((oid, ohi, olo) <- members) {
+          val d = ham(ohi, olo, r.hi, r.lo)
+          if (d <= radius)
+            out += HamPair(math.min(oid, r.doc_id),
+              math.max(oid, r.doc_id), d, bucket)
+        }
+        members += ((r.doc_id, r.hi, r.lo))
+      } else {
+        // verified star: newcomers test against the hub only (see doc)
+        val (hid, hhi, hlo) = members.minBy(_._1)
+        val d = ham(hhi, hlo, r.hi, r.lo)
+        if (d <= radius)
+          out += HamPair(math.min(hid, r.doc_id),
+            math.max(hid, r.doc_id), d, bucket)
+      }
+    }
+    state.update(HashBucketState(members.toList))
+    idleTimeout.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
   private[streaming] def bucketGroup(maxBucketSize: Int,
       idleTimeout: Option[String] = None)(
       bucket: String, rows: Iterator[BandRow],

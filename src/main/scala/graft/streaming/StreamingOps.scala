@@ -154,6 +154,33 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("ahash_hi", "ahash_lo")
   }
 
+  /** Streaming NEAR-duplicate image detection — [[imageDedup]] catches
+    * only exact 64-bit hash collisions; this emits verified pairs within
+    * Hamming `radius` of an already-seen image via the banded state store
+    * of [[StreamingLsh.hammingCandidates]] (the incremental twin of
+    * [[graft.scale.Dedup.hammingBandPairs]] — re-encodes, crops, and
+    * dithered copies that flip a few hash bits). The payload is reduced
+    * to its two 32-bit hash halves in a stateless map before the
+    * stateful stage, so state stays 24 bytes/image regardless of image
+    * size. Pairs may repeat across bands; downstream dedup/component
+    * stages are insensitive, as in the batch pipeline. */
+  def imageNearDupCandidates(docs: DataFrame, radius: Int, bands: Int = 8,
+                             maxBucketSize: Int = 64,
+                             payloadCol: String = "payload",
+                             idCol: String = "doc_id",
+                             idleTimeout: Option[String] = None): DataFrame = {
+    val hashUdf = udf((p: Array[Byte]) => {
+      val (hi, lo) = graft.scale.Multimodal.averageHashHalves(p)
+      (hi, lo)
+    })
+    StreamingLsh.hammingCandidates(
+      docs.withColumn("__ah", hashUdf(col(payloadCol)))
+        .select(col(idCol), col("__ah._1").as("ahash_hi"),
+          col("__ah._2").as("ahash_lo")),
+      radius, bands, maxBucketSize, idCol, "ahash_hi", "ahash_lo",
+      idleTimeout)
+  }
+
   /** Curation at ingest: the streaming composition of the batch pipeline
     * — quality pre-filter (stateless, codegen'd columnar expression) then
     * exact dedup within the watermark horizon ([[exactDedup]]). The
