@@ -5473,19 +5473,31 @@ object SparkEntry {
         |       JOIN c5 c ON c.j = a.cluster)
         |WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin),
 
+    // join keys are the engine's 60-bit md5 hashes (h1 of w1, bh of the
+    // chr(1)-joined bigram) — collisions are shared, so the score is
+    // bit-comparable while the joins key on one BIGINT each
     "text_logprob2" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
         |  FROM documents),
         |tr AS (SELECT toks FROM t WHERE doc_id % 5 = 0),
-        |uni AS (SELECT unnest(toks) AS w1, 1 AS one FROM tr),
-        |u AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        |u AS (SELECT CAST(concat('0x', substr(md5('0:' || w1), 1, 15))
+        |               AS BIGINT) AS h1, COUNT(*) AS c1
+        |      FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY 1),
         |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM u),
-        |trb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
-        |        FROM tr, unnest(generate_series(1, len(toks) - 1)) g(i)
-        |        WHERE len(toks) >= 2),
-        |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM trb GROUP BY 1, 2),
-        |d AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM (
+        |bi AS (SELECT CAST(concat('0x',
+        |                substr(md5('0:' || w1 || chr(1) || w2), 1, 15))
+        |                AS BIGINT) AS bh, COUNT(*) AS cb
+        |       FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |             FROM tr, unnest(generate_series(1, len(toks) - 1)) g(i)
+        |             WHERE len(toks) >= 2) GROUP BY 1),
+        |d AS (SELECT doc_id,
+        |             CAST(concat('0x',
+        |               substr(md5('0:' || w1 || chr(1) || w2), 1, 15))
+        |               AS BIGINT) AS bh,
+        |             CAST(concat('0x', substr(md5('0:' || w1), 1, 15))
+        |               AS BIGINT) AS h1,
+        |             COUNT(*) AS cnt FROM (
         |        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
         |        FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
         |        WHERE len(toks) >= 2)
@@ -5494,8 +5506,8 @@ object SparkEntry {
         |       ROUND(SUM(d.cnt * -ln((COALESCE(bi.cb, 0) + 1.0)
         |                     / (COALESCE(u.c1, 0) + v.v))) / SUM(d.cnt), 4)
         |         AS mean_nll
-        |FROM d LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
-        |       LEFT JOIN u ON d.w1 = u.w1
+        |FROM d LEFT JOIN bi USING (bh)
+        |       LEFT JOIN u USING (h1)
         |       CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

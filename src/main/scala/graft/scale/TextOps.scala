@@ -388,16 +388,35 @@ object TextOps {
     * The doc stream is pre-aggregated to per-(doc, bigram) COUNTS before
     * the model joins, so a bigram a document repeats crosses the join
     * once and the mean is the count-weighted mean — fewer join rows on
-    * exactly the repetitive documents the score flags. */
+    * exactly the repetitive documents the score flags.
+    *
+    * Join keys are 60-bit [[md5Hash60]] longs computed at the scan —
+    * `h1` of the context word, `bh` of the chr(1)-joined bigram — so
+    * the pre-aggregation and both model joins shuffle one long instead
+    * of two strings (this query was the bench's slowest; string (w1,w2)
+    * keys were the remaining cost). The model tables stay word-keyed
+    * (interpretable, reusable); their hash projection is vocabulary-
+    * sized. A 60-bit collision merges counts identically in any engine
+    * that replicates the md5 (the oracle does), so the score stays
+    * bit-comparable; at 60 bits a corpus-wide collision is ~10⁻⁸ even
+    * at 10⁸ distinct bigrams. */
   def bigramLogProbFrom(docs: DataFrame, uni: DataFrame, bi: DataFrame,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val vocab = uni.agg(count(lit(1)).as("v"))
+    val uh = uni.select(md5Hash60(col("w1"), 0).as("h1"), col("c1"))
+      .groupBy(col("h1")).agg(sum(col("c1")).as("c1"))
+    val bih = bi.select(md5Hash60(
+        concat_ws("\u0001", col("w1"), col("w2")), 0).as("bh"), col("cb"))
+      .groupBy(col("bh")).agg(sum(col("cb")).as("cb"))
+    val vocab = uh.agg(count(lit(1)).as("v"))
     bigramRows(docs, Some(idCol), textCol)
-      .groupBy(col(idCol), col("w1"), col("w2"))
+      .select(col(idCol),
+        md5Hash60(concat_ws("\u0001", col("w1"), col("w2")), 0).as("bh"),
+        md5Hash60(col("w1"), 0).as("h1"))
+      .groupBy(col(idCol), col("bh"), col("h1"))
       .agg(count(lit(1)).as("cnt"))
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
+      .join(bih, Seq("bh"), "left")
+      .join(uh, Seq("h1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol), col("cnt"),
         (-log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
