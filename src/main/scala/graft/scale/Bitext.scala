@@ -39,15 +39,20 @@ import org.apache.spark.sql.types.DoubleType
   *     (±9·10¹⁵, above any finite margin). The default thresholds are
   *     therefore honest paper values: 1.05·10⁶ IS the ratio 1.05.
   *
-  * Scale shape: by default the pair table is the |src|×|dst| cross
-  * product with the DST SIDE BROADCAST — exact, and the right baseline
-  * while one side fits an executor (mining a new crawl against a
-  * pivot-language batch). When both sides are corpus-scale, pass
-  * `candidates` (e.g. [[Bitext.clusterCandidates]] — a shared-quantizer
-  * cluster-probe join, shuffle-keyed, never quadratic): the same margin
-  * windows then run over the candidate pairs only, and each pair's
-  * neighborhood is its top-k within the candidate set — the standard
-  * approximation deployed miners make (FAISS-retrieved neighborhoods).
+  * Scale shape — SAFE BY DEFAULT: while the dst side fits a broadcast
+  * budget (`maxBroadcastRows`, probed with a LIMIT-bounded count), the
+  * pair table is the exact |src|×|dst| cross product with the dst side
+  * broadcast — the right baseline for mining a new crawl against a
+  * pivot-language batch. A dst side over budget AUTO-ROUTES through
+  * [[Bitext.clusterCandidates]] — a shared-quantizer cluster-probe
+  * join, shuffle-keyed, never quadratic — so calling the API with two
+  * corpus-scale sides can no longer detonate a broadcast cross join.
+  * Pass `candidates` explicitly to control the generator (e.g. tuned
+  * nClusters/nProbe), or `maxBroadcastRows = Long.MaxValue` to pin
+  * exact brute force. Under candidates, the margin windows run over the
+  * candidate pairs only, and each pair's neighborhood is its top-k
+  * within the candidate set — the standard approximation deployed
+  * miners make (FAISS-retrieved neighborhoods).
   * Every window below keys on src_id or dst_id, so nothing in the
   * scoring stage is quadratic — only candidate generation is, and only
   * if you choose brute force. The three same-key window pairs (rank +
@@ -67,9 +72,11 @@ object Bitext {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   docIdCol: String = "doc_id",
                   langCol: String = "lang",
-                  candidates: Option[DataFrame] = None): DataFrame =
+                  candidates: Option[DataFrame] = None,
+                  maxBroadcastRows: Long = 200000L): DataFrame =
     marginFromScored(scoredPairs(emb, docs, srcLang, dstLang, k, idCol,
-      vecCol, docIdCol, langCol, candidates), thresholdMicro)
+      vecCol, docIdCol, langCol, candidates, maxBroadcastRows),
+      thresholdMicro)
 
   /** The margin-best selection alone, over a PREBUILT scored pair table
     * ([[scoredPairs]]) — share one scoring run between [[marginPairs]]
@@ -99,9 +106,11 @@ object Bitext {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   docIdCol: String = "doc_id",
                   langCol: String = "lang",
-                  candidates: Option[DataFrame] = None): DataFrame =
+                  candidates: Option[DataFrame] = None,
+                  maxBroadcastRows: Long = 200000L): DataFrame =
     mutualFromScored(scoredPairs(emb, docs, srcLang, dstLang, k, idCol,
-      vecCol, docIdCol, langCol, candidates), thresholdMicro)
+      vecCol, docIdCol, langCol, candidates, maxBroadcastRows),
+      thresholdMicro)
 
   /** [[mutualPairs]]' selection over a prebuilt scored table — see
     * [[marginFromScored]]. */
@@ -193,7 +202,7 @@ object Bitext {
                  langCol: String = "lang"): Array[IndexEntry] = {
     import graft.functions.VecMath.norm2Micro
     val stats = scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol,
-        docIdCol, langCol, None)
+        docIdCol, langCol, None, maxBroadcastRows = Long.MaxValue)
       .select(col("dst_id"), col("sum_dst"), col("cnt_dst")).distinct()
     val tagged = emb.join(
       docs.select(col(docIdCol).as(idCol), col(langCol)), idCol)
@@ -219,7 +228,8 @@ object Bitext {
                   srcLang: String, dstLang: String, k: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   docIdCol: String = "doc_id", langCol: String = "lang",
-                  candidates: Option[DataFrame] = None): DataFrame = {
+                  candidates: Option[DataFrame] = None,
+                  maxBroadcastRows: Long = 200000L): DataFrame = {
     require(k > 0, s"neighborhood size k must be positive, got $k")
     import graft.functions.VecMath.{dotMicro, norm2Micro}
     val tagged = emb.join(
@@ -232,7 +242,28 @@ object Bitext {
       .select(col(idCol).as("dst_id"), col(vecCol).as("dst_vec"),
         norm2Micro(col(vecCol)).as("nb2"))
 
-    val joined = candidates match {
+    // Adaptive default (safe-by-default at corpus scale): with no
+    // explicit candidate table, the dst side's cardinality is probed
+    // with a LIMIT-bounded count (the job short-circuits at
+    // maxBroadcastRows+1 rows — never a full scan of a huge side).
+    // Within budget → exact broadcast cross scoring; over budget →
+    // auto-route through [[clusterCandidates]]' keyed cluster-probe
+    // join, the same approximation a deployed miner makes explicitly.
+    // Pass `maxBroadcastRows = Long.MaxValue` to pin brute force (the
+    // frozen-index builder does — its size contract is the caller's).
+    val autoCandidates: Option[DataFrame] =
+      if (candidates.isDefined || maxBroadcastRows == Long.MaxValue) candidates
+      else {
+        val probeN = dstSide
+          .limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt)
+          .count()
+        if (probeN <= maxBroadcastRows) None
+        else Some(clusterCandidates(emb, docs, srcLang, dstLang,
+          idCol = idCol, vecCol = vecCol, docIdCol = docIdCol,
+          langCol = langCol))
+      }
+
+    val joined = autoCandidates match {
       case Some(cand) =>
         // keyed shuffle joins — the corpus-scale path. The candidate
         // table is DEDUPED first: a duplicated (src,dst) row would

@@ -257,6 +257,49 @@ class BitextSpec extends SparkSpec {
       assert((s <= 2L && d <= 3L) || (s >= 4L && d >= 5L)) }
   }
 
+  test("adaptive default: over-budget dst side auto-routes to cluster " +
+      "candidates, equal to the explicit generator; MaxValue pins brute force") {
+    val clusterA = Seq(1f, 0f, 0f, 0f)
+    val clusterB = Seq(0f, 0f, 1f, 0f)
+    def jitter(base: Seq[Float], eps: Float) = base.map(v => v + eps)
+    val en = Seq(0L -> jitter(clusterA, 0.01f), 2L -> jitter(clusterA, 0.03f),
+      4L -> jitter(clusterB, 0.01f), 6L -> jitter(clusterB, 0.03f))
+    val de = Seq(1L -> jitter(clusterA, 0.02f), 3L -> jitter(clusterA, 0.04f),
+      5L -> jitter(clusterB, 0.02f), 7L -> jitter(clusterB, 0.04f))
+    val (emb, docs) = corpus(
+      (en.map { case (i, v) => (i, v, "en") } ++
+        de.map { case (i, v) => (i, v, "de") }): _*)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("src_id", "dst_id", "sim_micro", "margin_micro")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // under budget: exact broadcast brute force
+    val under = Bitext.marginPairs(emb, docs, "en", "de", k = 2,
+      thresholdMicro = 0L)
+    assert(under.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // over budget (4 dst docs > 2): auto-routed through clusterCandidates
+    val auto = Bitext.marginPairs(emb, docs, "en", "de", k = 2,
+      thresholdMicro = 0L, maxBroadcastRows = 2L)
+    assert(!auto.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // parity: auto-routing == explicitly passing the default generator
+    val explicitCand = Bitext.marginPairs(emb, docs, "en", "de", k = 2,
+      thresholdMicro = 0L,
+      candidates = Some(Bitext.clusterCandidates(emb, docs, "en", "de")))
+    assert(norm(auto) == norm(explicitCand))
+    // the planted true twins survive the routed path
+    val mined = auto.select("src_id", "dst_id").as[(Long, Long)]
+      .collect().toSet
+    assert(mined.contains((0L, 1L)) && mined.contains((4L, 5L)))
+    // Long.MaxValue pins brute force regardless of size budget
+    val pinned = Bitext.marginPairs(emb, docs, "en", "de", k = 2,
+      thresholdMicro = 0L, maxBroadcastRows = Long.MaxValue)
+    assert(pinned.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(norm(pinned) == norm(under))
+  }
+
   test("streaming bitextMine over the frozen index reproduces batch marginPairs exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
