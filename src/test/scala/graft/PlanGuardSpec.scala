@@ -50,6 +50,46 @@ class PlanGuardSpec extends SparkSpec {
       s"comm_matrix scan reads unused columns: $cmSchema")
   }
 
+  test("every unpartitioned window sits above an aggregation/limit " +
+      "(plan-bounded input) — registry-wide") {
+    // An unpartitioned window is a single-task collapse. That's benign
+    // over a post-aggregation bin/report table (bounded rows) and a
+    // scale-killer over a corpus-sized table. Tripwire: below every
+    // zero-partition logical Window, EVERY input branch must pass
+    // through an Aggregate / Limit / local relation before any source
+    // relation — so a new query can't silently add a corpus-wide
+    // single-task sort.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: LocalRelation
+           | _: OneRowRelation => true
+      // a bounded-input window stays bounded; dedup collapses like agg
+      case d: Distinct => bounded(d.child)
+      case _ if p.children.isEmpty => false
+      case j: Join => // a join is bounded only if BOTH sides are
+        j.children.forall(bounded)
+      case _ => p.children.forall(bounded)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded input in: ${offenders.mkString(", ")}")
+    // guard of the guard: a corpus-wide unpartitioned window MUST trip
+    val bad = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      .queryExecution.optimizedPlan
+    assert(bad.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }.nonEmpty, "the tripwire failed to flag a corpus-wide window")
+  }
+
   test("reader event-id assignment stays distributed (no global window)") {
     import spark.implicits._
     val csv = graft.ingest.CsvReader.read(spark, resourcePath("foo-bar.csv"))
