@@ -43,10 +43,26 @@ object SparkEntry {
     * every trace query below consumes the same enriched DataFrame instead
     * of re-running the matcher. At cluster scale this is "enrich once,
     * write back / cache, analyze many times". */
+  /** Wall seconds each memoized artifact took to build, keyed
+    * (session, artifact) — the bench reads this as `setup_breakdown`,
+    * so the shared-build cost is attributed per artifact instead of to
+    * whichever query ran first. */
+  private val artifactTimes =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Double]()
+  private def timedArtifact[A](s: SparkSession, key: String)(build: => A): A = {
+    val t0 = System.nanoTime()
+    val r = build
+    artifactTimes((s, key)) = (System.nanoTime() - t0) / 1e9
+    r
+  }
+  /** Per-artifact build seconds recorded so far for `s`. */
+  private[graft] def artifactBreakdown(s: SparkSession): Map[String, Double] =
+    artifactTimes.collect { case ((ss, k), v) if ss == s => (k, v) }.toMap
+
   private val enrichedCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def callEnriched(s: SparkSession, dir: String): DataFrame =
-    enrichedCache.getOrElseUpdate((s, dir), {
+    enrichedCache.getOrElseUpdate((s, dir), timedArtifact(s, "enriched_events") {
       registerCleanup(s)
       // the matcher emits matching/depth/parent AND time_inc/time_exc in its
       // single pass, so full enrichment is one shuffle + one mapPartitions
@@ -64,28 +80,28 @@ object SparkEntry {
   private val kmeansCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Double]]]()
   private def embCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    kmeansCache.getOrElseUpdate((s, dir), {
+    kmeansCache.getOrElseUpdate((s, dir), timedArtifact(s, "kmeans_fit") {
       registerCleanup(s)
       Similarity.kmeansFit(T(s, dir, "embeddings"))
     })
   private val sq8Cache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), (Array[Double], Array[Double])]()
   private def embSq8(s: SparkSession, dir: String): (Array[Double], Array[Double]) =
-    sq8Cache.getOrElseUpdate((s, dir), {
+    sq8Cache.getOrElseUpdate((s, dir), timedArtifact(s, "sq8_fit") {
       registerCleanup(s)
       Similarity.sq8Fit(T(s, dir, "embeddings"))
     })
   private val pqCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Array[Double]]]]()
   private def embCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    pqCache.getOrElseUpdate((s, dir), {
+    pqCache.getOrElseUpdate((s, dir), timedArtifact(s, "pq_fit") {
       registerCleanup(s)
       Similarity.pqFit(T(s, dir, "embeddings"))
     })
   private val bpeCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Seq[(Int, String, String, Long)]]()
   private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    bpeCache.getOrElseUpdate((s, dir), {
+    bpeCache.getOrElseUpdate((s, dir), timedArtifact(s, "bpe_merges") {
       registerCleanup(s)
       graft.scale.Bpe.learnMerges(T(s, dir, "documents")).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -100,7 +116,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
   private def cachedDf(s: SparkSession, dir: String, key: String)
                       (build: => DataFrame): DataFrame =
-    dfCache.getOrElseUpdate((s, dir, key), {
+    dfCache.getOrElseUpdate((s, dir, key), timedArtifact(s, key) {
       registerCleanup(s)
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
@@ -128,6 +144,7 @@ object SparkEntry {
          path <- ivfIndexCache.remove(k)) deleteRecursively(new java.io.File(path))
     for (k <- otf2ExportCache.keys if k._1 == s;
          path <- otf2ExportCache.remove(k)) deleteRecursively(new java.io.File(path))
+    for (k <- artifactTimes.keys if k._1 == s) artifactTimes.remove(k)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -210,7 +227,7 @@ object SparkEntry {
       otf2ExportCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
     }: Unit
   private def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndexCache.getOrElseUpdate((s, dir), {
+    ivfIndexCache.getOrElseUpdate((s, dir), timedArtifact(s, "ivf_disk_index") {
       registerCleanup(s)
       ivfShutdownHook
       // path disambiguated by (full-dir md5, process, session): hashCode
@@ -231,7 +248,7 @@ object SparkEntry {
   private val otf2ExportCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
   private def otf2ExportPath(s: SparkSession, dir: String): String =
-    otf2ExportCache.getOrElseUpdate((s, dir), {
+    otf2ExportCache.getOrElseUpdate((s, dir), timedArtifact(s, "otf2_export") {
       registerCleanup(s)
       ivfShutdownHook
       val dirTag = java.security.MessageDigest.getInstance("MD5")
@@ -1205,6 +1222,19 @@ object SparkEntry {
     "jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPrefixPairs(T(s, dir, "documents"), 3, 1, 5)
         .orderBy(col("a"), col("b"))),
+
+    // --- day-2 ingest for the exact-Jaccard family: docs with
+    // doc_id % 10 == 0 arrive as the new batch and join the persisted
+    // prefix index of the rest — emits exactly the full run's verified
+    // pairs that touch >= 1 new doc, without re-shingling history ---
+    "jaccard_prefix_incr" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (dfTab, idx) = Dedup.jaccardPrefixIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), 3, 1, 5)
+      Dedup.jaccardPrefixIncremental(
+          docs.filter(col("doc_id") % 10 === 0), dfTab, idx, 3, 1, 5)
+        .orderBy(col("a"), col("b"))
+    }),
 
     // --- per-source token budget: best-first fill, boundary doc may
     // overflow (src0 squeezed to 300 tokens, everyone else 800) ---
@@ -5186,6 +5216,26 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
         |           JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE i * 5 >= (sa.sz + sb.sz - i) * 1
+        |ORDER BY a, b""".stripMargin),
+
+    // the incremental path is EXACT (verification is order-independent),
+    // so its oracle is the full brute-force threshold join restricted to
+    // pairs touching a new-batch (doc_id % 10 = 0) document
+    "jaccard_prefix_incr" -> (shinglesCte +
+      """, dsh AS (SELECT DISTINCT doc_id,
+        |    CAST(concat('0x', substr(md5('0:' || shingle), 1, 15)) AS BIGINT) AS h
+        |  FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM dsh x JOIN dsh y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(i AS BIGINT) AS inter,
+        |       CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb
+        |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        |           JOIN sizes sb ON inter.b = sb.doc_id
+        |WHERE i * 5 >= (sa.sz + sb.sz - i) * 1
+        |  AND (a % 10 = 0 OR b % 10 = 0)
         |ORDER BY a, b""".stripMargin),
 
     "sample_budget" ->

@@ -597,6 +597,106 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"))
   }
 
+  /** Persistable prefix-filter index for [[jaccardPrefixPairs]] — the
+    * day-2 ingest artifact (the exact-Jaccard analogue of
+    * [[bandTable]]): per historical document its full sorted 60-bit
+    * shingle-hash set, size, and τ-prefix; plus the corpus df table
+    * that DEFINES the canonical token order the prefixes were ranked
+    * under. Persist BOTH per corpus snapshot:
+    * [[jaccardPrefixIncremental]] then dedups a new batch against them
+    * without re-shingling one historical document.
+    * Returns (dfTab: (h, df), docIndex: (id, set, sz, prefix)). */
+  def jaccardPrefixIndex(docs: DataFrame, shingleK: Int = 3,
+                         tauNum: Int = 1, tauDen: Int = 5,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1]: $tauNum/$tauDen")
+    val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+      .select(col(idCol), TextOps.md5Hash60(col("shingle"), 0).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val dfTab = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfTab, Seq("h"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("r", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("df"), col("h"))))
+      .withColumn("in_prefix", col("r") <=
+        col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
+    val docIndex = ranked.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("h"))).as("set"),
+        count(lit(1)).as("sz"),
+        sort_array(collect_list(when(col("in_prefix"), col("h"))))
+          .as("prefix"))
+    (dfTab, docIndex)
+  }
+
+  /** Incremental exact threshold-Jaccard dedup — the day-2 shape: a NEW
+    * batch joins against the persisted [[jaccardPrefixIndex]] (and
+    * itself) WITHOUT touching the historical corpus. Emits exactly the
+    * verified pairs a full-corpus [[jaccardPrefixPairs]] run would emit
+    * that touch ≥ 1 new document (a < b, same (a, b, inter, sza, szb)
+    * schema) — proved by the equivalence property spec.
+    *
+    * Losslessness under a FROZEN order: new docs rank their shingles by
+    * the INDEX's df table (shingles unseen on day 1 get df 0 — rarest
+    * first, ties by hash). The prefix bound holds for any total order
+    * shared by the two sides of a pair, not just the current-corpus df
+    * order — both sides of every candidate pair (new↔old and new↔new)
+    * rank by the same frozen (day-1 df, hash) order, so every
+    * J ≥ τ pair still meets in ≥ 1 prefix token. Verification is the
+    * same integer cross-multiplication over full sets, so the output
+    * pair set is EXACT regardless of how the frozen order skews prefix
+    * lengths. New-batch ids must be disjoint from index ids. */
+  def jaccardPrefixIncremental(newDocs: DataFrame, dfTab: DataFrame,
+                               docIndex: DataFrame, shingleK: Int = 3,
+                               tauNum: Int = 1, tauDen: Int = 5,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1]: $tauNum/$tauDen")
+    val sh = Shingles.wordShingles(newDocs, shingleK, textCol, idCol)
+      .select(col(idCol), TextOps.md5Hash60(col("shingle"), 0).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val ranked = sh.join(dfTab, Seq("h"), "left")
+      .withColumn("df0", coalesce(col("df"), lit(0L)))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("r", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("df0"), col("h"))))
+    val newPrefix = ranked.filter(col("r") <=
+        col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col(idCol), col("h"))
+    val newSets = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("h"))).as("set"),
+        count(lit(1)).as("sz"))
+    // candidates: new prefixes against (index ∪ new) prefixes — work is
+    // |new bands| vs the posting lists, proportional to the batch
+    val allPrefix = docIndex
+      .select(col(idCol), explode(col("prefix")).as("h"))
+      .unionByName(newPrefix)
+    val cand = newPrefix.as("x")
+      .join(allPrefix.as("y"),
+        col("x.h") === col("y.h") && col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("a"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("b"))
+      .distinct()
+    val sets = docIndex.select(col(idCol), col("set"), col("sz"))
+      .unionByName(newSets)
+    cand
+      .join(sets.select(col(idCol).as("a"), col("set").as("set_a"),
+        col("sz").as("sza")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("set").as("set_b"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("inter", graft.functions.VecMath.sortedIntersectCount(
+        col("set_a"), col("set_b")))
+      .filter(col("inter") * tauDen >=
+        (col("sza") + col("szb") - col("inter")) * tauNum)
+      .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"))
+  }
+
   /** Shared inverted-index pair pipeline: distinct (doc, shingle) rows,
     * optional df cap, then the sparse self-join on the shingle key,
     * aggregated to one row per co-shingled pair (a < b) carrying the

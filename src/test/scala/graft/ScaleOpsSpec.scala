@@ -366,6 +366,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("incremental prefix-jaccard == the full run's pairs touching a " +
+      "new doc, through a parquet round-trip of the index") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docsN = (0 until 40).map { i =>
+      val toks = (0 until 12).map(j =>
+        words(((i % 20) * 5 + j * (1 + (i % 20) % 3)) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }
+    val d = docsN.toDF("doc_id", "text")
+    val hist = d.filter($"doc_id" < 30)
+    val batch = d.filter($"doc_id" >= 30)
+    val (dfTab, idx) = Dedup.jaccardPrefixIndex(hist, 3, 1, 5)
+    // day-2 contract: the index is persisted, day 2 reads it back cold
+    val tmp = java.nio.file.Files.createTempDirectory("jpidx").toString
+    dfTab.write.mode("overwrite").parquet(s"$tmp/df")
+    idx.write.mode("overwrite").parquet(s"$tmp/docs")
+    val got = Dedup.jaccardPrefixIncremental(batch,
+        spark.read.parquet(s"$tmp/df"), spark.read.parquet(s"$tmp/docs"),
+        3, 1, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val full = Dedup.jaccardPrefixPairs(d, 3, 1, 5)
+      .filter($"a" >= 30 || $"b" >= 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty)
+    assert(got == full)
+    // and nothing new-free leaks in
+    got.foreach { case (a, b, _, _, _) => assert(a >= 30 || b >= 30) }
+  }
+
   test("char entropy: exact micro-unit log sums on a hand case") {
     val d = Seq((0L, "aab c")).toDF("doc_id", "text")
     val r = TextOps.charEntropy(d).collect().head
