@@ -2693,6 +2693,38 @@ object SparkEntry {
           TraceGen.eventsTable(s, dir).withColumn("t_us", expr("ts div 1000")))
         .orderBy(col("day"))),
 
+    // --- STREAMING ORACLE HOOKS: the streaming operators themselves run
+    // in batch mode (Spark executes flatMapGroupsWithState / watermarked
+    // window aggs over a batch Dataset as one closed micro-batch with
+    // empty initial state), so the streaming SEMANTICS get a DuckDB
+    // oracle row — not just batch-parity specs. cdc end-state: the
+    // total order (seq, op, v) picks the same winner as the streaming
+    // state machine; stale = rows that lost to an already-applied
+    // change (duplicates of an applied tuple) ---
+    "stream_cdc_endstate" -> ((s, dir) => {
+      val changes = T(s, dir, "events").select(
+        col("user_id"),
+        expr("event_id div 20").as("seq"),
+        when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        floor(col("value") / 100).cast("long").as("val_c"))
+      graft.streaming.StreamingOps.cdcApply(changes)
+        .orderBy(col("k"))
+    }),
+
+    // --- windowed TV drift vs a uniform reference histogram, through
+    // the streaming operator's own binning/agg code path ---
+    "stream_drift_tv" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("ts"),
+        floor(col("value")).cast("long").as("v"))
+      graft.streaming.StreamingOps.windowedDrift(ev, Seq(1L, 1L, 1L, 1L),
+          window = "6 hours", watermark = "0 seconds", lo = 0L, width = 200L,
+          timeCol = "ts")
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("n_obs"), col("tv_num"))
+        .orderBy(col("window_start"))
+    }),
+
     // --- matryoshka-style truncation audit: recall@5 of cosine ranking
     // on the first 16 of 64 dims vs the full-dimension neighbors — the
     // "can we serve at quarter cost" measurement, same integer-hits
@@ -4366,7 +4398,7 @@ object SparkEntry {
         |m AS (
         |  SELECT doc_id,
         |         CAST(len(toks) AS BIGINT) AS n,
-        |         CAST(length(text) - (len(toks) - 1) AS BIGINT) AS chars,
+        |         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS chars,
         |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
         |         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ell,
         |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
@@ -5310,7 +5342,7 @@ object SparkEntry {
       """probes AS (
         |  SELECT vec_id, j AS cluster FROM (
         |    SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_distance(e.v, c.v), c.j) AS rn
+        |      ORDER BY list_inner_product(c.v, c.v) - 2 * list_inner_product(e.v, c.v), c.j) AS rn
         |    FROM e CROSS JOIN c5 c) WHERE rn <= 2),
         |cand AS (
         |  SELECT DISTINCT pr.vec_id AS src_id, s2.vec_id AS dst_id
@@ -5523,9 +5555,10 @@ object SparkEntry {
         |       JOIN c5 c ON c.j = a.cluster)
         |WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin),
 
-    // join keys are the engine's 60-bit md5 hashes (h1 of w1, bh of the
-    // chr(1)-joined bigram) — collisions are shared, so the score is
-    // bit-comparable while the joins key on one BIGINT each
+    // join keys are the engine's 60-bit integer hashes: h1 = md5-60 of
+    // w1; bh = xor(h1, rot30(md5-60 of w2)) — one md5 per token, the
+    // mix replicated exactly, so collisions are shared and the score is
+    // bit-comparable while everything keys on BIGINTs
     "text_logprob2" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
@@ -5535,23 +5568,21 @@ object SparkEntry {
         |               AS BIGINT) AS h1, COUNT(*) AS c1
         |      FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY 1),
         |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM u),
-        |bi AS (SELECT CAST(concat('0x',
-        |                substr(md5('0:' || w1 || chr(1) || w2), 1, 15))
-        |                AS BIGINT) AS bh, COUNT(*) AS cb
-        |       FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
-        |             FROM tr, unnest(generate_series(1, len(toks) - 1)) g(i)
-        |             WHERE len(toks) >= 2) GROUP BY 1),
-        |d AS (SELECT doc_id,
-        |             CAST(concat('0x',
-        |               substr(md5('0:' || w1 || chr(1) || w2), 1, 15))
-        |               AS BIGINT) AS bh,
-        |             CAST(concat('0x', substr(md5('0:' || w1), 1, 15))
-        |               AS BIGINT) AS h1,
-        |             COUNT(*) AS cnt FROM (
-        |        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        |        FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
-        |        WHERE len(toks) >= 2)
-        |      GROUP BY 1, 2, 3)
+        |hp AS (SELECT doc_id, i,
+        |         CAST(concat('0x', substr(md5('0:' || toks[i]), 1, 15))
+        |           AS BIGINT) AS ha,
+        |         CAST(concat('0x', substr(md5('0:' || toks[i + 1]), 1, 15))
+        |           AS BIGINT) AS hb
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
+        |       WHERE len(toks) >= 2),
+        |hpk AS (SELECT doc_id, ha AS h1,
+        |          xor(ha, hb // 1073741824 + (hb % 1073741824) * 1073741824)
+        |            AS bh
+        |        FROM hp),
+        |bi AS (SELECT bh, COUNT(*) AS cb
+        |       FROM hpk WHERE doc_id % 5 = 0 GROUP BY 1),
+        |d AS (SELECT doc_id, bh, h1, COUNT(*) AS cnt
+        |      FROM hpk GROUP BY 1, 2, 3)
         |SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
         |       ROUND(SUM(d.cnt * -ln((COALESCE(bi.cb, 0) + 1.0)
         |                     / (COALESCE(u.c1, 0) + v.v))) / SUM(d.cnt), 4)
@@ -5583,7 +5614,7 @@ object SparkEntry {
       """, qprobe AS (
         |  SELECT vec_id, j AS cluster FROM (
         |    SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_distance(e.v, c.v), c.j) AS rn
+        |      ORDER BY list_inner_product(c.v, c.v) - 2 * list_inner_product(e.v, c.v), c.j) AS rn
         |    FROM e CROSS JOIN c5 c WHERE e.vec_id < 10) WHERE rn <= 2)
         |SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
@@ -5603,7 +5634,7 @@ object SparkEntry {
       """, qprobe AS (
         |  SELECT vec_id, j AS cluster FROM (
         |    SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_distance(e.v, c.v), c.j) AS rn
+        |      ORDER BY list_inner_product(c.v, c.v) - 2 * list_inner_product(e.v, c.v), c.j) AS rn
         |    FROM e CROSS JOIN c5 c WHERE e.vec_id < 10) WHERE rn <= 2)
         |SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
@@ -7139,6 +7170,46 @@ object SparkEntry {
         |SELECT day, dau, rolling_active
         |FROM dau JOIN roll USING (day) ORDER BY day""".stripMargin,
 
+    // the streaming cdc state machine applies changes in (seq, op, v)
+    // order, keeping strict ascents: end state = max tuple, stale =
+    // duplicates of an applied tuple
+    "stream_cdc_endstate" ->
+      """WITH ch AS (
+        |  SELECT user_id AS k, event_id // 20 AS seq,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         CAST(floor(value / 100) AS BIGINT) AS v
+        |  FROM events),
+        |best AS (
+        |  SELECT k, seq, op, v, ROW_NUMBER() OVER (PARTITION BY k
+        |    ORDER BY seq DESC, op DESC, v DESC) AS rn
+        |  FROM ch),
+        |stale AS (
+        |  SELECT k, CAST(COUNT(*) - COUNT(DISTINCT (seq, op, v)) AS BIGINT)
+        |    AS n_stale
+        |  FROM ch GROUP BY 1)
+        |SELECT b.k, b.seq, b.op, b.v, b.op = 'D' AS deleted, s.n_stale
+        |FROM best b JOIN stale s USING (k) WHERE rn = 1
+        |ORDER BY b.k""".stripMargin,
+
+    "stream_drift_tv" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 1000000 // 21600 * 21600 AS wb,
+        |         least(greatest(CAST(floor(value) AS BIGINT) * 4 // 200, 0), 3)
+        |           AS bin
+        |  FROM events),
+        |g AS (SELECT wb,
+        |        CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |        CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |        CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        |      FROM e GROUP BY 1)
+        |SELECT wb AS window_start, c0 + c1 + c2 + c3 AS n_obs,
+        |       abs(c0 * 4 - (c0 + c1 + c2 + c3)) +
+        |       abs(c1 * 4 - (c0 + c1 + c2 + c3)) +
+        |       abs(c2 * 4 - (c0 + c1 + c2 + c3)) +
+        |       abs(c3 * 4 - (c0 + c1 + c2 + c3)) AS tv_num
+        |FROM g ORDER BY window_start""".stripMargin,
+
     "ann_trunc_recall" ->
       """WITH full5 AS (
         |  SELECT query_id, neighbor_id FROM (
@@ -7379,7 +7450,7 @@ object SparkEntry {
         s""", qp$p AS (
            |  SELECT vec_id, j AS cluster FROM (
            |    SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |      ORDER BY list_distance(e.v, c.v), c.j) AS rn
+           |      ORDER BY list_inner_product(c.v, c.v) - 2 * list_inner_product(e.v, c.v), c.j) AS rn
            |    FROM e CROSS JOIN c5 c WHERE e.vec_id < 10) WHERE rn <= $p),
            |iv$p AS (
            |  SELECT query_id, neighbor_id FROM (
@@ -7601,7 +7672,7 @@ object SparkEntry {
     def assignSql(c: String): String =
       s"""(SELECT vec_id, j AS cluster FROM (
          |  SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |    ORDER BY list_distance(e.v, c.v), c.j) AS rn
+         |    ORDER BY list_inner_product(c.v, c.v) - 2 * list_inner_product(e.v, c.v), c.j) AS rn
          |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
     val sb = new StringBuilder
     sb.append("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n")

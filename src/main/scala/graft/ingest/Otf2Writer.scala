@@ -257,6 +257,23 @@ object Otf2Writer {
       }
     Files.write(Paths.get(s"$dir/$archiveName.def"), chunk(defs))
 
+    // Executor-side writes assume a filesystem shared with the driver;
+    // VERIFY the contract instead of trusting it — on a cluster without
+    // a shared FS the .evt files sit on executor-local disks and this
+    // save would otherwise return success over a silently incomplete
+    // archive. Also sweep stale attempt temps (a task dying between
+    // write and atomic move leaks its .tmp-<attempt> file).
+    val missing = blobs.map(_.getLong(0))
+      .filterNot(loc => Files.exists(Paths.get(s"$dir/traces/$loc.evt")))
+    require(missing.isEmpty,
+      s"OTF2 save incomplete: ${missing.length} location trace file(s) " +
+        s"missing under $dir/traces (e.g. ${missing.take(3).mkString(", ")}" +
+        ".evt) — executors must share this filesystem with the driver")
+    Option(new java.io.File(s"$dir/traces").listFiles)
+      .foreach(_.foreach { f =>
+        if (f.getName.contains(".evt.tmp-")) f.delete(): Unit
+      })
+
     // .evt files were already written executor-side; only tally counts
     var written = 0L
     var dropped = 0L

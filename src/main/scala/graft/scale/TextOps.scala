@@ -360,15 +360,53 @@ object TextOps {
     * Model = one (w₁,w₂,count) table + one (w₁,count) table; scoring is
     * two keyed left joins + a per-doc aggregation — vocabulary-sized
     * state, nothing driver-side. */
-  private def bigramRows(df: DataFrame, id: Option[String],
+  private[graft] def bigramRows(df: DataFrame, id: Option[String],
                          textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.filter(size(toks) >= 2)
-      .select(id.map(col).toSeq :+ explode(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2")))).as("bg"): _*)
+    // tokens materialized as their own projection BEFORE the bigram
+    // lambda: higher-order functions evaluate interpreted, so an
+    // unmaterialized split() re-tokenizes the document inside every
+    // element_at — O(tokens²) per doc (the StreamingLsh.hashedShingles
+    // lesson; this was half the bigram-LM query's cost)
+    val withToks = df.withColumn("_toks", tokens(col(textCol)))
+      .filter(size(col("_toks")) >= 2)
+    withToks.select(id.map(col).toSeq :+ explode(transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => struct(element_at(col("_toks"), i).as("w1"),
+          element_at(col("_toks"), i + 1).as("w2")))).as("bg"): _*)
       .select(id.map(col).toSeq :+ col("bg.w1") :+ col("bg.w2"): _*)
+  }
+
+  /** Hashed bigram rows (id?, h1, bh): per-token 60-bit md5 hashes are
+    * materialized ONCE as an array column, and the bigram join key is
+    * the overflow-safe integer mix `bh = h1 XOR rot30(h2)` (rot30(x) =
+    * x div 2³⁰ + (x mod 2³⁰)·2³⁰ — every term < 2⁶¹, safe in engines
+    * whose BIGINT errors on overflow) — ONE md5 per token instead of a
+    * fresh md5 over each concatenated bigram string, and the explode
+    * emits pure integers. Replicable in any SQL dialect, so a collision
+    * is shared and results stay bit-comparable. */
+  private[graft] def hashedBigramRows(df: DataFrame, id: Option[String],
+                                      textCol: String): DataFrame = {
+    val withHt = df.withColumn("_toks", tokens(col(textCol)))
+      .filter(size(col("_toks")) >= 2)
+      .withColumn("_ht", transform(col("_toks"), t => md5Hash60(t, 0)))
+    withHt.select(id.map(col).toSeq :+ explode(transform(
+        sequence(lit(1), size(col("_ht")) - 1),
+        i => struct(element_at(col("_ht"), i).as("h1"),
+          element_at(col("_ht"), i + 1).as("h2")))).as("bg"): _*)
+      .select(id.map(col).toSeq :+ col("bg.h1").as("h1") :+
+        col("bg.h1").bitwiseXOR(expr(
+          "bg.h2 div 1073741824 + (bg.h2 % 1073741824) * 1073741824"))
+          .as("bh"): _*)
+  }
+
+  /** The same bh mix over a word-keyed (w1, w2) pair — for hashing the
+    * vocabulary-sized model tables to the [[hashedBigramRows]] key. */
+  private[graft] def bigramHash(w1: Column, w2: Column): Column = {
+    val h2 = md5Hash60(w2, 0)
+    // shiftright/shiftleft == div/mod·2³⁰ for these non-negative 60-bit
+    // values — identical to the oracle's // and % formulation
+    md5Hash60(w1, 0).bitwiseXOR(
+      shiftright(h2, 30) + shiftleft(h2.bitwiseAND(lit(1073741823L)), 30))
   }
 
   /** The bigram model's two count tables — (w₁, c1) unigram contexts and
@@ -390,29 +428,25 @@ object TextOps {
     * once and the mean is the count-weighted mean — fewer join rows on
     * exactly the repetitive documents the score flags.
     *
-    * Join keys are 60-bit [[md5Hash60]] longs computed at the scan —
-    * `h1` of the context word, `bh` of the chr(1)-joined bigram — so
-    * the pre-aggregation and both model joins shuffle one long instead
-    * of two strings (this query was the bench's slowest; string (w1,w2)
-    * keys were the remaining cost). The model tables stay word-keyed
-    * (interpretable, reusable); their hash projection is vocabulary-
-    * sized. A 60-bit collision merges counts identically in any engine
-    * that replicates the md5 (the oracle does), so the score stays
-    * bit-comparable; at 60 bits a corpus-wide collision is ~10⁻⁸ even
-    * at 10⁸ distinct bigrams. */
+    * Join keys are 60-bit integer hashes computed at the scan
+    * ([[hashedBigramRows]]: one md5 per TOKEN, bigram key = the
+    * overflow-safe xor/rotate mix of the two token hashes), so the
+    * pre-aggregation and both model joins shuffle longs and the explode
+    * emits pure integers — this query was the bench's slowest, and the
+    * cost was the per-bigram string building + re-tokenizing lambda,
+    * not the joins. The model tables stay word-keyed (interpretable,
+    * reusable); their hash projection is vocabulary-sized. A collision
+    * merges counts identically in any engine that replicates the mix
+    * (the oracle does), so the score stays bit-comparable. */
   def bigramLogProbFrom(docs: DataFrame, uni: DataFrame, bi: DataFrame,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val uh = uni.select(md5Hash60(col("w1"), 0).as("h1"), col("c1"))
       .groupBy(col("h1")).agg(sum(col("c1")).as("c1"))
-    val bih = bi.select(md5Hash60(
-        concat_ws("\u0001", col("w1"), col("w2")), 0).as("bh"), col("cb"))
+    val bih = bi.select(bigramHash(col("w1"), col("w2")).as("bh"), col("cb"))
       .groupBy(col("bh")).agg(sum(col("cb")).as("cb"))
     val vocab = uh.agg(count(lit(1)).as("v"))
-    bigramRows(docs, Some(idCol), textCol)
-      .select(col(idCol),
-        md5Hash60(concat_ws("\u0001", col("w1"), col("w2")), 0).as("bh"),
-        md5Hash60(col("w1"), 0).as("h1"))
+    hashedBigramRows(docs, Some(idCol), textCol)
       .groupBy(col(idCol), col("bh"), col("h1"))
       .agg(count(lit(1)).as("cnt"))
       .join(bih, Seq("bh"), "left")
@@ -699,9 +733,12 @@ object TextOps {
     val t = col(textCol)
     val toks = tokens(t)
     val n = size(toks).cast("long")
-    // non-space chars = what the words are made of (mean word length
-    // numerator), exact from two lengths
-    val chars = (length(t) - (n - 1)).cast("long")
+    // non-whitespace chars = what the words are made of (mean word
+    // length numerator). Counted by stripping \s directly — the
+    // length(t) − (n_words − 1) shortcut silently over-counts on
+    // leading/trailing or repeated whitespace because tokens() trims
+    // and collapses while length() is raw, and can flip r_mean_word_len
+    val chars = length(regexp_replace(t, "\\s", "")).cast("long")
     val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
     val ell = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
       .cast("long")

@@ -375,7 +375,8 @@ class CurationSpec extends SparkSpec {
       (3L, "# # # the cat and of to in is that for runs fast"), // hash ratio
       (4L, "the cat ... and ... dog ... to ... in ... is ... sits ..."), // ellipsis
       (5L, "1 2 3 4 5 6 7 8 9 10 11 12"), // alpha words
-      (6L, "cat dog walk park light morning stream river trees stone hill path")) // no stopwords
+      (6L, "cat dog walk park light morning stream river trees stone hill path"), // no stopwords
+      (7L, "   ab  cd  ef  gh  ij   ")) // padded whitespace must not rescue mean word len
     val got = graft.scale.TextOps.gopherRules(rows.toDF("doc_id", "text"),
         minWords = 5L)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -386,7 +387,11 @@ class CurationSpec extends SparkSpec {
     assert(!got(4L).getAs[Boolean]("r_ellipsis_ratio"))
     assert(!got(5L).getAs[Boolean]("r_alpha_words"))
     assert(!got(6L).getAs[Boolean]("r_stopwords"))
-    (1L to 6L).foreach(i => assert(!got(i).getAs[Boolean]("pass"), s"doc $i"))
+    // chars are counted from non-whitespace, not raw length: the old
+    // length(t)-(n-1) shortcut would credit doc 7's padding as word chars
+    // (20 >= 3*5) and wrongly pass the mean-word-length rule
+    assert(!got(7L).getAs[Boolean]("r_mean_word_len"))
+    (1L to 7L).foreach(i => assert(!got(i).getAs[Boolean]("pass"), s"doc $i"))
   }
 
   test("distinctNgrams: hand-computed totals and ratios") {
