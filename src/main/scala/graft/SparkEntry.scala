@@ -1166,6 +1166,27 @@ object SparkEntry {
     "simhash" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
+    // --- simhash NEAR-dup pairs: the 60-bit signature split into 32-bit
+    // halves and banded through the same lossless Hamming-LSH as
+    // image_neardup (radius 3 < 8 bands), over distinct signatures ---
+    "simhash_neardup" -> ((s, dir) => {
+      val uniq = Dedup.simhash(T(s, dir, "documents"))
+        .groupBy("simhash")
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+        .withColumn("hi", shiftright(col("simhash"), 32))
+        .withColumn("lo", col("simhash").bitwiseAND(lit(0xFFFFFFFFL)))
+      val pairs = Dedup.hammingBandPairs(uniq, radius = 3, bands = 8,
+        idCol = "rep_id", hiCol = "hi", loCol = "lo")
+      pairs
+        .join(uniq.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
+          Seq("a"))
+        .join(uniq.select(col("rep_id").as("b"), col("n_docs").as("n_docs_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("n_docs_a"), col("n_docs_b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- count-min sketch audit: exact top-20 vs CMS estimates ---
     "cms_topk" -> ((s, dir) =>
       graft.scale.Sketches.cmsHeavyHitters(T(s, dir, "documents"))
@@ -5197,6 +5218,34 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // brute-force Hamming <= 3 join over distinct signatures — provably
+    // equal to the engine's 8-band Hamming-LSH (radius < bands)
+    "simhash_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |             CAST(concat('0x', substr(md5('0:' || tok), 1, 15)) AS BIGINT) AS h
+        |      FROM tok),
+        |bits AS (
+        |  SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS s
+        |  FROM h, generate_series(0, 59) g(bit) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |uniq AS (
+        |  SELECT simhash, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+        |  FROM sh GROUP BY 1)
+        |SELECT u1.rep_id AS a, u2.rep_id AS b,
+        |       CAST(bit_count(xor(u1.simhash, u2.simhash)) AS INT) AS hamming,
+        |       CAST(u1.n_docs AS BIGINT) AS n_docs_a,
+        |       CAST(u2.n_docs AS BIGINT) AS n_docs_b
+        |FROM uniq u1 JOIN uniq u2 ON u1.rep_id < u2.rep_id
+        |WHERE bit_count(xor(u1.simhash, u2.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
 
     "ngram_jaccard" -> (shinglesCte +
       """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),

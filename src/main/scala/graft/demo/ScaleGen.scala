@@ -1,0 +1,155 @@
+package graft.demo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale-up generator: tiles the sf0.1 driver tables 10× into a
+  * target dir so heavy queries can be measured one decade above the
+  * bench SF (the "does the plan survive a 10× scale-up" datapoint).
+  *
+  * Faithful-scaling choices (each avoids fabricating super-linear work
+  * that would be a fixture artifact, not a plan property):
+  *  - documents: per-tile deterministic token REMAPPING (hash-keyed on
+  *    (tile, token), ~50% identity). Shingle equality is preserved
+  *    under any per-tile token map, so every tile reproduces sf0.1's
+  *    within-tile duplicate/near-dup structure; across tiles the map
+  *    decorrelates 3-gram shingles (~12.5% survive), so a document and
+  *    its other-tile sibling fall well below the τ=0.2 join thresholds
+  *    — pair density per tile stays ~sf0.1 instead of exploding
+  *    quadratically with the tile count.
+  *  - keys (orders/lineitem/customer/part/supplier/events/users): tile
+  *    offsets keep every join consistent and every per-key group size
+  *    identical to sf0.1 — 10 disjoint copies of the workload graph.
+  *  - embeddings: per-tile component jitter (±0.01) keeps cluster
+  *    geometry while separating exact duplicates.
+  *  - region/nation: dimensions, single copy.
+  */
+object ScaleGen {
+  val Tiles = 10
+
+  private def remapTokensUdf(vocab: Array[String]) = {
+    val v = vocab
+    udf((text: String, tile: Int) =>
+      if (tile == 0) text
+      else {
+        val sb = new StringBuilder
+        var first = true
+        for (t <- text.trim.split(" +")) {
+          if (!first) sb.append(' ')
+          first = false
+          val h = (tile.toString + ":" + t).hashCode
+          if ((h & 1) == 0) sb.append(t)
+          else sb.append(v(math.floorMod(h >>> 1, v.length)))
+        }
+        sb.toString
+      })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/sf1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String) =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    val tiles = spark.range(0, Tiles).select(col("id").cast("int").as("tile"))
+
+    // dimensions: single copy
+    wr(rd("region"), "region"); wr(rd("nation"), "nation")
+
+    def off(t: String) = rd(t).agg(max(col(t match {
+      case "customer" => "c_custkey"; case "orders" => "o_orderkey"
+      case "part" => "p_partkey"; case "supplier" => "s_suppkey"
+      case _ => sys.error(t)
+    })) + 1).head.getLong(0)
+    val (cOff, oOff, pOff, sOff) =
+      (off("customer"), off("orders"), off("part"), off("supplier"))
+
+    wr(rd("customer").crossJoin(tiles)
+      .withColumn("c_custkey", col("c_custkey") + col("tile") * cOff)
+      .drop("tile"), "customer")
+    wr(rd("supplier").crossJoin(tiles)
+      .withColumn("s_suppkey", col("s_suppkey") + col("tile") * sOff)
+      .drop("tile"), "supplier")
+    wr(rd("part").crossJoin(tiles)
+      .withColumn("p_partkey", col("p_partkey") + col("tile") * pOff)
+      .drop("tile"), "part")
+    wr(rd("orders").crossJoin(tiles)
+      .withColumn("o_orderkey", col("o_orderkey") + col("tile") * oOff)
+      .withColumn("o_custkey", col("o_custkey") + col("tile") * cOff)
+      .drop("tile"), "orders")
+    wr(rd("lineitem").crossJoin(tiles)
+      .withColumn("l_orderkey", col("l_orderkey") + col("tile") * oOff)
+      .withColumn("l_partkey", col("l_partkey") + col("tile") * pOff)
+      .withColumn("l_suppkey", col("l_suppkey") + col("tile") * sOff)
+      .drop("tile"), "lineitem")
+
+    val ev = rd("events")
+    val (eOff, uOff) = (ev.agg(max(col("event_id")) + 1).head.getLong(0),
+      ev.agg(max(col("user_id")) + 1).head.getLong(0))
+    wr(ev.crossJoin(tiles)
+      .withColumn("event_id", col("event_id") + col("tile") * eOff)
+      .withColumn("user_id", col("user_id") + col("tile") * uOff)
+      .withColumn("ts", col("ts") + col("tile") * expr("INTERVAL 1 DAY"))
+      .drop("tile"), "events")
+
+    val docs = rd("documents")
+    val dOff = docs.agg(max(col("doc_id")) + 1).head.getLong(0)
+    val vocab = docs.select(explode(split(trim(col("text")), " +")))
+      .distinct().collect().map(_.getString(0)).sorted
+    println(s"[scalegen] doc vocab: ${vocab.length} tokens")
+    val remap = remapTokensUdf(vocab)
+    wr(docs.crossJoin(tiles)
+      .withColumn("doc_id", col("doc_id") + col("tile") * dOff)
+      .withColumn("text", remap(col("text"), col("tile")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("tile"), "documents")
+
+    val emb = rd("embeddings")
+    val vOff = emb.agg(max(col("vec_id")) + 1).head.getLong(0)
+    wr(emb.crossJoin(tiles)
+      .withColumn("vec_id", col("vec_id") + col("tile") * vOff)
+      .withColumn("embedding", transform(col("embedding"), (x, i) =>
+        (x + (pmod(hash(col("tile"), col("vec_id"), i), lit(21)) - 10)
+          .cast("float") * lit(0.001f)).cast("float")))
+      .drop("tile"), "embeddings")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      println(s"[scalegen] $t: " +
+        spark.read.parquet(s"$out/$t.parquet").count())
+    spark.stop()
+  }
+}
+
+/** Times a named subset of SparkEntry queries on one sf dir: one cold
+  * run (pays memoized artifacts) + two warm runs, reports the warm
+  * median pair — the 10×-scale-up companion of graft.Bench. */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(",").toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = names.map { n =>
+      val fn = graft.SparkEntry.queries(n)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = run(); val w1 = run(); val w2 = run()
+      val warm = (w1 + w2) / 2
+      println(f"[scalebench] $n%-24s cold $cold%7.2f  warm $warm%7.2f")
+      n -> warm
+    }
+    println("{" + out.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString(",") + "}")
+    spark.stop()
+  }
+}
