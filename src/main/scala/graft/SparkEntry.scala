@@ -1775,6 +1775,44 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // --- day-2 ingest for image near-dup: the %10==0 docs arrive as the
+    // new batch and join the persisted Hamming band index of the rest —
+    // a shared hash surfaces as the (index rep, new rep) distance-0
+    // pair, i.e. "new image is a duplicate of history" ---
+    "image_neardup_incr" -> ((s, dir) => {
+      import s.implicits._
+      val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id % 50
+          val variant = (id / 50) % 2 == 1
+          val w = (8 + seed % 5).toInt; val h = (6 + seed % 4).toInt
+          (id, Multimodal.encodePgm(w, h, i =>
+            if (variant && i == 0) ((seed * 31 + 128) % 256).toInt
+            else ((seed * 31 + i * 7) % 256).toInt))
+        }.toDF("doc_id", "payload")
+      val hashed = withPayload.as[(Long, Array[Byte])].map { case (id, p) =>
+        val (hi, lo) = Multimodal.averageHashHalves(p)
+        (id, hi, lo)
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+      def uniq(side: org.apache.spark.sql.DataFrame) =
+        side.groupBy("ahash_hi", "ahash_lo")
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      val hist = uniq(hashed.filter(col("doc_id") % 10 =!= 0))
+      val fresh = uniq(hashed.filter(col("doc_id") % 10 === 0))
+      val idx = Dedup.hammingBandTable(hist, idCol = "rep_id")
+      val pairs = Dedup.hammingBandPairsIncremental(fresh, idx,
+        radius = 6, idCol = "rep_id")
+      val nodes = hist.unionByName(fresh)
+      pairs
+        .join(nodes.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
+          Seq("a"))
+        .join(nodes.select(col("rep_id").as("b"), col("n_docs").as("n_docs_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("n_docs_a"), col("n_docs_b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- resize-then-featurize: nearest-neighbor normalization to a
     // fixed 4x3 ahead of feature extraction (the vision-pipeline
     // preprocessing shape), integer source grid so the oracle can
@@ -6135,6 +6173,59 @@ object SparkEntry {
         |       CAST(u1.n_docs AS BIGINT) AS n_docs_a,
         |       CAST(u2.n_docs AS BIGINT) AS n_docs_b
         |FROM uniq u1 JOIN uniq u2 ON u1.rep_id < u2.rep_id
+        |WHERE bit_count(xor(u1.ahash_hi, u2.ahash_hi)) +
+        |      bit_count(xor(u1.ahash_lo, u2.ahash_lo)) <= 6
+        |ORDER BY a, b""".stripMargin,
+
+    // day-2 twin: per-side distinct hashes (history %10!=0, new %10=0),
+    // brute-force Hamming <= 6 over the combined node set restricted to
+    // pairs touching a new node — what the engine's band-index join
+    // provably reproduces (radius < bands)
+    "image_neardup_incr" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 50 AS seed, (doc_id // 50) % 2 AS variant,
+        |         8 + (doc_id % 50) % 5 AS w, 6 + (doc_id % 50) % 4 AS h
+        |  FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, (y.i * 8 + x.i) AS j,
+        |         CASE WHEN d.variant = 1
+        |                   AND (y.i * d.h // 8) * d.w + (x.i * d.w // 8) = 0
+        |              THEN (d.seed * 31 + 128) % 256
+        |              ELSE (d.seed * 31 +
+        |                    ((y.i * d.h // 8) * d.w + (x.i * d.w // 8)) * 7)
+        |                   % 256 END AS v
+        |  FROM dims d, generate_series(0, 7) x(i), generate_series(0, 7) y(i)),
+        |m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM samp GROUP BY 1),
+        |bits AS (
+        |  SELECT s.doc_id, s.j, CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS b
+        |  FROM samp s JOIN m USING (doc_id)),
+        |hashes AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN j >= 32
+        |              THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |           AS BIGINT) AS ahash_hi,
+        |         CAST(SUM(CASE WHEN j < 32
+        |              THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |           AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1),
+        |nodes AS (
+        |  SELECT ahash_hi, ahash_lo, MIN(doc_id) AS rep_id,
+        |         COUNT(*) AS n_docs, 0 AS isnew
+        |  FROM hashes WHERE doc_id % 10 != 0 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT ahash_hi, ahash_lo, MIN(doc_id) AS rep_id,
+        |         COUNT(*) AS n_docs, 1 AS isnew
+        |  FROM hashes WHERE doc_id % 10 = 0 GROUP BY 1, 2)
+        |SELECT least(u1.rep_id, u2.rep_id) AS a,
+        |       greatest(u1.rep_id, u2.rep_id) AS b,
+        |       CAST(bit_count(xor(u1.ahash_hi, u2.ahash_hi)) +
+        |            bit_count(xor(u1.ahash_lo, u2.ahash_lo)) AS INT) AS hamming,
+        |       CAST(CASE WHEN u1.rep_id < u2.rep_id THEN u1.n_docs
+        |            ELSE u2.n_docs END AS BIGINT) AS n_docs_a,
+        |       CAST(CASE WHEN u1.rep_id < u2.rep_id THEN u2.n_docs
+        |            ELSE u1.n_docs END AS BIGINT) AS n_docs_b
+        |FROM nodes u1 JOIN nodes u2
+        |  ON u1.rep_id < u2.rep_id AND (u1.isnew = 1 OR u2.isnew = 1)
         |WHERE bit_count(xor(u1.ahash_hi, u2.ahash_hi)) +
         |      bit_count(xor(u1.ahash_lo, u2.ahash_lo)) <= 6
         |ORDER BY a, b""".stripMargin,

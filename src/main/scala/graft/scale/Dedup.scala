@@ -412,14 +412,19 @@ object Dedup {
     * sacrificed for the O(size) bound). Duplicate-hash buckets — the
     * common viral case once inputs are distinct-hash rows — lose
     * nothing: every member is at distance 0 from the hub. */
-  def hammingBandPairs(hashes: DataFrame, radius: Int, bands: Int = 8,
+  /** (id, hi, lo, band, band_key) rows for [[hammingBandPairs]] — the
+    * persistable day-2 index of the Hamming family (the analogue of
+    * [[bandTable]] for MinHash and [[jaccardPrefixIndex]] for exact
+    * Jaccard): write this per corpus snapshot and dedup tomorrow's
+    * batch against it with [[hammingBandPairsIncremental]] without
+    * re-decoding one historical image. Carries the hash halves so
+    * incremental candidates verify against the index alone. */
+  def hammingBandTable(hashes: DataFrame, bands: Int = 8,
                        idCol: String = "doc_id",
-                       hiCol: String = "ahash_hi", loCol: String = "ahash_lo",
-                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                       hiCol: String = "ahash_hi",
+                       loCol: String = "ahash_lo"): DataFrame = {
     require(bands > 0 && 64 % bands == 0 && 32 % (64 / bands) == 0,
       s"bands must cut 64 bits into whole within-half slices, got $bands")
-    require(radius >= 0 && radius < bands,
-      s"lossless guarantee needs radius < bands, got radius=$radius bands=$bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
     val keys = (0 until bands).map { i =>
@@ -427,8 +432,52 @@ object Dedup {
                 else shiftright(col(hiCol), i * width - 32)
       (src.cast("long")).bitwiseAND(lit(mask))
     }
-    val banded = hashes.select(col(idCol), col(hiCol), col(loCol),
-        posexplode(array(keys: _*)).as(Seq("band", "band_key")))
+    hashes.select(col(idCol), col(hiCol), col(loCol),
+      posexplode(array(keys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Day-2 Hamming near-dup: a NEW batch of hashes joins the persisted
+    * [[hammingBandTable]] (and itself) — emits every verified pair
+    * within `radius` touching ≥ 1 new row, over the combined node set,
+    * without touching historical payloads. Lossless per pair for
+    * radius < bands (the pigeonhole bound applies to each (new, any)
+    * pair individually). A hash present on both sides surfaces as the
+    * (index rep, new rep) pair at distance 0 — exactly the "new doc is
+    * a duplicate of history" signal day-2 ingest wants. New ids must
+    * be disjoint from index ids. */
+  def hammingBandPairsIncremental(newHashes: DataFrame, indexBands: DataFrame,
+                                  radius: Int, bands: Int = 8,
+                                  idCol: String = "doc_id",
+                                  hiCol: String = "ahash_hi",
+                                  loCol: String = "ahash_lo"): DataFrame = {
+    require(radius >= 0 && radius < bands,
+      s"lossless guarantee needs radius < bands, got radius=$radius bands=$bands")
+    val nb = hammingBandTable(newHashes, bands, idCol, hiCol, loCol)
+    val all = indexBands
+      .select(col(idCol), col(hiCol), col(loCol), col("band"), col("band_key"))
+      .unionByName(nb)
+    nb.select(col(idCol).as("na"), col(hiCol).as("na_hi"),
+        col(loCol).as("na_lo"), col("band"), col("band_key"))
+      .join(all.select(col(idCol).as("nb"), col(hiCol).as("nb_hi"),
+        col(loCol).as("nb_lo"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"),
+        graft.functions.VecBits.hamming(
+          array(col("na_hi"), col("na_lo")),
+          array(col("nb_hi"), col("nb_lo"))).as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct()
+  }
+
+  def hammingBandPairs(hashes: DataFrame, radius: Int, bands: Int = 8,
+                       idCol: String = "doc_id",
+                       hiCol: String = "ahash_hi", loCol: String = "ahash_lo",
+                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(radius >= 0 && radius < bands,
+      s"lossless guarantee needs radius < bands, got radius=$radius bands=$bands")
+    val banded = hammingBandTable(hashes, bands, idCol, hiCol, loCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_key"))
     val sized =

@@ -99,6 +99,28 @@ class ImageNearDupSpec extends SparkSpec {
     assert(comps(full) == comps(capped))
   }
 
+  test("incremental band-index pairs == brute force over the combined " +
+      "nodes touching a new row, through a parquet round-trip") {
+    val payloads = fixturePayloads
+    val hashes = payloads.map { case (id, p) =>
+      id -> Multimodal.averageHashHalves(p)
+    }.toMap
+    val hist = hashDf(payloads.filter(_._1 % 10 != 0))
+    val fresh = hashDf(payloads.filter(_._1 % 10 == 0))
+    val tmp = java.nio.file.Files.createTempDirectory("hamidx").toString
+    Dedup.hammingBandTable(hist).write.mode("overwrite").parquet(tmp)
+    val got = Dedup.hammingBandPairsIncremental(fresh,
+        spark.read.parquet(tmp), radius = 6)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      a <- 0L until 100L; b <- (a + 1) until 100L
+      if a % 10 == 0 || b % 10 == 0
+      d = ham(hashes(a), hashes(b)) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming twin: verified pairs match the batch op on the planted " +
       "fixture, state persists across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
