@@ -186,6 +186,34 @@ object StreamingLsh {
       .toDF()
   }
 
+  /** Dedup-at-ingest against the HISTORICAL image corpus: each streaming
+    * hash joins the persisted batch [[graft.scale.Dedup.hammingBandTable]]
+    * on (band, band_key) and is VERIFIED in the same projection (the
+    * index rows carry their hash halves; [[graft.functions.VecHamming]]
+    * is a plain codegen'd expression, so unlike the MinHash twin this
+    * stream-static path emits only true within-radius matches) — a
+    * stateless join, no state store, no watermark. Pairs WITHIN the
+    * stream are [[hammingCandidates]]' job — run both for full
+    * coverage. A pair may surface once per shared band; dedup
+    * downstream if the edge multiset matters. */
+  def hammingAgainstIndex(hashes: DataFrame, indexBands: DataFrame,
+                          radius: Int, bands: Int = 8,
+                          idCol: String = "doc_id",
+                          hiCol: String = "ahash_hi",
+                          loCol: String = "ahash_lo"): DataFrame = {
+    require(radius >= 0 && radius < bands,
+      s"lossless guarantee needs radius < bands, got radius=$radius bands=$bands")
+    graft.scale.Dedup.hammingBandTable(hashes, bands, idCol, hiCol, loCol)
+      .join(indexBands.select(col(idCol).as("index_id"),
+        col(hiCol).as("ix_hi"), col(loCol).as("ix_lo"),
+        col("band"), col("band_key")), Seq("band", "band_key"))
+      .filter(col(idCol) =!= col("index_id"))
+      .withColumn("hamming", graft.functions.VecBits.hamming(
+        array(col(hiCol), col(loCol)), array(col("ix_hi"), col("ix_lo"))))
+      .filter(col("hamming") <= radius)
+      .select(col(idCol), col("index_id"), col("band"), col("hamming"))
+  }
+
   private[streaming] def hashBucketGroup(radius: Int, maxBucketSize: Int,
       idleTimeout: Option[String] = None)(
       bucket: String, rows: Iterator[HashRow],

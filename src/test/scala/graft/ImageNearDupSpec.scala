@@ -170,6 +170,38 @@ class ImageNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static candidates against the persisted band index equal " +
+      "the batch incremental's new-vs-index half") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val payloads = fixturePayloads
+    val hist = hashDf(payloads.filter(_._1 % 10 != 0))
+    val fresh = payloads.filter(_._1 % 10 == 0).map { case (id, p) =>
+      val (hi, lo) = Multimodal.averageHashHalves(p); (id, hi, lo)
+    }
+    val idx = Dedup.hammingBandTable(hist)
+    val stream = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingLsh.hammingAgainstIndex(
+        stream.toDF().toDF("doc_id", "ahash_hi", "ahash_lo"), idx, radius = 6)
+      .writeStream.format("memory").queryName("imgidx").outputMode("append")
+      .start()
+    try {
+      stream.addData(fresh: _*)
+      q.processAllAvailable()
+      val got = spark.table("imgidx")
+        .select(least(col("doc_id"), col("index_id")),
+          greatest(col("doc_id"), col("index_id")))
+        .distinct().as[(Long, Long)].collect().toSet
+      // = the batch incremental's pairs MINUS its new-vs-new half
+      val newIds = fresh.map(_._1).toSet
+      val want = Dedup.hammingBandPairsIncremental(
+          hashDf(payloads.filter(_._1 % 10 == 0)), idx, radius = 6)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+        .filterNot(p => newIds.contains(p._1) && newIds.contains(p._2))
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("invalid band/radius combinations are rejected") {
     val df = Seq((1L, 0L, 0L)).toDF("doc_id", "ahash_hi", "ahash_lo")
     intercept[IllegalArgumentException](
