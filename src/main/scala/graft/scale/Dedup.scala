@@ -449,16 +449,33 @@ object Dedup {
                                   radius: Int, bands: Int = 8,
                                   idCol: String = "doc_id",
                                   hiCol: String = "ahash_hi",
-                                  loCol: String = "ahash_lo"): DataFrame = {
+                                  loCol: String = "ahash_lo",
+                                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(radius >= 0 && radius < bands,
       s"lossless guarantee needs radius < bands, got radius=$radius bands=$bands")
     val nb = hammingBandTable(newHashes, bands, idCol, hiCol, loCol)
     val all = indexBands
       .select(col(idCol), col(hiCol), col(loCol), col("band"), col("band_key"))
       .unionByName(nb)
+    // viral-bucket bound, mirroring the batch op: a join-target bucket
+    // over the cap (the all-zero band slice of a million near-black
+    // images is the canonical case) keeps only its minimum-id hub row,
+    // so a new row fans out O(1) there instead of O(bucket). Every
+    // emitted pair is still radius-verified — capped output is a
+    // verified subset with hub-reachability recall in viral buckets.
+    val targets =
+      if (maxBucketSize == Int.MaxValue) all
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))
+        all.withColumn("bsz", count(lit(1)).over(w))
+          .withColumn("hub", min(col(idCol)).over(w))
+          .filter(col("bsz") <= maxBucketSize || col(idCol) === col("hub"))
+          .drop("bsz", "hub")
+      }
     nb.select(col(idCol).as("na"), col(hiCol).as("na_hi"),
         col(loCol).as("na_lo"), col("band"), col("band_key"))
-      .join(all.select(col(idCol).as("nb"), col(hiCol).as("nb_hi"),
+      .join(targets.select(col(idCol).as("nb"), col(hiCol).as("nb_hi"),
         col(loCol).as("nb_lo"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .filter(col("na") =!= col("nb"))

@@ -170,6 +170,22 @@ class ImageNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental cap: over-cap index buckets verify against the hub " +
+      "only — a verified subset") {
+    val idx = Dedup.hammingBandTable(
+      (0L until 40L).map(i => (i * 7 + 1, 5L, 9L))
+        .toDF("doc_id", "ahash_hi", "ahash_lo"))
+    val fresh = Seq((1000L, 5L, 9L)).toDF("doc_id", "ahash_hi", "ahash_lo")
+    val full = Dedup.hammingBandPairsIncremental(fresh, idx, radius = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(full.size == 40)
+    val capped = Dedup.hammingBandPairsIncremental(fresh, idx, radius = 3,
+        maxBucketSize = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 1000L))) // the bucket's min-id hub survives
+    assert(capped.subsetOf(full))
+  }
+
   test("stream-static candidates against the persisted band index equal " +
       "the batch incremental's new-vs-index half") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
