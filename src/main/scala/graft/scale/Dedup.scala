@@ -118,12 +118,29 @@ object Dedup {
     * incomparable garbage. */
   def minhashLshPairsIncremental(newSigs: DataFrame, indexBands: DataFrame,
                                  rowsPerBand: Int = 4,
-                                 idCol: String = "doc_id"): DataFrame = {
+                                 idCol: String = "doc_id",
+                                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val nb = bandTable(newSigs, rowsPerBand, idCol)
     val all = indexBands.select(col(idCol), col("band"), col("band_key"))
       .unionByName(nb)
+    // viral-bucket bound, the batch op's star tradeoff on the join
+    // target side: an over-cap bucket keeps only its minimum-id hub, so
+    // a new member links to the hub in O(1) instead of fanning out over
+    // the whole bucket — connected components are preserved (everything
+    // in the bucket reaches the hub), only the literal pair list
+    // shrinks. Default Int.MaxValue = exact candidates everywhere.
+    val targets =
+      if (maxBucketSize == Int.MaxValue) all
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))
+        all.withColumn("bsz", count(lit(1)).over(w))
+          .withColumn("hub", min(col(idCol)).over(w))
+          .filter(col("bsz") <= maxBucketSize || col(idCol) === col("hub"))
+          .drop("bsz", "hub")
+      }
     nb.select(col(idCol).as("a"), col("band"), col("band_key"))
-      .join(all.select(col(idCol).as("b"), col("band"), col("band_key")),
+      .join(targets.select(col(idCol).as("b"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")), greatest(col("a"), col("b")))
@@ -727,8 +744,19 @@ object Dedup {
       .select(col(idCol), TextOps.md5Hash60(col("shingle"), 0).as("h"))
       .distinct()
       .localCheckpoint()
+    // Order extension for index-unseen shingles: rank them by their
+    // NEW-BATCH df, not 0. Any extension of the day-1 order is
+    // consistent for every pair side (historical docs contain no unseen
+    // shingles, so their persisted prefixes are unchanged under the
+    // extension; new docs all rank by the same extended key), so
+    // losslessness is preserved — and a novel boilerplate shingle viral
+    // in the batch ranks COMMON (long posting list kept out of
+    // prefixes) instead of rarest-first, which with df=0 would have
+    // put the worst possible token into every prefix.
+    val batchDf = sh.groupBy(col("h")).agg(count(lit(1)).as("bdf"))
     val ranked = sh.join(dfTab, Seq("h"), "left")
-      .withColumn("df0", coalesce(col("df"), lit(0L)))
+      .join(batchDf, Seq("h"))
+      .withColumn("df0", coalesce(col("df"), col("bdf")))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .withColumn("r", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("df0"), col("h"))))

@@ -33,6 +33,22 @@ class IncrementalEpochSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH viral-bucket cap links newcomers to the hub only") {
+    val docs = (0L until 31L)
+      .map(i => (i, "same viral boilerplate text repeated in every document"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+    val idx = Dedup.bandTable(sigs.filter(col("doc_id") < 30))
+    val newSigs = sigs.filter(col("doc_id") === 30)
+    val full = Dedup.minhashLshPairsIncremental(newSigs, idx)
+      .as[(Long, Long)].collect().toSet
+    assert(full.size == 30) // newcomer pairs with every bucket member
+    val capped = Dedup.minhashLshPairsIncremental(newSigs, idx,
+        maxBucketSize = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 30L))) // hub only; component unchanged
+  }
+
   test("epochOrder: weighted sources lead every prefix of the schedule") {
     val docs = (0L until 90L).map(i =>
       (i, if (i < 30) "hv" else if (i < 60) "mid" else "lo"))
