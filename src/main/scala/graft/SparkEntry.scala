@@ -1916,6 +1916,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- trim-robust VIDEO near-dup: every frame's luma plane hashed
+    // through the real Y4M decode (8x8 mean-threshold aHash), then the
+    // frame-hash SET feeds the exact-Jaccard join (shingleK=1) — a
+    // head-trimmed copy ((doc_id/30)%2==1 drops frame 0) keeps
+    // (n-1)/n >= 3/4 of its hashes and survives tau=2/3; different
+    // videos stay below 1/3. Video dedup composed from the existing
+    // text machinery, no new join code ---
+    "video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val hashDocs = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id % 30
+          val variant = (id / 30) % 2 == 1
+          val w = (4 + (seed % 3) * 2).toInt; val h = (4 + (seed % 2) * 2).toInt
+          val n = (4 + seed % 3).toInt
+          def luma(f: Int, i: Int) =
+            ((seed * 13 + (f * 7 + 1) * i * 3 + f * 5) % 256).toInt
+          val payload =
+            if (variant) Multimodal.encodeY4m(w, h, n - 1,
+              (f, i) => luma(f + 1, i))
+            else Multimodal.encodeY4m(w, h, n, luma)
+          val toks = Multimodal.frameHashes(payload, frameStride = 1)
+            .map { case (hi, lo) => s"$hi:$lo" }
+          (id, toks.mkString(" "))
+        }.toDF("doc_id", "text")
+      Dedup.jaccardPrefixPairs(hashDocs, shingleK = 1, tauNum = 2, tauDen = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- REAL audio decode: deterministic 16-bit PCM WAV payloads
     //     round-tripped through the RIFF parser; amplitude mean in
     //     integer micro-units (abs_sum exact, division integral) ---
@@ -6324,6 +6353,58 @@ object SparkEntry {
     // (seed*7 + r*3 + seed*r) % 19 < 6 (r = i*8//n), over n = 50+seed%37
     // mono frames, seed = doc_id % 40; frame j = i*32 // n, bit j set
     // iff the frame's floor-mean |amplitude| beats the overall floor-mean
+    // per-frame 8x8 aHash recomputed from the luma formula, frame set
+    // per doc (variant=1 drops base frame 0), tokens hashed with the
+    // engine's md5-60 family, brute-force set-Jaccard at tau=2/3
+    "video_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 30 AS seed, (doc_id // 30) % 2 AS variant,
+        |         4 + ((doc_id % 30) % 3) * 2 AS w,
+        |         4 + ((doc_id % 30) % 2) * 2 AS h,
+        |         4 + (doc_id % 30) % 3 AS n
+        |  FROM documents),
+        |fr AS (SELECT DISTINCT seed, w, h, n FROM dims),
+        |samp AS (
+        |  SELECT fr.seed, f.f, (y.i * 8 + x.i) AS j,
+        |         (fr.seed * 13
+        |          + (f.f * 7 + 1)
+        |            * ((y.i * fr.h // 8) * fr.w + (x.i * fr.w // 8)) * 3
+        |          + f.f * 5) % 256 AS v
+        |  FROM fr, generate_series(0, 5) f(f),
+        |       generate_series(0, 7) x(i), generate_series(0, 7) y(i)
+        |  WHERE f.f < fr.n),
+        |m AS (SELECT seed, f, SUM(v) // 64 AS mean FROM samp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT s.seed, s.f, s.j, CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS b
+        |  FROM samp s JOIN m USING (seed, f)),
+        |fh AS (
+        |  SELECT seed, f,
+        |         CAST(SUM(CASE WHEN j >= 32
+        |              THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |           AS BIGINT) AS hi,
+        |         CAST(SUM(CASE WHEN j < 32
+        |              THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |           AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |tok AS (
+        |  SELECT DISTINCT d.doc_id,
+        |         CAST(concat('0x',
+        |           substr(md5('0:' || fh.hi || ':' || fh.lo), 1, 15))
+        |           AS BIGINT) AS hsh
+        |  FROM dims d JOIN fh ON fh.seed = d.seed
+        |    AND fh.f >= d.variant AND fh.f < d.n),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM tok x JOIN tok y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(i AS BIGINT) AS inter,
+        |       CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb
+        |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        |           JOIN sizes sb ON inter.b = sb.doc_id
+        |WHERE i * 3 >= (sa.sz + sb.sz - i) * 2
+        |ORDER BY a, b""".stripMargin,
+
     "audio_fingerprint" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 40 AS seed,

@@ -117,13 +117,19 @@ object Multimodal {
     * plain SQL with no 1<<63 sign games. */
   def averageHashHalves(payload: Array[Byte]): (Long, Long) = {
     val (w, h, _, pos) = parsePgm(payload)
+    aHashRaster(w, h, i => payload(pos + i) & 0xff)
+  }
+
+  /** The 8×8 mean-threshold hash over any raster accessor — one core
+    * shared by the PGM aHash above and the per-frame video hashes. */
+  private def aHashRaster(w: Int, h: Int, pix: Int => Int): (Long, Long) = {
     val sampled = new Array[Long](64)
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         val sx = x * w / 8; val sy = y * h / 8
-        sampled(y * 8 + x) = (payload(pos + sy * w + sx) & 0xff).toLong
+        sampled(y * 8 + x) = pix(sy * w + sx).toLong
         x += 1
       }
       y += 1
@@ -138,6 +144,56 @@ object Multimodal {
       j += 1
     }
     (hi, lo)
+  }
+
+  /** Per-sampled-frame 64-bit average hash of the luma plane — the
+    * video-dedup primitive: a video becomes its frame-hash SEQUENCE,
+    * and trim/re-encode-robust near-dup is then set overlap of frame
+    * hashes — i.e. the EXISTING text-dedup joins over a "document"
+    * whose tokens are frame hashes ([[graft.scale.Dedup.
+    * jaccardPrefixPairs]] with shingleK = 1). Same header/frame walk
+    * and loud failures as [[decodeY4m]]. */
+  def frameHashes(payload: Array[Byte],
+                  frameStride: Int = 2): Seq[(Long, Long)] = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"bad Y4M: $msg")
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos < payload.length && payload(pos) != '\n') pos += 1
+      if (pos >= payload.length) fail("unterminated header line")
+      pos += 1
+      new String(payload, start, pos - 1 - start, "US-ASCII")
+    }
+    val header = line().split(" ")
+    if (header.head != "YUV4MPEG2") fail("missing YUV4MPEG2 magic")
+    var w = -1; var h = -1; var chroma = "420"
+    header.tail.foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.substring(1).toInt
+        case 'H' => h = p.substring(1).toInt
+        case 'C' => chroma = p.substring(1)
+        case _ =>
+      }
+    }
+    if (w <= 0 || h <= 0) fail("missing W/H")
+    if (!chroma.startsWith("420")) fail(s"unsupported chroma C$chroma")
+    val ySize = w * h
+    val frameLen = ySize + 2 * ((w / 2) * (h / 2))
+    val out = Seq.newBuilder[(Long, Long)]
+    var f = 0
+    while (pos < payload.length) {
+      val fh = line()
+      if (fh != "FRAME" && !fh.startsWith("FRAME ")) fail(s"expected FRAME, got '$fh'")
+      if (pos + frameLen > payload.length)
+        fail(s"truncated frame $f: ${payload.length - pos} < $frameLen")
+      if (f % frameStride == 0) {
+        val base = pos
+        out += aHashRaster(w, h, i => payload(base + i) & 0xff)
+      }
+      pos += frameLen
+      f += 1
+    }
+    out.result()
   }
 
   def decodePgm(payload: Array[Byte]): Row = {

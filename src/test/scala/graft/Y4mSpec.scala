@@ -32,6 +32,33 @@ class Y4mSpec extends SparkSpec {
     assert(r.getInt(2) === 1 && r.getLong(4) === 4L)
   }
 
+  test("frameHashes: per-frame aHash equals the PGM aHash of the same " +
+      "raster; head-trim keeps the surviving frames' hashes") {
+    val w = 8; val h = 6
+    def luma(f: Int, i: Int) = ((f * 7 + 1) * i * 3 + f * 5) % 256
+    val full = Multimodal.frameHashes(
+      Multimodal.encodeY4m(w, h, 4, luma), frameStride = 1)
+    assert(full.length == 4 && full.distinct.length == 4)
+    // frame 2's hash == the aHash of the same raster as a PGM payload
+    val asPgm = Multimodal.averageHashHalves(
+      Multimodal.encodePgm(w, h, i => luma(2, i)))
+    assert(full(2) == asPgm)
+    // a head-trimmed copy keeps exactly frames 1..3's hashes
+    val trimmed = Multimodal.frameHashes(
+      Multimodal.encodeY4m(w, h, 3, (f, i) => luma(f + 1, i)),
+      frameStride = 1)
+    assert(trimmed == full.drop(1))
+    // stride skips frames deterministically
+    assert(Multimodal.frameHashes(
+      Multimodal.encodeY4m(w, h, 4, luma), frameStride = 2) ==
+      Seq(full(0), full(2)))
+    // corrupt payloads fail loudly here too
+    intercept[IllegalArgumentException] {
+      Multimodal.frameHashes(
+        Multimodal.encodeY4m(w, h, 2, luma).dropRight(1), 1)
+    }
+  }
+
   test("corrupt payloads fail loudly") {
     val good = Multimodal.encodeY4m(2, 2, 2, (_, _) => 1)
     // truncated mid-frame
