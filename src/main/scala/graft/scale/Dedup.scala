@@ -731,7 +731,14 @@ object Dedup {
     * J ≥ τ pair still meets in ≥ 1 prefix token. Verification is the
     * same integer cross-multiplication over full sets, so the output
     * pair set is EXACT regardless of how the frozen order skews prefix
-    * lengths. New-batch ids must be disjoint from index ids. */
+    * lengths. New-batch ids must be disjoint from index ids.
+    *
+    * Streaming shape: per-doc ranking needs a window, which streams
+    * don't allow, so the deployed form is `foreachBatch` calling this
+    * per micro-batch against the persisted index — the standard
+    * micro-batched day-2 ingest decomposition (the LSH family's
+    * band-key projection is window-free and so gets a native
+    * stream-static path instead). */
   def jaccardPrefixIncremental(newDocs: DataFrame, dfTab: DataFrame,
                                docIndex: DataFrame, shingleK: Int = 3,
                                tauNum: Int = 1, tauDen: Int = 5,
