@@ -1987,6 +1987,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- NEAR-duplicate audio dedup: 64-bit DIFFERENCE fingerprint
+    // (Haitsma-Kalker adjacent-frame energy comparisons) through the
+    // real WAV decode — uniform gain cancels out of every comparison
+    // (the re-encode/normalize case collides EXACTLY) and a local edit
+    // flips only the bits whose frames overlap it, so Hamming radius
+    // search is meaningful, unlike the global-mean envelope fingerprint.
+    // Plants a gain-doubled, locally-perturbed variant of each of 40
+    // recordings (frames [seed, seed+2] boosted — flips <= 4 bits),
+    // collapses to distinct fingerprints, then the SAME lossless 8-band
+    // Hamming-LSH + VecHamming verification as image_neardup, provably
+    // equal to the oracle's brute-force Hamming join (radius < bands) ---
+    "audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id % 40
+          val variant = (id / 40) % 2 == 1
+          val n = (130 + seed % 37).toInt
+          val p = Multimodal.encodeWav(1, 8000, n, { i =>
+            // Knuth multiply, HIGH bits down (>> 16) before the mod —
+            // the low bits of x*c alone are a constant-step rotation
+            var mag = ((((seed * 1000003 + i) * 2654435761L) >> 16) % 8192).toInt
+            if (variant) {
+              val f = i * 65 / n
+              if (f >= seed && f <= seed + 2) mag += 2500
+              mag *= 2 // uniform gain: must NOT flip any unperturbed bit
+            }
+            if (i % 2 == 0) mag else -mag
+          })
+          val (hi, lo) = Multimodal.audioDiffFingerprint64(p)
+          (id, hi, lo)
+        }.toDF("doc_id", "fp_hi", "fp_lo")
+      val uniq = hashed.groupBy("fp_hi", "fp_lo")
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      val pairs = Dedup.hammingBandPairs(uniq, radius = 6, bands = 8,
+        idCol = "rep_id", hiCol = "fp_hi", loCol = "fp_lo")
+      pairs
+        .join(uniq.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
+          Seq("a"))
+        .join(uniq.select(col("rep_id").as("b"), col("n_docs").as("n_docs_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("n_docs_a"), col("n_docs_b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "audio_features" -> ((s, dir) => {
       import s.implicits._
       val withPayload = T(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -6439,6 +6485,53 @@ object SparkEntry {
         |g AS (SELECT fp, COUNT(*) AS nn FROM fps GROUP BY 1)
         |SELECT f.doc_id, f.fp, CAST(g.nn AS BIGINT) AS n_dups
         |FROM fps f JOIN g USING (fp) ORDER BY f.doc_id""".stripMargin,
+
+    // brute-force Hamming <= 6 over the distinct 64-bit DIFFERENCE
+    // fingerprints — what the engine's lossless banding (radius < bands)
+    // provably reproduces; bit j compares frames j and j+1 by the exact
+    // cross-multiplied rational s_j/c_j > s_{j+1}/c_{j+1}
+    "audio_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 2 AS variant,
+        |         130 + (doc_id % 40) % 37 AS n
+        |  FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, (i.i * 65 // d.n) AS f,
+        |         (CASE WHEN d.variant = 1 THEN 2 ELSE 1 END) *
+        |         ((((d.seed * 1000003 + i.i) * 2654435761) // 65536) % 8192
+        |          + CASE WHEN d.variant = 1
+        |                      AND (i.i * 65 // d.n)
+        |                          BETWEEN d.seed AND d.seed + 2
+        |                 THEN 2500 ELSE 0 END) AS a
+        |  FROM dims d JOIN generate_series(0, 166) i(i) ON i.i < d.n),
+        |fr AS (SELECT doc_id, f, SUM(a) AS s, COUNT(*) AS c
+        |       FROM samp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT x.doc_id, x.f AS j,
+        |         CASE WHEN x.s * y.c > y.s * x.c THEN 1 ELSE 0 END AS b
+        |  FROM fr x JOIN fr y ON x.doc_id = y.doc_id AND y.f = x.f + 1
+        |  WHERE x.f < 64),
+        |fps AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN j >= 32
+        |              THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |           AS BIGINT) AS fp_hi,
+        |         CAST(SUM(CASE WHEN j < 32
+        |              THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |           AS BIGINT) AS fp_lo
+        |  FROM bits GROUP BY 1),
+        |uniq AS (
+        |  SELECT fp_hi, fp_lo, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+        |  FROM fps GROUP BY 1, 2)
+        |SELECT u1.rep_id AS a, u2.rep_id AS b,
+        |       CAST(bit_count(xor(u1.fp_hi, u2.fp_hi)) +
+        |            bit_count(xor(u1.fp_lo, u2.fp_lo)) AS INT) AS hamming,
+        |       CAST(u1.n_docs AS BIGINT) AS n_docs_a,
+        |       CAST(u2.n_docs AS BIGINT) AS n_docs_b
+        |FROM uniq u1 JOIN uniq u2 ON u1.rep_id < u2.rep_id
+        |WHERE bit_count(xor(u1.fp_hi, u2.fp_hi)) +
+        |      bit_count(xor(u1.fp_lo, u2.fp_lo)) <= 6
+        |ORDER BY a, b""".stripMargin,
 
     "audio_features" ->
       """WITH dims AS (SELECT doc_id, 50 + doc_id % 37 AS n FROM documents),

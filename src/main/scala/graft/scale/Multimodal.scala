@@ -367,6 +367,61 @@ object Multimodal {
     fp
   }
 
+  /** 64-bit DIFFERENCE fingerprint of the PCM stream — the NEAR-dup
+    * audio primitive (Haitsma–Kalker 2002's band-energy-difference bits,
+    * realized in the time domain over what 16-bit PCM alone provides).
+    * The stream is split into 65 equal frames; bit j (0 ≤ j < 64) is set
+    * iff frame j's mean |amplitude| exceeds frame j+1's, compared as the
+    * exact rational s_j/c_j > s_{j+1}/c_{j+1} (quotient first, then the
+    * cross-multiplied remainders — overflow-safe for any recording whose
+    * per-frame sample count fits an Int).
+    *
+    * Why this beats the mean-threshold envelope ([[audioFingerprint32]])
+    * for RADIUS search: each bit compares ADJACENT frames, so (a) a
+    * uniform gain change scales both sides of every comparison equally —
+    * zero bits flip (the re-encode/normalize case), and (b) a LOCAL edit
+    * touches only the comparisons whose frames overlap it — few bits
+    * flip, unlike a global-mean reference where a loud insertion shifts
+    * the threshold under all 32 bits at once (the bimodality that made
+    * the envelope fingerprint exact-match-only). Hamming distance over
+    * this fingerprint is therefore a graded similarity, and the
+    * [[graft.scale.Dedup.hammingBandPairs]] family (lossless for
+    * radius < bands) applies unchanged. Returned as (hi, lo) 32-bit
+    * halves like the image aHash — every intermediate is a small
+    * non-negative integer, replicable in plain SQL. */
+  def audioDiffFingerprint64(payload: Array[Byte]): (Long, Long) = {
+    val (channels, _, frames, buf) = wavData(payload)
+    val n = frames * channels
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val a = math.abs(buf.getShort.toLong)
+      val j = (i.toLong * 65 / n).toInt
+      sums(j) += a; cnts(j) += 1
+      i += 1
+    }
+    // exact fraction compare s1/c1 > s2/c2 without s*c overflow:
+    // compare integer quotients, then cross-multiply the remainders
+    // (both < their divisor, so the products stay far below 2^63)
+    def louder(j: Int): Boolean = {
+      val c1 = cnts(j); val c2 = cnts(j + 1)
+      if (c1 == 0 || c2 == 0) return false // empty frame: never "louder"
+      val q1 = sums(j) / c1; val r1 = sums(j) % c1
+      val q2 = sums(j + 1) / c2; val r2 = sums(j + 1) % c2
+      q1 > q2 || (q1 == q2 && r1 * c2 > r2 * c1)
+    }
+    var lo = 0L; var hi = 0L
+    var j = 0
+    while (j < 64) {
+      if (louder(j)) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
   /** Attach decoded features to rows carrying a binary payload column.
     * Batched per-partition (decoder init amortization point); pass
     * [[decodePgm]] (or a real codec) as `decoder`, with the matching
