@@ -2122,6 +2122,34 @@ object SparkEntry {
           centroids = Some(embCentroids(s, dir)))
         .orderBy(col("vec_id"), col("rank"))),
 
+    // --- NN-descent recall audit: the cluster-restricted kNN graph vs
+    // one NN-descent round (deterministic random bridges + the local
+    // neighbor-of-neighbor join), both scored against brute-force truth
+    // over a 20% node sample. The cluster graph's 2-hop closure can
+    // never leave a cluster, so this measures exactly what the bridges
+    // + local join buy back of the IVF restriction's lost recall —
+    // candidate sets stay keyed and degree-bounded, never all-pairs ---
+    "knn_graph_nnd" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val sample = emb.filter(col("vec_id") % 5 === 0)
+      val bf = Similarity.bruteForceTopK(emb, sample, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = Some(embCentroids(s, dir))
+      def scored(nm: String, g: org.apache.spark.sql.DataFrame) =
+        bf.join(g.select(col("vec_id").as("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "leftsemi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(nm).as("method"), col("hits"))
+      val base = Similarity.knnGraph(emb, 3, centroids = cents)
+      val nnd = Similarity.knnGraphDescent(emb, 3, rounds = 1,
+        centroids = cents)
+      scored("ivf", base).unionByName(scored("nnd1", nnd))
+        .crossJoin(sample.select((count(lit(1)) * 3).as("possible")))
+        .select(col("method"), col("hits"), col("possible"),
+          expr("hits * 1000000 div possible").as("recall_micro"))
+        .orderBy(col("method"))
+    }),
+
     // --- per-cluster embedding drift between the even/odd halves ---
     "emb_drift" -> ((s, dir) =>
       Similarity.clusterDrift(T(s, dir, "embeddings"), embCentroids(s, dir))
@@ -5971,6 +5999,82 @@ object SparkEntry {
         |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         |  FROM knn)
         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+
+    // the full NN-descent round replicated relationally: cluster-kNN ∪
+    // deterministic random bridges -> reverse cap -> 2-hop closure ->
+    // re-score -> top-3; recall of both graphs vs brute force over the
+    // vec_id % 5 = 0 sample, in integer micro-units
+    "knn_graph_nnd" -> (kmeansCte() +
+      """, knn0 AS (
+        |  SELECT a.vec_id AS v, x.vec_id AS u,
+        |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(ex.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM assign a JOIN assign x
+        |    ON a.cluster = x.cluster AND a.vec_id != x.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id),
+        |ivf AS (SELECT v, u, sim FROM (
+        |  SELECT v, u, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY v ORDER BY sim DESC, u) AS rank
+        |  FROM knn0) WHERE rank <= 3),
+        |idx AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx
+        |        FROM embeddings),
+        |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        |rnd AS (
+        |  SELECT i.vec_id AS v, t.vec_id AS u
+        |  FROM idx i CROSS JOIN nn JOIN generate_series(0, 2) j(j) ON TRUE
+        |  JOIN idx t ON t.idx = (i.idx * 2654435761 + j.j * 40503) % nn.n
+        |  WHERE t.idx != i.idx),
+        |rsc AS (
+        |  SELECT r.v, r.u,
+        |         ROUND(list_cosine_similarity(CAST(ev.embedding AS DOUBLE[]),
+        |                                      CAST(eu.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM rnd r JOIN embeddings ev ON ev.vec_id = r.v
+        |             JOIN embeddings eu ON eu.vec_id = r.u),
+        |g0 AS (SELECT v, u, sim FROM ivf UNION SELECT v, u, sim FROM rsc),
+        |rev AS (SELECT u AS v, v AS u FROM (
+        |  SELECT v, u,
+        |         ROW_NUMBER() OVER (PARTITION BY u ORDER BY sim DESC, v) AS r
+        |  FROM g0) WHERE r <= 3),
+        |und AS (SELECT v, u FROM g0 UNION SELECT v, u FROM rev),
+        |hop2 AS (SELECT a.v, b.u FROM und a JOIN und b ON a.u = b.v),
+        |cand AS (SELECT v, u FROM (
+        |  SELECT v, u FROM und UNION SELECT v, u FROM hop2) WHERE v != u),
+        |sc AS (
+        |  SELECT c.v, c.u,
+        |         ROUND(list_cosine_similarity(CAST(ev.embedding AS DOUBLE[]),
+        |                                      CAST(eu.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM cand c JOIN embeddings ev ON ev.vec_id = c.v
+        |              JOIN embeddings eu ON eu.vec_id = c.u),
+        |nnd AS (SELECT v, u FROM (
+        |  SELECT v, u,
+        |         ROW_NUMBER() OVER (PARTITION BY v ORDER BY sim DESC, u) AS rank
+        |  FROM sc) WHERE rank <= 3),
+        |bf AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id % 5 = 0) WHERE rank <= 3),
+        |ns AS (SELECT COUNT(*) * 3 AS possible FROM embeddings
+        |       WHERE vec_id % 5 = 0),
+        |hi AS (SELECT COUNT(*) AS hits FROM bf
+        |       JOIN ivf ON bf.query_id = ivf.v AND bf.neighbor_id = ivf.u),
+        |hn AS (SELECT COUNT(*) AS hits FROM bf
+        |       JOIN nnd ON bf.query_id = nnd.v AND bf.neighbor_id = nnd.u)
+        |SELECT 'ivf' AS method, CAST(hi.hits AS BIGINT) AS hits,
+        |       CAST(ns.possible AS BIGINT) AS possible,
+        |       CAST(hi.hits * 1000000 // ns.possible AS BIGINT) AS recall_micro
+        |FROM hi, ns
+        |UNION ALL
+        |SELECT 'nnd1', CAST(hn.hits AS BIGINT), CAST(ns.possible AS BIGINT),
+        |       CAST(hn.hits * 1000000 // ns.possible AS BIGINT) FROM hn, ns
+        |ORDER BY method""".stripMargin),
 
     "emb_drift" -> (kmeansCte() +
       """, u AS (

@@ -662,6 +662,93 @@ object Similarity {
       .select(col("src").as(idCol), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** One NN-DESCENT refinement round over an existing kNN graph (Dong
+    * et al. 2011, "Efficient k-nearest neighbor graph construction for
+    * generic similarity measures"): a vector's improved neighbor
+    * candidates are its current neighbors' neighbors, taken over the
+    * UNDIRECTED graph (forward ∪ reverse edges) — "a neighbor of my
+    * neighbor is likely my neighbor". Re-scoring that candidate set and
+    * keeping the top k recovers true neighbors the coarse-quantizer
+    * restriction of [[knnGraph]] missed (cross-cluster edges), so recall
+    * is non-decreasing round over round; iterate to convergence or a
+    * fixed round budget.
+    *
+    * Scale shape: reverse degree is the skew risk (a hub vector can
+    * appear in arbitrarily many adjacency lists), so reverse edges are
+    * capped at `maxReverse` per node — NN-Descent's sample rate ρ —
+    * keeping per-node candidate fan-out ≤ (k + ρ)² with every join
+    * keyed on a node id; never an all-pairs product. Deterministic
+    * throughout: the cap and the final ranking order by (rounded sim
+    * DESC, id), the repo's engine-stable convention. */
+  def knnGraphRefine(vectors: DataFrame, base: DataFrame, k: Int = 5,
+                     maxReverse: Int = 5, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val fwd = base.select(col(idCol).as("v"), col("neighbor_id").as("u"),
+      col("sim"))
+    val wRev = Window.partitionBy(col("v")).orderBy(col("sim").desc, col("u"))
+    val rev = fwd.select(col("u").as("v"), col("v").as("u"), col("sim"))
+      .withColumn("r", row_number().over(wRev)).filter(col("r") <= maxReverse)
+      .drop("r")
+    val und = fwd.select("v", "u").unionByName(rev.select("v", "u")).distinct()
+    val hop2 = und.select(col("v"), col("u").as("m"))
+      .join(und.select(col("v").as("m"), col("u")), Seq("m"))
+      .select("v", "u")
+    val cand = und.unionByName(hop2).filter(col("v") =!= col("u")).distinct()
+    val va = vectors.select(col(idCol).as("v"), col(vecCol).as("va"))
+    val vb = vectors.select(col(idCol).as("u"), col(vecCol).as("vb"))
+    val w = Window.partitionBy(col("v"))
+      .orderBy(col("sim").desc, col("u"))
+    cand.join(va, Seq("v")).join(vb, Seq("u"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("v").as(idCol), col("rank"),
+        col("u").as("neighbor_id"), col("sim"))
+  }
+
+  /** kNN graph by NN-DESCENT: the coarse-quantizer graph of [[knnGraph]]
+    * UNION deterministic random bridge edges, then `rounds` of
+    * [[knnGraphRefine]]. The cluster-restricted graph alone can never
+    * recover a cross-cluster true neighbor — its 2-hop closure stays
+    * inside the cluster — so the random edges are what NN-Descent's
+    * random initialization is for: they bridge clusters, and the local
+    * join then walks them to the true neighbors. Recall is
+    * non-decreasing in `rounds` (each round's candidates contain the
+    * current edges) and ≥ the plain cluster graph from round 1.
+    *
+    * Bridges are k edges per node to pseudo-random dense-index targets
+    * ((idx·2654435761 + j·40503) mod n — deterministic, engine-
+    * replicable); dense indexes come from the distributed sort, never a
+    * global window. */
+  def knnGraphDescent(vectors: DataFrame, k: Int = 5, rounds: Int = 1,
+                      nClusters: Int = 8, iterations: Int = 5,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(rounds >= 1, s"need at least one refinement round, got $rounds")
+    val cluster = knnGraph(vectors, k, nClusters, iterations, idCol, vecCol,
+      centroids)
+    val idx = graft.ingest.Ingest.assignDenseIds(
+      vectors.select(col(idCol)), "idx", col(idCol))
+    val n = idx.count()
+    val rand = idx.select(col(idCol).as("v"), col("idx"))
+      .withColumn("j", explode(array((0 until k).map(lit(_)): _*)))
+      .withColumn("tidx",
+        (col("idx") * lit(2654435761L) + col("j") * lit(40503L)) % lit(n))
+      .filter(col("tidx") =!= col("idx"))
+      .join(idx.select(col(idCol).as("u"), col("idx").as("tidx")), Seq("tidx"))
+      .select("v", "u")
+    val va = vectors.select(col(idCol).as("v"), col(vecCol).as("va"))
+    val vb = vectors.select(col(idCol).as("u"), col(vecCol).as("vb"))
+    val randScored = rand.join(va, Seq("v")).join(vb, Seq("u"))
+      .select(col("v").as(idCol), col("u").as("neighbor_id"),
+        round(cosine(col("va"), col("vb")), 4).as("sim"))
+    var g = cluster.select(col(idCol), col("neighbor_id"), col("sim"))
+      .unionByName(randScored).distinct()
+    for (_ <- 0 until rounds)
+      g = knnGraphRefine(vectors, g, k, k, idCol, vecCol)
+    g
+  }
+
   /** Contrastive training triples (anchor, positive, hard negative) mined
     * from the corpus — the data an embedding model is fine-tuned on:
     * the positive is the anchor's most-similar same-cluster vector with

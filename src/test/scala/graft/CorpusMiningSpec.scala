@@ -156,4 +156,63 @@ class CorpusMiningSpec extends SparkSpec {
       assert(ns.map(_.getAs[Int]("rank")).sorted.sameElements(1 to ns.length))
     }
   }
+
+  test("knnGraphRefine: one NN-descent round recovers cross-cluster " +
+      "neighbors; recall never regresses") {
+    def comp(i: Int, d: Int): Float = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$d".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0).toFloat
+    }
+    val n = 40
+    val raw = (0 until n).map(i => (i.toLong, Array.tabulate(8)(comp(i, _))))
+    val vecs = raw.toDF("vec_id", "embedding")
+    // brute-force truth under the engine's own ordering convention:
+    // rounded 4dp cosine DESC, neighbor id ASC
+    def rsim(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (d <- a.indices) {
+        dot += a(d).toDouble * b(d); na += a(d).toDouble * a(d)
+        nb += b(d).toDouble * b(d)
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = raw.toMap
+    val truth: Map[Long, Seq[Long]] = raw.map { case (i, vi) =>
+      i -> raw.filter(_._1 != i)
+        .map { case (j, vj) => (j, rsim(vi, vj)) }
+        .sortBy { case (j, s) => (-s, j) }.take(3).map(_._1)
+    }.toMap
+    def hits(g: org.apache.spark.sql.DataFrame): Int =
+      g.select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+        .count { case (v, u) => truth(v).contains(u) }
+    val base = Similarity.knnGraph(vecs, k = 3, nClusters = 4, iterations = 3)
+    val baseHits = hits(base)
+    assert(baseHits < 3 * n, "fixture should leave cross-cluster misses " +
+      "for the refinement round to recover")
+    // the cluster graph's 2-hop closure stays inside clusters: refining
+    // it ALONE cannot cross a cluster boundary, so recall holds but
+    // cannot improve past the restriction — the random bridges of
+    // knnGraphDescent are what make the local join reach out
+    val refinedBaseHits =
+      hits(Similarity.knnGraphRefine(vecs, base, k = 3, maxReverse = 3))
+    assert(refinedBaseHits >= baseHits)
+    val nnd1 = Similarity.knnGraphDescent(vecs, k = 3, rounds = 1,
+      nClusters = 4, iterations = 3)
+    val nnd1Hits = hits(nnd1)
+    assert(nnd1Hits > baseHits,
+      s"NN-descent round should improve recall ($baseHits -> $nnd1Hits)")
+    // shape: at most k per node, dense ranks
+    val rows = nnd1.collect().groupBy(_.getAs[Long]("vec_id"))
+    rows.values.foreach { ns =>
+      assert(ns.length <= 3)
+      assert(ns.map(_.getAs[Int]("rank")).sorted.sameElements(1 to ns.length))
+    }
+    // further rounds only improve (candidates ⊇ current edges)
+    val nnd2Hits = hits(Similarity.knnGraphDescent(vecs, k = 3, rounds = 2,
+      nClusters = 4, iterations = 3))
+    assert(nnd2Hits >= nnd1Hits)
+  }
 }
