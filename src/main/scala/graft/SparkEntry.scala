@@ -239,6 +239,16 @@ object SparkEntry {
           (id, hi, lo)
         }.toDF("doc_id", "ahash_hi", "ahash_lo")
     })
+  /** Frozen bitext pivot index (day-1 reference run: en docs with
+    * doc_id % 10 != 0 mined against the full de side), memoized like
+    * every "build once, serve many" model table so the day-2 query
+    * times the incremental mining join, not a re-index of history. */
+  private def bitextIndexDf(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "bitext_index_df")(Bitext.indexTable(
+      T(s, dir, "embeddings"),
+      T(s, dir, "documents")
+        .filter(col("lang") =!= "en" || col("doc_id") % 10 =!= 0),
+      "en", "de"))
   private def langidPred(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "langid_pred")({
       val docs = T(s, dir, "documents")
@@ -1589,6 +1599,21 @@ object SparkEntry {
           .select(col("vec_id").as("dst_id"), col("label")), "label")
         .select("src_id", "dst_id")
       Bitext.marginPairs(emb, docs, "en", "de", candidates = Some(cand))
+        .orderBy(col("src_id"))
+    }),
+
+    // --- day-2 bitext: a NEW batch of src docs (doc_id % 10 == 0)
+    // mined against the PERSISTED pivot index of the day-1 reference
+    // run — frozen dst neighborhood stats, fresh src neighborhoods,
+    // the streaming miner's semantics as a batch broadcast join (no
+    // driver collect anywhere in the index build or the mining) ---
+    "xlingual_day2" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val newSrc = emb.join(
+        T(s, dir, "documents")
+          .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("vec_id")), "vec_id")
+      Bitext.mineAgainstIndex(newSrc, bitextIndexDf(s, dir))
         .orderBy(col("src_id"))
     }),
 
@@ -5560,6 +5585,56 @@ object SparkEntry {
         |            ELSE 1000000 END AS BIGINT) AS recall_micro
         |FROM best LEFT JOIN cand c
         |  ON c.src_id = best.src_id AND c.dst_id = best.dst_id""".stripMargin),
+
+    // day-1 stats from the restricted reference run (en % 10 != 0 via
+    // candRestrict), then the NEW batch scored against the frozen
+    // per-dst stats with fresh src-side neighborhoods — the
+    // mineAgainstIndex formula relationally
+    "xlingual_day2" -> (xlingualScoredCte("AND a.vec_id % 10 != 0") +
+      """dstat AS (SELECT DISTINCT dst_id, sum_dst, cnt_dst FROM sums),
+        |a2 AS (SELECT d.doc_id AS vec_id FROM documents d
+        |       WHERE d.lang = 'en' AND d.doc_id % 10 = 0),
+        |dots2 AS (
+        |  SELECT xa.vec_id AS src_id, xb.vec_id AS dst_id,
+        |         CAST(SUM(xa.v * xb.v) AS BIGINT) AS dot
+        |  FROM x xa JOIN a2 ON xa.vec_id = a2.vec_id
+        |       JOIN x xb ON xb.i = xa.i
+        |       JOIN b ON xb.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT d.src_id, d.dst_id,
+        |         CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(FLOOR(CAST(d.dot AS DOUBLE) * 1000000 /
+        |                   SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+        |                AS BIGINT) END AS s
+        |  FROM dots2 d JOIN n na ON na.vec_id = d.src_id
+        |       JOIN n nb ON nb.vec_id = d.dst_id),
+        |r2 AS (SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY src_id
+        |           ORDER BY s DESC, dst_id) AS rn_src FROM p2),
+        |sums2 AS (SELECT *,
+        |         SUM(CASE WHEN rn_src <= 4 THEN s END)
+        |           OVER (PARTITION BY src_id) AS sum_src,
+        |         SUM(CASE WHEN rn_src <= 4 THEN 1 END)
+        |           OVER (PARTITION BY src_id) AS cnt_src FROM r2),
+        |m2 AS (SELECT s2.src_id, s2.dst_id, s2.s,
+        |         CAST(s2.s * (s2.cnt_src + ds.cnt_dst) * 1000000 AS BIGINT)
+        |           AS num,
+        |         CAST(s2.sum_src + ds.sum_dst AS BIGINT) AS den
+        |       FROM sums2 s2 JOIN dstat ds ON ds.dst_id = s2.dst_id),
+        |mm2 AS (SELECT src_id, dst_id, s,
+        |          CASE WHEN den = 0 THEN
+        |                 CASE WHEN num > 0 THEN CAST(9000000000000000 AS BIGINT)
+        |                      WHEN num < 0 THEN CAST(-9000000000000000 AS BIGINT)
+        |                      ELSE CAST(0 AS BIGINT) END
+        |               WHEN (num >= 0) = (den > 0) THEN ABS(num) // ABS(den)
+        |               ELSE -(ABS(num) // ABS(den)) END AS margin_micro
+        |        FROM m2),
+        |best2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |            ORDER BY margin_micro DESC, dst_id) AS rn FROM mm2)
+        |SELECT src_id, dst_id, s AS sim_micro, margin_micro
+        |FROM best2 WHERE rn = 1 AND margin_micro > 1050000
+        |ORDER BY src_id""".stripMargin),
 
     "xlingual_margin_cand" -> (xlingualScoredCte("AND b.label = a.label") +
       """best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id

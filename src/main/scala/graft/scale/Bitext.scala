@@ -220,6 +220,82 @@ object Bitext {
       .sortBy(_.dstId)
   }
 
+  /** The frozen dst-side index as a DATAFRAME — [[buildIndex]] without
+    * the driver collect: one row per pivot (dst) document carrying its
+    * raw vector, micro norm², and the reference mining run's frozen
+    * neighborhood statistics. Write it to parquet once per corpus
+    * snapshot and mine every later batch against it with
+    * [[mineAgainstIndex]] — the batch day-2 shape the dedup families'
+    * band/prefix indexes established, for bitext. Unlike the collected
+    * [[IndexEntry]] array (the STREAMING path's executor-broadcast form,
+    * bounded by the pivot-batch contract), this table never touches the
+    * driver, so index builds stay distributed end to end. */
+  def indexTable(emb: DataFrame, docs: DataFrame,
+                 srcLang: String, dstLang: String, k: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 docIdCol: String = "doc_id",
+                 langCol: String = "lang"): DataFrame = {
+    import graft.functions.VecMath.norm2Micro
+    val stats = scoredPairs(emb, docs, srcLang, dstLang, k, idCol, vecCol,
+        docIdCol, langCol, None, maxBroadcastRows = Long.MaxValue)
+      .select(col("dst_id"), col("sum_dst"), col("cnt_dst")).distinct()
+    val tagged = emb.join(
+      docs.select(col(docIdCol).as(idCol), col(langCol)), idCol)
+    tagged.filter(col(langCol) === dstLang)
+      .select(col(idCol).as("dst_id"), col(vecCol).as("dst_vec"),
+        norm2Micro(col(vecCol)).as("nb2"))
+      .join(stats, Seq("dst_id"))
+  }
+
+  /** Day-2 batch bitext mining: score a NEW batch of src-language
+    * documents against the persisted [[indexTable]] — each new doc's own
+    * top-k neighborhood is computed over the index, the dst side keeps
+    * its FROZEN reference-run statistics, and the margin rule, ordering,
+    * and threshold are the batch kernel's exactly (the same semantics as
+    * the streaming miner, relationally — a parity spec pins the three
+    * paths together). The index is a bounded pivot batch, so it rides a
+    * broadcast join: per-src work is O(|index|·dim) with NO shuffle of
+    * the index side and no driver-side loop; the src side streams
+    * through at any cardinality. */
+  def mineAgainstIndex(srcEmb: DataFrame, index: DataFrame, k: Int = 4,
+                       thresholdMicro: Long = 1050000L,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"neighborhood size k must be positive, got $k")
+    import graft.functions.VecMath.{dotMicro, norm2Micro}
+    val src = srcEmb.select(col(idCol).as("src_id"), col(vecCol).as("src_vec"),
+      norm2Micro(col(vecCol)).as("na2"))
+    val bySrc = Window.partitionBy(col("src_id"))
+    src.join(broadcast(index))
+      .withColumn("dot", dotMicro(col("src_vec"), col("dst_vec")))
+      .withColumn("s",
+        when(col("na2") === 0L || col("nb2") === 0L, lit(0L))
+          .otherwise(floor(col("dot").cast(DoubleType) * lit(1000000d) /
+            sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)))))
+      .select(col("src_id"), col("dst_id"), col("s"),
+        col("sum_dst"), col("cnt_dst"))
+      .withColumn("rn_src", row_number().over(
+        bySrc.orderBy(col("s").desc, col("dst_id"))))
+      .withColumn("sum_src",
+        sum(when(col("rn_src") <= k, col("s"))).over(bySrc))
+      .withColumn("cnt_src",
+        sum(when(col("rn_src") <= k, 1L)).over(bySrc))
+      .withColumn("num",
+        col("s") * (col("cnt_src") + col("cnt_dst")) * lit(1000000L))
+      .withColumn("den", col("sum_src") + col("sum_dst"))
+      .withColumn("margin_micro", expr(
+        """CASE WHEN den = 0 THEN
+          |       CASE WHEN num > 0 THEN 9000000000000000
+          |            WHEN num < 0 THEN -9000000000000000 ELSE 0 END
+          |     WHEN (num >= 0) = (den > 0) THEN abs(num) div abs(den)
+          |     ELSE -(abs(num) div abs(den)) END""".stripMargin))
+      .withColumn("best", row_number().over(
+        bySrc.orderBy(col("margin_micro").desc, col("dst_id"))))
+      .filter(col("best") === 1 && col("margin_micro") > thresholdMicro)
+      .select(col("src_id"), col("dst_id"),
+        col("s").as("sim_micro"), col("margin_micro"))
+  }
+
   /** Shared margin-scored pair table: (src_id, dst_id, s, margin_micro)
     * for every cross-language pair (brute force) or candidate pair.
     * Public so callers can build it ONCE and run both selections

@@ -338,6 +338,47 @@ class BitextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("day-2 batch mining against the persisted index TABLE matches the " +
+      "streaming miner's batch-parity contract exactly") {
+    val rng = new scala.util.Random(13)
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.fill(6)(rng.nextFloat() * 2 - 1f), if (i % 2 == 0) "en" else "de")
+    }
+    val (emb, docs) = corpus(rows: _*)
+    val k = 3
+    val batch = Bitext.marginPairs(emb, docs, "en", "de", k = k,
+        thresholdMicro = 0L)
+      .select("src_id", "dst_id", "sim_micro", "margin_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the DataFrame index carries the same frozen stats as the collected
+    // IndexEntry array, and survives a parquet round-trip
+    val tmp = java.nio.file.Files.createTempDirectory("btidx").toString
+    Bitext.indexTable(emb, docs, "en", "de", k = k)
+      .write.mode("overwrite").parquet(tmp)
+    val idxDf = spark.read.parquet(tmp)
+    val entries = Bitext.buildIndex(emb, docs, "en", "de", k = k)
+    val dfStats = idxDf.select("dst_id", "nb2", "sum_dst", "cnt_dst")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(dfStats ==
+      entries.map(e => (e.dstId, e.nb2, e.sumDst, e.cntDst)).toSet)
+    // replaying the reference src corpus through the day-2 join
+    // reproduces batch marginPairs exactly (the streaming miner's
+    // contract, relationally)
+    val srcEmb = emb.join(docs.filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id")), "vec_id")
+    val got = Bitext.mineAgainstIndex(srcEmb, idxDf, k = k,
+        thresholdMicro = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    // a genuinely new day-2 batch: per-src scoring is independent, so a
+    // subset of src docs yields exactly the full run's rows for them
+    val half = srcEmb.filter(col("vec_id") % 4 === 0)
+    val gotHalf = Bitext.mineAgainstIndex(half, idxDf, k = k,
+        thresholdMicro = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotHalf == batch.filter(_._1 % 4 == 0) && gotHalf.nonEmpty)
+  }
+
   test("protocol switch finds a planted eager->rendezvous size threshold") {
     // channel 0->1: sizes 10..50 step 10; latency 2ms below 40 bytes,
     // 50ms at 40+ — the CUSUM argmax must land on the last eager size
