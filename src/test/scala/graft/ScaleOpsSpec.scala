@@ -127,6 +127,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cc.size == 9)
   }
 
+  test("connected components: a chain deeper than the round budget still " +
+      "converges (pointer jumping)") {
+    // a 200-node path has diameter 199: plain min-propagation under the
+    // 30-round default would have returned silently-unconverged labels;
+    // pointer jumping needs ~log2(199) rounds
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+    assert(cc.length == 200)
+    assert(cc.forall(_._2 == 0L),
+      s"unconverged labels: ${cc.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("connected components: an empty pair set yields an empty labeling") {
     // regression: the convergence checksum read sum(null) with getLong
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
