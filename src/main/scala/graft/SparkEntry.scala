@@ -2131,6 +2131,23 @@ object SparkEntry {
           col("retained").cast("int").as("retained"))
         .orderBy(col("vec_id"))),
 
+    // --- day-2 SEMANTIC dedup: the %10==0 batch assigned under the
+    // FROZEN session quantizer and cosine-verified against the
+    // persisted assignment index of history (and itself) — every
+    // near-dup pair touching a new vector, history x history never
+    // re-scored; the embedding-cosine leg of the day-1/day-2 shape all
+    // dedup families share ---
+    "semdedup_incr" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cents = embCentroids(s, dir)
+      val hist = Similarity.withCluster(
+        emb.filter(col("vec_id") % 10 =!= 0), cents)
+      val fresh = Similarity.withCluster(
+        emb.filter(col("vec_id") % 10 === 0), cents)
+      Similarity.cosinePairsIncremental(fresh, hist, 0.3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- true winnowing (MOSS) fingerprints: window minima ---
     "fingerprint_winnow" -> ((s, dir) =>
       winnowFp(s, dir).orderBy(col("doc_id"), col("pos"))),
@@ -6038,6 +6055,23 @@ object SparkEntry {
         |            THEN 0 ELSE 1 END AS INT) AS retained
         |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
         |ORDER BY a.vec_id""".stripMargin),
+
+    // day-2 twin: cluster-restricted cosine pairs where at least one
+    // side is in the new batch, under the same session quantizer
+    "semdedup_incr" -> (kmeansCte() +
+      """, prs AS (
+        |  SELECT LEAST(x.vec_id, y.vec_id) AS a,
+        |         GREATEST(x.vec_id, y.vec_id) AS b,
+        |         ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+        |                                      CAST(ey.embedding AS DOUBLE[])), 4)
+        |           AS sim
+        |  FROM assign x JOIN assign y
+        |    ON x.cluster = y.cluster AND x.vec_id != y.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+        |  WHERE x.vec_id % 10 = 0)
+        |SELECT DISTINCT a, b, sim FROM prs WHERE sim >= 0.3
+        |ORDER BY a, b""".stripMargin),
 
     "fingerprint_winnow" -> (winnowCte +
       """SELECT DISTINCT doc_id, CAST(k % 1048576 AS BIGINT) AS pos,

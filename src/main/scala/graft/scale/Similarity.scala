@@ -789,6 +789,37 @@ object Similarity {
     pos.join(neg, Seq("anchor"))
   }
 
+  /** Day-2 SEMANTIC dedup: verified cosine near-dup pairs touching ≥ 1
+    * NEW vector, mined against the persisted cluster-assignment index
+    * of history — the embedding-cosine leg of the day-1/day-2 shape the
+    * MinHash band table, prefix-Jaccard index, and Hamming band table
+    * already have. Both inputs carry a `cluster` column assigned under
+    * the SAME frozen centroids (write [[withCluster]]'s output per
+    * corpus snapshot; assign the new batch with the frozen quantizer);
+    * the new batch joins history + itself on the cluster key, so
+    * history × history is never re-scored and per-batch work is
+    * Σ_c |new_c|·|all_c|. Under frozen centroids the output equals the
+    * full-run [[cosinePairs]] restricted to pairs touching a new id
+    * (property spec). */
+  def cosinePairsIncremental(newAssigned: DataFrame, histAssigned: DataFrame,
+                             threshold: Double = 0.9,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val na = newAssigned.select(col(idCol).as("na"), col(vecCol).as("va"),
+      col("cluster"))
+    val tb = histAssigned
+      .select(col(idCol), col(vecCol), col("cluster"))
+      .unionByName(newAssigned.select(col(idCol), col(vecCol), col("cluster")))
+      .select(col(idCol).as("nb"), col(vecCol).as("vb"), col("cluster"))
+    na.join(tb, Seq("cluster"))
+      .filter(col("na") =!= col("nb"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"), col("sim"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥ threshold,
     * restricted to a bucket column to avoid all-pairs.
     *

@@ -215,4 +215,34 @@ class CorpusMiningSpec extends SparkSpec {
       nClusters = 4, iterations = 3))
     assert(nnd2Hits >= nnd1Hits)
   }
+
+  test("cosinePairsIncremental: day-2 pairs equal the full run's " +
+      "new-touching pairs through a parquet round-trip") {
+    def comp(i: Int, d: Int): Float = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$d".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0).toFloat
+    }
+    // 30 base vectors + 5 exact copies (ids 30..34 copy 0..4) so true
+    // near-dup pairs exist on both sides of the batch split
+    val raw = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(comp(i, _)))) ++
+      (0 until 5).map(i => ((30 + i).toLong, Array.tabulate(8)(comp(i, _))))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(vecs, 4, 3)
+    val assigned = Similarity.withCluster(vecs, cents)
+    val hist = assigned.filter(col("vec_id") % 3 =!= 0)
+    val fresh = assigned.filter(col("vec_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("semidx").toString
+    hist.write.mode("overwrite").parquet(tmp)
+    val incr = Similarity.cosinePairsIncremental(fresh,
+        spark.read.parquet(tmp), 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Similarity.cosinePairs(assigned, 0.3, bucketCol = "cluster")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = full.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0)
+    assert(incr == want && incr.nonEmpty)
+    // history-history pairs exist in the full run but are not re-mined
+    assert(full.exists(p => p._1 % 3 != 0 && p._2 % 3 != 0))
+  }
 }
