@@ -87,6 +87,37 @@ class AudioNearDupSpec extends SparkSpec {
     assert(got.nonEmpty, "no planted pair landed within the radius")
   }
 
+  test("streaming twin for free: the diff fingerprint feeds the generic " +
+      "Hamming-LSH stream operator unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0L until 40L).map(s => (s, fp(s, perturb = false, gain = 1))) ++
+      (40L until 80L).map(id => (id, fp(id - 40, perturb = true, gain = 2)))
+    val rows = all.map { case (id, (hi, lo)) => (id, hi, lo) }
+    val stream = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingLsh.hammingCandidates(
+        stream.toDF().toDF("doc_id", "fp_hi", "fp_lo"),
+        radius = 6, hiCol = "fp_hi", loCol = "fp_lo")
+      .writeStream.format("memory").queryName("audionear").outputMode("append")
+      .start()
+    try {
+      // originals first, perturbed variants in a later batch: every
+      // planted pair crosses the batch boundary
+      stream.addData(rows.filter(_._1 < 40))
+      q.processAllAvailable()
+      stream.addData(rows.filter(_._1 >= 40))
+      q.processAllAvailable()
+      val got = spark.table("audionear").select("a", "b", "hamming")
+        .distinct().as[(Long, Long, Int)].collect().toSet
+      val byId = all.toMap
+      val want = (for {
+        a <- 0L until 80L; b <- (a + 1) until 80L
+        d = ham(byId(a), byId(b)) if d <= 6
+      } yield (a, b, d)).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("short recordings (fewer samples than frames) stay deterministic") {
     val p = Multimodal.encodeWav(1, 8000, 40,
       i => if (i % 3 == 0) 900 else -250)
