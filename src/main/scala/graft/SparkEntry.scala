@@ -2174,7 +2174,10 @@ object SparkEntry {
     "knn_graph_nnd" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val sample = emb.filter(col("vec_id") % 5 === 0)
-      val bf = Similarity.bruteForceTopK(emb, sample, 3)
+      // ground truth via the map-side-bounded heap aggregate in micro
+      // ints — k rows per (query, partition) cross the exchange, never
+      // the sample x corpus pair table through a window sort
+      val bf = Similarity.bruteForceTopKMicro(emb, sample, 3)
         .select(col("query_id"), col("neighbor_id"))
       val cents = Some(embCentroids(s, dir))
       def scored(nm: String, g: org.apache.spark.sql.DataFrame) =
@@ -2184,7 +2187,7 @@ object SparkEntry {
           .select(lit(nm).as("method"), col("hits"))
       val base = Similarity.knnGraph(emb, 3, centroids = cents)
       val nnd = Similarity.knnGraphDescent(emb, 3, rounds = 1,
-        centroids = cents)
+        centroids = cents, base = Some(base))
       scored("ivf", base).unionByName(scored("nnd1", nnd))
         .crossJoin(sample.select((count(lit(1)) * 3).as("possible")))
         .select(col("method"), col("hits"), col("possible"),
@@ -6162,14 +6165,31 @@ object SparkEntry {
         |  SELECT v, u,
         |         ROW_NUMBER() OVER (PARTITION BY v ORDER BY sim DESC, u) AS rank
         |  FROM sc) WHERE rank <= 3),
+        |xm AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |           AS v
+        |       FROM (SELECT vec_id, embedding,
+        |               UNNEST(generate_series(1, len(embedding))) AS i
+        |             FROM embeddings)),
+        |nm AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2
+        |       FROM xm GROUP BY 1),
+        |bfd AS (SELECT xa.vec_id AS query_id, xb.vec_id AS neighbor_id,
+        |          CAST(SUM(xa.v * xb.v) AS BIGINT) AS dot
+        |        FROM xm xa JOIN xm xb
+        |          ON xb.i = xa.i AND xb.vec_id != xa.vec_id
+        |        WHERE xa.vec_id % 5 = 0 GROUP BY 1, 2),
+        |bfs AS (SELECT d.query_id, d.neighbor_id,
+        |          CASE WHEN nq.n2 = 0 OR nc.n2 = 0 THEN CAST(0 AS BIGINT)
+        |               ELSE CAST(FLOOR(CAST(d.dot AS DOUBLE) * 1000000 /
+        |                    SQRT(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)))
+        |                 AS BIGINT) END AS s
+        |        FROM bfd d JOIN nm nq ON nq.vec_id = d.query_id
+        |             JOIN nm nc ON nc.vec_id = d.neighbor_id),
         |bf AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
-        |                    c.vec_id) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-        |  WHERE q.vec_id % 5 = 0) WHERE rank <= 3),
+        |  SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM bfs) WHERE rank <= 3),
         |ns AS (SELECT COUNT(*) * 3 AS possible FROM embeddings
         |       WHERE vec_id % 5 = 0),
         |hi AS (SELECT COUNT(*) AS hits FROM bf
