@@ -214,6 +214,34 @@ object StreamingLsh {
       .select(col(idCol), col("index_id"), col("band"), col("hamming"))
   }
 
+  /** SEMANTIC dedup-at-ingest against the historical embedding corpus —
+    * the stream-static member of the semantic-dedup family, completing
+    * its batch / day-2 / streaming trio ([[graft.scale.Similarity.
+    * semDeDup]] / [[graft.scale.Similarity.cosinePairsIncremental]] /
+    * this): each streaming vector is assigned to its coarse cluster
+    * under the FROZEN centroids (a pure broadcast projection — no
+    * state store, no watermark), joined against the persisted
+    * cluster-assignment index (withCluster's output written per corpus
+    * snapshot), and VERIFIED in the same projection with the rounded
+    * cosine — only true ≥ threshold matches emit. Pairs WITHIN the
+    * stream are the incremental batch op's job on the next snapshot,
+    * same division of labor as [[hammingAgainstIndex]]. */
+  def cosineAgainstIndex(vectors: DataFrame, histAssigned: DataFrame,
+                         centroids: Array[Array[Double]],
+                         threshold: Double = 0.9,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import graft.scale.Similarity
+    Similarity.withCluster(vectors, centroids, vecCol)
+      .select(col(idCol), col(vecCol).as("__v"), col("cluster"))
+      .join(histAssigned.select(col(idCol).as("index_id"),
+        col(vecCol).as("__iv"), col("cluster")), Seq("cluster"))
+      .filter(col(idCol) =!= col("index_id"))
+      .withColumn("sim", round(Similarity.cosine(col("__v"), col("__iv")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col(idCol), col("index_id"), col("cluster"), col("sim"))
+  }
+
   private[streaming] def hashBucketGroup(radius: Int, maxBucketSize: Int,
       idleTimeout: Option[String] = None)(
       bucket: String, rows: Iterator[HashRow],

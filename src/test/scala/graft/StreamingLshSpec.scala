@@ -107,4 +107,47 @@ class StreamingLshSpec extends SparkSpec {
       assert(got.nonEmpty) // the tiny vocabulary guarantees collisions
     } finally q.stop()
   }
+
+  test("stream-static cosine pairs against the assignment index equal " +
+      "the day-2 batch op's new-vs-history half") {
+    import graft.scale.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def comp(i: Int, d: Int): Float = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$d".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0).toFloat
+    }
+    // 24 base vectors + 6 exact copies so true matches cross the split
+    val raw = (0 until 24).map(i => (i.toLong, Array.tabulate(8)(comp(i, _)))) ++
+      (0 until 6).map(i => ((24 + i).toLong, Array.tabulate(8)(comp(i, _))))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(vecs, 4, 3)
+    val assignedAll = Similarity.withCluster(vecs, cents)
+    val hist = assignedAll.filter(col("vec_id") % 3 =!= 0)
+      .select("vec_id", "embedding", "cluster")
+    val freshRows = raw.filter(_._1 % 3 == 0)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingLsh.cosineAgainstIndex(
+        stream.toDF().toDF("vec_id", "embedding"), hist, cents, 0.3)
+      .writeStream.format("memory").queryName("cosidx").outputMode("append")
+      .start()
+    try {
+      stream.addData(freshRows.take(4))
+      q.processAllAvailable()
+      stream.addData(freshRows.drop(4)) // stateless: batch split is free
+      q.processAllAvailable()
+      val got = spark.table("cosidx")
+        .select(least(col("vec_id"), col("index_id")),
+          greatest(col("vec_id"), col("index_id")), col("sim"))
+        .distinct().as[(Long, Long, Double)].collect().toSet
+      // = the day-2 batch op's pairs MINUS its new-vs-new half
+      val newIds = freshRows.map(_._1).toSet
+      val want = Similarity.cosinePairsIncremental(
+          assignedAll.filter(col("vec_id") % 3 === 0), hist, 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+        .filterNot(p => newIds.contains(p._1) && newIds.contains(p._2))
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
 }
