@@ -261,6 +261,15 @@ object SparkEntry {
     * [[Similarity.writeIvfIndex]] documents. */
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  /** Root for session-scoped artifact directories: prefer the tmpfs
+    * mount when present so repeated bench sweeps measure the format and
+    * the plan (partition pruning is a directory-structure property,
+    * identical on tmpfs), not disk contention from co-resident IO. */
+  private lazy val scratchRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm"
+    else System.getProperty("java.io.tmpdir", "/tmp")
+  }
   // backstop for processes that never call spark.stop() (test harnesses):
   // whatever indexes remain are removed when the JVM exits
   private lazy val ivfShutdownHook: Unit =
@@ -277,7 +286,7 @@ object SparkEntry {
       // share (and overwrite) one index directory mid-read
       val dirTag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-      val path = s"/tmp/graft_ivf_index_${dirTag}_" +
+      val path = s"$scratchRoot/graft_ivf_index_${dirTag}_" +
         s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
       Similarity.writeIvfIndex(T(s, dir, "embeddings"), path, embCentroids(s, dir))
       path
@@ -295,7 +304,7 @@ object SparkEntry {
       ivfShutdownHook
       val dirTag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-      val path = s"/tmp/graft_otf2_export_${dirTag}_" +
+      val path = s"$scratchRoot/graft_otf2_export_${dirTag}_" +
         s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
       graft.ingest.Otf2Writer.save(TraceGen.callTrace(s, dir), path)
       path
