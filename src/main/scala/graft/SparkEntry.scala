@@ -2539,6 +2539,16 @@ object SparkEntry {
           col("dist").cast("int").as("dist"))
         .orderBy(col("name_a"), col("name_b"))),
 
+    // --- LOSSLESS edit-distance self-join: q-gram count filter +
+    // banded-DP verification — equals brute force (the oracle runs the
+    // brute-force join), unlike fuzzy_names/fuzzy_sorted whose blocking
+    // is a recall heuristic ---
+    "fuzzy_exact" -> ((s, dir) =>
+      graft.scale.Dedup.editDistancePairs(T(s, dir, "part"), maxDist = 2,
+          textCol = "p_name", idCol = "p_partkey")
+        .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("a"), col("b"))),
+
     // --- z-order layout audit: Morton-bucket occupancy and per-bucket
     // dimension bounds (tight boxes = min/max pruning works) ---
     "q_zorder" -> ((s, dir) => {
@@ -7132,6 +7142,14 @@ object SparkEntry {
         |SELECT name_a, name_b,
         |       CAST(levenshtein(name_a, name_b) AS INT) AS dist
         |FROM p WHERE levenshtein(name_a, name_b) <= 6
+        |ORDER BY 1, 2""".stripMargin,
+
+    "fuzzy_exact" ->
+      """SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY 1, 2""".stripMargin,
 
     "q_zorder" -> {

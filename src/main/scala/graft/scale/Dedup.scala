@@ -966,6 +966,84 @@ object Dedup {
     * Returns per doc: tile counts, removed count, surviving word count,
     * and the md5 of the reassembled (kept tiles in order) text — a
     * compact equality witness for the rewritten corpus. */
+  /** EXACT threshold EDIT-DISTANCE self-join (fuzzy dedup / entity
+    * resolution over names, titles, and other short strings) via q-gram
+    * COUNT FILTERING (Gravano et al., VLDB 2001, "Approximate String
+    * Joins in a Database (Almost) for Free"). One edit operation
+    * destroys at most `q` of a string's |s|−q+1 q-grams — the rest
+    * survive as a BAG (shifts move positions, not contents) — so
+    * ed(s,t) ≤ d implies the q-gram bags share
+    * ≥ max(|s|,|t|)−q+1−q·d grams, and |len(s)−len(t)| ≤ d is
+    * necessary. Candidate generation is therefore an inverted-index
+    * join on q-grams with a per-pair shared-gram count filter —
+    * lossless whenever the bound is ≥ 1, i.e. whenever the pair's
+    * longer side has ≥ q·(d+1) chars. Pairs where BOTH sides are
+    * shorter than q·(d+1) are found by a separate length-keyed join
+    * restricted to that short bucket (≤ q·(d+1) distinct lengths, and
+    * a string shorter than q has no grams at all — only the short
+    * bucket can hold it, which the length bound guarantees).
+    * Candidates are verified with the built-in banded-DP
+    * `levenshtein(a, b, maxDist)` — the result EQUALS the brute-force
+    * join (the oracle checks it as one).
+    *
+    * Scale shape: the gram join keys on gram text — never all-pairs
+    * for realistic name/title distributions; a boilerplate-gram blowup
+    * (every string sharing a common prefix) is `maxGramDf`'s job, the
+    * same recall-for-boundedness dial as [[ngramJaccardPairs]] (the
+    * default keeps the join lossless). The count filter runs before
+    * strings are rejoined, so the O(d·len) verification sees only
+    * bound-surviving pairs. All shuffles key on gram, length, or pair
+    * id; no driver state. Returns (a, b, dist ≤ maxDist). */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 2, q: Int = 2,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxGramDf: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist (use exact() for 0)")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val minLong = q * (maxDist + 1) // longer side >= this  =>  bound >= 1
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("s"))
+      .withColumn("len", length(col("s")))
+    val grams = base.filter(col("len") >= q)
+      .select(col("id"), col("len"), explode(expr(
+        s"transform(sequence(1, len - ${q - 1}), i -> substr(s, i, $q))")).as("g"))
+      .groupBy(col("id"), col("len"), col("g")).agg(count(lit(1)).as("cnt"))
+    val admitted =
+      if (maxGramDf == Int.MaxValue) grams
+      else grams.join(
+        grams.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxGramDf).select("g"), Seq("g"))
+    val ga = admitted.select(col("id").as("a"), col("len").as("la"),
+      col("g"), col("cnt").as("ca"))
+    val gb = admitted.select(col("id").as("b"), col("len").as("lb"),
+      col("g"), col("cnt").as("cb"))
+    val longPairs = ga.join(gb, Seq("g"))
+      .filter(col("a") < col("b") &&
+        abs(col("la") - col("lb")) <= maxDist &&
+        greatest(col("la"), col("lb")) >= minLong)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("shared"),
+        first(col("la")).as("la"), first(col("lb")).as("lb"))
+      .filter(col("shared") >=
+        greatest(col("la"), col("lb")) - lit(q - 1) - lit(q * maxDist))
+      .select(col("a"), col("b"))
+    // Short bucket: both sides < q·(d+1) chars — the count bound can
+    // vanish there, so key the join on candidate length instead. The
+    // bucket spans ≤ q·(d+1) distinct lengths and |la−lb| ≤ d still
+    // prunes; disjoint from the gram path by the maxlen split.
+    val short_ = base.filter(col("len") < minLong)
+    val shortPairs = short_
+      .select(col("id").as("a"), col("len").as("la"))
+      .withColumn("lb", explode(sequence(col("la") - maxDist, col("la") + maxDist)))
+      .join(short_.select(col("id").as("b"), col("len").as("lb")), Seq("lb"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    longPairs.unionByName(shortPairs)
+      .join(base.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   def removeDuplicateTiles(docs: DataFrame, k: Int = 5, minDocs: Int = 2,
                            textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {

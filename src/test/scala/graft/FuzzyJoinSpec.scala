@@ -45,6 +45,58 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!wide.contains(("apple", "badgy")))
   }
 
+  // --- lossless q-gram count-filter join (Dedup.editDistancePairs) ---
+
+  /** Driver-side reference Levenshtein for brute-force parity. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def bruteForce(names: Seq[String], d: Int): Set[(Int, Int, Int)] =
+    (for {
+      i <- names.indices; j <- names.indices if i < j
+      dist = lev(names(i), names(j)) if dist <= d
+    } yield (i, j, dist)).toSet
+
+  private def engine(names: Seq[String], d: Int,
+                     cap: Int = Int.MaxValue): Set[(Int, Int, Int)] = {
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    graft.scale.Dedup.editDistancePairs(df, maxDist = d, maxGramDf = cap)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getInt(2))).toSet
+  }
+
+  test("editDistancePairs equals brute force, incl. short strings and shared-zero-gram pairs") {
+    // short bucket: "a"/"b" (len < q, no grams at all), "ab"/"ba"
+    // (share zero bigrams yet distance 2); long bucket: widget family;
+    // cross-length pairs; empty string against 1-2 char strings
+    val names = Seq("cold widget", "bold widget", "cold widgets", "warm gear",
+      "a", "b", "ab", "ba", "", "ax", "cold  widget", "old widget")
+    for (d <- 1 to 3)
+      assert(engine(names, d) == bruteForce(names, d), s"maxDist=$d")
+  }
+
+  test("editDistancePairs is lossless on uniform-prefix names (the blocking-adversarial case)") {
+    // every name shares a 9-char prefix — heuristic blocking degenerates,
+    // the count filter + verification must still return the exact set
+    val names = (0 until 40).map(i => f"Customer#$i%04d")
+    assert(engine(names, 1) == bruteForce(names, 1))
+  }
+
+  test("editDistancePairs gram-df cap yields a subset, full default is exact") {
+    val names = Seq("shiny ring", "shiny king", "shiny wing", "dull thing")
+    val full = engine(names, 2)
+    assert(full == bruteForce(names, 2))
+    val capped = engine(names, 2, cap = 2)
+    assert(capped.subsetOf(full))
+  }
+
   test("maxBlockSize drops viral blocks entirely") {
     val df = Seq("a ring", "b ring", "c ring", "x hub", "y hub").toDF("name")
     val capped = FuzzyJoin.selfPairs(df, "name", block, 2, Some(2)).collect()
