@@ -269,6 +269,84 @@ object TextOps {
         (col("count").cast("double") / topN).as("weight"))
   }
 
+  /** Multinomial Naive Bayes text classifier — the count-based member of
+    * the model-based-filter family (CCNet / fineweb-edu style pipelines
+    * gate documents with a cheap learned classifier; NB trains in two
+    * scans with no gradient loop, exactly the Spark shape). Training
+    * yields two vocabulary-sized tables; scoring is one keyed join plus
+    * a per-document aggregation. Nothing is collected to the driver.
+    *
+    * ENGINE-EXACT argmax: with add-one smoothing,
+    * log P(w|c) = ln((c_wc+1)/(tot_c+V)) = ln(1/(tot_c+V)) + ln(c_wc+1),
+    * so the document score decomposes as
+    *   score(d,c) = prior_c + T_d·lp0_c + Σ_{w∈d∩vocab_c} n_dw·Δ_wc
+    * with Δ_wc = ln(c_wc+1) — the model table stays SPARSE (one row per
+    * OBSERVED class-token pair, never the dense |V|×|C| grid), unseen
+    * tokens cost nothing extra (they ride the T_d·lp0_c term), and every
+    * log term is quantized to integer micro-units at the term level (the
+    * repo's cross-engine convention), making the argmax an integer
+    * compare with class-id tie-break — bit-identical in any engine that
+    * replicates the decomposition (the oracle does). */
+  def naiveBayesModel(labeled: DataFrame, labelCol: String = "lang",
+                      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val tokCnt = labeled
+      .select(col(labelCol).as("cls"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = tokCnt.agg(count_distinct(col("tok")).as("v"))
+    val nd = labeled.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("ndc"))
+    val ntot = nd.agg(sum(col("ndc")).as("n"))
+    val classStats = nd
+      .join(tokCnt.groupBy("cls").agg(sum(col("c")).as("tot")), Seq("cls"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(ntot))
+      .select(col("cls"),
+        round(log(col("ndc").cast("double") / col("n")) * 1e6)
+          .cast("long").as("prior_m"),
+        round(log(lit(1.0) / (col("tot") + col("v"))) * 1e6)
+          .cast("long").as("lp0_m"))
+    val tokDelta = tokCnt.select(col("cls"), col("tok"),
+      round(log((col("c") + 1).cast("double")) * 1e6).cast("long").as("dm"))
+    (tokDelta, classStats)
+  }
+
+  /** Score + argmax against a prebuilt [[naiveBayesModel]] (train once,
+    * score many — the memoized-model convention). Returns one row per
+    * document: (id, pred, score_m, margin_m) where margin_m is the
+    * integer-micro gap to the runner-up class (0 when |C| = 1) — the
+    * standard confidence signal a keep/drop gate thresholds on. */
+  def naiveBayesClassify(docs: DataFrame, tokDelta: DataFrame,
+                         classStats: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val docToks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val docTot = docToks.groupBy(col(idCol)).agg(sum(col("cnt")).as("t"))
+    val matched = docToks.join(tokDelta, Seq("tok"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("cnt") * col("dm")).as("ms"))
+    val scored = docTot.crossJoin(broadcast(classStats))
+      .join(matched, Seq(idCol, "cls"), "left")
+      .select(col(idCol), col("cls"),
+        (col("prior_m") + col("t") * col("lp0_m") +
+          coalesce(col("ms"), lit(0L))).as("score_m"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_m").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(max(when(col("rn") === 1, col("cls"))).as("pred"),
+        max(when(col("rn") === 1, col("score_m"))).as("score_m"),
+        coalesce(max(when(col("rn") === 1, col("score_m"))) -
+          max(when(col("rn") === 2, col("score_m"))), lit(0L)).as("margin_m"))
+  }
+
+  def naiveBayes(docs: DataFrame, labeled: DataFrame,
+                 labelCol: String = "lang", textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val (tokDelta, classStats) = naiveBayesModel(labeled, labelCol, textCol)
+    naiveBayesClassify(docs, tokDelta, classStats, textCol, idCol)
+  }
+
   /** All character trigrams of a string (positions 1..len-2). */
   def charTrigrams(text: Column): Column =
     transform(sequence(lit(1), greatest(length(text) - 2, lit(1))),
