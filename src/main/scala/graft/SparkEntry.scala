@@ -2155,6 +2155,19 @@ object SparkEntry {
           col("retained").cast("int").as("retained"))
         .orderBy(col("vec_id"))),
 
+    // --- SemDeDup under the scale-safe AUTO policy: cluster count
+    // grows with the corpus (k = ceil(n/64) — keeps the pair join's
+    // sum-of-|c|^2 linear) and the quantizer fits on an md5-hash sample
+    // (keeps Lloyd O(k^2*factor) instead of O(n*k)); one count job
+    // decides both dials, and the oracle recomputes them from the data ---
+    "semdedup_auto" -> ((s, dir) =>
+      Similarity.semDeDupAuto(T(s, dir, "embeddings"), 0.3,
+          targetClusterSize = 64)
+        .select(col("vec_id"), col("cluster"),
+          col("is_dup").cast("int").as("is_dup"),
+          col("retained").cast("int").as("retained"))
+        .orderBy(col("vec_id"))),
+
     // --- day-2 SEMANTIC dedup: the %10==0 batch assigned under the
     // FROZEN session quantizer and cosine-verified against the
     // persisted assignment index of history (and itself) — every
@@ -2186,6 +2199,14 @@ object SparkEntry {
     "knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(T(s, dir, "embeddings"), 3,
           centroids = Some(embCentroids(s, dir)))
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // --- kNN graph under the auto-k + sampled-fit policy (the measured
+    // linearity dial: fixed k=8 was 54 s at the 10x tiling, k grown
+    // with n was 8.4 s for the same output) ---
+    "knn_graph_auto" -> ((s, dir) =>
+      Similarity.knnGraphAuto(T(s, dir, "embeddings"), 3,
+          targetClusterSize = 64)
         .orderBy(col("vec_id"), col("rank"))),
 
     // --- NN-descent recall audit: the cluster-restricted kNN graph vs
@@ -6119,28 +6140,10 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "semdedup" -> (kmeansCte().replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, prs AS (
-        |  SELECT x.vec_id AS a, y.vec_id AS b
-        |  FROM assign x JOIN assign y
-        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
-        |  JOIN embeddings ey ON ey.vec_id = y.vec_id
-        |  WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
-        |                                     CAST(ey.embedding AS DOUBLE[])), 4)
-        |        >= 0.3),
-        |cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
-        |reach(node, label) AS (
-        |  SELECT x, x FROM cedges
-        |  UNION
-        |  SELECT ce.x, r.label FROM cedges ce JOIN reach r ON r.node = ce.y),
-        |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY 1)
-        |SELECT a.vec_id, a.cluster,
-        |       CAST(CASE WHEN c.component IS NOT NULL AND c.component != a.vec_id
-        |            THEN 1 ELSE 0 END AS INT) AS is_dup,
-        |       CAST(CASE WHEN c.component IS NOT NULL AND c.component != a.vec_id
-        |            THEN 0 ELSE 1 END AS INT) AS retained
-        |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
-        |ORDER BY a.vec_id""".stripMargin),
+      SemDedupTailSql),
+
+    "semdedup_auto" -> (kmeansCteAuto().replaceFirst("WITH ", "WITH RECURSIVE ") +
+      SemDedupTailSql),
 
     // day-2 twin: cluster-restricted cosine pairs where at least one
     // side is in the new batch, under the same session quantizer
@@ -6178,22 +6181,9 @@ object SparkEntry {
         |  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b""".stripMargin),
 
-    "knn_graph" -> (kmeansCte() +
-      """, knn AS (
-        |  SELECT a.vec_id, x.vec_id AS neighbor_id,
-        |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-        |                                      CAST(ex.embedding AS DOUBLE[])), 4)
-        |           AS sim
-        |  FROM assign a JOIN assign x
-        |    ON a.cluster = x.cluster AND a.vec_id != x.vec_id
-        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-        |  JOIN embeddings ex ON ex.vec_id = x.vec_id)
-        |SELECT vec_id, rank, neighbor_id, sim FROM (
-        |  SELECT vec_id, neighbor_id, sim,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
-        |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
-        |  FROM knn)
-        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+    "knn_graph" -> (kmeansCte() + KnnGraphTailSql),
+
+    "knn_graph_auto" -> (kmeansCteAuto() + KnnGraphTailSql),
 
     // the full NN-descent round replicated relationally: cluster-kNN ∪
     // deterministic random bridges -> reverse cap -> 2-hop closure ->
@@ -8313,6 +8303,84 @@ object SparkEntry {
     * euclidean distance with ties to the lowest cluster, per-dimension
     * means, empty clusters keep their centroid); `assign` is the final
     * nearest-centroid assignment. */
+  /** Shared oracle tail: within-cluster cosine near-dup pairs →
+    * recursive components → (vec_id, cluster, is_dup, retained);
+    * appended after a kmeans CTE chain ending in `assign`. */
+  private val SemDedupTailSql: String =
+    """, prs AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM assign x JOIN assign y
+      |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+      |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+      |  WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+      |                                     CAST(ey.embedding AS DOUBLE[])), 4)
+      |        >= 0.3),
+      |cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+      |reach(node, label) AS (
+      |  SELECT x, x FROM cedges
+      |  UNION
+      |  SELECT ce.x, r.label FROM cedges ce JOIN reach r ON r.node = ce.y),
+      |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY 1)
+      |SELECT a.vec_id, a.cluster,
+      |       CAST(CASE WHEN c.component IS NOT NULL AND c.component != a.vec_id
+      |            THEN 1 ELSE 0 END AS INT) AS is_dup,
+      |       CAST(CASE WHEN c.component IS NOT NULL AND c.component != a.vec_id
+      |            THEN 0 ELSE 1 END AS INT) AS retained
+      |FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  /** Shared oracle tail: within-cluster top-3 cosine neighbors per
+    * vector; appended after a kmeans CTE chain ending in `assign`. */
+  private val KnnGraphTailSql: String =
+    """, knn AS (
+      |  SELECT a.vec_id, x.vec_id AS neighbor_id,
+      |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |                                      CAST(ex.embedding AS DOUBLE[])), 4)
+      |           AS sim
+      |  FROM assign a JOIN assign x
+      |    ON a.cluster = x.cluster AND a.vec_id != x.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings ex ON ex.vec_id = x.vec_id)
+      |SELECT vec_id, rank, neighbor_id, sim FROM (
+      |  SELECT vec_id, neighbor_id, sim,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+      |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |  FROM knn)
+      |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  /** [[kmeansCte]] with the cluster count and fit sample CHOSEN BY THE
+    * DATA, mirroring `Similarity.autoClusters` + `kmeansFitSampled`:
+    * `kk` computes k = max(2, ⌈n/target⌉) and the sample modulus
+    * m = max(1, n ∕∕ (k·factor)); the Lloyd iterations run over the
+    * md5-hash-sampled `es`, the final `assign` over the full corpus. */
+  private def kmeansCteAuto(target: Int = 64, factor: Int = 20,
+                            iters: Int = 5, dim: Int = 64): String = {
+    def assignSql(c: String, src: String): String =
+      s"""(SELECT vec_id, j AS cluster FROM (
+         |  SELECT e.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_inner_product(c.v, c.v) - 2 * list_inner_product(e.v, c.v), c.j) AS rn
+         |  FROM $src e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    val kExpr = s"GREATEST(2, CAST(CEIL(COUNT(*) / $target.0) AS INT))"
+    val sb = new StringBuilder
+    sb.append("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n")
+    sb.append(s"kk AS (SELECT $kExpr AS k,\n")
+    sb.append(s"  GREATEST(1, COUNT(*) // ($kExpr * $factor)) AS smod FROM e),\n")
+    sb.append("es AS (SELECT e.vec_id, e.v FROM e CROSS JOIN kk\n")
+    sb.append("  WHERE CAST(concat('0x', substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % smod = 0),\n")
+    sb.append("c0 AS (SELECT j, v FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, v FROM es) CROSS JOIN kk WHERE j < k),\n")
+    for (i <- 0 until iters) {
+      sb.append(s"a$i AS ${assignSql(s"c$i", "es")},\n")
+      sb.append(s"""u$i AS (SELECT cluster AS j, list(m ORDER BY d) AS v FROM (
+                   |  SELECT a.cluster, g.generate_series AS d, AVG(e.v[g.generate_series]) AS m
+                   |  FROM a$i a JOIN es e USING (vec_id), generate_series(1, $dim) g
+                   |  GROUP BY 1, 2) GROUP BY 1),\n""".stripMargin)
+      sb.append(s"c${i + 1} AS (SELECT p.j, COALESCE(u.v, p.v) AS v FROM c$i p LEFT JOIN u$i u USING (j)),\n")
+    }
+    sb.append(s"assign AS ${assignSql(s"c$iters", "e")}\n")
+    sb.toString
+  }
+
   private def kmeansCte(k: Int = 8, iters: Int = 5, dim: Int = 64): String = {
     def assignSql(c: String): String =
       s"""(SELECT vec_id, j AS cluster FROM (

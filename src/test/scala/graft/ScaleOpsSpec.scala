@@ -251,6 +251,39 @@ class ScaleOpsSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("auto cluster policy: k scales with n, sampled fit is a real subset, parity with explicit path") {
+    // scaling + floor: the linearity dial -- 10x data => ~10x clusters
+    assert(Similarity.autoClusters(10, 512) == 2)
+    assert(Similarity.autoClusters(5000, 512) == 10)
+    assert(Similarity.autoClusters(50000, 512) == 98)
+    assert(Similarity.autoClusters(500000, 512) == 977)
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(4)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val k = Similarity.autoClusters(60L, 16) // = 4
+    assert(k == 4)
+    // modulus m = max(1, 60/(4*5)) = 3 => the fit sees a strict subset,
+    // and the sampled centroids differ from the full-corpus fit's
+    val cents = Similarity.kmeansFitSampled(vecs, k, 60L, sampleFactor = 5)
+    assert(cents.length == k)
+    val full = Similarity.kmeansFit(vecs, k)
+    assert(!cents.toSeq.map(_.toSeq).equals(full.toSeq.map(_.toSeq)),
+      "m=3 sample must not silently degenerate to the full corpus")
+    // m <= 1 passthrough: sampled == full fit
+    val centsAll = Similarity.kmeansFitSampled(vecs, k, 60L, sampleFactor = 100)
+    assert(centsAll.toSeq.map(_.toSeq) == full.toSeq.map(_.toSeq))
+    // end-to-end parity: the Auto entry points equal the explicit calls
+    // at the same computed k + sampled centroids
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Similarity.semDeDupAuto(vecs, 0.95, targetClusterSize = 16,
+        sampleFactor = 5)) ==
+      rows(Similarity.semDeDup(vecs, 0.95, k, centroids = Some(cents))))
+    assert(rows(Similarity.knnGraphAuto(vecs, 2, targetClusterSize = 16,
+        sampleFactor = 5)) ==
+      rows(Similarity.knnGraph(vecs, 2, k, centroids = Some(cents))))
+  }
+
   test("cosine pairs block decomposition: identical results, skew spread") {
     val rng = new scala.util.Random(3)
     // one mega-bucket (40 vectors) + a small one
