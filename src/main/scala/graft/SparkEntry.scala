@@ -1459,6 +1459,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- streaming NB classifier's plan run in batch mode (the
+    // streaming-oracle-hook convention): frozen model as a wide
+    // stream-static join table, ONE windowed agg + stateless argmax
+    // projection; event time derived from doc_id so the oracle can
+    // recompute the 10 s windows ---
+    "stream_nb_endstate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (tokDelta, classStats) =
+        TextOps.naiveBayesModel(docs.filter(col("doc_id") % 5 =!= 0))
+      val cs = classStats.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      graft.streaming.StreamingOps.nbClassify(
+          docs.filter(col("doc_id") % 5 === 0)
+            .withColumn("event_time", timestamp_millis(col("doc_id") * 1000)),
+          tokDelta, cs)
+        .select(unix_timestamp(col("window").getField("start"))
+            .as("window_start"),
+          col("doc_id"), col("n_tokens"), col("pred"),
+          col("score_m"), col("margin_m"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- per-cluster embedding outliers: farthest-from-centroid docs,
     // the OOD/garbage review queue of embedding-based curation ---
     "emb_outliers" -> ((s, dir) =>
@@ -5939,54 +5962,24 @@ object SparkEntry {
         |       CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "text_nb_classify" ->
-      """WITH tr AS (SELECT lang AS cls,
-        |              unnest(regexp_split_to_array(trim(text), ' +')) AS tok
-        |            FROM documents WHERE doc_id % 5 <> 0),
-        |tc AS (SELECT cls, tok, COUNT(*) AS c FROM tr GROUP BY 1, 2),
-        |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tc),
-        |nd AS (SELECT lang AS cls, COUNT(*) AS ndc
-        |       FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
-        |nt AS (SELECT CAST(SUM(ndc) AS BIGINT) AS n FROM nd),
-        |cs AS (SELECT nd.cls,
-        |         CAST(ROUND(ln(CAST(ndc AS DOUBLE) / n) * 1e6) AS BIGINT)
-        |           AS prior_m,
-        |         CAST(ROUND(ln(1.0 / (tot + v)) * 1e6) AS BIGINT) AS lp0_m
-        |       FROM nd
-        |       JOIN (SELECT cls, CAST(SUM(c) AS BIGINT) AS tot
-        |             FROM tc GROUP BY 1) t USING (cls)
-        |       CROSS JOIN vv CROSS JOIN nt),
-        |td AS (SELECT cls, tok,
-        |         CAST(ROUND(ln(CAST(c + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS dm
-        |       FROM tc),
-        |dt AS (SELECT doc_id,
-        |         unnest(regexp_split_to_array(trim(text), ' +')) AS tok
-        |       FROM documents WHERE doc_id % 5 = 0),
-        |dc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM dt GROUP BY 1, 2),
-        |tt AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS t
-        |       FROM dc GROUP BY 1),
-        |ms AS (SELECT doc_id, cls, CAST(SUM(cnt * dm) AS BIGINT) AS msum
-        |       FROM dc JOIN td USING (tok) GROUP BY 1, 2),
-        |sc AS (SELECT tt.doc_id, cs.cls,
-        |         prior_m + t * lp0_m + COALESCE(msum, 0) AS score_m
-        |       FROM tt CROSS JOIN cs
-        |       LEFT JOIN ms ON ms.doc_id = tt.doc_id AND ms.cls = cs.cls),
-        |rk AS (SELECT doc_id, cls, score_m,
-        |         ROW_NUMBER() OVER (PARTITION BY doc_id
-        |           ORDER BY score_m DESC, cls) AS rn FROM sc),
-        |ag AS (SELECT doc_id,
-        |         MAX(CASE WHEN rn = 1 THEN cls END) AS pred,
-        |         MAX(CASE WHEN rn = 1 THEN score_m END) AS score_m,
-        |         COALESCE(MAX(CASE WHEN rn = 1 THEN score_m END) -
-        |                  MAX(CASE WHEN rn = 2 THEN score_m END), 0) AS margin_m
-        |       FROM rk WHERE rn <= 2 GROUP BY 1)
-        |SELECT a.doc_id, a.pred, d.lang,
+    "text_nb_classify" -> (NbCteSql +
+      """SELECT a.doc_id, a.pred, d.lang,
         |       CAST(CASE WHEN a.pred = d.lang THEN 1 ELSE 0 END AS INT)
         |         AS correct,
         |       CAST(a.score_m AS BIGINT) AS score_m,
         |       CAST(a.margin_m AS BIGINT) AS margin_m
         |FROM ag a JOIN documents d USING (doc_id)
-        |ORDER BY a.doc_id""".stripMargin,
+        |ORDER BY a.doc_id""".stripMargin),
+
+    // batch-materialized twin of the streaming NB classifier: same CTE
+    // chain plus the 10 s event-time window derived from doc_id
+    "stream_nb_endstate" -> (NbCteSql +
+      """SELECT (a.doc_id // 10) * 10 AS window_start, a.doc_id,
+        |       t.t AS n_tokens, a.pred,
+        |       CAST(a.score_m AS BIGINT) AS score_m,
+        |       CAST(a.margin_m AS BIGINT) AS margin_m
+        |FROM ag a JOIN tt t USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin),
 
     "ann_ivf_learned" -> (kmeansCte() +
       """SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim FROM (
@@ -8303,6 +8296,53 @@ object SparkEntry {
     * euclidean distance with ties to the lowest cluster, per-dimension
     * means, empty clusters keep their centroid); `assign` is the final
     * nearest-centroid assignment. */
+  /** Shared Naive-Bayes oracle CTE chain (train on the %5≠0 split,
+    * score the %5=0 holdout, argmax in `ag`; `tt` holds per-doc token
+    * totals) — mirrors `TextOps.naiveBayesModel/Classify`'s sparse
+    * integer-micro decomposition. Appended tails select from ag/tt. */
+  private val NbCteSql: String =
+    """WITH tr AS (SELECT lang AS cls,
+      |              unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+      |            FROM documents WHERE doc_id % 5 <> 0),
+      |tc AS (SELECT cls, tok, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+      |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tc),
+      |nd AS (SELECT lang AS cls, COUNT(*) AS ndc
+      |       FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(ndc) AS BIGINT) AS n FROM nd),
+      |cs AS (SELECT nd.cls,
+      |         CAST(ROUND(ln(CAST(ndc AS DOUBLE) / n) * 1e6) AS BIGINT)
+      |           AS prior_m,
+      |         CAST(ROUND(ln(1.0 / (tot + v)) * 1e6) AS BIGINT) AS lp0_m
+      |       FROM nd
+      |       JOIN (SELECT cls, CAST(SUM(c) AS BIGINT) AS tot
+      |             FROM tc GROUP BY 1) t USING (cls)
+      |       CROSS JOIN vv CROSS JOIN nt),
+      |td AS (SELECT cls, tok,
+      |         CAST(ROUND(ln(CAST(c + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS dm
+      |       FROM tc),
+      |dt AS (SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |dc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM dt GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS t
+      |       FROM dc GROUP BY 1),
+      |ms AS (SELECT doc_id, cls, CAST(SUM(cnt * dm) AS BIGINT) AS msum
+      |       FROM dc JOIN td USING (tok) GROUP BY 1, 2),
+      |sc AS (SELECT tt.doc_id, cs.cls,
+      |         prior_m + t * lp0_m + COALESCE(msum, 0) AS score_m
+      |       FROM tt CROSS JOIN cs
+      |       LEFT JOIN ms ON ms.doc_id = tt.doc_id AND ms.cls = cs.cls),
+      |rk AS (SELECT doc_id, cls, score_m,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |           ORDER BY score_m DESC, cls) AS rn FROM sc),
+      |ag AS (SELECT doc_id,
+      |         MAX(CASE WHEN rn = 1 THEN cls END) AS pred,
+      |         MAX(CASE WHEN rn = 1 THEN score_m END) AS score_m,
+      |         COALESCE(MAX(CASE WHEN rn = 1 THEN score_m END) -
+      |                  MAX(CASE WHEN rn = 2 THEN score_m END), 0) AS margin_m
+      |       FROM rk WHERE rn <= 2 GROUP BY 1)
+      |""".stripMargin
+
   /** Shared oracle tail: within-cluster cosine near-dup pairs →
     * recursive components → (vec_id, cluster, is_dup, retained);
     * appended after a kmeans CTE chain ending in `assign`. */

@@ -193,6 +193,52 @@ object StreamingOps {
       docs.filter(graft.scale.TextOps.quality(col(textCol)) >= minQuality),
       textCol, watermark, timeCol)
 
+  /** Streaming Naive Bayes classifier filter — the deploy shape of
+    * [[graft.scale.TextOps.naiveBayesClassify]]: the FROZEN model rides
+    * as one static wide table (tok, dm₀..dm₍C₋₁₎) in a stream-static
+    * left join (no model state in the stream), and the per-document
+    * score is ONE windowed aggregation; the argmax/margin over the C
+    * per-class sums is a stateless projection over sorted structs — so
+    * the whole query is a single stateful operator, valid in append
+    * mode. Class stats (C rows) are plan literals by the same
+    * driver-bounded contract as [[bitextMine]]'s index; unseen tokens
+    * cost coalesce(0) and ride the T·lp0 term exactly as in batch.
+    * Tie-break matches batch: equal scores go to the earliest entry in
+    * `classStats` (pass it sorted by class). */
+  def nbClassify(docs: DataFrame, tokDelta: DataFrame,
+                 classStats: Seq[(String, Long, Long)],
+                 windowDur: String = "10 seconds",
+                 watermark: String = "30 seconds",
+                 textCol: String = "text", idCol: String = "doc_id",
+                 timeCol: String = "event_time"): DataFrame = {
+    val nC = classStats.length
+    require(nC >= 1, "classStats must be non-empty")
+    val wideAggs = classStats.zipWithIndex.map { case ((c, _, _), i) =>
+      sum(when(col("cls") === c, col("dm")).otherwise(0L)).as(s"dm$i")
+    }
+    val wide = tokDelta.groupBy(col("tok")).agg(wideAggs.head, wideAggs.tail: _*)
+    val toks = docs.withWatermark(timeCol, watermark)
+      .select(col(idCol), col(timeCol),
+        explode(graft.scale.TextOps.tokens(col(textCol))).as("tok"))
+    val sumAggs = count(lit(1)).as("t") +: classStats.indices.map(i =>
+      sum(coalesce(col(s"dm$i"), lit(0L))).as(s"ms$i"))
+    val g = toks.join(wide, Seq("tok"), "left")
+      .groupBy(window(col(timeCol), windowDur), col(idCol))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+    val scored = sort_array(array(classStats.zipWithIndex.map {
+      case ((c, pm, lp0), i) =>
+        struct((lit(pm) + col("t") * lit(lp0) + col(s"ms$i")).as("s"),
+          lit(nC - i).as("pri"), lit(c).as("cls"))
+    }: _*), asc = false)
+    g.withColumn("_sc", scored)
+      .select(col("window"), col(idCol), col("t").as("n_tokens"),
+        col("_sc")(0).getField("cls").as("pred"),
+        col("_sc")(0).getField("s").as("score_m"),
+        (if (nC == 1) lit(0L)
+         else col("_sc")(0).getField("s") - col("_sc")(1).getField("s"))
+          .as("margin_m"))
+  }
+
   /** Streaming flat profile — the incremental twin of
     * [[graft.analysis.Profiles.flatProfile]]: per-window, per-function
     * exclusive time and call counts over a completed-call stream
