@@ -2608,6 +2608,19 @@ object SparkEntry {
         .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
         .orderBy(col("a"), col("b"))),
 
+    // --- cross-table record linkage: a deterministically-perturbed
+    // noisy side (first char dropped) linked back against the canonical
+    // part names through the same lossless q-gram count filter ---
+    "fuzzy_link" -> ((s, dir) => {
+      val part = T(s, dir, "part")
+      val noisy = part.select((col("p_partkey") + 1000000L).as("p_partkey"),
+        expr("substr(p_name, 2)").as("p_name"))
+      graft.scale.Dedup.editDistanceLink(noisy, part, maxDist = 2,
+          textCol = "p_name", idCol = "p_partkey")
+        .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- z-order layout audit: Morton-bucket occupancy and per-bucket
     // dimension bounds (tight boxes = min/max pruning works) ---
     "q_zorder" -> ((s, dir) => {
@@ -7189,6 +7202,16 @@ object SparkEntry {
         |SELECT name_a, name_b,
         |       CAST(levenshtein(name_a, name_b) AS INT) AS dist
         |FROM p WHERE levenshtein(name_a, name_b) <= 6
+        |ORDER BY 1, 2""".stripMargin,
+
+    "fuzzy_link" ->
+      """WITH n AS (SELECT p_partkey + 1000000 AS a,
+        |                  substr(p_name, 2) AS sa FROM part)
+        |SELECT n.a, p.p_partkey AS b,
+        |       CAST(levenshtein(n.sa, p.p_name) AS INT) AS dist
+        |FROM n JOIN part p
+        |  ON abs(length(n.sa) - length(p.p_name)) <= 2
+        |WHERE levenshtein(n.sa, p.p_name) <= 2
         |ORDER BY 1, 2""".stripMargin,
 
     "fuzzy_exact" ->

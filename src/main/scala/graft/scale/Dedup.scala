@@ -997,26 +997,50 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, maxDist: Int = 2, q: Int = 2,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxGramDf: Int = Int.MaxValue): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist (use exact() for 0)")
-    require(q >= 1, s"q must be >= 1, got $q")
-    val minLong = q * (maxDist + 1) // longer side >= this  =>  bound >= 1
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("s"))
+    val base = edBase(docs, textCol, idCol)
+    edJoin(base, base, self = true, maxDist, q, maxGramDf)
+  }
+
+  /** Cross-table twin of [[editDistancePairs]] — record LINKAGE of a
+    * noisy table against a canonical one (left id in `a`, right id in
+    * `b`, every pair within `maxDist`). Same lossless q-gram count
+    * filter + short bucket + banded-DP verification; ids need not be
+    * disjoint across tables (no self-pair filter applies). */
+  def editDistanceLink(left: DataFrame, right: DataFrame, maxDist: Int = 2,
+                       q: Int = 2, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       maxGramDf: Int = Int.MaxValue): DataFrame =
+    edJoin(edBase(left, textCol, idCol), edBase(right, textCol, idCol),
+      self = false, maxDist, q, maxGramDf)
+
+  private def edBase(docs: DataFrame, textCol: String,
+                     idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("s"))
       .withColumn("len", length(col("s")))
+
+  private def edGrams(base: DataFrame, q: Int, maxGramDf: Int): DataFrame = {
     val grams = base.filter(col("len") >= q)
       .select(col("id"), col("len"), explode(expr(
         s"transform(sequence(1, len - ${q - 1}), i -> substr(s, i, $q))")).as("g"))
       .groupBy(col("id"), col("len"), col("g")).agg(count(lit(1)).as("cnt"))
-    val admitted =
-      if (maxGramDf == Int.MaxValue) grams
-      else grams.join(
-        grams.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxGramDf).select("g"), Seq("g"))
-    val ga = admitted.select(col("id").as("a"), col("len").as("la"),
-      col("g"), col("cnt").as("ca"))
-    val gb = admitted.select(col("id").as("b"), col("len").as("lb"),
-      col("g"), col("cnt").as("cb"))
+    if (maxGramDf == Int.MaxValue) grams
+    else grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxGramDf).select("g"), Seq("g"))
+  }
+
+  private def edJoin(baseA: DataFrame, baseB: DataFrame, self: Boolean,
+                     maxDist: Int, q: Int, maxGramDf: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist (use exact() for 0)")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val minLong = q * (maxDist + 1) // longer side >= this  =>  bound >= 1
+    val pairFilter = if (self) col("a") < col("b") else lit(true)
+    val ga = edGrams(baseA, q, maxGramDf).select(col("id").as("a"),
+      col("len").as("la"), col("g"), col("cnt").as("ca"))
+    val gb = edGrams(baseB, q, maxGramDf).select(col("id").as("b"),
+      col("len").as("lb"), col("g"), col("cnt").as("cb"))
     val longPairs = ga.join(gb, Seq("g"))
-      .filter(col("a") < col("b") &&
+      .filter(pairFilter &&
         abs(col("la") - col("lb")) <= maxDist &&
         greatest(col("la"), col("lb")) >= minLong)
       .groupBy(col("a"), col("b"))
@@ -1029,16 +1053,16 @@ object Dedup {
     // vanish there, so key the join on candidate length instead. The
     // bucket spans ≤ q·(d+1) distinct lengths and |la−lb| ≤ d still
     // prunes; disjoint from the gram path by the maxlen split.
-    val short_ = base.filter(col("len") < minLong)
-    val shortPairs = short_
+    val shortPairs = baseA.filter(col("len") < minLong)
       .select(col("id").as("a"), col("len").as("la"))
       .withColumn("lb", explode(sequence(col("la") - maxDist, col("la") + maxDist)))
-      .join(short_.select(col("id").as("b"), col("len").as("lb")), Seq("lb"))
-      .filter(col("a") < col("b"))
+      .join(baseB.filter(col("len") < minLong)
+        .select(col("id").as("b"), col("len").as("lb")), Seq("lb"))
+      .filter(pairFilter)
       .select(col("a"), col("b"))
     longPairs.unionByName(shortPairs)
-      .join(base.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
-      .join(base.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .join(baseA.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(baseB.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
       .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("a"), col("b"), col("dist"))

@@ -89,6 +89,24 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(engine(names, 1) == bruteForce(names, 1))
   }
 
+  test("editDistanceLink equals brute force across two tables, overlapping ids allowed") {
+    val leftN = Seq("cold widget", "warm gear", "x", "ab", "shiny rng", "")
+    val rightN = Seq("bold widget", "warm gears", "y", "ba", "shiny ring", "a")
+    val left = leftN.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val right = rightN.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    for (d <- 1 to 2) {
+      val got = graft.scale.Dedup.editDistanceLink(left, right, maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        i <- leftN.indices; j <- rightN.indices
+        dist = lev(leftN(i), rightN(j)) if dist <= d
+      } yield (i.toLong, j.toLong, dist)).toSet
+      assert(got == want, s"maxDist=$d")
+    }
+  }
+
   test("editDistancePairs gram-df cap yields a subset, full default is exact") {
     val names = Seq("shiny ring", "shiny king", "shiny wing", "dull thing")
     val full = engine(names, 2)
