@@ -1433,6 +1433,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- CCNet head/middle/tail bucketing: per-language perplexity
+    // terciles under the unigram LM (integer micro-unit NLL scores,
+    // exact keyed-quantile boundaries — no per-language global sort);
+    // "head" is the most-fluent third CCNet ships first ---
+    "ccnet_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextOps.ccnetBuckets(docs, docs.filter(col("doc_id") % 5 === 0))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // --- bigram-conditional LM score (the next CCNet rung above the
     // unigram proxy): catches locally-scrambled text unigrams miss;
     // the model's two count tables are memoized (train once, score
@@ -2127,6 +2137,14 @@ object SparkEntry {
     // --- substring-level dedup audit (Lee et al. 2022, fixed-k spans) ---
     "dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(T(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // --- MAXIMAL duplicated regions (the Lee et al. removal unit):
+    // overlapping duplicated 3-gram positions merged into maximal
+    // token ranges via the per-doc gaps-and-islands scan — region
+    // count, duplicated token mass, longest region per doc ---
+    "dup_spans_maximal" -> ((s, dir) =>
+      Dedup.maximalDupSpans(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
     // --- DSIR importance weights vs. the English sub-corpus ---
@@ -2938,6 +2956,29 @@ object SparkEntry {
       Curation.corpusDiff(a, b)
         .filter(col("status") =!= "unchanged")
         .orderBy(col("doc_id"), col("status"))
+    }),
+
+    // --- incremental aggregate maintenance: snapshot B's per-source
+    // (docs, tokens) aggregate computed as snapshot A's stored
+    // aggregate + the corpusDiff delta — B itself is never
+    // re-aggregated by the engine; the oracle aggregates B directly,
+    // so the green row PROVES the maintained aggregate is exact ---
+    "incr_agg" -> ((s, dir) => {
+      val a = T(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val base = a.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+      // a source whose docs all vanish keeps an n_docs=0 row in the
+      // maintained table; the direct-agg oracle has no such row — drop
+      // them to compare under the oracle's "rows that exist in B" view
+      Curation.maintainAgg(base, Curation.corpusDiff(a, b), a, b)
+        .filter(col("n_docs") > 0)
+        .orderBy(col("source"))
     }),
 
     // --- cross-split n-gram contamination under the leakage-safe split:
@@ -5206,6 +5247,45 @@ object SparkEntry {
         |FROM dt LEFT JOIN freq f USING (tok) CROSS JOIN tot t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "ccnet_buckets" ->
+      """WITH tr AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |freq AS (SELECT tok, COUNT(*) AS c FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM freq),
+        |dt AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CAST(ROUND(-ln(CAST(COALESCE(f.c, 0) + 1 AS DOUBLE)
+        |             / CAST(t.n + t.v AS DOUBLE)) * 1000000) AS BIGINT))
+        |           AS BIGINT) AS s
+        |  FROM dt LEFT JOIN freq f USING (tok) CROSS JOIN tot t
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT d.lang, sc.n_tokens, sc.s // sc.n_tokens AS mm
+        |  FROM sc JOIN documents d USING (doc_id)),
+        |cnt AS (SELECT lang, COUNT(*) AS nl FROM m GROUP BY 1),
+        |rk AS (SELECT lang, mm,
+        |              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY mm) AS rn
+        |       FROM m),
+        |bd AS (
+        |  SELECT c.lang,
+        |         MAX(CASE WHEN r.rn = (333 * c.nl + 999) // 1000
+        |                  THEN r.mm END) AS b1,
+        |         MAX(CASE WHEN r.rn = (667 * c.nl + 999) // 1000
+        |                  THEN r.mm END) AS b2
+        |  FROM cnt c JOIN rk r USING (lang) GROUP BY c.lang)
+        |SELECT m.lang,
+        |       CASE WHEN m.mm <= b.b1 THEN 'head'
+        |            WHEN m.mm <= b.b2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(m.n_tokens) AS BIGINT) AS sum_tokens
+        |FROM m JOIN bd b USING (lang)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "lsh_precision" -> (shinglesCte + lshPairsCte +
       """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
         |sets AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
@@ -6097,6 +6177,37 @@ object SparkEntry {
         |             / COUNT(*), 4) AS dup_ratio
         |FROM sh s JOIN docfreq d USING (shingle)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
+    "dup_spans_maximal" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+        |        FROM t)),
+        |dupsh AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+        |  WHERE nd >= 2),
+        |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupsh USING (shingle)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER w IS NULL
+        |                OR pos > lag(pos) OVER w + 3 THEN 1 ELSE 0 END AS ni
+        |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m),
+        |reg AS (
+        |  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + 2 AS en
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_regions,
+        |       CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
+        |       CAST(MAX(en - st + 1) AS BIGINT) AS max_region
+        |FROM reg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dsir_weights" -> (dsirCte +
       """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
@@ -7739,6 +7850,23 @@ object SparkEntry {
         |            WHEN a.ha != b.hb THEN 'changed'
         |            ELSE 'unchanged' END) != 'unchanged'
         |ORDER BY doc_id, status""".stripMargin,
+
+    // the oracle aggregates snapshot B DIRECTLY; the engine maintains
+    // A's aggregate incrementally through the diff — equality is the
+    // proof the maintenance algebra is exact
+    "incr_agg" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |           AS text
+        |  FROM documents WHERE doc_id % 13 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents
+        |  WHERE doc_id % 11 = 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(regexp_split_to_array(trim(text), ' +')))
+        |            AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "split_ngram_overlap" -> (splitAssignCte +
       """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),

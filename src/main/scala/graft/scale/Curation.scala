@@ -631,6 +631,50 @@ object Curation {
       .select(col(idCol), col("status"))
   }
 
+  /** Incremental aggregate maintenance under a [[corpusDiff]] — the
+    * payoff of the snapshot diff: instead of re-aggregating snapshot B
+    * from scratch, apply the diff's delta to snapshot A's stored
+    * per-group aggregate. added: +1 doc +its tokens (from B); removed:
+    * −1 doc −its tokens (from A); changed: token delta only (−A +B).
+    * The result equals a direct aggregation over B — which is exactly
+    * what the oracle checks.
+    *
+    * Scale shape: the touched-id set is diff-sized (crawl deltas are a
+    * few % of the corpus); both payload fetches are id-keyed equi-joins
+    * of that small set against one snapshot (at 100 TB a runtime bloom
+    * filter / DPP turns them into pruned scans), and the merge is a
+    * union of |groups| + |delta| rows into one keyed aggregation. The
+    * 100-TB corpus itself is never re-scanned.
+    *
+    * `baseAgg` must be (groupCol, n_docs, n_tokens) as produced by
+    * grouping snapshot A; token counts use [[TextOps.tokens]]. */
+  def maintainAgg(baseAgg: DataFrame, diff: DataFrame,
+                  a: DataFrame, b: DataFrame,
+                  groupCol: String = "source", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    def payload(df: DataFrame) = df.select(col(idCol), col(groupCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("__t"))
+    val touched = diff.filter(col("status") =!= "unchanged")
+    val minus = touched.filter(col("status").isin("removed", "changed"))
+      .join(payload(a), Seq(idCol))
+      .select(col(groupCol),
+        when(col("status") === "removed", lit(-1L)).otherwise(lit(0L))
+          .as("n_docs"),
+        (-col("__t")).as("n_tokens"))
+    val plus = touched.filter(col("status").isin("added", "changed"))
+      .join(payload(b), Seq(idCol))
+      .select(col(groupCol),
+        when(col("status") === "added", lit(1L)).otherwise(lit(0L))
+          .as("n_docs"),
+        col("__t").as("n_tokens"))
+    baseAgg.select(col(groupCol), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .unionByName(minus).unionByName(plus)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Cross-split n-gram contamination — the memorization-risk audit one
     * level below [[leakageSafeSplit]]'s pair-level guarantee: per split,
     * how many of its DISTINCT shingles also occur in some other split.

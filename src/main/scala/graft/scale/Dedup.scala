@@ -887,6 +887,53 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Maximal duplicated REGIONS — the actual removal target of exact
+    * substring dedup (Lee et al. 2022 remove each *maximal* duplicated
+    * substring, not isolated fixed-k windows): overlapping/adjacent
+    * duplicated span positions merge into one region, so "50 duplicated
+    * 3-gram positions" collapses to e.g. "one 52-token boilerplate
+    * block" — the unit a rewrite pass would actually cut. A position i
+    * is duplicated when tokens [i, i+k-1] occur in ≥ 2 distinct docs
+    * (same cross-doc rule as [[duplicatedSpans]]); regions are the
+    * interval union of those token ranges via the gaps-and-islands
+    * scan (new island when the next duplicated position starts after
+    * the previous span's end + 1).
+    *
+    * Returns one row per document that has ≥ 1 duplicated region:
+    * region count, total duplicated tokens, and the longest region.
+    *
+    * Scale shape: positional spans explode scan-locally; the dup-span
+    * set is a keyed equi-join against the (distinct-doc-count ≥ 2)
+    * span table; island numbering is a window PARTITIONED BY doc —
+    * per-doc state only, never a global window. Linear in corpus
+    * spans. */
+  def maximalDupSpans(docs: DataFrame, shingleK: Int = 3,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Shingles.wordShinglesPos(docs, shingleK, textCol, idCol)
+    val dupShingles = pos.select(col(idCol), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("shingle"))
+    val dup = pos.join(dupShingles, Seq("shingle"))
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val isl = dup
+      .withColumn("__ni",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + shingleK, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("__st"),
+        (max(col("pos")) + (shingleK - 1)).cast("long").as("__en"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("__en") - col("__st") + 1).as("dup_tokens"),
+        max(col("__en") - col("__st") + 1).as("max_region"))
+  }
+
   /** SoftDeDup document downweighting (He et al. 2024): instead of
     * DELETING near-duplicates, score how COMMON each document's content
     * is — the mean document-frequency of its distinct shingles — and

@@ -426,6 +426,51 @@ object TextOps {
         round(avg(col("nll")), 4).as("mean_nll"))
   }
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2019): per
+    * language, split the corpus into perplexity terciles under the
+    * unigram LM — "head" is the most-fluent third, the slice CCNet
+    * ships to pretraining first. Scores are integer micro-unit NLLs
+    * (per-token round(−ln p · 10⁶), integer per-doc mean — order-free,
+    * engine-exact); tercile BOUNDARIES come from the exact keyed
+    * histogram-refinement quantiles ([[Sketches.histQuantilesByKey]]
+    * at 333/667 per-mille, rank r = ⌈pm·n/1000⌉), so no per-language
+    * global sort ever runs — the boundary table is |languages|-sized
+    * and broadcast back for the bucket assignment.
+    *
+    * Returns (langCol, bucket, n_docs, sum_tokens). */
+  def ccnetBuckets(docs: DataFrame, train: DataFrame,
+                   langCol: String = "lang", textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val freq = train.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = freq.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val scored = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(freq, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(-log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n") + col("v")).cast("double")) * 1e6).cast("long").as("nm"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("nm")).as("sum_nll"))
+      .withColumn("mean_nll_micro", expr("sum_nll div n_tokens"))
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val bounds = Sketches
+      .histQuantilesByKey(scored, langCol, "mean_nll_micro",
+        bins = 64, perMille = Seq(333, 667))
+      .groupBy(col(langCol))
+      .agg(max(when(col("per_mille") === 333, col("exact"))).as("__b1"),
+        max(when(col("per_mille") === 667, col("exact"))).as("__b2"))
+    scored.join(broadcast(bounds), Seq(langCol))
+      .withColumn("bucket",
+        when(col("mean_nll_micro") <= col("__b1"), "head")
+          .when(col("mean_nll_micro") <= col("__b2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   /** Bigram language-model score — one order up from [[unigramLogProb]],
     * the closer proxy for CCNet's 5-gram KenLM perplexity filter: mean
     * negative log of the add-one-smoothed CONDITIONAL probability

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.{Curation, Dedup, TextOps}
+
+/** Semantics checks for the round-6 curation additions: maximal
+  * duplicated regions (interval union of duplicated span positions),
+  * incremental aggregate maintenance under a snapshot diff, and CCNet
+  * head/middle/tail perplexity bucketing. */
+class IncrMaintSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("maximalDupSpans: consecutive duplicated positions merge to one region") {
+    val docs = Seq(
+      (0L, "p q r s t u"),             // trigrams @1..3 all shared with doc 1
+      (1L, "p q r s t m"),
+      (2L, "aa bb cc xx yy zz p q r"), // two separated shared blocks
+      (3L, "aa bb cc qq ww ee p q r"),
+      (4L, "solo only tokens here now") // nothing shared -> absent
+    ).toDF("doc_id", "text")
+    val r = Dedup.maximalDupSpans(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 0: dup positions {1,2,3} -> one region [1, 5]
+    assert(r(0L).getAs[Long]("n_regions") == 1)
+    assert(r(0L).getAs[Long]("dup_tokens") == 5)
+    assert(r(0L).getAs[Long]("max_region") == 5)
+    // doc 2: dup positions {1, 7} -> [1,3] and [7,9]
+    assert(r(2L).getAs[Long]("n_regions") == 2)
+    assert(r(2L).getAs[Long]("dup_tokens") == 6)
+    assert(r(2L).getAs[Long]("max_region") == 3)
+    assert(!r.contains(4L))
+  }
+
+  test("maximalDupSpans: gap of exactly k merges, larger gap splits") {
+    val docs = Seq(
+      (0L, "a b c d e f g"),   // shared @1 ("a b c") and @5 ("e f g")... via doc 1
+      (1L, "a b c zz d e f g")
+    ).toDF("doc_id", "text")
+    val r = Dedup.maximalDupSpans(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 0 trigrams: @1 "a b c" (shared), @5 "e f g" (shared via doc1 @6);
+    // also @3 "c d e"? doc1 has "c zz d" - not shared. @5 > 1+3 -> split.
+    // Wait: doc1 trigrams: "a b c","b c zz","c zz d","zz d e","d e f","e f g"
+    // doc0 trigrams: "a b c"@1,"b c d"@2,"c d e"@3,"d e f"@4,"e f g"@5
+    // shared for doc0: @1, @4, @5 -> 4 <= 1+3 merges, 5 <= 4+3 merges
+    // -> ONE region [1, 7] covering the whole doc
+    assert(r(0L).getAs[Long]("n_regions") == 1)
+    assert(r(0L).getAs[Long]("dup_tokens") == 7)
+    // doc 1: shared @1 ("a b c"), @5 ("d e f"), @6 ("e f g");
+    // 5 > 1+3 -> split: [1,3] and [5,8]
+    assert(r(1L).getAs[Long]("n_regions") == 2)
+    assert(r(1L).getAs[Long]("dup_tokens") == 3 + 4)
+    assert(r(1L).getAs[Long]("max_region") == 4)
+  }
+
+  test("maintainAgg: maintained aggregate equals direct aggregation over B") {
+    val a = Seq(
+      (1L, "s0", "one two three"),
+      (2L, "s0", "four five"),
+      (3L, "s1", "six"),
+      (4L, "s1", "seven eight nine ten")
+    ).toDF("doc_id", "source", "text")
+    val b = Seq(
+      (1L, "s0", "one two three"),          // unchanged
+      (2L, "s0", "four five extended now"), // changed: +2 tokens
+      // 3 removed
+      (4L, "s1", "seven eight nine ten"),   // unchanged
+      (5L, "s2", "brand new doc")           // added (new source!)
+    ).toDF("doc_id", "source", "text")
+    val base = a.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val maintained = Curation.maintainAgg(base, Curation.corpusDiff(a, b), a, b)
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"))).toMap
+    val direct = b.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"))).toMap
+    assert(maintained == direct)
+    // and the delta actually moved things: s1 lost a doc, s2 appeared
+    assert(maintained("s1") == ((1L, 4L)))
+    assert(maintained("s2") == ((1L, 3L)))
+  }
+
+  test("ccnetBuckets: fluent docs land in head, unseen-vocab docs in tail") {
+    // doc i mixes (10-i) copies of the trained token with one unseen
+    // token -> mean NLL strictly increases with i, no boundary ties
+    val docs = (1 to 9).map { i =>
+      (i.toLong, "en", (Seq.fill(10 - i)("common") :+ s"rare$i").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val train = Seq((100L, "en", "common common common common"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextOps.ccnetBuckets(docs, train).collect()
+      .map(x => x.getAs[String]("bucket") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("sum_tokens"))).toMap
+    // n=9: tercile ranks r333=3, r667=7 -> head {1,2,3}, middle {4..7},
+    // tail {8,9}
+    assert(r("head")._1 == 3)
+    assert(r("middle")._1 == 4)
+    assert(r("tail")._1 == 2)
+    // doc i has 11-i tokens
+    assert(r("head")._2 == (10 + 9 + 8))
+    assert(r("tail")._2 == (3 + 2))
+  }
+}
