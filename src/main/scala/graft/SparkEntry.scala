@@ -3058,6 +3058,26 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // --- the streaming sessionizer (session_window + watermark) run in
+    // batch mode: per-user 30-min-gap sessions with event counts and
+    // cent volume; the oracle replicates the PINNED merge rule (an
+    // event at exactly prev+gap still merges — StreamSessionSpec) via
+    // gaps-and-islands, session_end = last event + gap ---
+    "stream_session_endstate" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(
+        col("user_id").cast("long").as("process"),
+        // parquet µs timestamps read as NTZ; session tz is UTC, so the
+        // cast to (ltz) timestamp is value-preserving
+        col("ts").cast("timestamp").as("event_time"),
+        round(col("value") * 100).cast("long").as("attr_msg_length"))
+      graft.streaming.StreamingOps.sessions(ev, gap = "30 minutes")
+        .select(col("process").as("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("volume"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // --- windowed TV drift vs a uniform reference histogram, through
     // the streaming operator's own binning/agg code path ---
     "stream_drift_tv" -> ((s, dir) => {
@@ -7969,6 +7989,27 @@ object SparkEntry {
         |SELECT b.k, b.seq, b.op, b.v, b.op = 'D' AS deleted, s.n_stale
         |FROM best b JOIN stale s USING (k) WHERE rn = 1
         |ORDER BY b.k""".stripMargin,
+
+    "stream_session_endstate" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, c,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS ni
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, c,
+        |         SUM(ni) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+        |  FROM m)
+        |SELECT user_id, epoch_us(MIN(ts)) AS start_us,
+        |       epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(c) AS BIGINT) AS volume
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "stream_drift_tv" ->
       """WITH e AS (
