@@ -1111,6 +1111,14 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2L)
         .orderBy(col("a"), col("b"))),
 
+    // --- frequent TRIPLES via Apriori level-wise pruning; the oracle
+    // runs the unpruned brute-force 3-way self-join, so the green row
+    // proves the pruning lossless ---
+    "basket_itemsets" -> ((s, dir) =>
+      graft.analysis.Basket.frequentTriples(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("a"), col("b"), col("c"))),
+
     // --- cohort LTV: per (acquisition cohort, age) revenue + running
     // cumulative, integer cents throughout ---
     "q_cohort_ltv" -> ((s, dir) => Sessionize.cohortValue(
@@ -4567,6 +4575,25 @@ object SparkEntry {
          |FROM p JOIN sup sa ON sa.i = p.a JOIN sup sb ON sb.i = p.b
          |CROSS JOIN n
          |ORDER BY p.a, p.b""".stripMargin,
+
+    // brute-force (unpruned) itemset counting — equality with the
+    // engine's Apriori plan proves the level-wise pruning lossless
+    "basket_itemsets" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |            FROM lineitem),
+        |p AS (SELECT x.i AS a, y.i AS b2, CAST(COUNT(*) AS BIGINT) AS sup_ab
+        |      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |t AS (SELECT x.i AS a, y.i AS b2, z.i AS c,
+        |             CAST(COUNT(*) AS BIGINT) AS sup_abc
+        |      FROM bi x
+        |      JOIN bi y ON x.b = y.b AND x.i < y.i
+        |      JOIN bi z ON z.b = x.b AND y.i < z.i
+        |      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+        |SELECT t.a, t.b2 AS b, t.c, t.sup_abc, p.sup_ab,
+        |       CAST(t.sup_abc * 1000000 // p.sup_ab AS BIGINT)
+        |         AS conf_ab_c_micro
+        |FROM t JOIN p ON p.a = t.a AND p.b2 = t.b2
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH e AS (

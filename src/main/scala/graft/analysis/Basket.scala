@@ -57,4 +57,61 @@ object Basket {
                |div (CAST(sup_a AS DECIMAL(38,0)) * sup_b)""".stripMargin)
           .as("lift_micro"))
   }
+
+  /** Frequent item TRIPLES via Apriori level-wise pruning (Agrawal &
+    * Srikant 1994): a triple can only be frequent if all three of its
+    * pairs are, so the basket-level triple enumeration is restricted to
+    * frequent items first and frequent PAIRS second — the classic
+    * guard that keeps Σ|basket|³ from materializing. The oracle runs
+    * the unpruned brute-force 3-way self-join, so the green row proves
+    * the pruning lossless, not just plausible.
+    *
+    * Scale shape: L1/L2 are support-pruned aggregate tables (vocabulary-
+    * sized); the enumeration joins are all keyed on the basket id with
+    * leftsemi prunes against L2 BEFORE the third item fans out; the
+    * final count has map-side combine. conf((a,b)→c) in exact micro
+    * units via integral division. */
+  def frequentTriples(rows: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Long = 2L,
+                      maxBasketSize: Int = Int.MaxValue): DataFrame = {
+    require(minSupport >= 1L, s"minSupport must be >= 1: $minSupport")
+    val bi0 = rows.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val sized =
+      if (maxBasketSize == Int.MaxValue) bi0
+      else bi0.join(
+        bi0.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") <= maxBasketSize).select(col("b")),
+        Seq("b"), "leftsemi")
+    // L1: frequent items; prune the basket table down to them
+    val l1 = sized.groupBy(col("i")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport).select(col("i"))
+    val bi = sized.join(l1, Seq("i"), "leftsemi")
+    // L2: frequent ordered pairs over the pruned table
+    val pairsInBasket = bi.as("x").join(bi.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .select(col("x.b").as("b"), col("x.i").as("i1"), col("y.i").as("i2"))
+    val l2 = pairsInBasket.groupBy(col("i1"), col("i2"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSupport)
+    // enumerate third items only off L2-frequent in-basket pairs, and
+    // require the two new pairs (i1,i3), (i2,i3) frequent too before
+    // counting — full Apriori candidate pruning, all keyed joins
+    val pb = pairsInBasket
+      .join(l2.select(col("i1"), col("i2")), Seq("i1", "i2"), "leftsemi")
+    val triplesInBasket = pb.join(bi.as("z"),
+        pb("b") === col("z.b") && col("z.i") > pb("i2"))
+      .select(col("i1"), col("i2"), col("z.i").as("i3"))
+      .join(l2.select(col("i1"), col("i2").as("i3")),
+        Seq("i1", "i3"), "leftsemi")
+      .join(l2.select(col("i1").as("i2"), col("i2").as("i3")),
+        Seq("i2", "i3"), "leftsemi")
+    triplesInBasket.groupBy(col("i1"), col("i2"), col("i3"))
+      .agg(count(lit(1)).as("sup_abc"))
+      .filter(col("sup_abc") >= minSupport)
+      .join(l2.select(col("i1"), col("i2"), col("sup_ab")), Seq("i1", "i2"))
+      .select(col("i1").as("a"), col("i2").as("b"), col("i3").as("c"),
+        col("sup_abc"), col("sup_ab"),
+        expr("sup_abc * 1000000 div sup_ab").as("conf_ab_c_micro"))
+  }
 }

@@ -77,4 +77,24 @@ class BasketSpec extends SparkSpec {
     assert(after == before, "plan construction must not run jobs")
     assert(plan.count() >= 0L) // and it still executes
   }
+
+  test("frequentTriples: Apriori pruning equals brute force, ordered a<b<c") {
+    // {p,q,r} ×2, {p,q,r,s}, {p,s} → triple (p,q,r) sup 3; (p,q,s),
+    // (p,r,s), (q,r,s) sup 1 < minSupport → absent
+    val rows = Seq(
+      (1L, "p"), (1L, "q"), (1L, "r"),
+      (2L, "p"), (2L, "q"), (2L, "r"),
+      (3L, "p"), (3L, "q"), (3L, "r"), (3L, "s"),
+      (4L, "p"), (4L, "s")
+    ).toDF("basket", "item")
+    val got = Basket.frequentTriples(rows, "basket", "item", minSupport = 2L)
+      .collect()
+    assert(got.length == 1)
+    val t = got.head
+    assert(t.getAs[String]("a") == "p" && t.getAs[String]("b") == "q" &&
+      t.getAs[String]("c") == "r")
+    assert(t.getAs[Long]("sup_abc") == 3L)
+    assert(t.getAs[Long]("sup_ab") == 3L) // (p,q) in baskets 1,2,3
+    assert(t.getAs[Long]("conf_ab_c_micro") == 1000000L)
+  }
 }
