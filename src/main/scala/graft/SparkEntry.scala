@@ -1284,6 +1284,16 @@ object SparkEntry {
           pairs = Some(Dedup.minhashLshPairs(minhashSigs(s, dir))))
         .orderBy(col("a"), col("b"))),
 
+    // --- alignment stage after near-dup detection: per LSH candidate
+    // pair, the longest contiguous token span both sides share (diagonal
+    // runs of matched positional shingles) — the quote-vs-clone extent
+    // a plagiarism/dedup policy thresholds on ---
+    "pair_align_span" -> ((s, dir) =>
+      Dedup.pairMaxSharedSpan(
+          Dedup.minhashLshPairs(minhashSigs(s, dir)).select("a", "b"),
+          T(s, dir, "documents"))
+        .orderBy(col("a"), col("b"))),
+
     // --- pivot: source x language count matrix ---
     "q_pivot" -> ((s, dir) => T(s, dir, "documents")
       .groupBy(col("source"))
@@ -5332,6 +5342,42 @@ object SparkEntry {
         |       CAST(SUM(m.n_tokens) AS BIGINT) AS sum_tokens
         |FROM m JOIN bd b USING (lang)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pair_align_span" -> (
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |shp AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+        |        FROM t)),
+        |sh AS (SELECT doc_id, shingle FROM shp)""".stripMargin
+        + lshPairsCte +
+      """, pm AS (
+        |  SELECT p.a, p.b, sa.pos AS pa, sb.pos AS pb, sa.pos - sb.pos AS diag
+        |  FROM prs p
+        |  JOIN shp sa ON sa.doc_id = p.a
+        |  JOIN shp sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle),
+        |mrk AS (
+        |  SELECT a, b, diag, pa,
+        |         CASE WHEN lag(pa) OVER w IS NULL
+        |                OR pa > lag(pa) OVER w + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM pm WINDOW w AS (PARTITION BY a, b, diag ORDER BY pa)),
+        |isl AS (
+        |  SELECT a, b, diag, pa,
+        |         SUM(ni) OVER (PARTITION BY a, b, diag ORDER BY pa) AS island
+        |  FROM mrk),
+        |runs AS (
+        |  SELECT a, b, diag, island, COUNT(*) AS run
+        |  FROM isl GROUP BY 1, 2, 3, 4),
+        |mx AS (SELECT a, b, CAST(MAX(run) + 2 AS BIGINT) AS max_span
+        |       FROM runs GROUP BY 1, 2),
+        |st AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |       FROM pm GROUP BY 1, 2)
+        |SELECT s.a, s.b, m.max_span, s.n_matches
+        |FROM st s JOIN mx m USING (a, b)
+        |ORDER BY s.a, s.b""".stripMargin),
 
     "lsh_precision" -> (shinglesCte + lshPairsCte +
       """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),

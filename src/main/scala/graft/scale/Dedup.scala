@@ -934,6 +934,50 @@ object Dedup {
         max(col("__en") - col("__st") + 1).as("max_region"))
   }
 
+  /** Longest shared token span per candidate pair — the alignment stage
+    * after near-dup detection: LSH says "these two documents overlap";
+    * this says HOW MUCH, exactly — the length of the longest contiguous
+    * token run the two sides share, the quantity a quote-vs-clone or
+    * plagiarism-extent policy thresholds on. Classic diagonal-run
+    * formulation of longest common substring restricted to candidate
+    * pairs: matched k-shingle positions (posA, posB) lie on diagonal
+    * d = posA − posB; a run of consecutive positions on one diagonal of
+    * length r is a shared span of r + k − 1 tokens.
+    *
+    * Scale shape: the positional-shingle join is keyed on (doc, shingle)
+    * and fans out only over the CANDIDATE pairs (LSH-bounded, never
+    * all-pairs); run detection is a gaps-and-islands window partitioned
+    * by (pair, diagonal) — per-pair state only. Returns
+    * (a, b, max_span, n_matches). */
+  def pairMaxSharedSpan(pairs: DataFrame, docs: DataFrame,
+                        shingleK: Int = 3, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Shingles.wordShinglesPos(docs, shingleK, textCol, idCol)
+    val m = pairs.select(col("a"), col("b"))
+      .join(pos.select(col(idCol).as("a"), col("pos").as("pa"),
+        col("shingle")), Seq("a"))
+      .join(pos.select(col(idCol).as("b"), col("pos").as("pb"),
+        col("shingle")), Seq("b", "shingle"))
+      .select(col("a"), col("b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy(col("a"), col("b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = m
+      .withColumn("__ni",
+        when(lag(col("pa"), 1).over(w).isNull ||
+          col("pa") > lag(col("pa"), 1).over(w) + 1, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("a"), col("b"), col("diag"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+    val spans = runs.groupBy(col("a"), col("b"))
+      .agg((max(col("__run")) + (shingleK - 1)).as("max_span"))
+    val stats = m.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_matches"))
+    spans.join(stats, Seq("a", "b"))
+  }
+
   /** SoftDeDup document downweighting (He et al. 2024): instead of
     * DELETING near-duplicates, score how COMMON each document's content
     * is — the mean document-frequency of its distinct shingles — and

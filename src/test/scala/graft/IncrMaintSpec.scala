@@ -85,6 +85,23 @@ class IncrMaintSpec extends SparkSpec {
     assert(maintained("s2") == ((1L, 3L)))
   }
 
+  test("pairMaxSharedSpan: diagonal runs find the longest shared block") {
+    val docs = Seq(
+      // docs 0/1 share the 5-token block "c1 c2 c3 c4 c5" at different
+      // offsets, plus an isolated shared trigram "t1 t2 t3"
+      (0L, "c1 c2 c3 c4 c5 xx yy t1 t2 t3"),
+      (1L, "aa bb c1 c2 c3 c4 c5 zz t1 t2 t3 qq"),
+      (2L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L)).toDF("a", "b")
+    val r = graft.scale.Dedup.pairMaxSharedSpan(pairs, docs).collect()
+    assert(r.length == 1)
+    // block run: positions (1..3)x(3..5) on diag -2 -> run 3 -> span 5
+    assert(r.head.getAs[Long]("max_span") == 5L)
+    // matches: 3 block shingles + 1 trigram "t1 t2 t3" = 4
+    assert(r.head.getAs[Long]("n_matches") == 4L)
+  }
+
   test("ccnetBuckets: fluent docs land in head, unseen-vocab docs in tail") {
     // doc i mixes (10-i) copies of the trained token with one unseen
     // token -> mean NLL strictly increases with i, no boundary ties
