@@ -194,6 +194,13 @@ object SparkEntry {
   private def lshComponents(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "lsh_components")(
       Dedup.connectedComponents(Dedup.minhashLshPairs(minhashSigs(s, dir))))
+  /** Day-1 component labels of the HISTORICAL corpus (doc_id % 10 != 0)
+    * — the persisted labeling the day-2 incremental component merge
+    * starts from, memoized like the other day-2 index artifacts. */
+  private def lshComponentsHist(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "lsh_components_hist")(
+      Dedup.connectedComponents(Dedup.minhashLshPairs(
+        minhashSigs(s, dir).filter(col("doc_id") % 10 =!= 0))))
   private def bitextScored(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "bitext_scored")(
       Bitext.scoredPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
@@ -1357,6 +1364,40 @@ object SparkEntry {
 
     "dedup_components" -> ((s, dir) =>
       lshComponents(s, dir).orderBy(col("node"))),
+
+    // --- day-2 COMPONENTS: yesterday's labels + the incremental pair
+    // join's new edges, contracted to a new-batch-sized super-graph —
+    // the oracle recomputes components from scratch over the full edge
+    // set, so the green row proves the merge equals full recomputation ---
+    "dedup_components_incr" -> ((s, dir) => {
+      val sigs = minhashSigs(s, dir)
+      val newEdges = Dedup.minhashLshPairsIncremental(
+        sigs.filter(col("doc_id") % 10 === 0),
+        Dedup.bandTable(sigs.filter(col("doc_id") % 10 =!= 0)))
+      Dedup.componentsIncremental(lshComponentsHist(s, dir), newEdges)
+        .orderBy(col("node"))
+    }),
+
+    // --- LSH candidate RECALL against the LOSSLESS exact-Jaccard join
+    // (lsh_precision's missing half): what fraction of the true pairs
+    // at tau = 1/5 and tau = 1/2 the banding surfaces — the eval that
+    // says whether 16 sigs / 4 bands is enough before trusting the
+    // candidate path at corpus scale ---
+    "lsh_recall" -> ((s, dir) => {
+      val exact = Dedup.jaccardPrefixPairs(T(s, dir, "documents"), 3, 1, 5)
+      val cand = Dedup.minhashLshPairs(minhashSigs(s, dir))
+        .select(col("a"), col("b"), lit(1L).as("__hit"))
+      val j = exact.join(cand, Seq("a", "b"), "left")
+      def at(tau: String, cond: Column) = j.filter(cond)
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_covered"))
+        .select(lit(tau).as("tau"), col("n_exact"), col("n_covered"))
+      at("1/5", lit(true))
+        .unionByName(at("1/2",
+          col("inter") * 2 >= (col("sza") + col("szb") - col("inter"))))
+        .withColumn("recall_micro", expr("n_covered * 1000000 div n_exact"))
+        .orderBy(col("tau"))
+    }),
 
     "dedup_retained_best" -> ((s, dir) =>
       Dedup.keepBestByComponents(T(s, dir, "documents"),
@@ -5130,6 +5171,46 @@ object SparkEntry {
         |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y)
         |SELECT node, MIN(label) AS component FROM reach
         |GROUP BY node ORDER BY node""".stripMargin),
+
+    // identical to dedup_components: the oracle is the FULL
+    // recomputation; the engine's day-2 merge must match it exactly
+    "dedup_components_incr" -> (shinglesCte
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + lshPairsCte +
+      """, cedges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM cedges
+        |  UNION
+        |  SELECT e.x, r.label FROM cedges e JOIN reach r ON r.node = e.y)
+        |SELECT node, MIN(label) AS component FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin),
+
+    "lsh_recall" -> (shinglesCte + lshPairsCte +
+      """, dsh AS (SELECT DISTINCT doc_id,
+        |    CAST(concat('0x', substr(md5('0:' || shingle), 1, 15)) AS BIGINT) AS h
+        |  FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM dsh x JOIN dsh y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT inter.a, inter.b, i, sa.sz AS sza, sb.sz AS szb
+        |  FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        |             JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE i * 5 >= (sa.sz + sb.sz - i) * 1),
+        |j AS (
+        |  SELECT e.*, CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM ex e LEFT JOIN prs p ON p.a = e.a AND p.b = e.b)
+        |SELECT tau, n_exact, n_covered,
+        |       CAST(n_covered * 1000000 // n_exact AS BIGINT) AS recall_micro
+        |FROM (
+        |  SELECT '1/5' AS tau, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |         CAST(SUM(hit) AS BIGINT) AS n_covered
+        |  FROM j
+        |  UNION ALL
+        |  SELECT '1/2', CAST(COUNT(*) AS BIGINT), CAST(SUM(hit) AS BIGINT)
+        |  FROM j WHERE i * 2 >= (sza + szb - i))
+        |ORDER BY tau""".stripMargin),
 
     "dedup_cluster_sizes" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, hashed AS (

@@ -396,6 +396,47 @@ object Dedup {
         .as("component"))
   }
 
+  /** Day-2 connected components — the incremental twin of
+    * [[connectedComponents]]: given yesterday's labeling (component =
+    * MIN node id, the invariant [[connectedComponents]] guarantees) and
+    * the NEW edges from a day-2 incremental pair join (every new edge
+    * touches ≥ 1 new node; history×history never re-pairs), contract
+    * each endpoint to its super-node (its day-1 label for history
+    * nodes, itself for new ones), run the fixpoint ONLY on the
+    * super-graph — new-batch-sized, not corpus-sized — and expand
+    * labels back. min(min-labels ∪ new ids) = the full run's global
+    * min, so the result EQUALS recomputing components from scratch on
+    * the full edge set, which is exactly what the oracle does.
+    *
+    * Scale shape: three keyed joins against the label table + a CC
+    * whose input is |delta| edges; the corpus-wide edge set is never
+    * revisited — the day-2 story of the pair joins carried through to
+    * the component stage. */
+  def componentsIncremental(histLabels: DataFrame, newEdges: DataFrame,
+                            maxIter: Int = 30): DataFrame = {
+    val sup = histLabels.select(col("node"), col("component").as("sup"))
+    val e = newEdges
+      .join(sup.withColumnRenamed("node", "a")
+        .withColumnRenamed("sup", "sa"), Seq("a"), "left")
+      .join(sup.withColumnRenamed("node", "b")
+        .withColumnRenamed("sup", "sb"), Seq("b"), "left")
+      .select(coalesce(col("sa"), col("a")).as("a"),
+        coalesce(col("sb"), col("b")).as("b"))
+    val superLabels = connectedComponents(e, maxIter = maxIter)
+      .withColumnRenamed("node", "sup")
+      .withColumnRenamed("component", "__newc")
+    val newNodes = newEdges.select(col("a").as("node"))
+      .union(newEdges.select(col("b").as("node"))).distinct()
+      .join(sup, Seq("node"), "left")
+      .select(col("node"), coalesce(col("sup"), col("node")).as("sup"))
+    histLabels.select(col("node"), col("component").as("sup"))
+      .unionByName(newNodes)
+      .dropDuplicates("node")
+      .join(superLabels, Seq("sup"), "left")
+      .select(col("node"),
+        coalesce(col("__newc"), col("sup")).as("component"))
+  }
+
   /** 60-bit SimHash per document: bit j of the signature is 1 iff the sum
     * over tokens of ±1 (sign of bit j of the token's hash) is positive.
     *

@@ -102,6 +102,29 @@ class IncrMaintSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_matches") == 4L)
   }
 
+  test("componentsIncremental: super-graph merge equals full recomputation") {
+    // day-1: components {1,2,3} (label 1) and {10,11} (label 10), plus
+    // isolated labeled node 20
+    val histPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val histLabels = Dedup.connectedComponents(histPairs)
+      .unionByName(Seq((20L, 20L)).toDF("node", "component"))
+    // day-2: new node 30 bridges the two components; new node 40 pairs
+    // with isolated 20; new node 50 joins only itself (singleton edge
+    // partner 51, also new)
+    val newEdges = Seq((3L, 30L), (30L, 11L), (20L, 40L), (50L, 51L))
+      .toDF("a", "b")
+    val got = Dedup.componentsIncremental(histLabels, newEdges)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("component")).toMap
+    val full = Dedup.connectedComponents(histPairs.unionByName(newEdges))
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("component")).toMap
+    assert(got == full)
+    // and the merge genuinely happened: 11 now labels 1, not 10
+    assert(got(11L) == 1L && got(30L) == 1L && got(40L) == 20L &&
+      got(51L) == 50L)
+  }
+
   test("ccnetBuckets: fluent docs land in head, unseen-vocab docs in tail") {
     // doc i mixes (10-i) copies of the trained token with one unseen
     // token -> mean NLL strictly increases with i, no boundary ties
