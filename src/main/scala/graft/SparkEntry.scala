@@ -1291,6 +1291,19 @@ object SparkEntry {
           pairs = Some(Dedup.minhashLshPairs(minhashSigs(s, dir))))
         .orderBy(col("a"), col("b"))),
 
+    // --- the syndication MATRIX: cross-source near-dup pairs rolled up
+    // to (source_lo, source_hi) counts — which domains republish which;
+    // the per-pair table is dup_cross_source, this is the report a
+    // crawl-dedup policy actually reads ---
+    "dup_source_matrix" -> ((s, dir) =>
+      Dedup.crossGroupPairs(T(s, dir, "documents"),
+          pairs = Some(Dedup.minhashLshPairs(minhashSigs(s, dir))))
+        .select(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_lo"), col("src_hi"))),
+
     // --- alignment stage after near-dup detection: per LSH candidate
     // pair, the longest contiguous token span both sides share (diagonal
     // runs of matched positional shingles) — the quote-vs-clone extent
@@ -5114,6 +5127,16 @@ object SparkEntry {
         |  FROM toks GROUP BY 1)
         |SELECT e.lang, e.exact_distinct, s.hll_estimate
         |FROM exact e JOIN est s ON e.lang = s.lang ORDER BY e.lang""".stripMargin,
+
+    "dup_source_matrix" -> (shinglesCte + lshPairsCte +
+      """SELECT LEAST(da.source, db.source) AS src_lo,
+        |       GREATEST(da.source, db.source) AS src_hi,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM prs p
+        |JOIN documents da ON da.doc_id = p.a
+        |JOIN documents db ON db.doc_id = p.b
+        |WHERE da.source != db.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "dup_cross_source" -> (shinglesCte +
       """, hashed AS (
