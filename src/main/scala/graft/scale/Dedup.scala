@@ -994,8 +994,20 @@ object Dedup {
                         shingleK: Int = 3, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = Shingles.wordShinglesPos(docs, shingleK, textCol, idCol)
-    val m = pairs.select(col("a"), col("b"))
+    // three consumers of the candidate pairs (node prune, a-side join,
+    // b-side join) and two of the positional table — truncate both
+    // lineages once instead of re-running the generator per consumer
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    // tokenize/explode ONLY the docs that appear in a candidate pair —
+    // candidates touch a small fraction of the corpus, so the semi-join
+    // prune keeps the positional explode (the dominant cost) candidate-
+    // sized instead of corpus-sized
+    val nodes = p.select(col("a").as(idCol))
+      .union(p.select(col("b").as(idCol))).distinct()
+    val pos = Shingles.wordShinglesPos(
+        docs.join(nodes, Seq(idCol), "leftsemi"), shingleK, textCol, idCol)
+      .localCheckpoint()
+    val m = p
       .join(pos.select(col(idCol).as("a"), col("pos").as("pa"),
         col("shingle")), Seq("a"))
       .join(pos.select(col(idCol).as("b"), col("pos").as("pb"),
