@@ -2219,6 +2219,12 @@ object SparkEntry {
       Dedup.maximalDupSpans(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // --- exact-substring dedup REMOVAL: tokens covered by a maximal
+    // duplicated region dropped, cleaned text rebuilt and md5-pinned ---
+    "dup_spans_removed" -> ((s, dir) =>
+      Dedup.dupSpansRemoved(T(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // --- DSIR importance weights vs. the English sub-corpus ---
     "dsir_weights" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
@@ -6405,6 +6411,53 @@ object SparkEntry {
         |       CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
         |       CAST(MAX(en - st + 1) AS BIGINT) AS max_region
         |FROM reg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dup_spans_removed" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+        |        FROM t)),
+        |dupsh AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+        |  WHERE nd >= 2),
+        |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupsh USING (shingle)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER w IS NULL
+        |                OR pos > lag(pos) OVER w + 3 THEN 1 ELSE 0 END AS ni
+        |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m),
+        |reg AS (
+        |  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + 2 AS en
+        |  FROM isl GROUP BY 1, 2),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |        FROM t)),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |        FROM tok GROUP BY 1),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM reg r
+        |                    WHERE r.doc_id = k.doc_id
+        |                      AND k.pos BETWEEN r.st AND r.en)),
+        |reb AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
+        |  FROM kept GROUP BY 1)
+        |SELECT t1.doc_id, t1.n_tokens,
+        |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(t1.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |       r.clean_hash
+        |FROM tot t1 LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dsir_weights" -> (dsirCte +
       """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,

@@ -950,7 +950,19 @@ object Dedup {
     * spans. */
   def maximalDupSpans(docs: DataFrame, shingleK: Int = 3,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id"): DataFrame =
+    dupRegions(docs, shingleK, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("__en") - col("__st") + 1).as("dup_tokens"),
+        max(col("__en") - col("__st") + 1).as("max_region"))
+
+  /** Maximal duplicated token regions per doc as (id, __st, __en),
+    * 1-based inclusive token positions; regions within a doc are
+    * disjoint by construction (shared by [[maximalDupSpans]] and
+    * [[dupSpansRemoved]]). */
+  private def dupRegions(docs: DataFrame, shingleK: Int, textCol: String,
+                         idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = Shingles.wordShinglesPos(docs, shingleK, textCol, idCol)
     val dupShingles = pos.select(col(idCol), col("shingle")).distinct()
@@ -969,10 +981,49 @@ object Dedup {
     isl.groupBy(col(idCol), col("__isl"))
       .agg(min(col("pos")).cast("long").as("__st"),
         (max(col("pos")) + (shingleK - 1)).cast("long").as("__en"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_regions"),
-        sum(col("__en") - col("__st") + 1).as("dup_tokens"),
-        max(col("__en") - col("__st") + 1).as("max_region"))
+  }
+
+  /** Exact-substring dedup, REMOVAL stage (Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): drop every token covered by a maximal cross-document
+    * duplicated region ([[maximalDupSpans]]) and rebuild the cleaned
+    * text. All occurrences are removed — the published design; pair
+    * with a retention policy upstream if one copy should survive.
+    *
+    * Returns one row per document:
+    * (id, n_tokens, n_kept, n_removed, clean_hash) where clean_hash is
+    * the md5 of the space-joined surviving tokens (NULL when the whole
+    * document is duplicated away) — the hash keeps the verified payload
+    * compact while still pinning the rebuilt text byte-for-byte.
+    *
+    * Scale shape: the region/coverage join is an anti-join keyed on the
+    * doc id with a per-doc range predicate (regions are disjoint and
+    * few per doc); the rebuild is a doc-keyed aggregation of (pos,
+    * token) structs. No corpus-wide window, no driver state. */
+  def dupSpansRemoved(docs: DataFrame, shingleK: Int = 3,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val reg = dupRegions(docs, shingleK, textCol, idCol)
+      .select(col(idCol).as("__rid"), col("__st"), col("__en"))
+    val toks = docs.select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"),
+        col("__tok"))
+    val totals = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+    val kept = toks.join(reg,
+      toks(idCol) === col("__rid") &&
+        col("__pos").between(col("__st"), col("__en")), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s("__tok")))).as("clean_hash"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        col("clean_hash"))
   }
 
   /** Longest shared token span per candidate pair — the alignment stage

@@ -54,6 +54,34 @@ class IncrMaintSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("max_region") == 4)
   }
 
+  test("dupSpansRemoved: covered tokens cut, unique docs untouched, full dup yields NULL hash") {
+    val docs = Seq(
+      (0L, "p q r s t u"),              // fully covered by the shared block
+      (1L, "p q r s t u"),              // identical twin -> also fully covered
+      (2L, "aa bb cc xx yy zz p q r"),  // [1,3] and [7,9] covered via doc 3
+      (3L, "aa bb cc qq ww ee p q r"),
+      (4L, "solo only tokens here now") // untouched
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpansRemoved(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // docs 0/1: every position covered -> nothing kept, NULL hash
+    assert(r(0L).getAs[Long]("n_kept") == 0)
+    assert(r(0L).getAs[Long]("n_removed") == 6)
+    assert(r(0L).getAs[String]("clean_hash") == null)
+    // doc 2: keeps positions 4..6 = "xx yy zz"
+    assert(r(2L).getAs[Long]("n_tokens") == 9)
+    assert(r(2L).getAs[Long]("n_kept") == 3)
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(r(2L).getAs[String]("clean_hash") == md5hex("xx yy zz"))
+    // doc 4: no dup regions -> text survives byte-for-byte
+    assert(r(4L).getAs[Long]("n_removed") == 0)
+    assert(r(4L).getAs[String]("clean_hash") ==
+      md5hex("solo only tokens here now"))
+  }
+
   test("maintainAgg: maintained aggregate equals direct aggregation over B") {
     val a = Seq(
       (1L, "s0", "one two three"),
