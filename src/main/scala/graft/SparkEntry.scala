@@ -1846,6 +1846,15 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // --- greedy k-center diverse sampling per cluster (Gonzalez
+    // farthest-point, exact micro-integer distances) — the coreset /
+    // diverse-subset selection stage of a data-pruning pipeline ---
+    "diverse_kcenter" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.kcenterSample(emb, embCentroids(s, dir))
+        .orderBy(col("cluster"), col("pick"))
+    }),
+
     "ann_ivf_learned" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
@@ -6203,6 +6212,56 @@ object SparkEntry {
 
     "kmeans_assign" -> (kmeansCte() +
       "SELECT vec_id, cluster FROM assign ORDER BY vec_id"),
+
+    // greedy k-center per cluster, two selection rounds unrolled; all
+    // distances are micro-integer-exact (floor(x·1e6) components, sums
+    // ≤ ~2e13 — exact in doubles), so argmax + min-id tie-break is
+    // bit-identical to the engine's struct-max
+    "diverse_kcenter" -> (kmeansCte() +
+      """, em AS (
+        |  SELECT e.vec_id, a.cluster,
+        |         list_transform(e.v, x -> CAST(FLOOR(x * 1000000) AS DOUBLE)) AS mv
+        |  FROM e JOIN assign a USING (vec_id)),
+        |en AS (
+        |  SELECT vec_id, cluster, mv,
+        |         list_inner_product(mv, mv) AS n2 FROM em),
+        |kp0 AS (SELECT cluster, MIN(vec_id) AS vec_id FROM en GROUP BY 1),
+        |kc0 AS (SELECT en.* FROM en JOIN kp0 USING (cluster, vec_id)),
+        |kd1 AS (
+        |  SELECT n.cluster, n.vec_id,
+        |         MIN(CAST(n.n2 + c.n2
+        |                  - 2 * list_inner_product(n.mv, c.mv) AS BIGINT)) AS md
+        |  FROM en n JOIN kc0 c ON n.cluster = c.cluster
+        |  WHERE NOT EXISTS (SELECT 1 FROM kc0 x
+        |                    WHERE x.cluster = n.cluster AND x.vec_id = n.vec_id)
+        |  GROUP BY 1, 2),
+        |kf1 AS (
+        |  SELECT cluster, vec_id, md FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY md DESC, vec_id) AS rn FROM kd1) WHERE rn = 1),
+        |kc1 AS (SELECT cluster, vec_id, mv, n2 FROM kc0
+        |       UNION ALL
+        |       SELECT en.cluster, en.vec_id, en.mv, en.n2
+        |       FROM en JOIN kf1 USING (cluster, vec_id)),
+        |kd2 AS (
+        |  SELECT n.cluster, n.vec_id,
+        |         MIN(CAST(n.n2 + c.n2
+        |                  - 2 * list_inner_product(n.mv, c.mv) AS BIGINT)) AS md
+        |  FROM en n JOIN kc1 c ON n.cluster = c.cluster
+        |  WHERE NOT EXISTS (SELECT 1 FROM kc1 x
+        |                    WHERE x.cluster = n.cluster AND x.vec_id = n.vec_id)
+        |  GROUP BY 1, 2),
+        |kf2 AS (
+        |  SELECT cluster, vec_id, md FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY md DESC, vec_id) AS rn FROM kd2) WHERE rn = 1)
+        |SELECT cluster, CAST(0 AS INT) AS pick, vec_id,
+        |       CAST(NULL AS BIGINT) AS dist_micro2 FROM kc0
+        |UNION ALL
+        |SELECT cluster, CAST(1 AS INT) AS pick, vec_id, md FROM kf1
+        |UNION ALL
+        |SELECT cluster, CAST(2 AS INT) AS pick, vec_id, md FROM kf2
+        |ORDER BY cluster, pick""".stripMargin),
 
     // distance by the ann_topk_l2 dots convention (NOT list_distance's
     // sqrt path) so the 4dp round sees the same double as the engine

@@ -1162,33 +1162,44 @@ object Dedup {
     * and the md5 of the reassembled (kept tiles in order) text — a
     * compact equality witness for the rewritten corpus. */
   /** EXACT threshold EDIT-DISTANCE self-join (fuzzy dedup / entity
-    * resolution over names, titles, and other short strings) via q-gram
-    * COUNT FILTERING (Gravano et al., VLDB 2001, "Approximate String
-    * Joins in a Database (Almost) for Free"). One edit operation
-    * destroys at most `q` of a string's |s|−q+1 q-grams — the rest
-    * survive as a BAG (shifts move positions, not contents) — so
-    * ed(s,t) ≤ d implies the q-gram bags share
+    * resolution over names, titles, and other short strings): q-gram
+    * count bound (Gravano et al., VLDB 2001) + PREFIX-FILTERED
+    * candidate generation (Ed-Join, Xiao et al., VLDB 2008). One edit
+    * operation destroys at most `q` of a string's |s|−q+1 q-grams —
+    * the rest survive as a BAG (shifts move positions, not contents) —
+    * so ed(s,t) ≤ d implies the q-gram bags share
     * ≥ max(|s|,|t|)−q+1−q·d grams, and |len(s)−len(t)| ≤ d is
-    * necessary. Candidate generation is therefore an inverted-index
-    * join on q-grams with a per-pair shared-gram count filter —
-    * lossless whenever the bound is ≥ 1, i.e. whenever the pair's
-    * longer side has ≥ q·(d+1) chars. Pairs where BOTH sides are
-    * shorter than q·(d+1) are found by a separate length-keyed join
-    * restricted to that short bucket (≤ q·(d+1) distinct lengths, and
-    * a string shorter than q has no grams at all — only the short
-    * bucket can hold it, which the length bound guarantees).
-    * Candidates are verified with the built-in banded-DP
-    * `levenshtein(a, b, maxDist)` — the result EQUALS the brute-force
-    * join (the oracle checks it as one).
+    * necessary.
     *
-    * Scale shape: the gram join keys on gram text — never all-pairs
-    * for realistic name/title distributions; a boilerplate-gram blowup
-    * (every string sharing a common prefix) is `maxGramDf`'s job, the
-    * same recall-for-boundedness dial as [[ngramJaccardPairs]] (the
-    * default keeps the join lossless). The count filter runs before
-    * strings are rejoined, so the O(d·len) verification sees only
-    * bound-surviving pairs. All shuffles key on gram, length, or pair
-    * id; no driver state. Returns (a, b, dist ≤ maxDist). */
+    * Candidate generation does NOT join on every gram (an inverted
+    * index over raw q-grams melts down on skewed gram distributions:
+    * formulaic names share hot grams, so a hot gram's posting list
+    * cross-multiplies — measured 10⁹+ joined rows on 20 k TPC-H part
+    * names). Instead, the q-gram bag becomes a SET of occurrence-tagged
+    * grams ((g, k) for the k-th occurrence of g — bag intersection =
+    * tagged-set intersection), every string keeps only its first
+    * q·d+1 tagged grams under one global (df, gram) order (rare grams
+    * first), and candidates join on PREFIX grams only. Lossless by the
+    * standard prefix-filter principle: a qualifying pair shares
+    * ≥ t = max(la,lb)−q+1−q·d ≥ 1 tagged grams, and each side's first
+    * n−t+1 ≤ q·d+1 grams must then contain a shared one. The df order
+    * is a performance choice only — ANY shared total order keeps the
+    * filter lossless, but rare-first makes prefix posting lists short.
+    *
+    * Pairs where BOTH sides are shorter than q·(d+1) chars (the bound
+    * can vanish there) come from a separate length-keyed short-bucket
+    * join (≤ q·(d+1) distinct lengths; a string shorter than q has no
+    * grams at all — only the short bucket can hold it). Candidates are
+    * verified with the built-in banded-DP `levenshtein(a, b, maxDist)`
+    * — the result EQUALS the brute-force join (the oracle checks it as
+    * one).
+    *
+    * Scale shape: shuffles key on tagged gram, length, or pair id; the
+    * candidate join touches q·d+1 grams per string, each rare by
+    * construction of the order. `maxGramDf` remains the hard
+    * recall-for-boundedness cap ([[ngramJaccardPairs]]' dial) for
+    * corpora where even prefix grams go viral (the default keeps the
+    * join lossless). No driver state. Returns (a, b, dist ≤ maxDist). */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 2, q: Int = 2,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxGramDf: Int = Int.MaxValue): DataFrame = {
@@ -1213,11 +1224,11 @@ object Dedup {
     docs.select(col(idCol).as("id"), col(textCol).as("s"))
       .withColumn("len", length(col("s")))
 
-  private def edGrams(base: DataFrame, q: Int, maxGramDf: Int): DataFrame = {
-    val grams = base.filter(col("len") >= q)
-      .select(col("id"), col("len"), explode(expr(
+  private def edGrams(strs: DataFrame, q: Int, maxGramDf: Int): DataFrame = {
+    val grams = strs.filter(col("len") >= q)
+      .select(col("s"), col("len"), explode(expr(
         s"transform(sequence(1, len - ${q - 1}), i -> substr(s, i, $q))")).as("g"))
-      .groupBy(col("id"), col("len"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("s"), col("len"), col("g")).agg(count(lit(1)).as("cnt"))
     if (maxGramDf == Int.MaxValue) grams
     else grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("df"))
@@ -1226,41 +1237,84 @@ object Dedup {
 
   private def edJoin(baseA: DataFrame, baseB: DataFrame, self: Boolean,
                      maxDist: Int, q: Int, maxGramDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist (use exact() for 0)")
     require(q >= 1, s"q must be >= 1, got $q")
     val minLong = q * (maxDist + 1) // longer side >= this  =>  bound >= 1
-    val pairFilter = if (self) col("a") < col("b") else lit(true)
-    val ga = edGrams(baseA, q, maxGramDf).select(col("id").as("a"),
-      col("len").as("la"), col("g"), col("cnt").as("ca"))
-    val gb = edGrams(baseB, q, maxGramDf).select(col("id").as("b"),
-      col("len").as("lb"), col("g"), col("cnt").as("cb"))
-    val longPairs = ga.join(gb, Seq("g"))
-      .filter(pairFilter &&
-        abs(col("la") - col("lb")) <= maxDist &&
-        greatest(col("la"), col("lb")) >= minLong)
-      .groupBy(col("a"), col("b"))
-      .agg(sum(least(col("ca"), col("cb"))).as("shared"),
-        first(col("la")).as("la"), first(col("lb")).as("lb"))
-      .filter(col("shared") >=
-        greatest(col("la"), col("lb")) - lit(q - 1) - lit(q * maxDist))
-      .select(col("a"), col("b"))
+    val prefLen = q * maxDist + 1   // prefix-filter length per side
+    // ALL pairwise machinery runs over DISTINCT strings — the 100 TB
+    // shape: a short-string column has far fewer distinct values than
+    // rows (64 vs 20 000 on the TPC-H-ish part names), and an id-level
+    // formulation pays the full quadratic id fan-out inside the FILTER
+    // stages; the distinct-string formulation confines it to the
+    // unavoidable output expansion at the very end.
+    val dsA = baseA.select(col("s"), col("len")).distinct().localCheckpoint()
+    val dsB = if (self) dsA
+      else baseB.select(col("s"), col("len")).distinct().localCheckpoint()
+    // occurrence-tagged grams: the k-th occurrence of g is element
+    // (g, k), so bag intersection = tagged-SET intersection
+    def tagged(strs: DataFrame) = edGrams(strs, q, maxGramDf)
+      .select(col("s"), col("len"), col("g"),
+        explode(expr("sequence(1, cnt)")).as("k"))
+    val ta = tagged(dsA)
+    val tb = if (self) ta else tagged(dsB)
+    // one global rare-first order shared by both sides (df is a
+    // performance choice; ANY shared total order stays lossless)
+    val dfTable = (if (self) ta else ta.unionByName(tb))
+      .groupBy(col("g"), col("k")).agg(count(lit(1)).as("__df"))
+    def prefixes(t: DataFrame) = t.join(dfTable, Seq("g", "k"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("s"))
+          .orderBy(col("__df"), col("g"), col("k"))))
+      .filter(col("__rn") <= prefLen)
+      .select(col("s"), col("len"), col("g"), col("k"))
+    val pa = prefixes(ta)
+    val pb = if (self) pa else prefixes(tb)
+    // self-join dedup happens at STRING level; equal strings join the
+    // pair set explicitly below (their ids expand through the x<y cut)
+    val strFilter = if (self) col("s1") < col("s2") else lit(true)
+    val longCand = pa
+      .select(col("s").as("s1"), col("len").as("l1"), col("g"), col("k"))
+      .join(pb.select(col("s").as("s2"), col("len").as("l2"),
+        col("g"), col("k")), Seq("g", "k"))
+      .filter(strFilter &&
+        abs(col("l1") - col("l2")) <= maxDist &&
+        greatest(col("l1"), col("l2")) >= minLong)
+      .select(col("s1"), col("s2")).distinct()
     // Short bucket: both sides < q·(d+1) chars — the count bound can
     // vanish there, so key the join on candidate length instead. The
-    // bucket spans ≤ q·(d+1) distinct lengths and |la−lb| ≤ d still
+    // bucket spans ≤ q·(d+1) distinct lengths and |l1−l2| ≤ d still
     // prunes; disjoint from the gram path by the maxlen split.
-    val shortPairs = baseA.filter(col("len") < minLong)
-      .select(col("id").as("a"), col("len").as("la"))
-      .withColumn("lb", explode(sequence(col("la") - maxDist, col("la") + maxDist)))
-      .join(baseB.filter(col("len") < minLong)
-        .select(col("id").as("b"), col("len").as("lb")), Seq("lb"))
-      .filter(pairFilter)
-      .select(col("a"), col("b"))
-    longPairs.unionByName(shortPairs)
-      .join(baseA.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
-      .join(baseB.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+    val shortCand = dsA.filter(col("len") < minLong)
+      .select(col("s").as("s1"), col("len").as("l1"))
+      .withColumn("l2", explode(sequence(col("l1") - maxDist, col("l1") + maxDist)))
+      .join(dsB.filter(col("len") < minLong)
+        .select(col("s").as("s2"), col("len").as("l2")), Seq("l2"))
+      .filter(strFilter)
+      .select(col("s1"), col("s2"))
+    val verified = longCand.unionByName(shortCand)
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist))
       .filter(col("dist") >= 0)
-      .select(col("a"), col("b"), col("dist"))
+    // equal strings are distance-0 pairs: the self-join surfaces them
+    // purely through id multiplicity (singletons die in the x<y cut);
+    // the link join's gram/short paths already emit them (no s1<s2 cut)
+    val strPairs =
+      if (self) verified.unionByName(dsA.select(col("s").as("s1"),
+        col("s").as("s2"), lit(0).as("dist")))
+      else verified
+    // output expansion: multiplicity join back to ids — output-sized
+    // work, keyed on the short string
+    val ia = baseA.select(col("id").as("x"), col("s").as("s1"))
+    val ib = (if (self) baseA else baseB)
+      .select(col("id").as("y"), col("s").as("s2"))
+    if (self)
+      strPairs.join(ia, Seq("s1")).join(ib, Seq("s2"))
+        .filter(col("s1") < col("s2") || col("x") < col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"), col("dist"))
+    else
+      strPairs.join(ia, Seq("s1")).join(ib, Seq("s2"))
+        .select(col("x").as("a"), col("y").as("b"), col("dist"))
   }
 
   def removeDuplicateTiles(docs: DataFrame, k: Int = 5, minDocs: Int = 2,

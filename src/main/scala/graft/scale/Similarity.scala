@@ -1040,4 +1040,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("dist2").cast("long").as("dist2"))
   }
+
+  /** Greedy k-center (farthest-point) DIVERSE sampling per cluster — the
+    * coreset / diverse-subset selection stage of a data-pruning pipeline:
+    * after clustering, keep the `m` members of each cluster that best
+    * span it. Gonzalez's classic 2-approximation to the k-center
+    * objective, run independently inside every cluster: the seed is the
+    * min-id member (deterministic), then m−1 times the member farthest
+    * (max over candidates of min distance to the picks so far) joins the
+    * pick set; ties break to the smallest id.
+    *
+    * Distances are EXACT integers — squared L2 in micro² units,
+    * ‖a‖²+‖b‖²−2·a·b over floor(x·10⁶) components
+    * ([[graft.functions.VecMath.dotMicro]]/`norm2Micro`) — so the argmax
+    * and tie-break reproduce bit-identically on any engine.
+    *
+    * Returns (cluster, pick, id, dist_micro2); pick 0 is the seed
+    * (NULL distance), pick j's distance is its min micro² distance to
+    * picks 0..j−1 at selection time. Clusters smaller than m yield
+    * fewer rows.
+    *
+    * Scale shape: each of the m−1 rounds is one join of the corpus
+    * against the pick table (≤ m rows PER CLUSTER — broadcast-sized) +
+    * one per-cluster max aggregation; no all-pairs join, no global
+    * window, and the member table's lineage is truncated once. m is a
+    * small constant, so the round count doesn't grow with data. */
+  def kcenterSample(vectors: DataFrame, centroids: Array[Array[Double]],
+                    m: Int = 3, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VecMath.{dotMicro, norm2Micro}
+    val mem = withCluster(vectors, centroids, vecCol)
+      .select(col("cluster"), col(idCol), col(vecCol),
+        norm2Micro(col(vecCol)).as("__n2"))
+      .localCheckpoint() // 2(m−1)+1 consumers: truncate the lineage once
+    var centers = mem.groupBy(col("cluster"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(mem, Seq("cluster", idCol))
+      .select(col("cluster"), col(idCol), col(vecCol), col("__n2"),
+        lit(0).as("pick"), lit(null).cast("long").as("dist_micro2"))
+    for (j <- 1 until m) {
+      val c = centers.select(col("cluster"), col(vecCol).as("__cvec"),
+        col("__n2").as("__cn2"))
+      val cand = mem.join(centers.select(col("cluster"), col(idCol)),
+        Seq("cluster", idCol), "left_anti")
+      val dmin = cand.join(c, Seq("cluster"))
+        .groupBy(col("cluster"), col(idCol))
+        .agg(max(col(vecCol)).as(vecCol), max(col("__n2")).as("__n2"),
+          min(col("__n2") + col("__cn2") -
+            lit(2L) * dotMicro(col(vecCol), col("__cvec"))).as("__md"))
+      val far = dmin.groupBy(col("cluster"))
+        .agg(max(struct(col("__md"), (-col(idCol)).as("__nid"),
+          col("__n2").as("__fn2"), col(vecCol).as("__fv"))).as("__t"))
+        .select(col("cluster"), (-col("__t")("__nid")).as(idCol),
+          col("__t")("__fv").as(vecCol), col("__t")("__fn2").as("__n2"),
+          lit(j).as("pick"), col("__t")("__md").as("dist_micro2"))
+      centers = centers.unionByName(far).localCheckpoint()
+    }
+    centers.select(col("cluster"), col("pick"), col(idCol),
+      col("dist_micro2"))
+  }
 }

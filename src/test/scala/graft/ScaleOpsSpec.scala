@@ -26,6 +26,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(dup.getAs[Long]("representative") == 0L)
   }
 
+  test("kcenterSample: farthest-point picks with exact micro distances") {
+    val vecs = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 3f)),
+      (4L, Array(2f, 2f)), (10L, Array(10f, 10f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val r = Similarity.kcenterSample(vecs, cents, m = 3).collect()
+      .map(x => (x.getAs[Number]("cluster").intValue,
+        x.getAs[Number]("pick").intValue) -> x).toMap
+    val M = 1000000L * 1000000L
+    // seed = min id; round 1 takes the farthest from the seed; round 2
+    // maximizes the min distance to BOTH picks (id4's 5 beats id2's 1)
+    assert(r((0, 0)).getAs[Long]("vec_id") == 1L)
+    assert(r((0, 1)).getAs[Long]("vec_id") == 3L)
+    assert(r((0, 1)).getAs[Long]("dist_micro2") == 9L * M)
+    assert(r((0, 2)).getAs[Long]("vec_id") == 4L)
+    assert(r((0, 2)).getAs[Long]("dist_micro2") == 5L * M)
+    assert(r((1, 0)).getAs[Long]("vec_id") == 10L)
+    assert(!r.contains((1, 1))) // singleton cluster: nothing left to pick
+  }
+
   test("minhash LSH finds planted near-duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
