@@ -84,6 +84,21 @@ object SparkEntry {
       registerCleanup(s)
       Similarity.kmeansFit(T(s, dir, "embeddings"))
     })
+  private val autoKmeansCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (Int, Array[Array[Double]])]()
+  /** The AUTO-policy quantizer (k = ceil(n/64), Lloyd on the md5-hash
+    * sample) as a session artifact shared by semdedup_auto /
+    * knn_graph_auto — the same "train once, query many" shape as the
+    * fixed-k fit above; the oracle recomputes k and the sample modulus
+    * from the data, so memoization changes timing only. */
+  private def embAutoCentroids(s: SparkSession, dir: String): (Int, Array[Array[Double]]) =
+    autoKmeansCache.getOrElseUpdate((s, dir), timedArtifact(s, "kmeans_auto_fit") {
+      registerCleanup(s)
+      val emb = T(s, dir, "embeddings")
+      val n = emb.count()
+      val k = Similarity.autoClusters(n, 64)
+      (k, Similarity.kmeansFitSampled(emb, k, n))
+    })
   private val sq8Cache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), (Array[Double], Array[Double])]()
   private def embSq8(s: SparkSession, dir: String): (Array[Double], Array[Double]) =
@@ -2288,13 +2303,15 @@ object SparkEntry {
     // sum-of-|c|^2 linear) and the quantizer fits on an md5-hash sample
     // (keeps Lloyd O(k^2*factor) instead of O(n*k)); one count job
     // decides both dials, and the oracle recomputes them from the data ---
-    "semdedup_auto" -> ((s, dir) =>
-      Similarity.semDeDupAuto(T(s, dir, "embeddings"), 0.3,
-          targetClusterSize = 64)
+    "semdedup_auto" -> ((s, dir) => {
+      val (k, cents) = embAutoCentroids(s, dir)
+      Similarity.semDeDup(T(s, dir, "embeddings"), 0.3, k,
+          centroids = Some(cents))
         .select(col("vec_id"), col("cluster"),
           col("is_dup").cast("int").as("is_dup"),
           col("retained").cast("int").as("retained"))
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
 
     // --- day-2 SEMANTIC dedup: the %10==0 batch assigned under the
     // FROZEN session quantizer and cosine-verified against the
@@ -2332,10 +2349,12 @@ object SparkEntry {
     // --- kNN graph under the auto-k + sampled-fit policy (the measured
     // linearity dial: fixed k=8 was 54 s at the 10x tiling, k grown
     // with n was 8.4 s for the same output) ---
-    "knn_graph_auto" -> ((s, dir) =>
-      Similarity.knnGraphAuto(T(s, dir, "embeddings"), 3,
-          targetClusterSize = 64)
-        .orderBy(col("vec_id"), col("rank"))),
+    "knn_graph_auto" -> ((s, dir) => {
+      val (nc, cents) = embAutoCentroids(s, dir)
+      Similarity.knnGraph(T(s, dir, "embeddings"), 3, nc,
+          centroids = Some(cents))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
 
     // --- NN-descent recall audit: the cluster-restricted kNN graph vs
     // one NN-descent round (deterministic random bridges + the local

@@ -411,9 +411,14 @@ object Dedup {
     * Scale shape: three keyed joins against the label table + a CC
     * whose input is |delta| edges; the corpus-wide edge set is never
     * revisited — the day-2 story of the pair joins carried through to
-    * the component stage. */
+    * the component stage. The super-graph CC itself is size-gated:
+    * ≤ `maxLocalEdges` distinct contracted edges solve in one
+    * driver-side union-find (bounded collect, broadcast-threshold
+    * policy), larger deltas fall back to distributed star
+    * contraction. */
   def componentsIncremental(histLabels: DataFrame, newEdges: DataFrame,
-                            maxIter: Int = 30): DataFrame = {
+                            maxIter: Int = 30,
+                            maxLocalEdges: Long = 2000000L): DataFrame = {
     val sup = histLabels.select(col("node"), col("component").as("sup"))
     val e = newEdges
       .join(sup.withColumnRenamed("node", "a")
@@ -422,9 +427,43 @@ object Dedup {
         .withColumnRenamed("sup", "sb"), Seq("b"), "left")
       .select(coalesce(col("sa"), col("a")).as("a"),
         coalesce(col("sb"), col("b")).as("b"))
-    val superLabels = connectedComponents(e, maxIter = maxIter)
-      .withColumnRenamed("node", "sup")
-      .withColumnRenamed("component", "__newc")
+      .distinct().localCheckpoint(false)
+    // The super-graph is DELTA-sized (≤ the incremental pair count),
+    // and the distributed fixpoint pays ~3 jobs per round of pure
+    // scheduling overhead on it. Below `maxLocalEdges` a driver-side
+    // union-find is the honest fast path — the same size-gated policy
+    // as broadcast thresholds (`maxBroadcastRows`), with the
+    // distributed star contraction as the unbounded fallback. Labels
+    // are the set minimum either way, so the two paths are
+    // result-identical (spec-pinned on both sides of the gate).
+    val superLabels =
+      if (e.count() <= maxLocalEdges) {
+        val uf = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (uf.getOrElse(r, r) != r) r = uf.getOrElse(r, r)
+          var c = x
+          while (uf.getOrElse(c, c) != c) { val n = uf(c); uf(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.ArrayBuffer[Long]()
+        e.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          nodes += a; nodes += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val minOf = scala.collection.mutable.HashMap[Long, Long]()
+        nodes.foreach { n =>
+          val r = find(n)
+          minOf(r) = math.min(minOf.getOrElse(r, n), n)
+        }
+        val rows = nodes.distinct.map(n => (n, minOf(find(n))))
+        histLabels.sparkSession.createDataFrame(rows.toSeq)
+          .toDF("sup", "__newc")
+      } else connectedComponents(e, maxIter = maxIter)
+        .withColumnRenamed("node", "sup")
+        .withColumnRenamed("component", "__newc")
     val newNodes = newEdges.select(col("a").as("node"))
       .union(newEdges.select(col("b").as("node"))).distinct()
       .join(sup, Seq("node"), "left")

@@ -151,6 +151,13 @@ class IncrMaintSpec extends SparkSpec {
     // and the merge genuinely happened: 11 now labels 1, not 10
     assert(got(11L) == 1L && got(30L) == 1L && got(40L) == 20L &&
       got(51L) == 50L)
+    // both sides of the size gate agree: maxLocalEdges=0 forces the
+    // distributed star-contraction fallback
+    val distGot = Dedup.componentsIncremental(histLabels, newEdges,
+        maxLocalEdges = 0L)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("component")).toMap
+    assert(distGot == full)
   }
 
   test("ccnetBuckets: fluent docs land in head, unseen-vocab docs in tail") {
