@@ -240,6 +240,9 @@ object SparkEntry {
   private def jpIndexDf(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "jp_index_df")(Dedup.jaccardPrefixIndex(
       T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), 3, 1, 5)._1)
+  private def shingleIndexHist(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "shingle_index_hist")(Dedup.shingleIndex(
+      T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
   private def jpIndexDocs(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "jp_index_docs")(Dedup.jaccardPrefixIndex(
       T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), 3, 1, 5)._2)
@@ -2247,6 +2250,16 @@ object SparkEntry {
     // duplicated region dropped, cleaned text rebuilt and md5-pinned ---
     "dup_spans_removed" -> ((s, dir) =>
       Dedup.dupSpansRemoved(T(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // --- day-2 exact-substring removal: the %10==0 batch cleaned
+    // against the persisted shingle SET of history; for the new docs
+    // this equals the full rerun restricted to the batch, so the
+    // oracle IS the full-corpus SQL with that filter ---
+    "dup_spans_removed_incr" -> ((s, dir) =>
+      Dedup.dupSpansRemovedIncremental(
+          T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          shingleIndexHist(s, dir))
         .orderBy(col("doc_id"))),
 
     // --- DSIR importance weights vs. the English sub-corpus ---
@@ -6490,52 +6503,15 @@ object SparkEntry {
         |       CAST(MAX(en - st + 1) AS BIGINT) AS max_region
         |FROM reg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "dup_spans_removed" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS shingle
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
-        |        FROM t)),
-        |dupsh AS (
-        |  SELECT shingle FROM (
-        |    SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
-        |  WHERE nd >= 2),
-        |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupsh USING (shingle)),
-        |m AS (
-        |  SELECT doc_id, pos,
-        |         CASE WHEN lag(pos) OVER w IS NULL
-        |                OR pos > lag(pos) OVER w + 3 THEN 1 ELSE 0 END AS ni
-        |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM m),
-        |reg AS (
-        |  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + 2 AS en
-        |  FROM isl GROUP BY 1, 2),
-        |tok AS (
-        |  SELECT doc_id, i AS pos, toks[i] AS tok
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
-        |        FROM t)),
-        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
-        |        FROM tok GROUP BY 1),
-        |kept AS (
-        |  SELECT k.doc_id, k.pos, k.tok FROM tok k
-        |  WHERE NOT EXISTS (SELECT 1 FROM reg r
-        |                    WHERE r.doc_id = k.doc_id
-        |                      AND k.pos BETWEEN r.st AND r.en)),
-        |reb AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-        |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
-        |  FROM kept GROUP BY 1)
-        |SELECT t1.doc_id, t1.n_tokens,
-        |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
-        |       CAST(t1.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
-        |       r.clean_hash
-        |FROM tot t1 LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dup_spans_removed" -> dupSpansRemovedSql(""),
+
+    // the day-2 incremental clean of the %10==0 batch against the
+    // frozen history shingle set EQUALS the full rerun restricted to
+    // the batch (set membership + batch-internal df >= 2 covers every
+    // way the corpus-wide distinct-doc count reaches 2), so the oracle
+    // is the full-corpus pipeline filtered to the batch
+    "dup_spans_removed_incr" -> dupSpansRemovedSql(
+      "WHERE t1.doc_id % 10 = 0 "),
 
     "dsir_weights" -> (dsirCte +
       """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
@@ -8920,6 +8896,60 @@ object SparkEntry {
     sb.append(s"assign AS ${assignSql(s"c$iters", "e")}\n")
     sb.toString
   }
+
+  /** Oracle pipeline for exact-substring REMOVAL (mirrors
+    * [[graft.scale.Dedup.dupSpansRemoved]]): duplicated 3-gram start
+    * positions → maximal regions → covered tokens cut → cleaned text
+    * md5. `finalFilter` restricts the OUTPUT rows (e.g. to the day-2
+    * batch — the incremental clean equals the full rerun restricted to
+    * the batch). */
+  private def dupSpansRemovedSql(finalFilter: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS shingle
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+       |        FROM t)),
+       |dupsh AS (
+       |  SELECT shingle FROM (
+       |    SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+       |  WHERE nd >= 2),
+       |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupsh USING (shingle)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                OR pos > lag(pos) OVER w + 3 THEN 1 ELSE 0 END AS ni
+       |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM m),
+       |reg AS (
+       |  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + 2 AS en
+       |  FROM isl GROUP BY 1, 2),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       |        FROM t)),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |        FROM tok GROUP BY 1),
+       |kept AS (
+       |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM reg r
+       |                    WHERE r.doc_id = k.doc_id
+       |                      AND k.pos BETWEEN r.st AND r.en)),
+       |reb AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
+       |  FROM kept GROUP BY 1)
+       |SELECT t1.doc_id, t1.n_tokens,
+       |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(t1.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       |       r.clean_hash
+       |FROM tot t1 LEFT JOIN reb r USING (doc_id)
+       |${finalFilter}ORDER BY doc_id""".stripMargin
 
   private def kmeansCte(k: Int = 8, iters: Int = 5, dim: Int = 64): String = {
     def assignSql(c: String): String =

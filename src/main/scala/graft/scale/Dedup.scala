@@ -1002,13 +1002,21 @@ object Dedup {
     * [[dupSpansRemoved]]). */
   private def dupRegions(docs: DataFrame, shingleK: Int, textCol: String,
                          idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pos = Shingles.wordShinglesPos(docs, shingleK, textCol, idCol)
     val dupShingles = pos.select(col(idCol), col("shingle")).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2).select(col("shingle"))
-    val dup = pos.join(dupShingles, Seq("shingle"))
-      .select(col(idCol), col("pos"))
+    regionsFromPositions(
+      pos.join(dupShingles, Seq("shingle")).select(col(idCol), col("pos")),
+      shingleK, idCol)
+  }
+
+  /** Gaps-and-islands merge of duplicated shingle start positions into
+    * maximal (id, __st, __en) token regions — the doc-keyed window the
+    * batch and day-2 region paths share. */
+  private def regionsFromPositions(dup: DataFrame, shingleK: Int,
+                                   idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val isl = dup
       .withColumn("__ni",
@@ -1041,9 +1049,16 @@ object Dedup {
     * token) structs. No corpus-wide window, no driver state. */
   def dupSpansRemoved(docs: DataFrame, shingleK: Int = 3,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
-    val reg = dupRegions(docs, shingleK, textCol, idCol)
-      .select(col(idCol).as("__rid"), col("__st"), col("__en"))
+                      idCol: String = "doc_id"): DataFrame =
+    removeRegions(docs, dupRegions(docs, shingleK, textCol, idCol),
+      textCol, idCol)
+
+  /** Cut every token covered by a (id, __st, __en) region and rebuild —
+    * the removal/rebuild tail [[dupSpansRemoved]] and
+    * [[dupSpansRemovedIncremental]] share. */
+  private def removeRegions(docs: DataFrame, regions: DataFrame,
+                            textCol: String, idCol: String): DataFrame = {
+    val reg = regions.select(col(idCol).as("__rid"), col("__st"), col("__en"))
     val toks = docs.select(col(idCol),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("__p0", "__tok")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"),
@@ -1063,6 +1078,45 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         col("clean_hash"))
+  }
+
+  /** Day-1 index for [[dupSpansRemovedIncremental]]: the corpus's
+    * DISTINCT shingle set — persist it once, clean every future batch
+    * against it. The SET is sufficient state (no counts needed): a
+    * new-batch position is duplicated in the full-rerun sense iff its
+    * shingle already exists in history (history occurrence + the new
+    * doc ⇒ ≥ 2 distinct docs) OR ≥ 2 distinct new docs contain it. */
+  def shingleIndex(docs: DataFrame, shingleK: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    Shingles.wordShinglesPos(docs, shingleK, textCol, idCol)
+      .select(col("shingle")).distinct()
+
+  /** Day-2 exact-substring removal: clean ONLY the new batch against a
+    * persisted [[shingleIndex]] of history — the deployed shape (CCNet
+    * and friends clean each incoming shard against a frozen hash set;
+    * history is never re-tokenized). For the new docs the result EQUALS
+    * the full rerun over history ∪ batch restricted to the batch (see
+    * [[shingleIndex]] for why the set suffices), which is exactly what
+    * the driver oracle checks. Scale shape: one leftsemi join against
+    * the index + one batch-local df aggregation; everything else is the
+    * doc-keyed region/rebuild tail shared with the batch path. */
+  def dupSpansRemovedIncremental(newDocs: DataFrame, index: DataFrame,
+                                 shingleK: Int = 3,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id"): DataFrame = {
+    val pos = Shingles.wordShinglesPos(newDocs, shingleK, textCol, idCol)
+      .localCheckpoint() // three consumers below
+    val inHist = pos.join(index, Seq("shingle"), "leftsemi")
+      .select(col(idCol), col("pos"))
+    val dupNew = pos.select(col(idCol), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("shingle"))
+    val dupPos = inHist.unionByName(
+        pos.join(dupNew, Seq("shingle")).select(col(idCol), col("pos")))
+      .distinct()
+    removeRegions(newDocs,
+      regionsFromPositions(dupPos, shingleK, idCol), textCol, idCol)
   }
 
   /** Longest shared token span per candidate pair — the alignment stage

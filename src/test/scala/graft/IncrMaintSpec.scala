@@ -82,6 +82,34 @@ class IncrMaintSpec extends SparkSpec {
       md5hex("solo only tokens here now"))
   }
 
+  test("dupSpansRemovedIncremental == full rerun restricted to the batch, through a parquet index round-trip") {
+    val hist = Seq(
+      (1L, "p q r s t u extra tail tokens here"),
+      (2L, "p q r s t u other words beyond that"),  // shares block with 1
+      (3L, "aa bb cc dd ee ff gg hh")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "zz p q r s yy ww vv uu tt"),          // dups vs HISTORY only
+      (11L, "mm nn oo pp qq rr ss uniqueword11"),  // dups vs new doc 12
+      (12L, "mm nn oo pp qq rr ss uniqueword12"),
+      (13L, "totally fresh content nothing shared at all")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    Dedup.shingleIndex(hist).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val got = Dedup.dupSpansRemovedIncremental(fresh, idx).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("clean_hash"))).toMap
+    val full = Dedup.dupSpansRemoved(hist.unionByName(fresh)).collect()
+      .filter(_.getAs[Long]("doc_id") >= 10L)
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("clean_hash"))).toMap
+    assert(got == full)
+    // and the semantics landed: history-dup cleaned, new-new dup
+    // cleaned, fresh doc untouched
+    assert(got(10L)._1 < 10 && got(11L)._1 < 8 && got(13L)._1 == 7)
+  }
+
   test("maintainAgg: maintained aggregate equals direct aggregation over B") {
     val a = Seq(
       (1L, "s0", "one two three"),
