@@ -1104,17 +1104,22 @@ object Dedup {
   def dupSpansRemovedIncremental(newDocs: DataFrame, index: DataFrame,
                                  shingleK: Int = 3,
                                  textCol: String = "text",
-                                 idCol: String = "doc_id"): DataFrame = {
+                                 idCol: String = "doc_id",
+                                 withinBatch: Boolean = true): DataFrame = {
     val pos = Shingles.wordShinglesPos(newDocs, shingleK, textCol, idCol)
       .localCheckpoint() // three consumers below
     val inHist = pos.join(index, Seq("shingle"), "leftsemi")
       .select(col(idCol), col("pos"))
-    val dupNew = pos.select(col(idCol), col("shingle")).distinct()
-      .groupBy(col("shingle")).agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= 2).select(col("shingle"))
-    val dupPos = inHist.unionByName(
+    // withinBatch=false cleans against HISTORY only — the streaming
+    // twin's contract ([[graft.streaming.StreamingOps.cleanAgainstIndex]]):
+    // batch-internal duplication defers to the next index refresh
+    val dupPos = (if (withinBatch) {
+      val dupNew = pos.select(col(idCol), col("shingle")).distinct()
+        .groupBy(col("shingle")).agg(count(lit(1)).as("__nd"))
+        .filter(col("__nd") >= 2).select(col("shingle"))
+      inHist.unionByName(
         pos.join(dupNew, Seq("shingle")).select(col(idCol), col("pos")))
-      .distinct()
+    } else inHist).distinct()
     removeRegions(newDocs,
       regionsFromPositions(dupPos, shingleK, idCol), textCol, idCol)
   }

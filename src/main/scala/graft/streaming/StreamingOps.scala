@@ -181,6 +181,70 @@ object StreamingOps {
       idleTimeout)
   }
 
+  /** Streaming exact-substring REMOVAL against a FROZEN shingle index
+    * ([[graft.scale.Dedup.shingleIndex]]) — the stream twin of
+    * [[graft.scale.Dedup.dupSpansRemovedIncremental]] with
+    * `withinBatch = false`: each document is cleaned against HISTORY
+    * only (duplication arising within the live stream defers to the
+    * next index refresh — tracking it online would need corpus-sized
+    * stream state). Per-document the clean is stateless: positional
+    * shingles ride a stream-static left join against the index, ONE
+    * windowed aggregation per (window, doc) collects the duplicated
+    * start positions, and region merge + token removal + md5 run in a
+    * pure array projection AFTER the agg (per-doc arrays, no second
+    * stateful operator) — valid append-mode plan. Output matches the
+    * batch twin: (window, id, n_tokens, n_kept, n_removed,
+    * clean_hash). */
+  def cleanAgainstIndex(docs: DataFrame, index: DataFrame,
+                        shingleK: Int = 3,
+                        windowDur: String = "10 seconds",
+                        watermark: String = "30 seconds",
+                        textCol: String = "text", idCol: String = "doc_id",
+                        timeCol: String = "event_time"): DataFrame = {
+    val idx = index.select(col("shingle"), lit(1).as("__hit"))
+    val base = docs.withWatermark(timeCol, watermark)
+      .select(col(idCol), col(timeCol), col(textCol).as("__text"),
+        graft.scale.TextOps.tokens(col(textCol)).as("__toks"))
+    val sh = base.select(col(idCol), col(timeCol), col("__text"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")) - (shingleK - 1), lit(1))),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(shingleK)))))
+          .as(Seq("__p0", "shingle")))
+      .select(col(idCol), col(timeCol), col("__text"),
+        (col("__p0") + 1).cast("long").as("pos"), col("shingle"))
+    val g = sh.join(idx, Seq("shingle"), "left")
+      .groupBy(window(col(timeCol), windowDur), col(idCol))
+      .agg(first(col("__text")).as("__text"),
+        sort_array(collect_list(when(col("__hit") === 1, col("pos"))))
+          .as("__dups"))
+    // merge sorted duplicated starts into maximal regions: extend the
+    // open region while the next start is within shingleK of the
+    // previous one (same rule as the batch gaps-and-islands scan)
+    val regions = expr(
+      s"""aggregate(__dups,
+         |  CAST(array() AS array<struct<st: bigint, en: bigint>>),
+         |  (acc, p) -> CASE
+         |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).en + 1
+         |    THEN concat(slice(acc, 1, size(acc) - 1),
+         |         array(named_struct('st', element_at(acc, -1).st,
+         |                            'en', p + ${shingleK - 1})))
+         |    ELSE concat(acc,
+         |         array(named_struct('st', p, 'en', p + ${shingleK - 1})))
+         |  END)""".stripMargin)
+    g.withColumn("__regs", regions)
+      .withColumn("__toks", graft.scale.TextOps.tokens(col("__text")))
+      .withColumn("__kept", expr(
+        "filter(__toks, (t, i) -> NOT exists(__regs, " +
+          "r -> i + 1 >= r.st AND i + 1 <= r.en))"))
+      .select(col("window"), col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        when(size(col("__kept")) > 0,
+          md5(concat_ws(" ", col("__kept")))).as("clean_hash"))
+  }
+
   /** Curation at ingest: the streaming composition of the batch pipeline
     * — quality pre-filter (stateless, codegen'd columnar expression) then
     * exact dedup within the watermark horizon ([[exactDedup]]). The
