@@ -243,6 +243,10 @@ object SparkEntry {
   private def shingleIndexHist(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "shingle_index_hist")(Dedup.shingleIndex(
       T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
+  private def winnowIndexHist(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "winnow_index_hist")(
+      winnowFp(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("fingerprint")).distinct())
   private def jpIndexDocs(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "jp_index_docs")(Dedup.jaccardPrefixIndex(
       T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), 3, 1, 5)._2)
@@ -2351,6 +2355,18 @@ object SparkEntry {
     "winnow_pairs" -> ((s, dir) =>
       TextOps.winnowPairs(T(s, dir, "documents"), minShared = 2, maxFpDf = 100,
           fingerprints = Some(winnowFp(s, dir)))
+        .orderBy(col("a"), col("b"))),
+
+    // --- day-2 MOSS matching: the %10==0 batch against the persisted
+    // winnow index of history + within-batch pairs; df cap on COMBINED
+    // counts, so the result equals the full rerun's new-touching pairs
+    // (the oracle is the full SQL with that filter) ---
+    "winnow_pairs_incr" -> ((s, dir) =>
+      TextOps.winnowPairsIncremental(
+          T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          winnowIndexHist(s, dir), minShared = 2, maxFpDf = 100,
+          fingerprints = Some(winnowFp(s, dir)
+            .filter(col("doc_id") % 10 === 0)))
         .orderBy(col("a"), col("b"))),
 
     // --- corpus-wide kNN graph (cluster-restricted self-join) ---
@@ -6600,6 +6616,22 @@ object SparkEntry {
         |SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM wkept x JOIN wkept y
         |  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b""".stripMargin),
+
+    // full winnow pipeline restricted to pairs TOUCHING the %10==0
+    // batch — what the combined-count day-2 cap provably equals
+    "winnow_pairs_incr" -> (winnowCte +
+      """, wfp AS (
+        |  SELECT DISTINCT doc_id, CAST(k // 1048576 AS BIGINT) AS fingerprint
+        |  FROM wmin WHERE pos <= GREATEST(nsh - 3, 1)),
+        |wkept AS (
+        |  SELECT doc_id, fingerprint FROM wfp
+        |  WHERE fingerprint IN (
+        |    SELECT fingerprint FROM wfp GROUP BY 1 HAVING COUNT(*) <= 100))
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM wkept x JOIN wkept y
+        |  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+        |WHERE x.doc_id % 10 = 0 OR y.doc_id % 10 = 0
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b""".stripMargin),
 
     "knn_graph" -> (kmeansCte() + KnnGraphTailSql),

@@ -731,6 +731,63 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Day-1 index for [[winnowPairsIncremental]]: the DISTINCT
+    * (id, fingerprint) table of history — persist once, match every
+    * future batch against it. Stored UN-capped: the `maxFpDf` cap is a
+    * corpus-wide property, so the day-2 query applies it over the
+    * COMBINED (history + batch) counts — exactly the full rerun's
+    * cap. */
+  def winnowIndex(docs: DataFrame, k: Int = 3, w: Int = 4,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    winnowFingerprint(docs, k, w, textCol, idCol)
+      .select(col(idCol), col("fingerprint")).distinct()
+
+  /** Day-2 MOSS matching: every winnow pair TOUCHING a new doc
+    * (new×history through the persisted [[winnowIndex]], plus
+    * new×new within the batch), EQUAL to the full rerun restricted to
+    * those pairs — the df cap is evaluated on combined history+batch
+    * counts, so kept-fingerprint sets agree with the full run (the
+    * oracle is the full-corpus SQL with a touching-pair filter).
+    * History×history never re-matches. Same keyed inverted-index
+    * shape as the batch stage. */
+  def winnowPairsIncremental(newDocs: DataFrame, index: DataFrame,
+                             minShared: Int = 2, k: Int = 3, w: Int = 4,
+                             maxFpDf: Int = Int.MaxValue,
+                             textCol: String = "text",
+                             idCol: String = "doc_id",
+                             fingerprints: Option[DataFrame] = None): DataFrame = {
+    val newFp = fingerprints
+      .getOrElse(winnowFingerprint(newDocs, k, w, textCol, idCol))
+      .select(col(idCol), col("fingerprint")).distinct()
+      .localCheckpoint()
+    val histFp = index.select(col(idCol), col("fingerprint"))
+    val (kn, kh) =
+      if (maxFpDf == Int.MaxValue) (newFp, histFp)
+      else {
+        val ok = newFp.groupBy(col("fingerprint"))
+          .agg(count(lit(1)).as("__dn"))
+          .join(histFp.groupBy(col("fingerprint"))
+            .agg(count(lit(1)).as("__dh")), Seq("fingerprint"), "full")
+          .filter(coalesce(col("__dn"), lit(0L)) +
+            coalesce(col("__dh"), lit(0L)) <= maxFpDf)
+          .select(col("fingerprint"))
+        (newFp.join(ok, Seq("fingerprint"), "leftsemi"),
+          histFp.join(ok, Seq("fingerprint"), "leftsemi"))
+      }
+    val cross = kn.as("x").join(kh.as("y"),
+        col("x.fingerprint") === col("y.fingerprint"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("a"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("b"))
+    val within = kn.as("x").join(kn.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    cross.unionByName(within)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** BM25 top-k retrieval (Robertson/Spärck Jones, the Okapi BM25 used by
     * Lucene/Elasticsearch — idf = ln(1 + (N−df+0.5)/(df+0.5)), tf
     * saturation k1, length normalization b): for each query document,

@@ -132,6 +132,42 @@ class CorpusMiningSpec extends SparkSpec {
     assert(pairs.toSet == Set((0L, 1L)))
   }
 
+  test("winnowPairsIncremental == full run's new-touching pairs, through a parquet index round-trip") {
+    val shared = "zeta eta theta iota kappa lambda mu nu"
+    val shared2 = "omega psi chi phi upsilon tau sigma rho"
+    val hist = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),  // hist-hist pair with 1
+      (3L, s"prefix $shared2 suffix words")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, s"brand new $shared wrapping text"),   // pairs with hist 1, 2
+      (20L, s"other intro $shared2 and an outro"), // pairs with hist 3 and new 30
+      (30L, s"yet another $shared2 occurrence doc"),
+      (40L, "nothing in common with anybody else at all")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("widx").toString
+    TextOps.winnowIndex(hist).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    for (cap <- Seq(Int.MaxValue, 2)) {
+      val got = TextOps.winnowPairsIncremental(fresh, idx, minShared = 1,
+          maxFpDf = cap)
+        .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("n_shared"))).toSet
+      val want = TextOps.winnowPairs(hist.unionByName(fresh), minShared = 1,
+          maxFpDf = cap)
+        .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("n_shared"))).toSet
+        .filter(p => p._1 >= 10 || p._2 >= 10)
+      assert(got == want, s"maxFpDf=$cap")
+    }
+    // semantics landed: hist link, new-new link, loner absent
+    val pairs = TextOps.winnowPairsIncremental(fresh, idx, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((20L, 30L)))
+    assert(!pairs.exists(p => p._1 == 40L || p._2 == 40L))
+  }
+
   test("knnGraph: exact duplicates are each other's rank-1 neighbor") {
     def comp(i: Int, d: Int): Float = {
       val hex = java.security.MessageDigest.getInstance("MD5")
