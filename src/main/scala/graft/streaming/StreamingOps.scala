@@ -245,6 +245,50 @@ object StreamingOps {
           md5(concat_ws(" ", col("__kept")))).as("clean_hash"))
   }
 
+  /** Streaming MOSS matching against a FROZEN winnow index
+    * ([[graft.scale.TextOps.winnowIndex]]) — the stream member of the
+    * winnowing day-1/day-2/streaming triple: each arriving document is
+    * matched against history only (within-stream pairs defer to the
+    * next index refresh, like [[cleanAgainstIndex]]). The per-document
+    * winnow fingerprints are a PURE ARRAY PROJECTION — packed
+    * (hash40≪20 | pos) keys, sliding `array_min` over width-w slices,
+    * shift-decode, distinct — bit-identical to the batch
+    * `winnowFingerprint` (which uses a window function and is therefore
+    * not streaming-legal); the projection form trades codegen for
+    * streaming validity on per-doc-sized arrays. Fingerprints then ride
+    * a stream-static join against the index and ONE windowed
+    * aggregation counts shared fingerprints per (doc, index doc) —
+    * append-mode, one stateful operator. Documents must stay under 2²⁰
+    * shingles (the pos field of the packed key; chunk first). Apply any
+    * df cap to the index BEFORE freezing it — a corpus-wide cap is not
+    * computable stream-side. */
+  def winnowAgainstIndex(docs: DataFrame, index: DataFrame,
+                         minShared: Int = 2, k: Int = 3, w: Int = 4,
+                         windowDur: String = "10 seconds",
+                         watermark: String = "30 seconds",
+                         textCol: String = "text", idCol: String = "doc_id",
+                         timeCol: String = "event_time"): DataFrame = {
+    val fpExpr = expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(__toks) - ${k + w - 2}, 1)),
+         |  p -> shiftright(array_min(transform(
+         |    sequence(p, p + least(${w - 1},
+         |              greatest(size(__toks) - ${k - 1}, 1) - p)),
+         |    i -> shiftleft(cast(conv(substring(
+         |           md5(concat('0:', concat_ws(' ', slice(__toks, i, $k)))),
+         |           1, 10), 16, 10) AS bigint), 20) + i)), 20)))""".stripMargin)
+    val fps = docs.withWatermark(timeCol, watermark)
+      .select(col(idCol), col(timeCol),
+        graft.scale.TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col(timeCol),
+        explode(fpExpr).as("fingerprint"))
+    fps.join(index.select(col(idCol).as("index_id"), col("fingerprint")),
+        Seq("fingerprint"))
+      .groupBy(window(col(timeCol), windowDur), col(idCol), col("index_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Curation at ingest: the streaming composition of the batch pipeline
     * — quality pre-filter (stateless, codegen'd columnar expression) then
     * exact dedup within the watermark horizon ([[exactDedup]]). The
