@@ -247,6 +247,9 @@ object SparkEntry {
     cachedDf(s, dir, "winnow_index_hist")(
       winnowFp(s, dir).filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"), col("fingerprint")).distinct())
+  private def cdcIndexHist(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "cdc_index_hist")(TextOps.cdcIndex(
+      T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
   private def jpIndexDocs(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "jp_index_docs")(Dedup.jaccardPrefixIndex(
       T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), 3, 1, 5)._2)
@@ -1650,6 +1653,15 @@ object SparkEntry {
     // per-doc count/chars of chunks whose hash appears in another doc.
     // All three shuffles are keyed (md5 agg, md5 join-back, doc agg) —
     // the shape that holds at 100 TB; no window over the full corpus ---
+    // --- day-2 CDC dedup: the %10==0 batch chunked and probed against
+    // the persisted chunk store of history; equals the full rerun
+    // restricted to the batch (oracle = full SQL + that filter) ---
+    "cdc_dedup_incr" -> ((s, dir) =>
+      TextOps.cdcDedupIncremental(
+          T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          cdcIndexHist(s, dir))
+        .orderBy(col("doc_id"))),
+
     "cdc_dedup" -> ((s, dir) => {
       val ch = TextOps.cdcChunks(T(s, dir, "documents"))
       val hashDocs = ch.groupBy(col("chunk_md5"))
@@ -5698,41 +5710,15 @@ object SparkEntry {
         |FROM ck JOIN lens l USING (doc_id)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
-    "cdc_dedup" ->
-      """WITH lens AS (SELECT doc_id, text, length(text) AS n
-        |              FROM documents WHERE length(text) > 0),
-        |pos AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM lens),
-        |ch AS (SELECT p.doc_id, p.i, substr(l.text, CAST(p.i AS INT), 1) AS c
-        |       FROM pos p JOIN lens l USING (doc_id)),
-        |g AS (SELECT c, CAST(concat('0x', substr(md5('g:' || c), 1, 15)) AS BIGINT)
-        |               % 1073741824 AS gv
-        |      FROM (SELECT DISTINCT c FROM ch)),
-        |cg AS (SELECT ch.doc_id, ch.i, g.gv FROM ch JOIN g USING (c)),
-        |h AS (SELECT a.doc_id, a.i,
-        |             SUM(b.gv * CASE a.i - b.i WHEN 0 THEN 1 WHEN 1 THEN 2
-        |                 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16
-        |                 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 END) AS hv
-        |      FROM cg a JOIN cg b
-        |        ON a.doc_id = b.doc_id AND a.i - b.i BETWEEN 0 AND 7
-        |      GROUP BY 1, 2 HAVING COUNT(*) = 8),
-        |bnd AS (SELECT doc_id, i FROM h WHERE hv % 64 = 0
-        |        UNION SELECT doc_id, n FROM lens),
-        |ck AS (SELECT doc_id, i AS e,
-        |              lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS pe
-        |       FROM bnd),
-        |chunks AS (
-        |  SELECT ck.doc_id, ck.e - ck.pe AS len,
-        |         md5(substr(l.text, CAST(ck.pe + 1 AS INT),
-        |                    CAST(ck.e - ck.pe AS INT))) AS chunk_md5
-        |  FROM ck JOIN lens l USING (doc_id)),
-        |hd AS (SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
-        |       FROM chunks GROUP BY 1)
-        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |       CAST(SUM(CASE WHEN hd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-        |       CAST(SUM(CASE WHEN hd.nd > 1 THEN c.len ELSE 0 END) AS BIGINT)
-        |         AS shared_chars
-        |FROM chunks c JOIN hd USING (chunk_md5)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_dedup" -> CdcDedupSql,
+
+    // the day-2 incremental probe against the frozen history chunk
+    // store equals the full rerun restricted to the batch (history
+    // membership OR batch-internal distinct-doc count >= 2 covers every
+    // way the corpus-wide count reaches 2)
+    "cdc_dedup_incr" -> CdcDedupSql.replace(
+      "FROM chunks c JOIN hd USING (chunk_md5)",
+      "FROM chunks c JOIN hd USING (chunk_md5)\nWHERE c.doc_id % 10 = 0"),
 
     "vocab_top" ->
       """SELECT lang, CAST(rn AS INT) AS rn, tok, c FROM (
@@ -8902,6 +8888,45 @@ object SparkEntry {
     * `kk` computes k = max(2, ⌈n/target⌉) and the sample modulus
     * m = max(1, n ∕∕ (k·factor)); the Lloyd iterations run over the
     * md5-hash-sampled `es`, the final `assign` over the full corpus. */
+  /** Full-corpus CDC dedup oracle (chunks, per-hash distinct-doc
+    * counts, per-doc share stats) — shared by cdc_dedup and the
+    * day-2 cdc_dedup_incr (full SQL + batch filter). */
+  private val CdcDedupSql: String =
+    """WITH lens AS (SELECT doc_id, text, length(text) AS n
+        |              FROM documents WHERE length(text) > 0),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM lens),
+        |ch AS (SELECT p.doc_id, p.i, substr(l.text, CAST(p.i AS INT), 1) AS c
+        |       FROM pos p JOIN lens l USING (doc_id)),
+        |g AS (SELECT c, CAST(concat('0x', substr(md5('g:' || c), 1, 15)) AS BIGINT)
+        |               % 1073741824 AS gv
+        |      FROM (SELECT DISTINCT c FROM ch)),
+        |cg AS (SELECT ch.doc_id, ch.i, g.gv FROM ch JOIN g USING (c)),
+        |h AS (SELECT a.doc_id, a.i,
+        |             SUM(b.gv * CASE a.i - b.i WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16
+        |                 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 END) AS hv
+        |      FROM cg a JOIN cg b
+        |        ON a.doc_id = b.doc_id AND a.i - b.i BETWEEN 0 AND 7
+        |      GROUP BY 1, 2 HAVING COUNT(*) = 8),
+        |bnd AS (SELECT doc_id, i FROM h WHERE hv % 64 = 0
+        |        UNION SELECT doc_id, n FROM lens),
+        |ck AS (SELECT doc_id, i AS e,
+        |              lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS pe
+        |       FROM bnd),
+        |chunks AS (
+        |  SELECT ck.doc_id, ck.e - ck.pe AS len,
+        |         md5(substr(l.text, CAST(ck.pe + 1 AS INT),
+        |                    CAST(ck.e - ck.pe AS INT))) AS chunk_md5
+        |  FROM ck JOIN lens l USING (doc_id)),
+        |hd AS (SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
+        |       FROM chunks GROUP BY 1)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN hd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       CAST(SUM(CASE WHEN hd.nd > 1 THEN c.len ELSE 0 END) AS BIGINT)
+        |         AS shared_chars
+        |FROM chunks c JOIN hd USING (chunk_md5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def kmeansCteAuto(target: Int = 64, factor: Int = 20,
                             iters: Int = 5, dim: Int = 64): String = {
     def assignSql(c: String, src: String): String =

@@ -205,6 +205,46 @@ object TextOps {
         md5(col(textCol).substr(col("__graft_b.start"), col("__graft_b.len")))
           .as("chunk_md5"))
 
+  /** Day-1 index for [[cdcDedupIncremental]]: the corpus's DISTINCT
+    * chunk-hash set — the backup/storage-dedup "chunk store". The SET
+    * suffices (no counts): a new-batch chunk is cross-doc shared in the
+    * full-rerun sense iff its hash already exists in history (history
+    * occurrence + the new doc ⇒ ≥ 2 distinct docs) or ≥ 2 distinct new
+    * docs produce it. */
+  def cdcIndex(docs: DataFrame, w: Int = 8, maskBits: Int = 6,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    cdcChunks(docs, w, maskBits, textCol, idCol)
+      .select(col("chunk_md5")).distinct()
+
+  /** Day-2 CDC dedup: the new batch's per-doc chunk-share stats against
+    * a persisted [[cdcIndex]] — the incremental backup shape (only new
+    * data is chunked; the chunk store answers "seen before?"). For the
+    * new docs the result EQUALS the full rerun over history ∪ batch
+    * restricted to the batch, which is what the driver oracle checks.
+    * Scale shape: chunking stays a scan-local projection; the store
+    * probe is one leftsemi join on the hash + one batch-local distinct
+    * count; per-doc stats are one keyed aggregation. */
+  def cdcDedupIncremental(newDocs: DataFrame, index: DataFrame,
+                          w: Int = 8, maskBits: Int = 6,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val ch = cdcChunks(newDocs, w, maskBits, textCol, idCol)
+      .localCheckpoint() // three consumers below
+    val inHist = ch.select(col("chunk_md5")).distinct()
+      .join(index, Seq("chunk_md5"), "leftsemi")
+    val dupNew = ch.select(col(idCol), col("chunk_md5")).distinct()
+      .groupBy(col("chunk_md5")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("chunk_md5"))
+    val shared = inHist.unionByName(dupNew).distinct()
+      .withColumn("__s", lit(1))
+    ch.join(shared, Seq("chunk_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("__s") === 1, col("len").cast("long")).otherwise(0L))
+          .as("shared_chars"))
+  }
+
   /** Per-document top-n TF-IDF terms — keyword extraction, the classic
     * relevance heuristic (Spärck Jones 1972). idf is carried as an
     * INTEGER micro-unit weight (round(ln(N/df)·10⁶)) so scores and the

@@ -52,6 +52,44 @@ class CdcSpec extends SparkSpec {
       s"only a $suffix-chunk common suffix of ${hb.size} survived a 4-char insertion")
   }
 
+  test("cdcDedupIncremental == full rerun restricted to the batch, through a parquet index round-trip") {
+    val boiler = "the quick brown fox jumps over the lazy dog " * 10
+    val hist = Seq(
+      (1L, boiler + "history one tail content here"),
+      (2L, boiler + "history two different ending"),
+      (3L, "entirely original historical words " * 8)
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, boiler + "new arrival with the shared head"), // hits history
+      // exact new-new duplicates: every chunk shared regardless of
+      // where the content-defined boundaries fall
+      (11L, "fresh boilerplate block repeated " * 9 + "alpha"),
+      (12L, "fresh boilerplate block repeated " * 9 + "alpha"),
+      (13L, "jabber wock snark boojum frabjous vorpal galumph " * 6)
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cdcidx").toString
+    TextOps.cdcIndex(hist).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("shared_chars"))
+    val got = TextOps.cdcDedupIncremental(fresh, idx).collect().map(key).toMap
+    // full rerun, replicating the batch cdc_dedup stats
+    val all = TextOps.cdcChunks(hist.unionByName(fresh))
+    val nd = all.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val want = all.join(nd, Seq("chunk_md5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("nd") > 1, col("len").cast("long")).otherwise(0L))
+          .as("shared_chars"))
+      .filter(col("doc_id") >= 10L).collect().map(key).toMap
+    assert(got == want)
+    // semantics landed: history hit, new-new share, loner clean
+    assert(got(10L)._2 > 0 && got(11L)._2 > 0 && got(13L)._2 == 0)
+  }
+
   test("cdcChunks dataframe operator tiles and is shuffle-free") {
     val docs = Seq((1L, "spark window merge join " * 15), (2L, "x"), (3L, ""))
       .toDF("doc_id", "text")
