@@ -1433,7 +1433,11 @@ object SparkEntry {
       at("1/5", lit(true))
         .unionByName(at("1/2",
           col("inter") * 2 >= (col("sza") + col("szb") - col("inter"))))
-        .withColumn("recall_micro", expr("n_covered * 1000000 div n_exact"))
+        // zero-guard: a corpus with no exact pairs at a tau must yield
+        // NULL on BOTH engines (DuckDB's integer // raises on /0)
+        .withColumn("recall_micro", expr(
+          "CASE WHEN n_exact = 0 THEN NULL " +
+            "ELSE n_covered * 1000000 div n_exact END"))
         .orderBy(col("tau"))
     }),
 
@@ -5300,7 +5304,9 @@ object SparkEntry {
         |  SELECT e.*, CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS hit
         |  FROM ex e LEFT JOIN prs p ON p.a = e.a AND p.b = e.b)
         |SELECT tau, n_exact, n_covered,
-        |       CAST(n_covered * 1000000 // n_exact AS BIGINT) AS recall_micro
+        |       CAST(CASE WHEN n_exact = 0 THEN NULL
+        |            ELSE n_covered * 1000000 // n_exact END AS BIGINT)
+        |         AS recall_micro
         |FROM (
         |  SELECT '1/5' AS tau, CAST(COUNT(*) AS BIGINT) AS n_exact,
         |         CAST(SUM(hit) AS BIGINT) AS n_covered

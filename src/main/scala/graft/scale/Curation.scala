@@ -633,18 +633,29 @@ object Curation {
 
   /** Incremental aggregate maintenance under a [[corpusDiff]] — the
     * payoff of the snapshot diff: instead of re-aggregating snapshot B
-    * from scratch, apply the diff's delta to snapshot A's stored
-    * per-group aggregate. added: +1 doc +its tokens (from B); removed:
-    * −1 doc −its tokens (from A); changed: token delta only (−A +B).
+    * from scratch, apply a delta to snapshot A's stored per-group
+    * aggregate. Every touched document is treated uniformly as
+    * remove-its-A-contribution + add-its-B-contribution (for a doc
+    * whose group is unchanged the ±1 doc counts cancel in the sum, so
+    * this equals the naive "changed = token delta only" rule there).
     * The result equals a direct aggregation over B — which is exactly
     * what the oracle checks.
     *
-    * Scale shape: the touched-id set is diff-sized (crawl deltas are a
-    * few % of the corpus); both payload fetches are id-keyed equi-joins
-    * of that small set against one snapshot (at 100 TB a runtime bloom
-    * filter / DPP turns them into pruned scans), and the merge is a
-    * union of |groups| + |delta| rows into one keyed aggregation. The
-    * 100-TB corpus itself is never re-scanned.
+    * "Touched" is the diff's non-unchanged ids UNION ids whose GROUP
+    * moved between snapshots even though the text did not —
+    * [[corpusDiff]] hashes only the text, so a group move alone reports
+    * 'unchanged'; without the extra check its mass would silently stay
+    * in the old group. The move detection is an id-keyed equi-join of
+    * the two snapshots carrying only (id, group) — column-pruned, no
+    * text travels.
+    *
+    * Scale shape: the touched-id set is diff-sized plus moved-sized
+    * (crawl deltas are a few % of the corpus); both payload fetches are
+    * id-keyed equi-joins of that small set against one snapshot (at
+    * 100 TB a runtime bloom filter / DPP turns them into pruned scans),
+    * and the merge is a union of |groups| + |delta| rows into one keyed
+    * aggregation. The corpus text is never re-tokenized outside the
+    * touched set.
     *
     * `baseAgg` must be (groupCol, n_docs, n_tokens) as produced by
     * grouping snapshot A; token counts use [[TextOps.tokens]]. */
@@ -654,18 +665,21 @@ object Curation {
                   idCol: String = "doc_id"): DataFrame = {
     def payload(df: DataFrame) = df.select(col(idCol), col(groupCol),
       size(TextOps.tokens(col(textCol))).cast("long").as("__t"))
+    val moved = a.select(col(idCol), col(groupCol).as("__ga"))
+      .join(b.select(col(idCol), col(groupCol).as("__gb")), Seq(idCol))
+      .filter(col("__ga") =!= col("__gb"))
+      .select(col(idCol))
     val touched = diff.filter(col("status") =!= "unchanged")
-    val minus = touched.filter(col("status").isin("removed", "changed"))
-      .join(payload(a), Seq(idCol))
-      .select(col(groupCol),
-        when(col("status") === "removed", lit(-1L)).otherwise(lit(0L))
-          .as("n_docs"),
+      .select(col(idCol)).unionByName(moved).distinct()
+    // inner joins drop the side a doc is absent from: added docs emit
+    // only a plus row, removed docs only a minus row, changed/moved
+    // docs both — uniformly (−1 doc, −tokens) from A's group and
+    // (+1 doc, +tokens) to B's group.
+    val minus = touched.join(payload(a), Seq(idCol))
+      .select(col(groupCol), lit(-1L).as("n_docs"),
         (-col("__t")).as("n_tokens"))
-    val plus = touched.filter(col("status").isin("added", "changed"))
-      .join(payload(b), Seq(idCol))
-      .select(col(groupCol),
-        when(col("status") === "added", lit(1L)).otherwise(lit(0L))
-          .as("n_docs"),
+    val plus = touched.join(payload(b), Seq(idCol))
+      .select(col(groupCol), lit(1L).as("n_docs"),
         col("__t").as("n_tokens"))
     baseAgg.select(col(groupCol), col("n_docs").cast("long").as("n_docs"),
         col("n_tokens").cast("long").as("n_tokens"))

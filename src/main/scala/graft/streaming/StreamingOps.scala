@@ -194,7 +194,15 @@ object StreamingOps {
     * pure array projection AFTER the agg (per-doc arrays, no second
     * stateful operator) — valid append-mode plan. Output matches the
     * batch twin: (window, id, n_tokens, n_kept, n_removed,
-    * clean_hash). */
+    * clean_hash).
+    *
+    * Duplicate-safe: the aggregation keys on (window, id, md5(text)),
+    * so at-least-once replays of the same document collapse into one
+    * row (the merged position list is idempotent under duplicates —
+    * a repeated start extends its region to the same end), while a
+    * re-crawled SAME-id DIFFERENT-text copy in the same window cleans
+    * independently as its own row instead of corrupting a merged
+    * position list. */
   def cleanAgainstIndex(docs: DataFrame, index: DataFrame,
                         shingleK: Int = 3,
                         windowDur: String = "10 seconds",
@@ -204,16 +212,18 @@ object StreamingOps {
     val idx = index.select(col("shingle"), lit(1).as("__hit"))
     val base = docs.withWatermark(timeCol, watermark)
       .select(col(idCol), col(timeCol), col(textCol).as("__text"),
+        md5(col(textCol)).as("__th"),
         graft.scale.TextOps.tokens(col(textCol)).as("__toks"))
     val sh = base.select(col(idCol), col(timeCol), col("__text"),
+        col("__th"),
         posexplode(transform(
           sequence(lit(1), greatest(size(col("__toks")) - (shingleK - 1), lit(1))),
           i => concat_ws(" ", slice(col("__toks"), i, lit(shingleK)))))
           .as(Seq("__p0", "shingle")))
-      .select(col(idCol), col(timeCol), col("__text"),
+      .select(col(idCol), col(timeCol), col("__text"), col("__th"),
         (col("__p0") + 1).cast("long").as("pos"), col("shingle"))
     val g = sh.join(idx, Seq("shingle"), "left")
-      .groupBy(window(col(timeCol), windowDur), col(idCol))
+      .groupBy(window(col(timeCol), windowDur), col(idCol), col("__th"))
       .agg(first(col("__text")).as("__text"),
         sort_array(collect_list(when(col("__hit") === 1, col("pos"))))
           .as("__dups"))
@@ -268,15 +278,20 @@ object StreamingOps {
                          watermark: String = "30 seconds",
                          textCol: String = "text", idCol: String = "doc_id",
                          timeCol: String = "event_time"): DataFrame = {
+    // same per-row runtime guard as batch winnowFingerprint: pos must
+    // fit the 20-bit field — a >2^20-shingle document would carry into
+    // the hash bits and silently corrupt every fingerprint. Fail loudly.
     val fpExpr = expr(
       s"""array_distinct(transform(
          |  sequence(1, greatest(size(__toks) - ${k + w - 2}, 1)),
          |  p -> shiftright(array_min(transform(
          |    sequence(p, p + least(${w - 1},
          |              greatest(size(__toks) - ${k - 1}, 1) - p)),
-         |    i -> shiftleft(cast(conv(substring(
+         |    i -> CASE WHEN assert_true(i < 1048576,
+         |           'winnowAgainstIndex: document exceeds 2^20 shingles — chunk it first') IS NULL
+         |         THEN shiftleft(cast(conv(substring(
          |           md5(concat('0:', concat_ws(' ', slice(__toks, i, $k)))),
-         |           1, 10), 16, 10) AS bigint), 20) + i)), 20)))""".stripMargin)
+         |           1, 10), 16, 10) AS bigint), 20) + i END)), 20)))""".stripMargin)
     val fps = docs.withWatermark(timeCol, watermark)
       .select(col(idCol), col(timeCol),
         graft.scale.TextOps.tokens(col(textCol)).as("__toks"))

@@ -141,6 +141,38 @@ class IncrMaintSpec extends SparkSpec {
     assert(maintained("s2") == ((1L, 3L)))
   }
 
+  test("maintainAgg: group moves are maintained even when corpusDiff says 'unchanged'") {
+    val a = Seq(
+      (1L, "s0", "one two three"),
+      (2L, "s0", "four five"),
+      (3L, "s1", "six seven")
+    ).toDF("doc_id", "source", "text")
+    val b = Seq(
+      (1L, "s1", "one two three"),       // SAME text, source s0 -> s1:
+                                         // diff reports 'unchanged'
+      (2L, "s2", "four five extended"),  // changed text AND moved group
+      (3L, "s1", "six seven")            // genuinely unchanged
+    ).toDF("doc_id", "source", "text")
+    val base = a.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+    // the diff genuinely misses the doc-1 move (text hash unchanged)
+    val diff = Curation.corpusDiff(a, b)
+    assert(diff.filter(col("doc_id") === 1L).head()
+      .getAs[String]("status") == "unchanged")
+    val maintained = Curation.maintainAgg(base, diff, a, b)
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"))).toMap
+    val direct = b.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"))).toMap
+    // s0 drains to (0, 0); s1 gains doc 1's mass; s2 holds moved doc 2
+    assert(maintained("s0") == ((0L, 0L)))
+    assert(maintained.filter(_._2._1 > 0L) == direct)
+  }
+
   test("pairMaxSharedSpan: diagonal runs find the longest shared block") {
     val docs = Seq(
       // docs 0/1 share the 5-token block "c1 c2 c3 c4 c5" at different

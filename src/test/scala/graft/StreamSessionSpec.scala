@@ -16,7 +16,7 @@ class StreamSessionSpec extends SparkSpec {
   private def ts(sec: Long, micro: Long = 0): Timestamp =
     new Timestamp(sec * 1000 + micro / 1000) // ms precision is enough here
 
-  test("sessions: exact-gap event opens a new session, inside-gap merges") {
+  test("sessions: exact-gap event merges, past-gap opens a new session") {
     val gapSec = 60L
     val ev = Seq(
       ("p0", ts(0), 10L),

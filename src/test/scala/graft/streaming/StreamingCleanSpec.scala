@@ -58,6 +58,37 @@ class StreamingCleanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cleanAgainstIndex: replayed copies collapse, a re-crawled different-text copy cleans independently") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Dedup.shingleIndex(
+      Seq((1L, "p q r s t u")).toDF("doc_id", "text"))
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+      .withColumn("event_time", timestamp_millis(col("doc_id") * 1000))
+    val q = StreamingOps.cleanAgainstIndex(docs, index)
+      .writeStream.format("memory").queryName("clean_dup")
+      .outputMode("append").start()
+    try {
+      // at-least-once replay: the identical event arrives twice; plus a
+      // re-crawl of doc 20 with DIFFERENT text in the same window
+      stream.addData(
+        (10L, "zz p q r s yy"), (10L, "zz p q r s yy"),
+        (20L, "first crawl p q r tail"), (20L, "second crawl no overlap"))
+      q.processAllAvailable()
+      stream.addData((10000L, "flush doc far in the future"))
+      q.processAllAvailable()
+      val got = spark.table("clean_dup").filter(col("doc_id") < 1000)
+        .select("doc_id", "n_kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // replayed doc 10 -> exactly ONE row, cleaned as if sent once
+      assert(got.count(_._1 == 10L) == 1)
+      assert(got.find(_._1 == 10L).get._2 == 2L) // "zz"+"yy" survive
+      // re-crawled doc 20 -> one row PER version, each self-consistent
+      val v20 = got.filter(_._1 == 20L).map(_._2).sorted
+      assert(v20.toSeq == Seq(3L, 4L)) // v1 loses "p q r", v2 untouched
+    } finally q.stop()
+  }
+
   test("batch withinBatch flag: true also cleans new-new duplication, false defers it") {
     val index = Dedup.shingleIndex(
       Seq((1L, "p q r s t u")).toDF("doc_id", "text"))
