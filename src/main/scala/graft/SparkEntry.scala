@@ -2790,6 +2790,39 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // --- day-2 member of the edit-distance family: a new batch (every
+    // 10th part) joins the persisted tagged-gram prefix index of
+    // history — equals the full self-join restricted to batch-touching
+    // pairs (which is exactly what the oracle computes brute-force) ---
+    "fuzzy_exact_incr" -> ((s, dir) => {
+      val part = T(s, dir, "part")
+      val (dfTab, strIdx, idMap) = graft.scale.Dedup.editDistanceIndex(
+        part.filter(col("p_partkey") % 10 =!= 0), maxDist = 2,
+        textCol = "p_name", idCol = "p_partkey")
+      graft.scale.Dedup.editDistanceIncremental(
+          part.filter(col("p_partkey") % 10 === 0), dfTab, strIdx, idMap,
+          maxDist = 2, textCol = "p_name", idCol = "p_partkey")
+        .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- day-2 record linkage: a new noisy batch (every 7th part,
+    // first char dropped, shifted ids) links against the FROZEN prefix
+    // index of the canonical part table — the deploy shape where the
+    // canonical side never re-grams ---
+    "fuzzy_link_incr" -> ((s, dir) => {
+      val part = T(s, dir, "part")
+      val (dfTab, strIdx, idMap) = graft.scale.Dedup.editDistanceIndex(
+        part, maxDist = 2, textCol = "p_name", idCol = "p_partkey")
+      val noisy = part.filter(col("p_partkey") % 7 === 0)
+        .select((col("p_partkey") + 1000000L).as("p_partkey"),
+          expr("substr(p_name, 2)").as("p_name"))
+      graft.scale.Dedup.editDistanceLinkIncremental(noisy, dfTab, strIdx,
+          idMap, maxDist = 2, textCol = "p_name", idCol = "p_partkey")
+        .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- z-order layout audit: Morton-bucket occupancy and per-bucket
     // dimension bounds (tight boxes = min/max pruning works) ---
     "q_zorder" -> ((s, dir) => {
@@ -7659,6 +7692,27 @@ object SparkEntry {
         |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
         |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the full brute-force self-join restricted to batch-touching pairs
+    "fuzzy_exact_incr" ->
+      """SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |  AND (a.p_partkey % 10 = 0 OR b.p_partkey % 10 = 0)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "fuzzy_link_incr" ->
+      """WITH n AS (SELECT p_partkey + 1000000 AS a,
+        |                  substr(p_name, 2) AS sa FROM part
+        |           WHERE p_partkey % 7 = 0)
+        |SELECT n.a, p.p_partkey AS b,
+        |       CAST(levenshtein(n.sa, p.p_name) AS INT) AS dist
+        |FROM n JOIN part p
+        |  ON abs(length(n.sa) - length(p.p_name)) <= 2
+        |WHERE levenshtein(n.sa, p.p_name) <= 2
         |ORDER BY 1, 2""".stripMargin,
 
     "q_zorder" -> {

@@ -1415,6 +1415,186 @@ object Dedup {
         .select(col("x").as("a"), col("y").as("b"), col("dist"))
   }
 
+  /** Persistable prefix index for the edit-distance family — the day-2
+    * ingest artifact (the Ed-Join analogue of [[jaccardPrefixIndex]]):
+    * the triple (dfTab, strIndex, idMap) over one corpus snapshot, where
+    *  - `dfTab` (g, k, df) is the occurrence-tagged q-gram frequency
+    *    table that FREEZES the rare-first prefix order,
+    *  - `strIndex` (s, len, prefix) keeps per DISTINCT string its first
+    *    q·maxDist+1 tagged grams under that order (empty for strings
+    *    shorter than q — those pair only through the short bucket), and
+    *  - `idMap` (id, s) is the column-pruned multiplicity table for the
+    *    final output expansion.
+    * Persist all three per corpus snapshot;
+    * [[editDistanceIncremental]] / [[editDistanceLinkIncremental]] then
+    * match a new batch against them without re-gramming one historical
+    * string. The index is parameterized by (maxDist, q) — probe with
+    * the same values it was built with (prefix length is q·maxDist+1
+    * and the short-bucket boundary is q·(maxDist+1)). */
+  def editDistanceIndex(docs: DataFrame, maxDist: Int = 2, q: Int = 2,
+                        textCol: String = "text", idCol: String = "doc_id")
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val prefLen = q * maxDist + 1
+    val base = edBase(docs, textCol, idCol)
+    val ds = base.select(col("s"), col("len")).distinct().localCheckpoint()
+    val tagged = edGrams(ds, q, Int.MaxValue)
+      .select(col("s"), col("len"), col("g"),
+        explode(expr("sequence(1, CAST(cnt AS INT))")).as("k"))
+    val dfTab = tagged.groupBy(col("g"), col("k")).agg(count(lit(1)).as("df"))
+    val pref = tagged.join(dfTab, Seq("g", "k"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("df"), col("g"), col("k"))))
+      .filter(col("__rn") <= prefLen)
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("g"), col("k")))).as("prefix"))
+    val strIndex = ds.join(pref, Seq("s"), "left")
+      .select(col("s"), col("len"),
+        coalesce(col("prefix"),
+          expr("CAST(array() AS array<struct<g: string, k: int>>)"))
+          .as("prefix"))
+    (dfTab, strIndex, base.select(col("id"), col("s")))
+  }
+
+  /** Day-2 member of the edit-distance family — a NEW batch joins the
+    * persisted [[editDistanceIndex]] (and itself) WITHOUT touching the
+    * historical corpus. Emits exactly the pairs a full-corpus
+    * [[editDistancePairs]] rerun over history ∪ batch would emit that
+    * touch ≥ 1 new id (same (a, b, dist) schema, a < b) — proved by the
+    * equivalence property spec.
+    *
+    * Losslessness under the FROZEN order: new strings rank their tagged
+    * grams by the index's df table, grams unseen on day 1 by their
+    * BATCH df (any extension of the day-1 order is consistent for every
+    * pair side — historical strings contain no unseen grams, so their
+    * persisted prefixes are unchanged under the extension, and all new
+    * strings rank by the same extended key). The Ed-Join prefix length
+    * q·maxDist+1 is size-independent, so the bound needs no rescaling;
+    * verification is the same banded-DP `levenshtein`, making the
+    * output pair set EXACT regardless of how the frozen order skews
+    * prefixes. Batch ids must be disjoint from index ids.
+    *
+    * Streaming shape: the per-string prefix ranking needs a window,
+    * which streams don't allow, so the deployed form is `foreachBatch`
+    * calling this per micro-batch against the persisted index — the
+    * same micro-batched day-2 decomposition as
+    * [[jaccardPrefixIncremental]] (spec-driven end to end). */
+  def editDistanceIncremental(newDocs: DataFrame, dfTab: DataFrame,
+                              strIndex: DataFrame, idMap: DataFrame,
+                              maxDist: Int = 2, q: Int = 2,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame =
+    edIncr(newDocs, dfTab, strIndex, idMap, self = true, maxDist, q,
+      textCol, idCol)
+
+  /** Day-2 record LINKAGE against a frozen canonical table — the
+    * cross-table twin of [[editDistanceIncremental]]: each new noisy
+    * batch links against the persisted [[editDistanceIndex]] of the
+    * canonical side. Equals [[editDistanceLink]](batch, canonical)
+    * exactly (left id in `a`, right id in `b`; ids need not be
+    * disjoint, no self-pair filter) — batch↔batch pairs are
+    * intentionally NOT emitted, matching link semantics. */
+  def editDistanceLinkIncremental(newLeft: DataFrame, dfTab: DataFrame,
+                                  strIndex: DataFrame, idMap: DataFrame,
+                                  maxDist: Int = 2, q: Int = 2,
+                                  textCol: String = "text",
+                                  idCol: String = "doc_id"): DataFrame =
+    edIncr(newLeft, dfTab, strIndex, idMap, self = false, maxDist, q,
+      textCol, idCol)
+
+  /** Shared core of the two day-2 edit-distance forms: batch prefixes
+    * under the frozen-plus-batch-extension order, candidate join against
+    * index prefixes (∪ batch prefixes when `self`), the length-keyed
+    * short bucket, banded-DP verification over canonical distinct string
+    * pairs, then the output-sized id expansion. Work is proportional to
+    * the batch: every shuffle keys on a tagged gram, a candidate length,
+    * or a matched string — the historical corpus contributes only
+    * posting-list lookups of its persisted prefixes. */
+  private def edIncr(newDocs: DataFrame, dfTab: DataFrame,
+                     strIndex: DataFrame, idMap: DataFrame, self: Boolean,
+                     maxDist: Int, q: Int, textCol: String,
+                     idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val minLong = q * (maxDist + 1)
+    val prefLen = q * maxDist + 1
+    val baseN = edBase(newDocs, textCol, idCol)
+    val dsN = baseN.select(col("s"), col("len")).distinct().localCheckpoint()
+    val taggedN = edGrams(dsN, q, Int.MaxValue)
+      .select(col("s"), col("len"), col("g"),
+        explode(expr("sequence(1, CAST(cnt AS INT))")).as("k"))
+    val batchDf = taggedN.groupBy(col("g"), col("k"))
+      .agg(count(lit(1)).as("bdf"))
+    val prefN = taggedN
+      .join(dfTab.select(col("g"), col("k"), col("df")), Seq("g", "k"), "left")
+      .join(batchDf, Seq("g", "k"))
+      .withColumn("df0", coalesce(col("df"), col("bdf")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("df0"), col("g"), col("k"))))
+      .filter(col("__rn") <= prefLen)
+      .select(col("s"), col("len"), col("g"), col("k"))
+    val prefH = strIndex
+      .select(col("s"), col("len"), explode(col("prefix")).as("gk"))
+      .select(col("s"), col("len"),
+        col("gk.g").as("g"), col("gk.k").as("k"))
+    val prefAll = if (self) prefH.unionByName(prefN) else prefH
+    val strNe = if (self) col("s1") =!= col("s2") else lit(true)
+    val longCand = prefN
+      .select(col("s").as("s1"), col("len").as("l1"), col("g"), col("k"))
+      .join(prefAll.select(col("s").as("s2"), col("len").as("l2"),
+        col("g"), col("k")), Seq("g", "k"))
+      .filter(strNe &&
+        abs(col("l1") - col("l2")) <= maxDist &&
+        greatest(col("l1"), col("l2")) >= minLong)
+      .select(col("s1"), col("s2"))
+    val shortN = dsN.filter(col("len") < minLong)
+    val shortAll =
+      if (self) strIndex.select(col("s"), col("len"))
+        .filter(col("len") < minLong).unionByName(shortN)
+      else strIndex.select(col("s"), col("len")).filter(col("len") < minLong)
+    val shortCand = shortN.select(col("s").as("s1"), col("len").as("l1"))
+      .withColumn("l2",
+        explode(sequence(col("l1") - maxDist, col("l1") + maxDist)))
+      .join(shortAll.select(col("s").as("s2"), col("len").as("l2")),
+        Seq("l2"))
+      .filter(strNe)
+      .select(col("s1"), col("s2"))
+    val rawCand = longCand.unionByName(shortCand)
+    val cand = (if (self)
+        rawCand.select(least(col("s1"), col("s2")).as("s1"),
+          greatest(col("s1"), col("s2")).as("s2"))
+      else rawCand).distinct()
+    val verified = cand
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist))
+      .filter(col("dist") >= 0)
+    if (self) {
+      // equal strings are distance-0 pairs surfaced purely through id
+      // multiplicity (batch string = either side's string), exactly as
+      // in the batch self-join
+      val strPairs = verified.unionByName(dsN.select(col("s").as("s1"),
+        col("s").as("s2"), lit(0).as("dist")))
+      val iAll = idMap
+        .select(col("id").as("x"), col("s").as("s1"), lit(false).as("nx"))
+        .unionByName(baseN.select(col("id").as("x"), col("s").as("s1"),
+          lit(true).as("nx")))
+      strPairs.join(iAll, Seq("s1"))
+        .join(iAll.select(col("x").as("y"), col("s1").as("s2"),
+          col("nx").as("ny")), Seq("s2"))
+        .filter((col("s1") < col("s2") || col("x") < col("y")) &&
+          (col("nx") || col("ny")))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"), col("dist"))
+    } else {
+      verified
+        .join(baseN.select(col("id").as("a"), col("s").as("s1")), Seq("s1"))
+        .join(idMap.select(col("id").as("b"), col("s").as("s2")), Seq("s2"))
+        .select(col("a"), col("b"), col("dist"))
+    }
+  }
+
   def removeDuplicateTiles(docs: DataFrame, k: Int = 5, minDocs: Int = 2,
                            textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {

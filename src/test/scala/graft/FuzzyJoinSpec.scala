@@ -115,6 +115,101 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(capped.subsetOf(full))
   }
 
+  test("editDistanceIncremental == full rerun restricted to batch-touching pairs, through a parquet index round-trip") {
+    // history includes duplicates, shorts, and gram-less strings; the
+    // batch repeats a history string (dist-0 cross pairs), contains a
+    // within-batch near-pair, and a string whose grams are all UNSEEN
+    // on day 1 (exercises the batch-df order extension)
+    val histN = Seq("cold widget", "bold widget", "warm gear", "a", "ab",
+      "cold widget", "shiny ring")
+    val newN = Seq("cold widgets", "warm gears", "b", "ba", "cold widget",
+      "zzqq xxyy", "zzqq xxyz")
+    val hist = histN.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val fresh = newN.zipWithIndex.map { case (s, i) => (100L + i, s) }
+      .toDF("doc_id", "text")
+    for (d <- 1 to 2) {
+      val (dfTab, strIdx, idMap) = graft.scale.Dedup.editDistanceIndex(
+        hist, maxDist = d)
+      val dir = java.nio.file.Files.createTempDirectory("edidx").toString
+      dfTab.write.mode("overwrite").parquet(s"$dir/df")
+      strIdx.write.mode("overwrite").parquet(s"$dir/str")
+      idMap.write.mode("overwrite").parquet(s"$dir/ids")
+      val got = graft.scale.Dedup.editDistanceIncremental(fresh,
+          spark.read.parquet(s"$dir/df"), spark.read.parquet(s"$dir/str"),
+          spark.read.parquet(s"$dir/ids"), maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val full = graft.scale.Dedup.editDistancePairs(
+          hist.unionByName(fresh), maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        .filter(p => p._1 >= 100L || p._2 >= 100L)
+      assert(got == full, s"maxDist=$d")
+      // the interesting shapes genuinely landed: batch↔history near
+      // pair, dist-0 repeat of a history string (both its history ids),
+      // within-batch pair over day-1-unseen grams, short-bucket pair
+      assert(got.contains((0L, 100L, 1)))
+      assert(got.contains((0L, 104L, 0)) && got.contains((5L, 104L, 0)))
+      assert(got.contains((105L, 106L, 1)))
+      assert(got.contains((3L, 102L, 1))) // "a" vs "b", gram-less
+    }
+  }
+
+  test("editDistanceLinkIncremental == full link of the batch against the canonical table") {
+    val rightN = Seq("bold widget", "warm gears", "y", "ba", "shiny ring", "a")
+    val right = rightN.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val leftN = Seq("cold widget", "warm gear", "x", "ab", "shiny rng",
+      "", "warm gears")
+    val left = leftN.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    for (d <- 1 to 2) {
+      val (dfTab, strIdx, idMap) = graft.scale.Dedup.editDistanceIndex(
+        right, maxDist = d)
+      val got = graft.scale.Dedup.editDistanceLinkIncremental(left,
+          dfTab, strIdx, idMap, maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = graft.scale.Dedup.editDistanceLink(left, right, maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"maxDist=$d")
+      assert(got.nonEmpty)
+      // ids may overlap across tables; equal strings link at dist 0
+      if (d >= 1) assert(got.contains((6L, 1L, 0)))
+    }
+  }
+
+  test("edit-distance streaming member: foreachBatch against the frozen index accumulates the batch link") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val right = Seq((0L, "bold widget"), (1L, "warm gears"), (2L, "ba"))
+      .toDF("doc_id", "text")
+    val (dfTab, strIdx, idMap) =
+      graft.scale.Dedup.editDistanceIndex(right, maxDist = 2)
+    // freeze the index artifacts once, as a deployment would
+    Seq(dfTab, strIdx, idMap).foreach(_.cache().count())
+    val acc = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= graft.scale.Dedup.editDistanceLinkIncremental(
+            batch, dfTab, strIdx, idMap, maxDist = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+      }.start()
+    try {
+      stream.addData((10L, "cold widget"), (11L, "nothing close"))
+      q.processAllAvailable()
+      stream.addData((12L, "warm gear"), (13L, "ab"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.scale.Dedup.editDistanceLink(
+        Seq((10L, "cold widget"), (11L, "nothing close"),
+          (12L, "warm gear"), (13L, "ab")).toDF("doc_id", "text"),
+        right, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(acc.toSet == want)
+    assert(acc.contains((10L, 0L, 1)) && acc.contains((13L, 2L, 2)))
+  }
+
   test("maxBlockSize drops viral blocks entirely") {
     val df = Seq("a ring", "b ring", "c ring", "x hub", "y hub").toDF("name")
     val capped = FuzzyJoin.selfPairs(df, "name", block, 2, Some(2)).collect()
