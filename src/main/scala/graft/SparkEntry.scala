@@ -271,6 +271,55 @@ object SparkEntry {
           (id, hi, lo)
         }.toDF("doc_id", "ahash_hi", "ahash_lo")
     })
+  /** Planted 64-bit difference fingerprints of the audio_neardup
+    * fixture (WAV synthesis + real RIFF decode), shared by the batch
+    * and day-2 audio near-dup queries. */
+  private def audioDiffHashes(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "audio_diff_fp")({
+      import s.implicits._
+      T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id % 40
+          val variant = (id / 40) % 2 == 1
+          val n = (130 + seed % 37).toInt
+          val p = Multimodal.encodeWav(1, 8000, n, { i =>
+            // Knuth multiply, HIGH bits down (>> 16) before the mod —
+            // the low bits of x*c alone are a constant-step rotation
+            var mag = ((((seed * 1000003 + i) * 2654435761L) >> 16) % 8192).toInt
+            if (variant) {
+              val f = i * 65 / n
+              if (f >= seed && f <= seed + 2) mag += 2500
+              mag *= 2 // uniform gain: must NOT flip any unperturbed bit
+            }
+            if (i % 2 == 0) mag else -mag
+          })
+          val (hi, lo) = Multimodal.audioDiffFingerprint64(p)
+          (id, hi, lo)
+        }.toDF("doc_id", "fp_hi", "fp_lo")
+    })
+  /** Planted frame-hash token documents of the video_neardup fixture
+    * (Y4M synthesis + real decode, one token per frame hash), shared by
+    * the batch and day-2 video near-dup queries. */
+  private def videoTokenDocs(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "video_token_docs")({
+      import s.implicits._
+      T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id % 30
+          val variant = (id / 30) % 2 == 1
+          val w = (4 + (seed % 3) * 2).toInt; val h = (4 + (seed % 2) * 2).toInt
+          val n = (4 + seed % 3).toInt
+          def luma(f: Int, i: Int) =
+            ((seed * 13 + (f * 7 + 1) * i * 3 + f * 5) % 256).toInt
+          val payload =
+            if (variant) Multimodal.encodeY4m(w, h, n - 1,
+              (f, i) => luma(f + 1, i))
+            else Multimodal.encodeY4m(w, h, n, luma)
+          val toks = Multimodal.frameHashes(payload, frameStride = 1)
+            .map { case (hi, lo) => s"$hi:$lo" }
+          (id, toks.mkString(" "))
+        }.toDF("doc_id", "text")
+    })
   /** Frozen bitext pivot index (day-1 reference run: en docs with
     * doc_id % 10 != 0 mined against the full de side), memoized like
     * every "build once, serve many" model table so the day-2 query
@@ -2131,25 +2180,22 @@ object SparkEntry {
     // (n-1)/n >= 3/4 of its hashes and survives tau=2/3; different
     // videos stay below 1/3. Video dedup composed from the existing
     // text machinery, no new join code ---
-    "video_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val hashDocs = T(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val seed = id % 30
-          val variant = (id / 30) % 2 == 1
-          val w = (4 + (seed % 3) * 2).toInt; val h = (4 + (seed % 2) * 2).toInt
-          val n = (4 + seed % 3).toInt
-          def luma(f: Int, i: Int) =
-            ((seed * 13 + (f * 7 + 1) * i * 3 + f * 5) % 256).toInt
-          val payload =
-            if (variant) Multimodal.encodeY4m(w, h, n - 1,
-              (f, i) => luma(f + 1, i))
-            else Multimodal.encodeY4m(w, h, n, luma)
-          val toks = Multimodal.frameHashes(payload, frameStride = 1)
-            .map { case (hi, lo) => s"$hi:$lo" }
-          (id, toks.mkString(" "))
-        }.toDF("doc_id", "text")
-      Dedup.jaccardPrefixPairs(hashDocs, shingleK = 1, tauNum = 2, tauDen = 3)
+    "video_neardup" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(videoTokenDocs(s, dir), shingleK = 1,
+          tauNum = 2, tauDen = 3)
+        .orderBy(col("a"), col("b"))),
+
+    // --- day-2 video near-dup: the %10==0 videos arrive as the new
+    // batch (decoded + frame-hashed batch-side only) and join the
+    // persisted exact-Jaccard prefix index of history — equals the full
+    // rerun restricted to batch-touching pairs ---
+    "video_neardup_incr" -> ((s, dir) => {
+      val docs = videoTokenDocs(s, dir)
+      val (dfTab, docIndex) = Dedup.jaccardPrefixIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), shingleK = 1,
+        tauNum = 2, tauDen = 3)
+      Dedup.jaccardPrefixIncremental(docs.filter(col("doc_id") % 10 === 0),
+          dfTab, docIndex, shingleK = 1, tauNum = 2, tauDen = 3)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -2200,27 +2246,7 @@ object SparkEntry {
     // Hamming-LSH + VecHamming verification as image_neardup, provably
     // equal to the oracle's brute-force Hamming join (radius < bands) ---
     "audio_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val hashed = T(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val seed = id % 40
-          val variant = (id / 40) % 2 == 1
-          val n = (130 + seed % 37).toInt
-          val p = Multimodal.encodeWav(1, 8000, n, { i =>
-            // Knuth multiply, HIGH bits down (>> 16) before the mod —
-            // the low bits of x*c alone are a constant-step rotation
-            var mag = ((((seed * 1000003 + i) * 2654435761L) >> 16) % 8192).toInt
-            if (variant) {
-              val f = i * 65 / n
-              if (f >= seed && f <= seed + 2) mag += 2500
-              mag *= 2 // uniform gain: must NOT flip any unperturbed bit
-            }
-            if (i % 2 == 0) mag else -mag
-          })
-          val (hi, lo) = Multimodal.audioDiffFingerprint64(p)
-          (id, hi, lo)
-        }.toDF("doc_id", "fp_hi", "fp_lo")
-      val uniq = hashed.groupBy("fp_hi", "fp_lo")
+      val uniq = audioDiffHashes(s, dir).groupBy("fp_hi", "fp_lo")
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
       val pairs = Dedup.hammingBandPairs(uniq, radius = 6, bands = 8,
         idCol = "rep_id", hiCol = "fp_hi", loCol = "fp_lo")
@@ -2228,6 +2254,35 @@ object SparkEntry {
         .join(uniq.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
           Seq("a"))
         .join(uniq.select(col("rep_id").as("b"), col("n_docs").as("n_docs_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("n_docs_a"), col("n_docs_b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- day-2 audio near-dup: the %7==0 recordings arrive as the new
+    // batch (decoded + fingerprinted batch-side only) and join the
+    // persisted Hamming band index of history — same lossless banding
+    // (radius < bands), pairs touching a new node only ---
+    "audio_neardup_incr" -> ((s, dir) => {
+      val hashed = audioDiffHashes(s, dir)
+      def uniq(side: org.apache.spark.sql.DataFrame) =
+        side.groupBy("fp_hi", "fp_lo")
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      // batch split on % 7 (coprime with the 40-seed fixture) so every
+      // planted recording family straddles the history/batch boundary
+      // and the index join surfaces cross-side distance-0 duplicates
+      val hist = uniq(hashed.filter(col("doc_id") % 7 =!= 0))
+      val fresh = uniq(hashed.filter(col("doc_id") % 7 === 0))
+      val idx = Dedup.hammingBandTable(hist, idCol = "rep_id",
+        hiCol = "fp_hi", loCol = "fp_lo")
+      val pairs = Dedup.hammingBandPairsIncremental(fresh, idx, radius = 6,
+        idCol = "rep_id", hiCol = "fp_hi", loCol = "fp_lo")
+      val nodes = hist.unionByName(fresh)
+      pairs
+        .join(nodes.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
+          Seq("a"))
+        .join(nodes.select(col("rep_id").as("b"), col("n_docs").as("n_docs_b")),
           Seq("b"))
         .select(col("a"), col("b"), col("hamming"),
           col("n_docs_a"), col("n_docs_b"))
@@ -7242,6 +7297,59 @@ object SparkEntry {
         |WHERE i * 3 >= (sa.sz + sb.sz - i) * 2
         |ORDER BY a, b""".stripMargin,
 
+    // identical to video_neardup restricted to pairs touching a new
+    // (%10==0) video — what the engine's frozen-index day-2 join must
+    // reproduce exactly
+    "video_neardup_incr" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 30 AS seed, (doc_id // 30) % 2 AS variant,
+        |         4 + ((doc_id % 30) % 3) * 2 AS w,
+        |         4 + ((doc_id % 30) % 2) * 2 AS h,
+        |         4 + (doc_id % 30) % 3 AS n
+        |  FROM documents),
+        |fr AS (SELECT DISTINCT seed, w, h, n FROM dims),
+        |samp AS (
+        |  SELECT fr.seed, f.f, (y.i * 8 + x.i) AS j,
+        |         (fr.seed * 13
+        |          + (f.f * 7 + 1)
+        |            * ((y.i * fr.h // 8) * fr.w + (x.i * fr.w // 8)) * 3
+        |          + f.f * 5) % 256 AS v
+        |  FROM fr, generate_series(0, 5) f(f),
+        |       generate_series(0, 7) x(i), generate_series(0, 7) y(i)
+        |  WHERE f.f < fr.n),
+        |m AS (SELECT seed, f, SUM(v) // 64 AS mean FROM samp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT s.seed, s.f, s.j, CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS b
+        |  FROM samp s JOIN m USING (seed, f)),
+        |fh AS (
+        |  SELECT seed, f,
+        |         CAST(SUM(CASE WHEN j >= 32
+        |              THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |           AS BIGINT) AS hi,
+        |         CAST(SUM(CASE WHEN j < 32
+        |              THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |           AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |tok AS (
+        |  SELECT DISTINCT d.doc_id,
+        |         CAST(concat('0x',
+        |           substr(md5('0:' || fh.hi || ':' || fh.lo), 1, 15))
+        |           AS BIGINT) AS hsh
+        |  FROM dims d JOIN fh ON fh.seed = d.seed
+        |    AND fh.f >= d.variant AND fh.f < d.n),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM tok x JOIN tok y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(i AS BIGINT) AS inter,
+        |       CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb
+        |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        |           JOIN sizes sb ON inter.b = sb.doc_id
+        |WHERE i * 3 >= (sa.sz + sb.sz - i) * 2
+        |  AND (a % 10 = 0 OR b % 10 = 0)
+        |ORDER BY a, b""".stripMargin,
+
     "audio_fingerprint" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 40 AS seed,
@@ -7313,6 +7421,62 @@ object SparkEntry {
         |       CAST(u1.n_docs AS BIGINT) AS n_docs_a,
         |       CAST(u2.n_docs AS BIGINT) AS n_docs_b
         |FROM uniq u1 JOIN uniq u2 ON u1.rep_id < u2.rep_id
+        |WHERE bit_count(xor(u1.fp_hi, u2.fp_hi)) +
+        |      bit_count(xor(u1.fp_lo, u2.fp_lo)) <= 6
+        |ORDER BY a, b""".stripMargin,
+
+    // day-2 twin: per-side distinct fingerprints (history %10!=0, new
+    // %10=0), brute-force Hamming <= 6 over the combined node set
+    // restricted to pairs touching a new node — what the engine's
+    // band-index join provably reproduces (radius < bands)
+    "audio_neardup_incr" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 2 AS variant,
+        |         130 + (doc_id % 40) % 37 AS n
+        |  FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, (i.i * 65 // d.n) AS f,
+        |         (CASE WHEN d.variant = 1 THEN 2 ELSE 1 END) *
+        |         ((((d.seed * 1000003 + i.i) * 2654435761) // 65536) % 8192
+        |          + CASE WHEN d.variant = 1
+        |                      AND (i.i * 65 // d.n)
+        |                          BETWEEN d.seed AND d.seed + 2
+        |                 THEN 2500 ELSE 0 END) AS a
+        |  FROM dims d JOIN generate_series(0, 166) i(i) ON i.i < d.n),
+        |fr AS (SELECT doc_id, f, SUM(a) AS s, COUNT(*) AS c
+        |       FROM samp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT x.doc_id, x.f AS j,
+        |         CASE WHEN x.s * y.c > y.s * x.c THEN 1 ELSE 0 END AS b
+        |  FROM fr x JOIN fr y ON x.doc_id = y.doc_id AND y.f = x.f + 1
+        |  WHERE x.f < 64),
+        |fps AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN j >= 32
+        |              THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |           AS BIGINT) AS fp_hi,
+        |         CAST(SUM(CASE WHEN j < 32
+        |              THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |           AS BIGINT) AS fp_lo
+        |  FROM bits GROUP BY 1),
+        |nodes AS (
+        |  SELECT fp_hi, fp_lo, MIN(doc_id) AS rep_id,
+        |         COUNT(*) AS n_docs, 0 AS isnew
+        |  FROM fps WHERE doc_id % 7 != 0 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT fp_hi, fp_lo, MIN(doc_id) AS rep_id,
+        |         COUNT(*) AS n_docs, 1 AS isnew
+        |  FROM fps WHERE doc_id % 7 = 0 GROUP BY 1, 2)
+        |SELECT least(u1.rep_id, u2.rep_id) AS a,
+        |       greatest(u1.rep_id, u2.rep_id) AS b,
+        |       CAST(bit_count(xor(u1.fp_hi, u2.fp_hi)) +
+        |            bit_count(xor(u1.fp_lo, u2.fp_lo)) AS INT) AS hamming,
+        |       CAST(CASE WHEN u1.rep_id < u2.rep_id THEN u1.n_docs
+        |            ELSE u2.n_docs END AS BIGINT) AS n_docs_a,
+        |       CAST(CASE WHEN u1.rep_id < u2.rep_id THEN u2.n_docs
+        |            ELSE u1.n_docs END AS BIGINT) AS n_docs_b
+        |FROM nodes u1 JOIN nodes u2
+        |  ON u1.rep_id < u2.rep_id AND (u1.isnew = 1 OR u2.isnew = 1)
         |WHERE bit_count(xor(u1.fp_hi, u2.fp_hi)) +
         |      bit_count(xor(u1.fp_lo, u2.fp_lo)) <= 6
         |ORDER BY a, b""".stripMargin,
