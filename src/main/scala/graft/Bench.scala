@@ -27,6 +27,16 @@ import org.apache.spark.sql.SparkSession
   * failed in sweep 1 is not retried (its reported value is the
   * time-until-failure); one that failed in a later sweep reports the
   * median of its successful runs.
+  *
+  * Regression triage (since round 7): before overwriting it, the
+  * previous bench_full.json is read as the baseline; any query whose
+  * in-sweep median regressed > 1.5× vs. that baseline (and is over the
+  * 50 ms noise floor) is re-run ONCE standalone after the sweeps, warm.
+  * `regressions` then reports {prev, in_sweep, standalone} per query —
+  * a flat standalone number says "sweep/cache contention, plan fine"
+  * while a regressed standalone number says "the plan itself got
+  * slower". The reported median stays the in-sweep value (honest
+  * steady-state under a crowded cache); the triage is diagnostic.
   */
 object Bench {
   // Representative subset across families: TPC-H-ish, trace enrichment /
@@ -48,6 +58,29 @@ object Bench {
     "trace_callers", "q_skew_report")
 
   private def fmt(v: Double): String = f"$v%.3f"
+
+  /** Per-query medians of the PREVIOUS run, read from bench_full.json
+    * before this run overwrites it. Flat extraction of the `"queries"`
+    * object's "name":number pairs — the file is machine-written by this
+    * object, so the shape is known; any parse trouble degrades to an
+    * empty baseline (triage off), never a failed bench. Also consumed by
+    * [[graft.demo.ScaleBench]]'s --heaviest mode to pick its targets. */
+  private[graft] def previousMedians(): Map[String, Double] =
+    try {
+      val path = java.nio.file.Paths.get("bench_full.json")
+      if (!java.nio.file.Files.exists(path)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val qStart = txt.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty
+        else {
+          val body = txt.substring(qStart + "\"queries\":{".length,
+            txt.indexOf('}', qStart))
+          """"([^"]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,6 +141,23 @@ object Bench {
     }
     val resultMap = results.toMap
 
+    // Regression triage: >1.5× vs the previous run's median (read from
+    // the old bench_full.json at startup), re-run once standalone while
+    // warm. Capped at 15 — a global slowdown (e.g. a busier machine)
+    // would otherwise re-run half the registry.
+    val prev = previousMedians()
+    val regressed = results
+      .flatMap { case (name, med) => prev.get(name).collect {
+        case p if p > 0.05 && med > 1.5 * p && !broken.contains(name) =>
+          (name, p, med, med / p)
+      } }
+      .sortBy(-_._4).take(15)
+    val queryFns = ordered.toMap
+    val regressions = regressed.map { case (name, p, med, _) =>
+      val (standalone, _) = time(queryFns(name), name, "triage")
+      name -> (p, med, standalone)
+    }
+
     // Shared-artifact builds, measured inside the memoization layer.
     val breakdown = SparkEntry.artifactBreakdown(spark).toSeq.sortBy(-_._2)
     val setupTotal = breakdown.map(_._2).sum
@@ -124,8 +174,12 @@ object Bench {
     val fullBreakdown = breakdown
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    def regJson(rs: Seq[(String, (Double, Double, Double))]): String = rs
+      .map { case (k, (p, m, st)) =>
+        "\"" + k + s"""":{"prev":${fmt(p)},"in_sweep":${fmt(m)},"standalone":${fmt(st)}}""" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"setup":$setupTotal,"setup_breakdown":$fullBreakdown,"sum_medians":$sumMedians,"runs_per_query":3,"aggregation":"median","queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"setup":$setupTotal,"setup_breakdown":$fullBreakdown,"sum_medians":$sumMedians,"runs_per_query":3,"aggregation":"median","regressions":${regJson(regressions)},"queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
@@ -134,10 +188,12 @@ object Bench {
       System.err.println(s"[bench] full dump write failed: ${e.getMessage}")
     }
 
-    // Compact line for the harness tail window.
+    // Compact line for the harness tail window: worst 5 regressions only
+    // (the full map is in bench_full.json).
     val compactQs = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"setup":${fmt(setupTotal)},"sum_medians":${fmt(sumMedians)},"runs_per_query":3,"aggregation":"median","queries":$compactQs,"failed":$fl,"sf":"$sfDir"}""")
+    val compactReg = regJson(regressions.take(5))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"setup":${fmt(setupTotal)},"sum_medians":${fmt(sumMedians)},"runs_per_query":3,"aggregation":"median","n_regressed":${regressions.size},"regressions":$compactReg,"queries":$compactQs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

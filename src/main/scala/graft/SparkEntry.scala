@@ -206,16 +206,26 @@ object SparkEntry {
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "minhash_sigs")(
       Dedup.minhashSignatures(T(s, dir, "documents")))
+  /** Memoized LSH candidate pair table — the ONE shared build behind
+    * both component artifacts below: at the default (uncapped) bucket
+    * size a pair is emitted iff the two docs share a band key, a
+    * per-document property, so the historical pair set is EXACTLY this
+    * table filtered to both-hist endpoints — no second
+    * shingle→minhash→band→self-join pipeline. */
+  private def lshPairsAll(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "lsh_pairs")(
+      Dedup.minhashLshPairs(minhashSigs(s, dir)))
   private def lshComponents(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "lsh_components")(
-      Dedup.connectedComponents(Dedup.minhashLshPairs(minhashSigs(s, dir))))
+      Dedup.connectedComponents(lshPairsAll(s, dir)))
   /** Day-1 component labels of the HISTORICAL corpus (doc_id % 10 != 0)
     * — the persisted labeling the day-2 incremental component merge
-    * starts from, memoized like the other day-2 index artifacts. */
+    * starts from, memoized like the other day-2 index artifacts; its
+    * edge set is the shared [[lshPairsAll]] restricted to history. */
   private def lshComponentsHist(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "lsh_components_hist")(
-      Dedup.connectedComponents(Dedup.minhashLshPairs(
-        minhashSigs(s, dir).filter(col("doc_id") % 10 =!= 0))))
+      Dedup.connectedComponents(lshPairsAll(s, dir)
+        .filter(col("a") % 10 =!= 0 && col("b") % 10 =!= 0)))
   private def bitextScored(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "bitext_scored")(
       Bitext.scoredPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),

@@ -127,15 +127,49 @@ object ScaleGen {
 
 /** Times a named subset of SparkEntry queries on one sf dir: one cold
   * run (pays memoized artifacts) + two warm runs, reports the warm
-  * median pair — the 10×-scale-up companion of graft.Bench. */
+  * median pair — the 10×-scale-up companion of graft.Bench.
+  *
+  * Two modes:
+  *  - `ScaleBench <dir> q1,q2,...` — the original hand-picked list.
+  *  - `ScaleBench <dir> --heaviest [n]` — the per-round scaling sweep:
+  *    reads the last bench_full.json (the sf0.1 sweep this session or
+  *    the committed one), picks the n (default 20) heaviest registry
+  *    queries by in-sweep median, runs them at `dir` (sf1), and emits
+  *    a markdown scaling table (sf0.1 s, sf1 warm s, ratio) ready to
+  *    paste into the round NOTES, plus a scale_sf1.json machine dump.
+  *    `tools/scale_sweep.sh` wires ScaleGen + this mode end to end.
+  *
+  * Known output-bound fixtures are excluded from --heaviest: the
+  * edit-distance family's TRUE output grows quadratically under tiling
+  * (the 64-value part-name vocabulary is replicated, ~500 M pairs at
+  * 200 k rows) — a fixture property, not a plan property (NOTES_r9). */
 object ScaleBench {
+  /** sf1-tiling replicates these fixtures' small value vocabulary, so
+    * their true result cardinality is quadratic in the tile count —
+    * running them at sf1 measures output size, not the plan. */
+  private val outputBoundAtSf1 = Set(
+    "fuzzy_exact", "fuzzy_link", "fuzzy_exact_incr", "fuzzy_link_incr",
+    "fuzzy_names", "fuzzy_sorted")
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val names = args(1).split(",").toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val heaviest = args(1) == "--heaviest"
+    val baseline: Map[String, Double] =
+      if (heaviest) graft.Bench.previousMedians() else Map.empty
+    val names: Seq[String] =
+      if (heaviest) {
+        require(baseline.nonEmpty,
+          "--heaviest needs a bench_full.json in the working directory")
+        val n = args.lift(2).map(_.toInt).getOrElse(20)
+        baseline.toSeq.sortBy(-_._2)
+          .collect { case (q, _) if !outputBoundAtSf1(q)
+            && graft.SparkEntry.queries.contains(q) => q }
+          .take(n)
+      } else args(1).split(",").toSeq
     val out = names.map { n =>
       val fn = graft.SparkEntry.queries(n)
       def run(): Double = {
@@ -147,6 +181,19 @@ object ScaleBench {
       val warm = (w1 + w2) / 2
       println(f"[scalebench] $n%-24s cold $cold%7.2f  warm $warm%7.2f")
       n -> warm
+    }
+    if (heaviest) {
+      println("\n| query | sf0.1 s | sf1 warm s | ratio |")
+      println("|---|---|---|---|")
+      for ((n, w) <- out.sortBy { case (q, w) => -(w / baseline(q)) })
+        println(f"| $n | ${baseline(n)}%.2f | $w%.2f | ${w / baseline(n)}%.1f× |")
+      val js = "{" + out.map { case (k, v) =>
+        "\"" + k + f"""\":{"sf01":${baseline(k)}%.3f,"sf1":$v%.3f}""" }
+        .mkString(",") + "}"
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("scale_sf1.json"), (js + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] dump failed: ${e.getMessage}") }
     }
     println("{" + out.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString(",") + "}")
