@@ -91,6 +91,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The registry's only unpartitioned windows run over plan-bounded
+    // bin/report tables (PlanGuardSpec proves this for every query);
+    // WindowExec's per-execution warning would otherwise flood the
+    // stdout tail the harness captures and bury the result line.
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+      .setLevel(org.apache.log4j.Level.ERROR)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 

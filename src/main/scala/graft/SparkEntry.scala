@@ -912,7 +912,13 @@ object SparkEntry {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        // EXACT integer-cents discounted revenue: the double
+        // SUM(price*(1-disc)) sits on a 1e-4 lattice, so its true value
+        // CAN be a .005 round midpoint and engine summation order then
+        // flips the cent (caught by the second-seed gate at seed=101);
+        // summing cents*(100-disc%) in BIGINT and half-up dividing is
+        // order-independent on both engines
+        expr("CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) DIV 100 AS DOUBLE) / 100").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -924,7 +930,8 @@ object SparkEntry {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // exact integer-cents revenue (see q1_pricing)
+        .agg(expr("CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) DIV 100 AS DOUBLE) / 100").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     }),
 
@@ -937,7 +944,8 @@ object SparkEntry {
         .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       rev.groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // exact integer-cents revenue (see q1_pricing)
+        .agg(expr("CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) DIV 100 AS DOUBLE) / 100").as("revenue"))
         .orderBy(col("n_name"))
     }),
 
@@ -4503,13 +4511,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,
         |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
         |       ROUND(AVG(l_quantity), 4) AS avg_qty,
         |       CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_topk" ->
-      """SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT l_orderkey, CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -4517,7 +4525,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
-      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name, CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

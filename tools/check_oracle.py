@@ -12,7 +12,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):  # Spark directory layout (e.g. SeedGen output)
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 results = {}
