@@ -49,10 +49,27 @@ object SparkEntry {
     * whichever query ran first. */
   private val artifactTimes =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Double]()
+  /** Records SELF time: artifact builds nest (lsh_components →
+    * lsh_pairs → minhash_sigs fire lazily inside one another on first
+    * touch), and recording wall time per frame would double-charge
+    * every child into its parent — Σ breakdown must equal the true
+    * one-pass setup cost. Per-thread stack of child-time accumulators;
+    * Bench runs queries on one thread, and concurrent sessions each
+    * see their own stack. */
+  private val nestedChildTime = new ThreadLocal[List[Double]] {
+    override def initialValue: List[Double] = Nil
+  }
   private def timedArtifact[A](s: SparkSession, key: String)(build: => A): A = {
+    nestedChildTime.set(0.0 :: nestedChildTime.get)
     val t0 = System.nanoTime()
     val r = build
-    artifactTimes((s, key)) = (System.nanoTime() - t0) / 1e9
+    val total = (System.nanoTime() - t0) / 1e9
+    val childSum :: rest = nestedChildTime.get: @unchecked
+    nestedChildTime.set(rest match {
+      case parent :: up => (parent + total) :: up
+      case Nil => Nil
+    })
+    artifactTimes((s, key)) = total - childSum
     r
   }
   /** Per-artifact build seconds recorded so far for `s`. */
@@ -155,6 +172,8 @@ object SparkEntry {
     for (k <- sq8Cache.keys if k._1 == s) sq8Cache.remove(k)
     for (k <- pqCache.keys if k._1 == s) pqCache.remove(k)
     for (k <- bpeCache.keys if k._1 == s) bpeCache.remove(k)
+    for (k <- bigramTuple.keys if k._1 == s) bigramTuple.remove(k)
+    for (k <- jpTuple.keys if k._1 == s) jpTuple.remove(k)
     for (k <- ivfIndexCache.keys if k._1 == s;
          path <- ivfIndexCache.remove(k)) deleteRecursively(new java.io.File(path))
     for (k <- otf2ExportCache.keys if k._1 == s;
@@ -230,12 +249,19 @@ object SparkEntry {
     cachedDf(s, dir, "bitext_scored")(
       Bitext.scoredPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
         "en", "de"))
+  /** One shared (uni, bi) model build — the two sides come from the
+    * same training scan; memoizing the TUPLE (lazily, unpersisted)
+    * keeps the token pipeline single-built while cachedDf persists and
+    * times each consumed side. */
+  private val bigramTuple =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def bigramModelShared(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bigramTuple.getOrElseUpdate((s, dir), TextOps.bigramModel(
+      T(s, dir, "documents").filter(col("doc_id") % 5 === 0)))
   private def bigramUni(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "bigram_uni")(TextOps.bigramModel(
-      T(s, dir, "documents").filter(col("doc_id") % 5 === 0))._1)
+    cachedDf(s, dir, "bigram_uni")(bigramModelShared(s, dir)._1)
   private def bigramBi(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "bigram_bi")(TextOps.bigramModel(
-      T(s, dir, "documents").filter(col("doc_id") % 5 === 0))._2)
+    cachedDf(s, dir, "bigram_bi")(bigramModelShared(s, dir)._2)
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "winnow_fp")(
       TextOps.winnowFingerprint(T(s, dir, "documents")))
@@ -247,9 +273,17 @@ object SparkEntry {
     * every other "train once, query many" model table, so the timed
     * queries measure the incremental JOIN (the day-2 steady state), not
     * a fresh re-index of history. History = doc_id % 10 != 0. */
+  /** One shared jaccardPrefixIndex build: the (dfTab, docIndex) tuple
+    * shares its internal shingle checkpoint, so building both sides
+    * from one memoized tuple shingles history ONCE instead of once per
+    * side (measured ~2 s of duplicated setup at sf0.1). */
+  private val jpTuple =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def jpIndexShared(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    jpTuple.getOrElseUpdate((s, dir), Dedup.jaccardPrefixIndex(
+      T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), 3, 1, 5))
   private def jpIndexDf(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "jp_index_df")(Dedup.jaccardPrefixIndex(
-      T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), 3, 1, 5)._1)
+    cachedDf(s, dir, "jp_index_df")(jpIndexShared(s, dir)._1)
   private def shingleIndexHist(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "shingle_index_hist")(Dedup.shingleIndex(
       T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
@@ -261,8 +295,7 @@ object SparkEntry {
     cachedDf(s, dir, "cdc_index_hist")(TextOps.cdcIndex(
       T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
   private def jpIndexDocs(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "jp_index_docs")(Dedup.jaccardPrefixIndex(
-      T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), 3, 1, 5)._2)
+    cachedDf(s, dir, "jp_index_docs")(jpIndexShared(s, dir)._2)
   /** Planted perceptual hashes of the image_neardup fixture (payload
     * synthesis + real PGM decode), shared by the batch and day-2 image
     * near-dup queries. */
