@@ -1382,6 +1382,34 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // --- day-2 simhash near-dup: the %10==0 docs arrive as the new
+    // batch and join the persisted 4x16-bit Hamming band index of
+    // history's distinct signatures — completes the day-2 lattice for
+    // the last fingerprint family (same lossless radius 3 < 4 bands) ---
+    "simhash_neardup_incr" -> ((s, dir) => {
+      val tab = simhashTab(s, dir)
+      def uniq(side: org.apache.spark.sql.DataFrame) =
+        side.groupBy("simhash")
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+          .withColumn("hi", shiftright(col("simhash"), 32))
+          .withColumn("lo", col("simhash").bitwiseAND(lit(0xFFFFFFFFL)))
+      val hist = uniq(tab.filter(col("doc_id") % 10 =!= 0))
+      val fresh = uniq(tab.filter(col("doc_id") % 10 === 0))
+      val idx = Dedup.hammingBandTable(hist, bands = 4, idCol = "rep_id",
+        hiCol = "hi", loCol = "lo")
+      val pairs = Dedup.hammingBandPairsIncremental(fresh, idx, radius = 3,
+        bands = 4, idCol = "rep_id", hiCol = "hi", loCol = "lo")
+      val nodes = hist.unionByName(fresh)
+      pairs
+        .join(nodes.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
+          Seq("a"))
+        .join(nodes.select(col("rep_id").as("b"), col("n_docs").as("n_docs_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("n_docs_a"), col("n_docs_b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- count-min sketch audit: exact top-20 vs CMS estimates ---
     "cms_topk" -> ((s, dir) =>
       graft.scale.Sketches.cmsHeavyHitters(T(s, dir, "documents"))
@@ -5999,6 +6027,44 @@ object SparkEntry {
         |       CAST(u1.n_docs AS BIGINT) AS n_docs_a,
         |       CAST(u2.n_docs AS BIGINT) AS n_docs_b
         |FROM uniq u1 JOIN uniq u2 ON u1.rep_id < u2.rep_id
+        |WHERE bit_count(xor(u1.simhash, u2.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // day-2 twin: per-side distinct signatures (history %10!=0, new
+    // %10=0), brute-force Hamming <= 3 over the combined node set
+    // restricted to pairs touching a new node
+    "simhash_neardup_incr" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |             CAST(concat('0x', substr(md5('0:' || tok), 1, 15)) AS BIGINT) AS h
+        |      FROM tok),
+        |bits AS (
+        |  SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS s
+        |  FROM h, generate_series(0, 59) g(bit) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |nodes AS (
+        |  SELECT simhash, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs,
+        |         0 AS isnew
+        |  FROM sh WHERE doc_id % 10 != 0 GROUP BY 1
+        |  UNION ALL
+        |  SELECT simhash, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs,
+        |         1 AS isnew
+        |  FROM sh WHERE doc_id % 10 = 0 GROUP BY 1)
+        |SELECT least(u1.rep_id, u2.rep_id) AS a,
+        |       greatest(u1.rep_id, u2.rep_id) AS b,
+        |       CAST(bit_count(xor(u1.simhash, u2.simhash)) AS INT) AS hamming,
+        |       CAST(CASE WHEN u1.rep_id < u2.rep_id THEN u1.n_docs
+        |            ELSE u2.n_docs END AS BIGINT) AS n_docs_a,
+        |       CAST(CASE WHEN u1.rep_id < u2.rep_id THEN u2.n_docs
+        |            ELSE u1.n_docs END AS BIGINT) AS n_docs_b
+        |FROM nodes u1 JOIN nodes u2
+        |  ON u1.rep_id < u2.rep_id AND (u1.isnew = 1 OR u2.isnew = 1)
         |WHERE bit_count(xor(u1.simhash, u2.simhash)) <= 3
         |ORDER BY a, b""".stripMargin,
 
