@@ -186,7 +186,7 @@ object ScaleBench {
       println("\n| query | sf0.1 s | sf1 warm s | ratio |")
       println("|---|---|---|---|")
       for ((n, w) <- out.sortBy { case (q, w) => -(w / baseline(q)) })
-        println(f"| $n | ${baseline(n)}%.2f | $w%.2f | ${w / baseline(n)}%.1f× |")
+        println(f"| $n | ${baseline(n)}%.2f | $w%.2f | ${w / baseline(n)}%.1fx |")
       val js = "{" + out.map { case (k, v) =>
         "\"" + k + f"""\":{"sf01":${baseline(k)}%.3f,"sf1":$v%.3f}""" }
         .mkString(",") + "}"
