@@ -1,0 +1,242 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-describing persisted day-2 dedup indexes — the
+  * docs/QUICKSTART.md contract table as an ENFORCED API instead of
+  * documentation. Every family's build parameters (shingle size,
+  * threshold, gram size, band count, …) are persisted WITH the
+  * artifacts in a `_meta` key-value parquet, and `IndexStore.load`
+  * reconstructs the right family with the right parameters — so a
+  * day-2 probe cannot silently mismatch the day-1 build (the error
+  * class the raw function API leaves open: probing a shingleK=3 index
+  * with k=2 batch shingles yields quietly-empty joins, not an error).
+  *
+  * Layout under `path/`: one subdirectory per artifact DataFrame plus
+  * `_meta` (family tag, format version, parameters). All IO goes
+  * through Spark readers/writers, so a store works on any Hadoop-API
+  * filesystem (HDFS/S3/local) at any scale.
+  *
+  * Each `probe(batch)` delegates to the family's incremental operator,
+  * whose output is pinned by the family property specs to equal the
+  * full-corpus rerun restricted to batch-touching results. Batch ids
+  * must be disjoint from indexed ids for the self-join families
+  * (see [[graft.scale.Dedup.jaccardPrefixIncremental]] et al.). */
+object IndexStore {
+  private val Version = "1"
+
+  private def writeMeta(spark: SparkSession, path: String,
+                        family: String, params: Map[String, String]): Unit = {
+    import spark.implicits._
+    (params + ("family" -> family) + ("version" -> Version)).toSeq
+      .toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Map[String, String] =
+    spark.read.parquet(s"$path/_meta").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** A persisted index handle: `save` it, `probe` new batches with the
+    * parameters it was built with. */
+  sealed trait DedupIndex {
+    def save(path: String): Unit
+    def probe(batch: DataFrame): DataFrame
+  }
+
+  /** Load whichever family was saved at `path` — the family tag and all
+    * parameters come from the store itself. */
+  def load(spark: SparkSession, path: String): DedupIndex = {
+    val m = readMeta(spark, path)
+    require(m.getOrElse("version", "") == Version,
+      s"index store version ${m.get("version")} != $Version at $path")
+    def rd(sub: String) = spark.read.parquet(s"$path/$sub")
+    m("family") match {
+      case "minhash_lsh" => MinhashLshIndex(rd("bands"),
+        m("numHashes").toInt, m("shingleK").toInt, m("rowsPerBand").toInt,
+        m("textCol"), m("idCol"))
+      case "jaccard_prefix" => JaccardPrefixIndex(rd("df"), rd("docs"),
+        m("shingleK").toInt, m("tauNum").toInt, m("tauDen").toInt,
+        m("textCol"), m("idCol"))
+      case "edit_distance" => EditDistanceIndex(rd("df"), rd("str"),
+        rd("ids"), m("maxDist").toInt, m("q").toInt,
+        m("textCol"), m("idCol"))
+      case "shingle" => ShingleIndex(rd("shingles"), m("shingleK").toInt,
+        m("textCol"), m("idCol"))
+      case "winnow" => WinnowIndex(rd("fingerprints"),
+        m("minShared").toInt, m("k").toInt, m("w").toInt,
+        m("textCol"), m("idCol"))
+      case "cdc" => CdcIndex(rd("chunks"), m("w").toInt,
+        m("maskBits").toInt, m("textCol"), m("idCol"))
+      case "hamming" => HammingIndex(rd("bands"), m("radius").toInt,
+        m("bands").toInt, m("idCol"), m("hiCol"), m("loCol"))
+      case other => throw new IllegalArgumentException(
+        s"unknown index family '$other' at $path")
+    }
+  }
+
+  // --- MinHash / LSH candidates ---
+  final case class MinhashLshIndex(bands: DataFrame, numHashes: Int,
+      shingleK: Int, rowsPerBand: Int, textCol: String, idCol: String)
+      extends DedupIndex {
+    def save(path: String): Unit = {
+      bands.write.mode("overwrite").parquet(s"$path/bands")
+      writeMeta(bands.sparkSession, path, "minhash_lsh", Map(
+        "numHashes" -> numHashes.toString, "shingleK" -> shingleK.toString,
+        "rowsPerBand" -> rowsPerBand.toString,
+        "textCol" -> textCol, "idCol" -> idCol))
+    }
+    /** Candidate pairs (a, b) touching the batch — batch docs are
+      * signed with the SAME hash family the index was built with. */
+    def probe(batch: DataFrame): DataFrame =
+      Dedup.minhashLshPairsIncremental(
+        Dedup.minhashSignatures(batch, numHashes, shingleK, textCol, idCol),
+        bands, rowsPerBand, idCol)
+  }
+  def buildMinhashLsh(docs: DataFrame, numHashes: Int = 16,
+                      shingleK: Int = 3, rowsPerBand: Int = 4,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): MinhashLshIndex =
+    MinhashLshIndex(
+      Dedup.bandTable(
+        Dedup.minhashSignatures(docs, numHashes, shingleK, textCol, idCol),
+        rowsPerBand, idCol),
+      numHashes, shingleK, rowsPerBand, textCol, idCol)
+
+  // --- exact threshold-Jaccard ---
+  final case class JaccardPrefixIndex(dfTab: DataFrame, docIndex: DataFrame,
+      shingleK: Int, tauNum: Int, tauDen: Int, textCol: String,
+      idCol: String) extends DedupIndex {
+    def save(path: String): Unit = {
+      dfTab.write.mode("overwrite").parquet(s"$path/df")
+      docIndex.write.mode("overwrite").parquet(s"$path/docs")
+      writeMeta(dfTab.sparkSession, path, "jaccard_prefix", Map(
+        "shingleK" -> shingleK.toString, "tauNum" -> tauNum.toString,
+        "tauDen" -> tauDen.toString, "textCol" -> textCol, "idCol" -> idCol))
+    }
+    def probe(batch: DataFrame): DataFrame =
+      Dedup.jaccardPrefixIncremental(batch, dfTab, docIndex, shingleK,
+        tauNum, tauDen, textCol, idCol)
+  }
+  def buildJaccardPrefix(docs: DataFrame, shingleK: Int = 3,
+                         tauNum: Int = 1, tauDen: Int = 5,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): JaccardPrefixIndex = {
+    val (dfTab, docIndex) =
+      Dedup.jaccardPrefixIndex(docs, shingleK, tauNum, tauDen, textCol, idCol)
+    JaccardPrefixIndex(dfTab, docIndex, shingleK, tauNum, tauDen,
+      textCol, idCol)
+  }
+
+  // --- threshold edit distance ---
+  final case class EditDistanceIndex(dfTab: DataFrame, strIndex: DataFrame,
+      idMap: DataFrame, maxDist: Int, q: Int, textCol: String,
+      idCol: String) extends DedupIndex {
+    def save(path: String): Unit = {
+      dfTab.write.mode("overwrite").parquet(s"$path/df")
+      strIndex.write.mode("overwrite").parquet(s"$path/str")
+      idMap.write.mode("overwrite").parquet(s"$path/ids")
+      writeMeta(dfTab.sparkSession, path, "edit_distance", Map(
+        "maxDist" -> maxDist.toString, "q" -> q.toString,
+        "textCol" -> textCol, "idCol" -> idCol))
+    }
+    /** Self-join day-2 semantics (batch ids disjoint from index ids). */
+    def probe(batch: DataFrame): DataFrame =
+      Dedup.editDistanceIncremental(batch, dfTab, strIndex, idMap,
+        maxDist, q, textCol, idCol)
+    /** Linkage semantics: batch as the noisy left, index as canonical. */
+    def probeLink(batch: DataFrame): DataFrame =
+      Dedup.editDistanceLinkIncremental(batch, dfTab, strIndex, idMap,
+        maxDist, q, textCol, idCol)
+  }
+  def buildEditDistance(docs: DataFrame, maxDist: Int = 2, q: Int = 2,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): EditDistanceIndex = {
+    val (dfTab, strIdx, idMap) =
+      Dedup.editDistanceIndex(docs, maxDist, q, textCol, idCol)
+    EditDistanceIndex(dfTab, strIdx, idMap, maxDist, q, textCol, idCol)
+  }
+
+  // --- exact-substring removal ---
+  final case class ShingleIndex(shingles: DataFrame, shingleK: Int,
+      textCol: String, idCol: String) extends DedupIndex {
+    def save(path: String): Unit = {
+      shingles.write.mode("overwrite").parquet(s"$path/shingles")
+      writeMeta(shingles.sparkSession, path, "shingle", Map(
+        "shingleK" -> shingleK.toString, "textCol" -> textCol,
+        "idCol" -> idCol))
+    }
+    def probe(batch: DataFrame): DataFrame =
+      Dedup.dupSpansRemovedIncremental(batch, shingles,
+        shingleK = shingleK, textCol = textCol, idCol = idCol)
+  }
+  def buildShingle(docs: DataFrame, shingleK: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): ShingleIndex =
+    ShingleIndex(Dedup.shingleIndex(docs, shingleK, textCol, idCol),
+      shingleK, textCol, idCol)
+
+  // --- winnowing / MOSS ---
+  final case class WinnowIndex(fingerprints: DataFrame, minShared: Int,
+      k: Int, w: Int, textCol: String, idCol: String) extends DedupIndex {
+    def save(path: String): Unit = {
+      fingerprints.write.mode("overwrite").parquet(s"$path/fingerprints")
+      writeMeta(fingerprints.sparkSession, path, "winnow", Map(
+        "minShared" -> minShared.toString, "k" -> k.toString,
+        "w" -> w.toString, "textCol" -> textCol, "idCol" -> idCol))
+    }
+    def probe(batch: DataFrame): DataFrame =
+      TextOps.winnowPairsIncremental(batch, fingerprints, minShared, k, w,
+        textCol = textCol, idCol = idCol)
+  }
+  /** Persist UNcapped (any df cap must evaluate on combined
+    * history+batch counts at probe time — see winnowPairsIncremental). */
+  def buildWinnow(docs: DataFrame, minShared: Int = 2, k: Int = 3,
+                  w: Int = 4, textCol: String = "text",
+                  idCol: String = "doc_id"): WinnowIndex =
+    WinnowIndex(TextOps.winnowIndex(docs, k, w, textCol, idCol),
+      minShared, k, w, textCol, idCol)
+
+  // --- CDC chunking ---
+  final case class CdcIndex(chunks: DataFrame, w: Int, maskBits: Int,
+      textCol: String, idCol: String) extends DedupIndex {
+    def save(path: String): Unit = {
+      chunks.write.mode("overwrite").parquet(s"$path/chunks")
+      writeMeta(chunks.sparkSession, path, "cdc", Map(
+        "w" -> w.toString, "maskBits" -> maskBits.toString,
+        "textCol" -> textCol, "idCol" -> idCol))
+    }
+    def probe(batch: DataFrame): DataFrame =
+      TextOps.cdcDedupIncremental(batch, chunks, w, maskBits, textCol, idCol)
+  }
+  def buildCdc(docs: DataFrame, w: Int = 8, maskBits: Int = 6,
+               textCol: String = "text",
+               idCol: String = "doc_id"): CdcIndex =
+    CdcIndex(TextOps.cdcIndex(docs, w, maskBits, textCol, idCol),
+      w, maskBits, textCol, idCol)
+
+  // --- Hamming fingerprints (image/audio/simhash halves) ---
+  final case class HammingIndex(bandTable: DataFrame, radius: Int,
+      bands: Int, idCol: String, hiCol: String, loCol: String)
+      extends DedupIndex {
+    def save(path: String): Unit = {
+      bandTable.write.mode("overwrite").parquet(s"$path/bands")
+      writeMeta(bandTable.sparkSession, path, "hamming", Map(
+        "radius" -> radius.toString, "bands" -> bands.toString,
+        "idCol" -> idCol, "hiCol" -> hiCol, "loCol" -> loCol))
+    }
+    /** `batch` carries (idCol, hiCol, loCol) fingerprints. */
+    def probe(batch: DataFrame): DataFrame =
+      Dedup.hammingBandPairsIncremental(batch, bandTable, radius, bands,
+        idCol, hiCol, loCol)
+  }
+  def buildHamming(hashes: DataFrame, radius: Int = 6, bands: Int = 8,
+                   idCol: String = "doc_id", hiCol: String = "ahash_hi",
+                   loCol: String = "ahash_lo"): HammingIndex = {
+    require(radius >= 0 && radius < bands,
+      s"lossless guarantee needs radius < bands, got $radius/$bands")
+    HammingIndex(Dedup.hammingBandTable(hashes, bands, idCol, hiCol, loCol),
+      radius, bands, idCol, hiCol, loCol)
+  }
+}

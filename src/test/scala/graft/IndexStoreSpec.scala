@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.scale.{Dedup, IndexStore, TextOps}
+
+/** The self-describing index store: every family round-trips through
+  * disk (artifacts + `_meta`), `IndexStore.load` reconstructs the right
+  * subtype with the persisted parameters, and `probe` equals the direct
+  * incremental operator call — including under NON-default parameters,
+  * which is the error class the store exists to close (probing with
+  * mismatched build params yields quietly-wrong joins, not errors). */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("idxstore").toString
+
+  private lazy val hist = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+    (3L, "totally different words live inside this one right here now"),
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+  private lazy val batch = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (11L, "fresh new content sharing nothing with the history corpus")
+  ).toDF("doc_id", "text")
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("minhash LSH store: load-probe == direct incremental, params survive") {
+    val dir = tmp()
+    IndexStore.buildMinhashLsh(hist, numHashes = 8, rowsPerBand = 2).save(dir)
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.isInstanceOf[IndexStore.MinhashLshIndex])
+    val direct = Dedup.minhashLshPairsIncremental(
+      Dedup.minhashSignatures(batch, 8), // same non-default family
+      Dedup.bandTable(Dedup.minhashSignatures(hist, 8), rowsPerBand = 2),
+      rowsPerBand = 2)
+    assert(rows(loaded.probe(batch)) == rows(direct))
+    assert(loaded.probe(batch).filter("a = 1 and b = 10").count() == 1)
+  }
+
+  test("jaccard prefix store: non-default (k, tau) persists and probes") {
+    val dir = tmp()
+    IndexStore.buildJaccardPrefix(hist, shingleK = 2, tauNum = 1, tauDen = 3)
+      .save(dir)
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.isInstanceOf[IndexStore.JaccardPrefixIndex])
+    val (dfTab, docIdx) = Dedup.jaccardPrefixIndex(hist, 2, 1, 3)
+    val direct = Dedup.jaccardPrefixIncremental(batch, dfTab, docIdx, 2, 1, 3)
+    assert(rows(loaded.probe(batch)) == rows(direct))
+    assert(loaded.probe(batch).filter("a = 1 and b = 10").count() == 1)
+  }
+
+  test("edit distance store: probe (self) and probeLink both match direct") {
+    val names = Seq((1L, "cold widget"), (2L, "warm gear"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val nb = Seq((10L, "bold widget"), (11L, "ba")).toDF("doc_id", "text")
+    val dir = tmp()
+    IndexStore.buildEditDistance(names, maxDist = 2).save(dir)
+    val loaded = IndexStore.load(spark, dir)
+      .asInstanceOf[IndexStore.EditDistanceIndex]
+    val (gdf, strIdx, idMap) = Dedup.editDistanceIndex(names, maxDist = 2)
+    assert(rows(loaded.probe(nb)) ==
+      rows(Dedup.editDistanceIncremental(nb, gdf, strIdx, idMap, maxDist = 2)))
+    assert(rows(loaded.probeLink(nb)) ==
+      rows(Dedup.editDistanceLinkIncremental(nb, gdf, strIdx, idMap,
+        maxDist = 2)))
+    assert(loaded.probe(nb).filter("a = 1 and b = 10").count() == 1)
+  }
+
+  test("shingle store: cleaned batch equals direct incremental clean") {
+    val dir = tmp()
+    IndexStore.buildShingle(hist).save(dir)
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.isInstanceOf[IndexStore.ShingleIndex])
+    assert(rows(loaded.probe(batch)) ==
+      rows(Dedup.dupSpansRemovedIncremental(batch, Dedup.shingleIndex(hist))))
+  }
+
+  test("winnow store: matches direct incremental under non-default (k, w)") {
+    val dir = tmp()
+    IndexStore.buildWinnow(hist, minShared = 1, k = 2, w = 3).save(dir)
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.isInstanceOf[IndexStore.WinnowIndex])
+    val direct = TextOps.winnowPairsIncremental(batch,
+      TextOps.winnowIndex(hist, k = 2, w = 3), minShared = 1, k = 2, w = 3)
+    assert(rows(loaded.probe(batch)) == rows(direct))
+    assert(loaded.probe(batch).count() > 0)
+  }
+
+  test("cdc store: matches direct incremental") {
+    val dir = tmp()
+    IndexStore.buildCdc(hist, w = 4, maskBits = 3).save(dir)
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.isInstanceOf[IndexStore.CdcIndex])
+    assert(rows(loaded.probe(batch)) ==
+      rows(TextOps.cdcDedupIncremental(batch, TextOps.cdcIndex(hist, 4, 3),
+        4, 3)))
+  }
+
+  test("hamming store: matches direct incremental; radius/bands persist") {
+    val histFp = Seq((1L, 0L, 255L), (2L, 7L, 0L))
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+    val newFp = Seq((10L, 0L, 252L)).toDF("doc_id", "ahash_hi", "ahash_lo")
+    val dir = tmp()
+    IndexStore.buildHamming(histFp, radius = 2, bands = 4).save(dir)
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.isInstanceOf[IndexStore.HammingIndex])
+    val direct = Dedup.hammingBandPairsIncremental(newFp,
+      Dedup.hammingBandTable(histFp, bands = 4), radius = 2, bands = 4)
+    assert(rows(loaded.probe(newFp)) == rows(direct))
+    assert(loaded.probe(newFp).filter("a = 1 and b = 10").count() == 1)
+  }
+
+  test("load rejects unknown/missing stores loudly") {
+    val dir = tmp()
+    intercept[Exception] { IndexStore.load(spark, dir) }
+    // wrong family tag round-trip: a store saved as one family never
+    // silently probes as another — the tag rides in _meta
+    IndexStore.buildCdc(hist).save(dir)
+    assert(IndexStore.load(spark, dir).isInstanceOf[IndexStore.CdcIndex])
+  }
+}
