@@ -71,6 +71,8 @@ object IndexStore {
         m("maskBits").toInt, m("textCol"), m("idCol"))
       case "hamming" => HammingIndex(rd("bands"), m("radius").toInt,
         m("bands").toInt, m("idCol"), m("hiCol"), m("loCol"))
+      case "bitext" => BitextIndex(rd("index"), m("k").toInt,
+        m("thresholdMicro").toLong, m("idCol"), m("vecCol"))
       case other => throw new IllegalArgumentException(
         s"unknown index family '$other' at $path")
     }
@@ -238,5 +240,73 @@ object IndexStore {
       s"lossless guarantee needs radius < bands, got $radius/$bands")
     HammingIndex(Dedup.hammingBandTable(hashes, bands, idCol, hiCol, loCol),
       radius, bands, idCol, hiCol, loCol)
+  }
+
+  // --- bitext mining (frozen dst-side pivot stats) ---
+  final case class BitextIndex(index: DataFrame, k: Int,
+      thresholdMicro: Long, idCol: String, vecCol: String)
+      extends DedupIndex {
+    def save(path: String): Unit = {
+      index.write.mode("overwrite").parquet(s"$path/index")
+      writeMeta(index.sparkSession, path, "bitext", Map(
+        "k" -> k.toString, "thresholdMicro" -> thresholdMicro.toString,
+        "idCol" -> idCol, "vecCol" -> vecCol))
+    }
+    /** Mine a new src-language embedding batch against the frozen
+      * dst-side statistics. */
+    def probe(srcEmb: DataFrame): DataFrame =
+      Bitext.mineAgainstIndex(srcEmb, index, k, thresholdMicro,
+        idCol, vecCol)
+  }
+  def buildBitext(emb: DataFrame, docs: DataFrame, srcLang: String,
+                  dstLang: String, k: Int = 4,
+                  thresholdMicro: Long = 1050000L,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  docIdCol: String = "doc_id",
+                  langCol: String = "lang"): BitextIndex =
+    BitextIndex(Bitext.indexTable(emb, docs, srcLang, dstLang, k,
+      idCol, vecCol, docIdCol, langCol), k, thresholdMicro, idCol, vecCol)
+
+  // --- IVF ANN (on-disk partition-pruned layout; centroids ride along) ---
+
+  /** A written IVF layout plus the frozen quantizer that defined it —
+    * `searchIvfIndex`'s correctness silently depends on probing with
+    * the SAME centroids the lists were written under, so the store
+    * persists them with the layout (`_centroids`) and `loadIvf` hands
+    * them back. Grows via [[IvfIndex.append]] (same frozen quantizer). */
+  final case class IvfIndex(path: String, centroids: Array[Array[Double]],
+      k: Int, nprobe: Int, idCol: String, vecCol: String) {
+    def search(queries: DataFrame): DataFrame =
+      Similarity.searchIvfIndex(queries.sparkSession, s"$path/lists",
+        queries, centroids, k, nprobe, idCol, vecCol)
+    def append(batch: DataFrame): Unit =
+      Similarity.appendIvfIndex(batch, s"$path/lists", centroids, vecCol)
+  }
+  /** Write corpus lists + centroids + meta at `path` and return the
+    * live handle. */
+  def writeIvf(corpus: DataFrame, path: String,
+               centroids: Array[Array[Double]], k: Int = 5, nprobe: Int = 1,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfIndex = {
+    Similarity.writeIvfIndex(corpus, s"$path/lists", centroids, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    writeMeta(spark, path, "ivf", Map(
+      "k" -> k.toString, "nprobe" -> nprobe.toString,
+      "idCol" -> idCol, "vecCol" -> vecCol))
+    IvfIndex(path, centroids, k, nprobe, idCol, vecCol)
+  }
+  def loadIvf(spark: SparkSession, path: String): IvfIndex = {
+    val m = readMeta(spark, path)
+    require(m.getOrElse("family", "") == "ivf",
+      s"not an IVF store at $path: family=${m.get("family")}")
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .orderBy(col("cluster")).collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    IvfIndex(path, centroids, m("k").toInt, m("nprobe").toInt,
+      m("idCol"), m("vecCol"))
   }
 }

@@ -116,6 +116,44 @@ class IndexStoreSpec extends SparkSpec {
     assert(loaded.probe(newFp).filter("a = 1 and b = 10").count() == 1)
   }
 
+  test("bitext store: mine-against-index through disk matches direct") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq((1L, "en"), (3L, "en"), (2L, "de"), (4L, "de"))
+      .toDF("doc_id", "lang")
+    val dir = tmp()
+    graft.scale.IndexStore.buildBitext(emb, docs, "en", "de", k = 2)
+      .save(dir)
+    val loaded = graft.scale.IndexStore.load(spark, dir)
+    assert(loaded.isInstanceOf[graft.scale.IndexStore.BitextIndex])
+    val newSrc = Seq((10L, Array(0.98f, 0.02f))).toDF("vec_id", "embedding")
+    val direct = graft.scale.Bitext.mineAgainstIndex(newSrc,
+      graft.scale.Bitext.indexTable(emb, docs, "en", "de", 2), k = 2)
+    assert(rows(loaded.probe(newSrc)) == rows(direct))
+  }
+
+  test("IVF store: centroids ride with the layout; search and append work") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val dir = tmp() + "/ivf"
+    val store = graft.scale.IndexStore.writeIvf(emb, dir, centroids, k = 2)
+    val loaded = graft.scale.IndexStore.loadIvf(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq)
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val direct = graft.scale.Similarity.searchIvfIndex(spark, s"$dir/lists",
+      q, centroids, k = 2)
+    assert(rows(loaded.search(q)) == rows(direct))
+    assert(rows(store.search(q)) == rows(direct))
+    // append grows the same layout under the frozen quantizer
+    loaded.append(Seq((10L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding"))
+    assert(loaded.search(q).filter("neighbor_id = 10").count() > 0)
+  }
+
   test("load rejects unknown/missing stores loudly") {
     val dir = tmp()
     intercept[Exception] { IndexStore.load(spark, dir) }

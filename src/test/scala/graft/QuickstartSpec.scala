@@ -120,6 +120,21 @@ class QuickstartSpec extends SparkSpec {
     assert(hp.filter(col("a") === 1L && col("b") === 10L).count() == 1)
   }
 
+  test("IndexStore snippet: build → save → load → probe, parameters from the store") {
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "unrelated words fill this second document entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val path = tmp("qsstore") + "/jp"
+    graft.scale.IndexStore.buildJaccardPrefix(history, shingleK = 3,
+      tauNum = 1, tauDen = 5).save(path)
+    val pairs = graft.scale.IndexStore.load(spark, path).probe(batch)
+    assert(pairs.filter(col("a") === 1L && col("b") === 10L).count() == 1)
+  }
+
   test("day-2 contract table: bitext and IVF rows") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
