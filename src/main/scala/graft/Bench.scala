@@ -28,15 +28,23 @@ import org.apache.spark.sql.SparkSession
   * time-until-failure); one that failed in a later sweep reports the
   * median of its successful runs.
   *
-  * Regression triage (since round 7): before overwriting it, the
-  * previous bench_full.json is read as the baseline; any query whose
-  * in-sweep median regressed > 1.5× vs. that baseline (and is over the
-  * 50 ms noise floor) is re-run ONCE standalone after the sweeps, warm.
-  * `regressions` then reports {prev, in_sweep, standalone} per query —
-  * a flat standalone number says "sweep/cache contention, plan fine"
-  * while a regressed standalone number says "the plan itself got
-  * slower". The reported median stays the in-sweep value (honest
-  * steady-state under a crowded cache); the triage is diagnostic.
+  * Regression triage (since round 7; hardened round 8): before
+  * overwriting it, the previous bench_full.json is read as the baseline;
+  * any query whose in-sweep median regressed > 1.5× vs. that baseline
+  * (and is over the 50 ms noise floor) is re-run THREE times standalone
+  * after the sweeps and `standalone` reports the MEDIAN — after three
+  * sweeps the memory store is crowded and the first re-run can pay
+  * re-materializing an evicted shared artifact (r7's trace_sample_calls:
+  * single standalone 28.6 s vs in-sweep 15.3 s), so a single re-run is
+  * NOT warm; the median of 3 is. Triage runs never touch `failed`.
+  * `regressions` reports {prev, in_sweep, standalone} per query — a flat
+  * standalone number says "sweep/cache contention, plan fine" while a
+  * regressed standalone number says "the plan itself got slower"; the
+  * `storage` map (snapshotted between sweeps and triage) carries the
+  * per-artifact cached_parts/parts + mem/disk split that makes the
+  * contention attribution eviction-backed. The reported median stays the
+  * in-sweep value (honest steady-state under a crowded cache); the
+  * triage is diagnostic.
   */
 object Bench {
   // Representative subset across families: TPC-H-ish, trace enrichment /
@@ -104,12 +112,16 @@ object Bench {
     // a failing query must be VISIBLE in the output AND still charge its
     // time-until-failure — returning 0 for a failure would silently
     // deflate the totals
+    // `record = false` runs are diagnostic-only (regression triage): a
+    // query that passed all three sweeps must not land in `failed` from
+    // a triage-pass error.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-             name: String, pass: String): (Double, Boolean) = {
+             name: String, pass: String,
+             record: Boolean = true): (Double, Boolean) = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, true) }
       catch { case e: Throwable =>
-        failed += name
+        if (record) failed += name
         System.err.println(s"[bench] $name FAILED ($pass): ${e.getMessage}")
         ((System.nanoTime() - t0) / 1e9, false)
       }
@@ -148,6 +160,19 @@ object Bench {
     }
     val resultMap = results.toMap
 
+    // Storage snapshot at END-OF-SWEEPS, taken BEFORE the triage re-runs
+    // (which re-warm whatever was evicted): per persisted artifact, how
+    // many partitions are still cached and how the bytes split memory vs
+    // disk. cached_parts < parts means blocks were dropped — the eviction
+    // evidence that turns an in-sweep regression's "contention" read from
+    // a guess into an attributable fact.
+    val storage = spark.sparkContext.getRDDStorageInfo.toSeq.map { info =>
+      val nm = Option(info.name).getOrElse("").replaceAll("[\"\\\\\n]", " ")
+        .take(60).trim
+      val label = if (nm.isEmpty) s"rdd_${info.id}" else nm
+      s""""${label}_${info.id}":{"mem":${info.memSize},"disk":${info.diskSize},"cached_parts":${info.numCachedPartitions},"parts":${info.numPartitions}}"""
+    }.mkString("{", ",", "}")
+
     // Regression triage: >1.5× vs the previous run's median (read from
     // the old bench_full.json at startup), re-run once standalone while
     // warm. Capped at 15 — a global slowdown (e.g. a busier machine)
@@ -160,13 +185,28 @@ object Bench {
       } }
       .sortBy(-_._4).take(15)
     val queryFns = ordered.toMap
+    // Three triage runs, report the MEDIAN: after three full sweeps the
+    // memory store is crowded and a single re-run can pay re-materializing
+    // an evicted shared artifact (observed r7: trace_sample_calls
+    // standalone 28.6 s vs in-sweep 15.3 s — the opposite of "warm").
+    // Run 1 re-warms whatever was evicted; the median of 3 sheds it.
     val regressions = regressed.map { case (name, p, med, _) =>
-      val (standalone, _) = time(queryFns(name), name, "triage")
-      name -> (p, med, standalone)
+      val samples = (1 to 3).map { i =>
+        time(queryFns(name), name, s"triage$i", record = false)._1
+      }
+      name -> (p, med, median(samples))
     }
 
     // Shared-artifact builds, measured inside the memoization layer.
     val breakdown = SparkEntry.artifactBreakdown(spark).toSeq.sortBy(-_._2)
+    // Bytes written by on-disk artifact builds (OTF2 archive, IVF layout):
+    // IO variance on the scratch mount is a real effect (otf2_export
+    // 4.6 → 16.7 s across r7 runs) — bytes + seconds makes it visible.
+    val ioBytes = SparkEntry.artifactIoBytes(spark)
+    val setupIo = ioBytes.toSeq.sortBy(_._1).map { case (k, b) =>
+      val sec = SparkEntry.artifactBreakdown(spark).getOrElse(k, 0.0)
+      s""""$k":{"bytes":$b,"sec":${fmt(sec)}}"""
+    }.mkString("{", ",", "}")
     val setupTotal = breakdown.map(_._2).sum
     val sumMedians = results.map(_._2).sum
     // headline total = measured artifact builds + Σ per-query medians
@@ -186,7 +226,7 @@ object Bench {
         "\"" + k + s"""":{"prev":${fmt(p)},"in_sweep":${fmt(m)},"standalone":${fmt(st)}}""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"setup":$setupTotal,"setup_breakdown":$fullBreakdown,"sum_medians":$sumMedians,"runs_per_query":3,"aggregation":"median","regressions":${regJson(regressions)},"queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"setup":$setupTotal,"setup_breakdown":$fullBreakdown,"setup_io":$setupIo,"sum_medians":$sumMedians,"runs_per_query":3,"aggregation":"median","regressions":${regJson(regressions)},"storage":$storage,"queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),

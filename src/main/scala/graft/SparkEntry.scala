@@ -62,19 +62,39 @@ object SparkEntry {
   private def timedArtifact[A](s: SparkSession, key: String)(build: => A): A = {
     nestedChildTime.set(0.0 :: nestedChildTime.get)
     val t0 = System.nanoTime()
-    val r = build
-    val total = (System.nanoTime() - t0) / 1e9
-    val childSum :: rest = nestedChildTime.get: @unchecked
-    nestedChildTime.set(rest match {
-      case parent :: up => (parent + total) :: up
-      case Nil => Nil
-    })
-    artifactTimes((s, key)) = total - childSum
-    r
+    try {
+      val r = build
+      artifactTimes((s, key)) =
+        (System.nanoTime() - t0) / 1e9 - nestedChildTime.get.head
+      r
+    } finally {
+      // pop even on failure, else the orphaned frame skews every later
+      // top-level build on this thread; the failed frame's wall time
+      // still propagates to the parent so Σ breakdown stays the true
+      // one-pass cost
+      val total = (System.nanoTime() - t0) / 1e9
+      nestedChildTime.set(nestedChildTime.get.tail match {
+        case parent :: up => (parent + total) :: up
+        case Nil => Nil
+      })
+    }
   }
   /** Per-artifact build seconds recorded so far for `s`. */
   private[graft] def artifactBreakdown(s: SparkSession): Map[String, Double] =
     artifactTimes.collect { case ((ss, k), v) if ss == s => (k, v) }.toMap
+
+  /** Bytes written by on-disk artifact builds (OTF2 archive, IVF layout),
+    * keyed like [[artifactTimes]] — the bench emits these next to the
+    * build seconds so real IO variance on the scratch mount (observed:
+    * otf2_export 4.6 → 16.7 s between runs with no code change) is
+    * distinguishable from plan changes. */
+  private val artifactBytes =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+  private[graft] def artifactIoBytes(s: SparkSession): Map[String, Long] =
+    artifactBytes.collect { case ((ss, k), v) if ss == s => (k, v) }.toMap
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    else if (f.isFile) f.length() else 0L
 
   private val enrichedCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
@@ -178,7 +198,11 @@ object SparkEntry {
          path <- ivfIndexCache.remove(k)) deleteRecursively(new java.io.File(path))
     for (k <- otf2ExportCache.keys if k._1 == s;
          path <- otf2ExportCache.remove(k)) deleteRecursively(new java.io.File(path))
+    for (k <- storedIndexCache.keys if k._1 == s) storedIndexCache.remove(k)
+    for (k <- storedIndexPaths.keys if k._1 == s;
+         path <- storedIndexPaths.remove(k)) deleteRecursively(new java.io.File(path))
     for (k <- artifactTimes.keys if k._1 == s) artifactTimes.remove(k)
+    for (k <- artifactBytes.keys if k._1 == s) artifactBytes.remove(k)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -191,7 +215,8 @@ object SparkEntry {
     enrichedCache.keys.count(_._1 == s) + dfCache.keys.count(_._1 == s) +
       kmeansCache.keys.count(_._1 == s) + pqCache.keys.count(_._1 == s) +
       sq8Cache.keys.count(_._1 == s) +
-      ivfIndexCache.keys.count(_._1 == s)
+      ivfIndexCache.keys.count(_._1 == s) +
+      storedIndexCache.keys.count(_._1 == s)
 
   /** One application-end listener per SparkContext: final cleanup for
     * sessions never explicitly cleared. */
@@ -212,6 +237,9 @@ object SparkEntry {
             ivfIndexCache.clear()
             otf2ExportCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
             otf2ExportCache.clear()
+            storedIndexCache.clear()
+            storedIndexPaths.values.foreach(p => deleteRecursively(new java.io.File(p)))
+            storedIndexPaths.clear()
             cleanupHooked.remove(sc) // don't pin the dead SparkContext
           }
         })
@@ -400,7 +428,37 @@ object SparkEntry {
     sys.addShutdownHook {
       ivfIndexCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
       otf2ExportCache.values.foreach(p => deleteRecursively(new java.io.File(p)))
+      storedIndexPaths.values.foreach(p => deleteRecursively(new java.io.File(p)))
     }: Unit
+
+  /** Memoized PERSISTED day-2 indexes per (session, sfDir, key): the
+    * family handle is built once, `save`d to scratch, and reloaded
+    * through [[graft.scale.IndexStore.load]] — so every `*_incr` oracle
+    * row exercises the exact enforced-contract path a day-2 user calls
+    * (build → save → load → probe, parameters riding the store's
+    * `_meta`), not the raw incremental functions the store wraps. The
+    * probe output is identical either way (load hands back the same
+    * tables through a parquet round trip), so the oracle hashes pin the
+    * user-facing API. */
+  private val storedIndexCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String),
+      graft.scale.IndexStore.DedupIndex]()
+  private val storedIndexPaths =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), String]()
+  private def storedIndex(s: SparkSession, dir: String, key: String)
+      (build: => graft.scale.IndexStore.DedupIndex)
+      : graft.scale.IndexStore.DedupIndex =
+    storedIndexCache.getOrElseUpdate((s, dir, key), timedArtifact(s, key) {
+      registerCleanup(s)
+      ivfShutdownHook
+      val dirTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val path = s"$scratchRoot/graft_idx_${key}_${dirTag}_" +
+        s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
+      build.save(path)
+      storedIndexPaths((s, dir, key)) = path
+      graft.scale.IndexStore.load(s, path)
+    })
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate((s, dir), timedArtifact(s, "ivf_disk_index") {
       registerCleanup(s)
@@ -413,6 +471,7 @@ object SparkEntry {
       val path = s"$scratchRoot/graft_ivf_index_${dirTag}_" +
         s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
       Similarity.writeIvfIndex(T(s, dir, "embeddings"), path, embCentroids(s, dir))
+      artifactBytes((s, "ivf_disk_index")) = dirBytes(new java.io.File(path))
       path
     })
 
@@ -431,6 +490,7 @@ object SparkEntry {
       val path = s"$scratchRoot/graft_otf2_export_${dirTag}_" +
         s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
       graft.ingest.Otf2Writer.save(TraceGen.callTrace(s, dir), path)
+      artifactBytes((s, "otf2_export")) = dirBytes(new java.io.File(path))
       path
     })
 
@@ -1395,10 +1455,10 @@ object SparkEntry {
           .withColumn("lo", col("simhash").bitwiseAND(lit(0xFFFFFFFFL)))
       val hist = uniq(tab.filter(col("doc_id") % 10 =!= 0))
       val fresh = uniq(tab.filter(col("doc_id") % 10 === 0))
-      val idx = Dedup.hammingBandTable(hist, bands = 4, idCol = "rep_id",
-        hiCol = "hi", loCol = "lo")
-      val pairs = Dedup.hammingBandPairsIncremental(fresh, idx, radius = 3,
-        bands = 4, idCol = "rep_id", hiCol = "hi", loCol = "lo")
+      val pairs = storedIndex(s, dir, "idx_simhash_hamming")(
+          graft.scale.IndexStore.buildHamming(hist, radius = 3, bands = 4,
+            idCol = "rep_id", hiCol = "hi", loCol = "lo"))
+        .probe(fresh)
       val nodes = hist.unionByName(fresh)
       pairs
         .join(nodes.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
@@ -1495,9 +1555,10 @@ object SparkEntry {
     // prefix index of the rest — emits exactly the full run's verified
     // pairs that touch >= 1 new doc, without re-shingling history ---
     "jaccard_prefix_incr" -> ((s, dir) =>
-      Dedup.jaccardPrefixIncremental(
-          T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-          jpIndexDf(s, dir), jpIndexDocs(s, dir), 3, 1, 5)
+      storedIndex(s, dir, "idx_jaccard_prefix")(
+          graft.scale.IndexStore.JaccardPrefixIndex(
+            jpIndexDf(s, dir), jpIndexDocs(s, dir), 3, 1, 5, "text", "doc_id"))
+        .probe(T(s, dir, "documents").filter(col("doc_id") % 10 === 0))
         .orderBy(col("a"), col("b"))),
 
     // --- per-source token budget: best-first fill, boundary doc may
@@ -1536,10 +1597,11 @@ object SparkEntry {
     // the oracle recomputes components from scratch over the full edge
     // set, so the green row proves the merge equals full recomputation ---
     "dedup_components_incr" -> ((s, dir) => {
-      val sigs = minhashSigs(s, dir)
-      val newEdges = Dedup.minhashLshPairsIncremental(
-        sigs.filter(col("doc_id") % 10 === 0),
-        Dedup.bandTable(sigs.filter(col("doc_id") % 10 =!= 0)))
+      val docs = T(s, dir, "documents")
+      val newEdges = storedIndex(s, dir, "idx_minhash_hist")(
+          graft.scale.IndexStore.buildMinhashLsh(
+            docs.filter(col("doc_id") % 10 =!= 0)))
+        .probe(docs.filter(col("doc_id") % 10 === 0))
       Dedup.componentsIncremental(lshComponentsHist(s, dir), newEdges)
         .orderBy(col("node"))
     }),
@@ -1789,9 +1851,10 @@ object SparkEntry {
     // the persisted chunk store of history; equals the full rerun
     // restricted to the batch (oracle = full SQL + that filter) ---
     "cdc_dedup_incr" -> ((s, dir) =>
-      TextOps.cdcDedupIncremental(
-          T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-          cdcIndexHist(s, dir))
+      storedIndex(s, dir, "idx_cdc")(
+          graft.scale.IndexStore.CdcIndex(cdcIndexHist(s, dir), 8, 6,
+            "text", "doc_id"))
+        .probe(T(s, dir, "documents").filter(col("doc_id") % 10 === 0))
         .orderBy(col("doc_id"))),
 
     "cdc_dedup" -> ((s, dir) => {
@@ -1908,7 +1971,10 @@ object SparkEntry {
         T(s, dir, "documents")
           .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
           .select(col("doc_id").as("vec_id")), "vec_id")
-      Bitext.mineAgainstIndex(newSrc, bitextIndexDf(s, dir))
+      storedIndex(s, dir, "idx_bitext_pivot")(
+          graft.scale.IndexStore.BitextIndex(bitextIndexDf(s, dir),
+            k = 4, thresholdMicro = 1050000L, "vec_id", "embedding"))
+        .probe(newSrc)
         .orderBy(col("src_id"))
     }),
 
@@ -2135,9 +2201,10 @@ object SparkEntry {
           .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
       val hist = uniq(hashed.filter(col("doc_id") % 10 =!= 0))
       val fresh = uniq(hashed.filter(col("doc_id") % 10 === 0))
-      val idx = Dedup.hammingBandTable(hist, idCol = "rep_id")
-      val pairs = Dedup.hammingBandPairsIncremental(fresh, idx,
-        radius = 6, idCol = "rep_id")
+      val pairs = storedIndex(s, dir, "idx_image_hamming")(
+          graft.scale.IndexStore.buildHamming(hist, radius = 6, bands = 8,
+            idCol = "rep_id", hiCol = "ahash_hi", loCol = "ahash_lo"))
+        .probe(fresh)
       val nodes = hist.unionByName(fresh)
       pairs
         .join(nodes.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
@@ -2270,11 +2337,11 @@ object SparkEntry {
     // rerun restricted to batch-touching pairs ---
     "video_neardup_incr" -> ((s, dir) => {
       val docs = videoTokenDocs(s, dir)
-      val (dfTab, docIndex) = Dedup.jaccardPrefixIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), shingleK = 1,
-        tauNum = 2, tauDen = 3)
-      Dedup.jaccardPrefixIncremental(docs.filter(col("doc_id") % 10 === 0),
-          dfTab, docIndex, shingleK = 1, tauNum = 2, tauDen = 3)
+      storedIndex(s, dir, "idx_video_jaccard")(
+          graft.scale.IndexStore.buildJaccardPrefix(
+            docs.filter(col("doc_id") % 10 =!= 0), shingleK = 1,
+            tauNum = 2, tauDen = 3))
+        .probe(docs.filter(col("doc_id") % 10 === 0))
         .orderBy(col("a"), col("b"))
     }),
 
@@ -2353,10 +2420,10 @@ object SparkEntry {
       // and the index join surfaces cross-side distance-0 duplicates
       val hist = uniq(hashed.filter(col("doc_id") % 7 =!= 0))
       val fresh = uniq(hashed.filter(col("doc_id") % 7 === 0))
-      val idx = Dedup.hammingBandTable(hist, idCol = "rep_id",
-        hiCol = "fp_hi", loCol = "fp_lo")
-      val pairs = Dedup.hammingBandPairsIncremental(fresh, idx, radius = 6,
-        idCol = "rep_id", hiCol = "fp_hi", loCol = "fp_lo")
+      val pairs = storedIndex(s, dir, "idx_audio_hamming")(
+          graft.scale.IndexStore.buildHamming(hist, radius = 6, bands = 8,
+            idCol = "rep_id", hiCol = "fp_hi", loCol = "fp_lo"))
+        .probe(fresh)
       val nodes = hist.unionByName(fresh)
       pairs
         .join(nodes.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
@@ -2411,9 +2478,10 @@ object SparkEntry {
     // this equals the full rerun restricted to the batch, so the
     // oracle IS the full-corpus SQL with that filter ---
     "dup_spans_removed_incr" -> ((s, dir) =>
-      Dedup.dupSpansRemovedIncremental(
-          T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-          shingleIndexHist(s, dir))
+      storedIndex(s, dir, "idx_shingle")(
+          graft.scale.IndexStore.ShingleIndex(shingleIndexHist(s, dir), 3,
+            "text", "doc_id"))
+        .probe(T(s, dir, "documents").filter(col("doc_id") % 10 === 0))
         .orderBy(col("doc_id"))),
 
     // --- DSIR importance weights vs. the English sub-corpus ---
@@ -2488,12 +2556,11 @@ object SparkEntry {
     // dedup families share ---
     "semdedup_incr" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val cents = embCentroids(s, dir)
-      val hist = Similarity.withCluster(
-        emb.filter(col("vec_id") % 10 =!= 0), cents)
-      val fresh = Similarity.withCluster(
-        emb.filter(col("vec_id") % 10 === 0), cents)
-      Similarity.cosinePairsIncremental(fresh, hist, 0.3)
+      storedIndex(s, dir, "idx_semdedup_cluster")(
+          graft.scale.IndexStore.buildClusterCosine(
+            emb.filter(col("vec_id") % 10 =!= 0), embCentroids(s, dir),
+            threshold = 0.3))
+        .probe(emb.filter(col("vec_id") % 10 === 0))
         .orderBy(col("a"), col("b"))
     }),
 
@@ -2512,11 +2579,10 @@ object SparkEntry {
     // counts, so the result equals the full rerun's new-touching pairs
     // (the oracle is the full SQL with that filter) ---
     "winnow_pairs_incr" -> ((s, dir) =>
-      TextOps.winnowPairsIncremental(
-          T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-          winnowIndexHist(s, dir), minShared = 2, maxFpDf = 100,
-          fingerprints = Some(winnowFp(s, dir)
-            .filter(col("doc_id") % 10 === 0)))
+      storedIndex(s, dir, "idx_winnow")(
+          graft.scale.IndexStore.WinnowIndex(winnowIndexHist(s, dir),
+            minShared = 2, k = 3, w = 4, maxFpDf = 100, "text", "doc_id"))
+        .probe(T(s, dir, "documents").filter(col("doc_id") % 10 === 0))
         .orderBy(col("a"), col("b"))),
 
     // --- corpus-wide kNN graph (cluster-restricted self-join) ---
@@ -2930,12 +2996,11 @@ object SparkEntry {
     // pairs (which is exactly what the oracle computes brute-force) ---
     "fuzzy_exact_incr" -> ((s, dir) => {
       val part = T(s, dir, "part")
-      val (dfTab, strIdx, idMap) = graft.scale.Dedup.editDistanceIndex(
-        part.filter(col("p_partkey") % 10 =!= 0), maxDist = 2,
-        textCol = "p_name", idCol = "p_partkey")
-      graft.scale.Dedup.editDistanceIncremental(
-          part.filter(col("p_partkey") % 10 === 0), dfTab, strIdx, idMap,
-          maxDist = 2, textCol = "p_name", idCol = "p_partkey")
+      storedIndex(s, dir, "idx_editdist_hist")(
+          graft.scale.IndexStore.buildEditDistance(
+            part.filter(col("p_partkey") % 10 =!= 0), maxDist = 2,
+            textCol = "p_name", idCol = "p_partkey"))
+        .probe(part.filter(col("p_partkey") % 10 === 0))
         .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
         .orderBy(col("a"), col("b"))
     }),
@@ -2946,13 +3011,14 @@ object SparkEntry {
     // canonical side never re-grams ---
     "fuzzy_link_incr" -> ((s, dir) => {
       val part = T(s, dir, "part")
-      val (dfTab, strIdx, idMap) = graft.scale.Dedup.editDistanceIndex(
-        part, maxDist = 2, textCol = "p_name", idCol = "p_partkey")
+      val idx = storedIndex(s, dir, "idx_editdist_full")(
+          graft.scale.IndexStore.buildEditDistance(part, maxDist = 2,
+            textCol = "p_name", idCol = "p_partkey"))
+        .asInstanceOf[graft.scale.IndexStore.EditDistanceIndex]
       val noisy = part.filter(col("p_partkey") % 7 === 0)
         .select((col("p_partkey") + 1000000L).as("p_partkey"),
           expr("substr(p_name, 2)").as("p_name"))
-      graft.scale.Dedup.editDistanceLinkIncremental(noisy, dfTab, strIdx,
-          idMap, maxDist = 2, textCol = "p_name", idCol = "p_partkey")
+      idx.probeLink(noisy)
         .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
         .orderBy(col("a"), col("b"))
     }),
@@ -3449,10 +3515,10 @@ object SparkEntry {
     // against the persisted band index of the historical corpus without
     // re-hashing it; result = the full run's pairs touching a new doc ---
     "minhash_incremental" -> ((s, dir) => {
-      val sigs = minhashSigs(s, dir)
-      Dedup.minhashLshPairsIncremental(
-          sigs.filter(col("doc_id") >= 400),
-          Dedup.bandTable(sigs.filter(col("doc_id") < 400)))
+      val docs = T(s, dir, "documents")
+      storedIndex(s, dir, "idx_minhash_400")(
+          graft.scale.IndexStore.buildMinhashLsh(docs.filter(col("doc_id") < 400)))
+        .probe(docs.filter(col("doc_id") >= 400))
         .orderBy(col("a"), col("b"))
     }),
 

@@ -667,7 +667,7 @@ object Curation {
       size(TextOps.tokens(col(textCol))).cast("long").as("__t"))
     val moved = a.select(col(idCol), col(groupCol).as("__ga"))
       .join(b.select(col(idCol), col(groupCol).as("__gb")), Seq(idCol))
-      .filter(col("__ga") =!= col("__gb"))
+      .filter(!(col("__ga") <=> col("__gb")))
       .select(col(idCol))
     val touched = diff.filter(col("status") =!= "unchanged")
       .select(col(idCol)).unionByName(moved).distinct()

@@ -66,6 +66,7 @@ object IndexStore {
         m("textCol"), m("idCol"))
       case "winnow" => WinnowIndex(rd("fingerprints"),
         m("minShared").toInt, m("k").toInt, m("w").toInt,
+        m.getOrElse("maxFpDf", Int.MaxValue.toString).toInt,
         m("textCol"), m("idCol"))
       case "cdc" => CdcIndex(rd("chunks"), m("w").toInt,
         m("maskBits").toInt, m("textCol"), m("idCol"))
@@ -73,6 +74,14 @@ object IndexStore {
         m("bands").toInt, m("idCol"), m("hiCol"), m("loCol"))
       case "bitext" => BitextIndex(rd("index"), m("k").toInt,
         m("thresholdMicro").toLong, m("idCol"), m("vecCol"))
+      case "cluster_cosine" =>
+        val centroids = rd("_centroids").orderBy(col("cluster")).collect()
+          .map(_.getAs[Seq[Double]]("centroid").toArray)
+        ClusterCosineIndex(rd("assigned"), centroids,
+          m("threshold").toDouble, m("idCol"), m("vecCol"))
+      case "ivf" => throw new IllegalArgumentException(
+        s"'ivf' stores hold a vector index, not a dedup index — load " +
+          s"with IndexStore.loadIvf(spark, \"$path\")")
       case other => throw new IllegalArgumentException(
         s"unknown index family '$other' at $path")
     }
@@ -181,24 +190,29 @@ object IndexStore {
 
   // --- winnowing / MOSS ---
   final case class WinnowIndex(fingerprints: DataFrame, minShared: Int,
-      k: Int, w: Int, textCol: String, idCol: String) extends DedupIndex {
+      k: Int, w: Int, maxFpDf: Int, textCol: String, idCol: String)
+      extends DedupIndex {
     def save(path: String): Unit = {
       fingerprints.write.mode("overwrite").parquet(s"$path/fingerprints")
       writeMeta(fingerprints.sparkSession, path, "winnow", Map(
         "minShared" -> minShared.toString, "k" -> k.toString,
-        "w" -> w.toString, "textCol" -> textCol, "idCol" -> idCol))
+        "w" -> w.toString, "maxFpDf" -> maxFpDf.toString,
+        "textCol" -> textCol, "idCol" -> idCol))
     }
     def probe(batch: DataFrame): DataFrame =
       TextOps.winnowPairsIncremental(batch, fingerprints, minShared, k, w,
-        textCol = textCol, idCol = idCol)
+        maxFpDf, textCol = textCol, idCol = idCol)
   }
-  /** Persist UNcapped (any df cap must evaluate on combined
-    * history+batch counts at probe time — see winnowPairsIncremental). */
+  /** Persist UNcapped fingerprints (`maxFpDf` is a probe-TIME policy:
+    * the cap must evaluate on combined history+batch counts — see
+    * winnowPairsIncremental — so it rides the meta and applies at each
+    * probe, never to the persisted table). */
   def buildWinnow(docs: DataFrame, minShared: Int = 2, k: Int = 3,
-                  w: Int = 4, textCol: String = "text",
+                  w: Int = 4, maxFpDf: Int = Int.MaxValue,
+                  textCol: String = "text",
                   idCol: String = "doc_id"): WinnowIndex =
     WinnowIndex(TextOps.winnowIndex(docs, k, w, textCol, idCol),
-      minShared, k, w, textCol, idCol)
+      minShared, k, w, maxFpDf, textCol, idCol)
 
   // --- CDC chunking ---
   final case class CdcIndex(chunks: DataFrame, w: Int, maskBits: Int,
@@ -241,6 +255,41 @@ object IndexStore {
     HammingIndex(Dedup.hammingBandTable(hashes, bands, idCol, hiCol, loCol),
       radius, bands, idCol, hiCol, loCol)
   }
+
+  // --- semantic dedup (cluster-restricted cosine pairs) ---
+  /** Day-2 semantic dedup: history embeddings persisted WITH their
+    * cluster assignment AND the frozen quantizer that produced it —
+    * probing with different centroids than history was assigned under
+    * silently loses every cross-side pair whose two ends land in
+    * different clusterings, so the centroids ride the store exactly
+    * like the IVF family's. */
+  final case class ClusterCosineIndex(assigned: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double,
+      idCol: String, vecCol: String) extends DedupIndex {
+    def save(path: String): Unit = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      assigned.write.mode("overwrite").parquet(s"$path/assigned")
+      centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+      writeMeta(spark, path, "cluster_cosine", Map(
+        "threshold" -> threshold.toString,
+        "idCol" -> idCol, "vecCol" -> vecCol))
+    }
+    /** Batch embeddings are assigned with the FROZEN centroids, then
+      * cluster-restricted cosine pairs touching the batch. */
+    def probe(batch: DataFrame): DataFrame =
+      Similarity.cosinePairsIncremental(
+        Similarity.withCluster(batch, centroids, vecCol),
+        assigned, threshold, idCol, vecCol)
+  }
+  def buildClusterCosine(emb: DataFrame, centroids: Array[Array[Double]],
+                         threshold: Double = 0.9,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): ClusterCosineIndex =
+    ClusterCosineIndex(Similarity.withCluster(emb, centroids, vecCol),
+      centroids, threshold, idCol, vecCol)
 
   // --- bitext mining (frozen dst-side pivot stats) ---
   final case class BitextIndex(index: DataFrame, k: Int,
@@ -301,6 +350,8 @@ object IndexStore {
   }
   def loadIvf(spark: SparkSession, path: String): IvfIndex = {
     val m = readMeta(spark, path)
+    require(m.getOrElse("version", "") == Version,
+      s"index store version ${m.get("version")} != $Version at $path")
     require(m.getOrElse("family", "") == "ivf",
       s"not an IVF store at $path: family=${m.get("family")}")
     val centroids = spark.read.parquet(s"$path/_centroids")

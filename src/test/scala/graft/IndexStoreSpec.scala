@@ -154,6 +154,55 @@ class IndexStoreSpec extends SparkSpec {
     assert(loaded.search(q).filter("neighbor_id = 10").count() > 0)
   }
 
+  test("winnow store: maxFpDf persists and caps at probe time") {
+    val dir = tmp()
+    // cap 1: every fingerprint shared by >= 2 docs (combined counts) is
+    // dropped, so the near-identical batch/history pair disappears
+    IndexStore.buildWinnow(hist, minShared = 1, k = 2, w = 3, maxFpDf = 1)
+      .save(dir)
+    val loaded = IndexStore.load(spark, dir)
+      .asInstanceOf[IndexStore.WinnowIndex]
+    assert(loaded.maxFpDf == 1)
+    val direct = TextOps.winnowPairsIncremental(batch,
+      TextOps.winnowIndex(hist, k = 2, w = 3), minShared = 1, k = 2, w = 3,
+      maxFpDf = 1)
+    assert(rows(loaded.probe(batch)) == rows(direct))
+    // and the cap genuinely bites vs the uncapped probe
+    val uncapped = IndexStore.buildWinnow(hist, minShared = 1, k = 2, w = 3)
+    assert(loaded.probe(batch).count() < uncapped.probe(batch).count())
+  }
+
+  test("cluster-cosine store: frozen centroids ride; probe == direct") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.98f, 0.02f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.02f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val dir = tmp()
+    IndexStore.buildClusterCosine(emb, centroids, threshold = 0.9).save(dir)
+    val loaded = IndexStore.load(spark, dir)
+      .asInstanceOf[IndexStore.ClusterCosineIndex]
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      centroids.map(_.toSeq).toSeq)
+    assert(loaded.threshold == 0.9)
+    val freshEmb = Seq((10L, Array(0.99f, 0.01f))).toDF("vec_id", "embedding")
+    val direct = graft.scale.Similarity.cosinePairsIncremental(
+      graft.scale.Similarity.withCluster(freshEmb, centroids),
+      graft.scale.Similarity.withCluster(emb, centroids), 0.9)
+    assert(rows(loaded.probe(freshEmb)) == rows(direct))
+    // cross-side pair in cluster 0 (1,10) surfaces; cluster-1 docs don't
+    assert(loaded.probe(freshEmb).filter("a = 1 and b = 10").count() == 1)
+    assert(loaded.probe(freshEmb).filter("a = 3 or b = 3").count() == 0)
+  }
+
+  test("ivf stores direct a dedup-load to loadIvf instead of failing opaquely") {
+    val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val dir = tmp() + "/ivf"
+    graft.scale.IndexStore.writeIvf(emb, dir, Array(Array(1.0, 0.0)), k = 1)
+    val e = intercept[IllegalArgumentException] { IndexStore.load(spark, dir) }
+    assert(e.getMessage.contains("loadIvf"))
+  }
+
   test("load rejects unknown/missing stores loudly") {
     val dir = tmp()
     intercept[Exception] { IndexStore.load(spark, dir) }
