@@ -124,8 +124,11 @@ object SparkEntry {
   private val autoKmeansCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), (Int, Array[Array[Double]])]()
   /** The AUTO-policy quantizer (k = ceil(n/64), Lloyd on the md5-hash
-    * sample) as a session artifact shared by semdedup_auto /
-    * knn_graph_auto — the same "train once, query many" shape as the
+    * sample) as a session artifact shared by the kNN-graph consumers
+    * (semdedup, graph_pagerank, knn_graph_nnd, knn_graph_auto — auto-k
+    * is the DEFAULT since the sf1 sweep measured fixed-k at 15–36x
+    * sf0.1→sf1 vs 3.2x for k∝n) — the same "train once, query many"
+    * shape as the
     * fixed-k fit above; the oracle recomputes k and the sample modulus
     * from the data, so memoization changes timing only. */
   private def embAutoCentroids(s: SparkSession, dir: String): (Int, Array[Array[Double]]) =
@@ -2525,20 +2528,14 @@ object SparkEntry {
     }),
 
     // --- SemDeDup: k-means clusters -> within-cluster cosine components ---
-    "semdedup" -> ((s, dir) =>
-      Similarity.semDeDup(T(s, dir, "embeddings"), 0.3,
-          centroids = Some(embCentroids(s, dir)))
-        .select(col("vec_id"), col("cluster"),
-          col("is_dup").cast("int").as("is_dup"),
-          col("retained").cast("int").as("retained"))
-        .orderBy(col("vec_id"))),
-
-    // --- SemDeDup under the scale-safe AUTO policy: cluster count
+    // --- SemDeDup, DEFAULT = the scale-safe AUTO policy: cluster count
     // grows with the corpus (k = ceil(n/64) — keeps the pair join's
     // sum-of-|c|^2 linear) and the quantizer fits on an md5-hash sample
     // (keeps Lloyd O(k^2*factor) instead of O(n*k)); one count job
-    // decides both dials, and the oracle recomputes them from the data ---
-    "semdedup_auto" -> ((s, dir) => {
+    // decides both dials, and the oracle recomputes them from the data.
+    // Measured at the 10x tiling: fixed k=8 was 15x sf0.1→sf1, auto-k
+    // 3.2x — so k∝n is the default and fixed-k is the opt-in twin below ---
+    "semdedup" -> ((s, dir) => {
       val (k, cents) = embAutoCentroids(s, dir)
       Similarity.semDeDup(T(s, dir, "embeddings"), 0.3, k,
           centroids = Some(cents))
@@ -2547,6 +2544,16 @@ object SparkEntry {
           col("retained").cast("int").as("retained"))
         .orderBy(col("vec_id"))
     }),
+
+    // --- the fixed-k opt-in twin (small corpora / pinned cluster
+    // count); rides the shared session quantizer ---
+    "semdedup_fixedk" -> ((s, dir) =>
+      Similarity.semDeDup(T(s, dir, "embeddings"), 0.3,
+          centroids = Some(embCentroids(s, dir)))
+        .select(col("vec_id"), col("cluster"),
+          col("is_dup").cast("int").as("is_dup"),
+          col("retained").cast("int").as("retained"))
+        .orderBy(col("vec_id"))),
 
     // --- day-2 SEMANTIC dedup: the %10==0 batch assigned under the
     // FROZEN session quantizer and cosine-verified against the
@@ -2616,15 +2623,18 @@ object SparkEntry {
       // the sample x corpus pair table through a window sort
       val bf = Similarity.bruteForceTopKMicro(emb, sample, 3)
         .select(col("query_id"), col("neighbor_id"))
-      val cents = Some(embCentroids(s, dir))
+      // auto-k quantizer by default: the fixed-k fit was the 36x
+      // sf0.1→sf1 row (denser clusters ⇒ ~quadratic within-cluster
+      // candidates); k = ceil(n/64) keeps the edge build linear
+      val (nc, cents) = embAutoCentroids(s, dir)
       def scored(nm: String, g: org.apache.spark.sql.DataFrame) =
         bf.join(g.select(col("vec_id").as("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id"), "leftsemi")
           .agg(count(lit(1)).as("hits"))
           .select(lit(nm).as("method"), col("hits"))
-      val base = Similarity.knnGraph(emb, 3, centroids = cents)
-      val nnd = Similarity.knnGraphDescent(emb, 3, rounds = 1,
-        centroids = cents, base = Some(base))
+      val base = Similarity.knnGraph(emb, 3, nc, centroids = Some(cents))
+      val nnd = Similarity.knnGraphDescent(emb, 3, rounds = 1, nc,
+        centroids = Some(cents), base = Some(base))
       scored("ivf", base).unionByName(scored("nnd1", nnd))
         .crossJoin(sample.select((count(lit(1)) * 3).as("possible")))
         .select(col("method"), col("hits"), col("possible"),
@@ -2670,11 +2680,13 @@ object SparkEntry {
           centroids = Some(embCentroids(s, dir)))
         .orderBy(col("anchor"))),
 
-    // --- PageRank over the kNN graph: central corpus documents ---
+    // --- PageRank over the kNN graph: central corpus documents.
+    // The edge build (not the rank loop) dominated the sf1 sweep at
+    // fixed k (21x) — it rides the auto-k quantizer now ---
     "graph_pagerank" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val edges = Similarity.knnGraph(emb, 3,
-          centroids = Some(embCentroids(s, dir)))
+      val (nc, cents) = embAutoCentroids(s, dir)
+      val edges = Similarity.knnGraph(emb, 3, nc, centroids = Some(cents))
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       graft.scale.GraphOps.pageRank(
           emb.select(col("vec_id").as("id")), edges, 3)
@@ -6839,10 +6851,11 @@ object SparkEntry {
         |  FROM sc)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "semdedup" -> (kmeansCte().replaceFirst("WITH ", "WITH RECURSIVE ") +
+    // default = auto-k (mirrors the Spark default); fixed-k is the twin
+    "semdedup" -> (kmeansCteAuto().replaceFirst("WITH ", "WITH RECURSIVE ") +
       SemDedupTailSql),
 
-    "semdedup_auto" -> (kmeansCteAuto().replaceFirst("WITH ", "WITH RECURSIVE ") +
+    "semdedup_fixedk" -> (kmeansCte().replaceFirst("WITH ", "WITH RECURSIVE ") +
       SemDedupTailSql),
 
     // day-2 twin: cluster-restricted cosine pairs where at least one
@@ -6905,7 +6918,7 @@ object SparkEntry {
     // deterministic random bridges -> reverse cap -> 2-hop closure ->
     // re-score -> top-3; recall of both graphs vs brute force over the
     // vec_id % 5 = 0 sample, in integer micro-units
-    "knn_graph_nnd" -> (kmeansCte() +
+    "knn_graph_nnd" -> (kmeansCteAuto() +
       """, knn0 AS (
         |  SELECT a.vec_id AS v, x.vec_id AS u,
         |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
@@ -7705,7 +7718,7 @@ object SparkEntry {
     // same knn CTE as knn_graph (rank <= 3), then 3 unrolled FIXED-POINT
     // PageRank stages (micro-units, integer division — exact in both
     // engines, no FP sum-order noise)
-    "graph_pagerank" -> (kmeansCte() +
+    "graph_pagerank" -> (kmeansCteAuto() +
       """, knn AS (
         |  SELECT a.vec_id, x.vec_id AS neighbor_id,
         |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),

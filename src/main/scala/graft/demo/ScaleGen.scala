@@ -198,5 +198,38 @@ object ScaleBench {
     println("{" + out.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString(",") + "}")
     spark.stop()
+    // Scale GATE (round 8): a >10x sf0.1→sf1 row is only acceptable when
+    // its cause is on record — tools/scale_attribution.tsv carries one
+    // `query<TAB>measured cause` line per known super-linear row (fixture
+    // vocabulary output growth, linear-in-bytes IO, ...). A new >10x row
+    // without a line fails the sweep, so scale regressions cannot land
+    // silently between rounds.
+    if (heaviest) {
+      val attrib: Map[String, String] =
+        try {
+          val src = scala.io.Source.fromFile("tools/scale_attribution.tsv")
+          try src.getLines()
+            .filterNot(l => l.isEmpty || l.startsWith("#"))
+            .flatMap { l => l.split("\t", 2) match {
+              case Array(q, r) => Some(q -> r); case _ => None } }
+            .toMap
+          finally src.close()
+        } catch { case _: Throwable => Map.empty }
+      val over = out.collect {
+        case (n, w) if baseline.get(n).exists(b => b > 0.05 && w / b > 10) =>
+          (n, w / baseline(n))
+      }
+      val unattributed = over.filterNot { case (n, _) => attrib.contains(n) }
+      over.foreach { case (n, r) =>
+        attrib.get(n).foreach(why =>
+          println(f"[scale-gate] attributed   $n%-24s $r%5.1fx — $why")) }
+      if (unattributed.nonEmpty) {
+        unattributed.foreach { case (n, r) =>
+          System.err.println(f"[scale-gate] FAIL $n%-24s $r%5.1fx sf0.1→sf1 " +
+            "without attribution — measure the cause and add a line to " +
+            "tools/scale_attribution.tsv") }
+        sys.exit(1)
+      } else println("[scale-gate] OK: every >10x row is attributed")
+    }
   }
 }

@@ -33,16 +33,86 @@ import org.apache.spark.storage.StorageLevel
 object Bpe {
 
   /** Learn the first `nMerges` BPE merges over `textCol`.
+    *
+    * The corpus scan (explode → word-frequency agg) is always
+    * distributed; the merge LOOP is size-gated like the connected-
+    * components solver: when the distinct-word table fits under
+    * `localVocabMax` rows it is collected once and the N iterations run
+    * driver-local (the vocabulary is model-sized — the same class of
+    * bounded collect as a k-means centroid fit — and N small Spark
+    * shuffles of a tiny table are pure scheduler overhead), otherwise
+    * the distributed per-iteration loop below runs unchanged. Both
+    * paths use identical pair counting (adjacent symbol zip, overlap
+    * counted) and identical non-overlapping left-to-right replace
+    * semantics, so the result is bit-equal (BpeSpec pins this).
+    *
     * @return (merge_rank, left_sym, right_sym, weight): rank is the
     *         1-based merge order, weight the frequency-weighted pair
     *         count that won the iteration. */
   def learnMerges(docs: DataFrame, textCol: String = "text",
-                  nMerges: Int = 8): DataFrame = {
+                  nMerges: Int = 8,
+                  localVocabMax: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // limit(n+1): if fewer than n+1 rows come back, that WAS the whole
+    // vocabulary — one job decides the gate and feeds the local loop
+    val head = words.select(col("word"), col("freq"))
+      .limit(localVocabMax + 1).collect()
+    if (head.length <= localVocabMax)
+      learnMergesLocal(spark,
+        head.map(r => (r.getString(0), r.getLong(1))), nMerges)
+    else learnMergesDistributed(words, nMerges)
+  }
+
+  /** Driver-local greedy merge loop over a collected vocabulary —
+    * semantics identical to [[learnMergesDistributed]]. */
+  private def learnMergesLocal(spark: org.apache.spark.sql.SparkSession,
+                               vocabIn: Array[(String, Long)],
+                               nMerges: Int): DataFrame = {
+    var vocab = vocabIn.map { case (w, f) =>
+      (f, " " + w.map(c => s"$c ").mkString)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (f, seq) =>
+        val syms = seq.trim.split(" ")
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // arg-max with the distributed loop's (w desc, a asc, b asc)
+        // deterministic tie-break
+        val ((a, b), w) = counts.minBy { case ((pa, pb), pw) =>
+          (-pw, pa, pb)
+        }
+        merges += ((rank, a, b, w))
+        // Java String.replace = left-to-right non-overlapping, the same
+        // semantics as Spark/DuckDB SQL replace (shared sentinel spaces
+        // between back-to-back occurrences are consumed identically)
+        vocab = vocab.map { case (f, seq) =>
+          (f, seq.replace(s" $a $b ", s" $a$b "))
+        }
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_rank", "left_sym", "right_sym", "weight")
+  }
+
+  /** The per-iteration distributed loop (vocab-table shuffles): the
+    * scale path above `localVocabMax` distinct words. */
+  private[scale] def learnMergesDistributed(words: DataFrame,
+                                            nMerges: Int): DataFrame = {
+    val spark = words.sparkSession
     var vocab = words
       .select(col("freq"),
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))

@@ -32,6 +32,22 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "b")))
   }
 
+  test("local merge loop is bit-equal to the distributed loop") {
+    // a corpus with weighted ties, overlapping pairs ("aaa"), shared
+    // sentinel spaces between back-to-back occurrences ("abab"), and
+    // single-char words that contribute no pairs
+    val docs = Seq("aaa abab cc", "abab cc dd x", "aaa aaa dd", "x y")
+      .toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val local = Bpe.learnMerges(docs, "text", nMerges = 6)
+    // localVocabMax = 0 forces the gate onto the distributed branch
+    val dist = Bpe.learnMerges(docs, "text", nMerges = 6, localVocabMax = 0)
+    assert(rows(local) == rows(dist))
+    assert(rows(local).nonEmpty)
+  }
+
   test("tokenization lowercases and splits on non-letters") {
     // "Hello, HELLO!" → two occurrences of "hello" → (l,l) weight 2 wins
     // over single-occurrence pairs only via tie-break: all pairs in
