@@ -1351,6 +1351,15 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // --- fixed-length context packing (GPT-style concat-and-chunk):
+    // the corpus token stream in doc_id order cut into 128-token
+    // training examples — per example: docs spanned, first/last doc,
+    // real-token fill vs tail padding; distributed prefix sum, never a
+    // physical concatenation ---
+    "pack_contexts" -> ((s, dir) =>
+      Curation.packContexts(T(s, dir, "documents"), 128)
+        .orderBy(col("example_id"))),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
@@ -5111,6 +5120,35 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(toks) AS BIGINT) AS tok_sum
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // prefix-sum replicated as a window cumsum; each doc joins the
+    // generate_series of the examples it overlaps, per-example overlap
+    // lengths sum to the fill
+    "pack_contexts" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+        |           AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS st
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, n, st,
+        |         UNNEST(generate_series(st // 128, (st + n - 1) // 128)) AS e
+        |  FROM c WHERE n > 0)
+        |SELECT e AS example_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(doc_id) AS first_doc,
+        |       MAX(doc_id) AS last_doc,
+        |       CAST(SUM(LEAST(st + n, (e + 1) * 128)
+        |                - GREATEST(st, e * 128)) AS BIGINT) AS n_tokens,
+        |       CAST(128 - SUM(LEAST(st + n, (e + 1) * 128)
+        |                      - GREATEST(st, e * 128)) AS BIGINT) AS n_pad
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_langid" ->
       """WITH grams AS (

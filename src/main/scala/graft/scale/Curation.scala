@@ -503,6 +503,71 @@ object Curation {
       .select(col("pos"), col(srcCol), col("shard_id"), col("n_docs"))
   }
 
+  /** GPT-style fixed-length context packing ("concat and chunk"): the
+    * whole corpus's whitespace tokens, concatenated in `idCol` order,
+    * are cut into consecutive `seqLen`-token training examples, and the
+    * report says what landed in each — how many documents it spans,
+    * the first/last document, how many tokens are real (`n_tokens`;
+    * only the final example pads) and how many document boundaries fall
+    * inside it (the cross-attention-contamination count a boundary-
+    * masking dataloader needs). This is THE standard pretraining
+    * batching shape (one example = one context window, no padding waste
+    * except the tail).
+    *
+    * Scale shape: one range sort of (id, n_tokens) + a BOUNDED collect
+    * of per-partition token sums (one long per partition) broadcast
+    * back as offsets — the distributed prefix sum — then each document
+    * explodes to the examples it overlaps (⌈n/seqLen⌉+1 rows max) and
+    * one keyed agg builds the report. No single-partition window, no
+    * driver-side row data; 100 TB of text never concatenates
+    * physically — only the token COUNTS flow. */
+  def packContexts(docs: DataFrame, seqLen: Int, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val spark = docs.sparkSession
+    val base = docs
+      .select(col(idCol), size(TextOps.tokens(col(textCol)))
+        .cast("long").as("__n"))
+      .orderBy(col(idCol))
+    val rdd = base.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distributed prefix sum: per-partition totals (one Long each) are
+    // the only thing collected; offsets broadcast back with the closure
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        Iterator((pi, it.map(_.getLong(1)).sum))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val withStart = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var cum = offsets(pi)
+      it.map { r =>
+        val start = cum; cum += r.getLong(1)
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), start)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__start",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(withStart, schema)
+      .filter(col("__n") > 0)
+      .withColumn("example_id", explode(sequence(
+        expr(s"__start div $seqLen"),
+        expr(s"(__start + __n - 1) div $seqLen"))))
+      .withColumn("__fill",
+        least(col("__start") + col("__n"), (col("example_id") + 1) * seqLen) -
+          greatest(col("__start"), col("example_id") * seqLen))
+      .groupBy(col("example_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        sum(col("__fill")).as("n_tokens"))
+      .withColumn("n_pad", lit(seqLen.toLong) - col("n_tokens"))
+  }
+
   /** Per-source TOKEN-BUDGET truncation — "this domain gets at most B
     * training tokens": rank each source's documents by quality (best
     * first, id tiebreak) and keep documents while the cumulative token

@@ -456,4 +456,37 @@ class CurationSpec extends SparkSpec {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
     assert(Curation.temperatureSample(docs, "lang").count() == 0)
   }
+
+  test("packContexts: hand-computed packing, boundary docs span examples") {
+    // token stream in doc_id order: doc0 [0,3) doc1 [3,5) doc2 [5,6)
+    // doc3 [6,11) — seqLen 4:
+    //   e0 = tokens [0,4): doc0 (3) + doc1 (1)           → fill 4
+    //   e1 = tokens [4,8): doc1 (1) + doc2 (1) + doc3 (2) → fill 4
+    //   e2 = tokens [8,12): doc3 (3)                      → fill 3, pad 1
+    val d = Seq((0L, "a b c"), (1L, "d e"), (2L, "f"), (3L, "g h i j k"))
+      .toDF("doc_id", "text")
+    val got = Curation.packContexts(d, 4).orderBy(col("example_id"))
+      .collect().map(r => (r.getAs[Long]("example_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_pad")))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 0L, 1L, 4L, 0L),
+      (1L, 3L, 1L, 3L, 4L, 0L),
+      (2L, 1L, 3L, 3L, 3L, 1L)))
+  }
+
+  test("packContexts: total fill equals the corpus token count at any width") {
+    val d = Seq((0L, "a b c"), (1L, "d e"), (2L, "f"), (3L, "g h i j k"))
+      .toDF("doc_id", "text")
+    for (w <- Seq(1, 3, 7, 100)) {
+      val rows = Curation.packContexts(d, w).collect()
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum == 11L, s"width $w")
+      // only the FINAL example may pad
+      val padded = rows.filter(_.getAs[Long]("n_pad") > 0)
+      assert(padded.length <= 1)
+      padded.foreach(p => assert(p.getAs[Long]("example_id") ==
+        rows.map(_.getAs[Long]("example_id")).max))
+    }
+  }
 }
