@@ -190,8 +190,25 @@ object Otf2Reader {
 
   private[ingest] def parseEvents(meta: Otf2Meta, bytes: Array[Byte],
                                   loc: Long, process: Int, thread: Int): Iterator[Row] = {
-    def toNs(ticks: Long): Long =
-      ((ticks - meta.globalOffset).toDouble * 1e9 / meta.resolution).toLong
+    // EXACT tick→ns conversion. The naive double formula
+    // ((ticks−off)·1e9/res).toLong loses 1 ns whenever the product needs
+    // more than 53 mantissa bits and rounds DOWN (at res = 1e9 this hits
+    // ticks ≥ ~10 s seed-dependently: the seed-101 sf0.1 gate caught
+    // 201k such flips in trace_otf2_roundtrip). Divisible resolutions
+    // (incl. our writer's 1e9) take pure integer paths; the general case
+    // splits quotient/remainder so the only float work is the
+    // sub-tick fraction in [0,1), where a double is exact to 1e-7 ns.
+    def toNs(ticks: Long): Long = {
+      val d = ticks - meta.globalOffset
+      val res = meta.resolution
+      if (res == 1000000000L) d
+      else if (1000000000L % res == 0) d * (1000000000L / res)
+      else {
+        val q = d / res
+        val r = d - q * res
+        q * 1000000000L + Math.round(r.toDouble / res * 1e9)
+      }
+    }
     var ts = 0L
     var seq = 0L
     val nMetrics = meta.metricNames.size
