@@ -106,6 +106,13 @@ object Bench {
     org.apache.log4j.Logger
       .getLogger("org.apache.spark.sql.execution.window.WindowExec")
       .setLevel(org.apache.log4j.Level.ERROR)
+    // IndexStore's _meta sidecar dir trips DataSource's "all paths were
+    // ignored" WARN on every load (leading underscore = hidden to the
+    // LISTING; the direct-path read still succeeds, as the oracle gate
+    // proves) — keep it off the captured stdout tail like WindowExec
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.datasources.DataSource")
+      .setLevel(org.apache.log4j.Level.ERROR)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 

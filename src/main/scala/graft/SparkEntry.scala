@@ -2620,13 +2620,19 @@ object SparkEntry {
     // --- NN-descent recall audit: the cluster-restricted kNN graph vs
     // one NN-descent round (deterministic random bridges + the local
     // neighbor-of-neighbor join), both scored against brute-force truth
-    // over a 20% node sample. The cluster graph's 2-hop closure can
+    // over a fixed-size node sample. The cluster graph's 2-hop closure can
     // never leave a cluster, so this measures exactly what the bridges
     // + local join buy back of the IVF restriction's lost recall —
     // candidate sets stay keyed and degree-bounded, never all-pairs ---
     "knn_graph_nnd" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val sample = emb.filter(col("vec_id") % 5 === 0)
+      // fixed-SIZE query sample (~500 queries at ANY corpus size): the
+      // audit's brute-force ground truth is inherently quadratic in the
+      // sample, so the sample must not grow with the corpus — vec_ids
+      // are dense, so a count-derived modulus is a uniform draw the
+      // oracle recomputes exactly
+      val mod = math.max(1L, emb.count() / 500)
+      val sample = emb.filter(col("vec_id") % mod === 0)
       // ground truth via the map-side-bounded heap aggregate in micro
       // ints — k rows per (query, partition) cross the exchange, never
       // the sample x corpus pair table through a window sort
@@ -6955,9 +6961,10 @@ object SparkEntry {
     // the full NN-descent round replicated relationally: cluster-kNN ∪
     // deterministic random bridges -> reverse cap -> 2-hop closure ->
     // re-score -> top-3; recall of both graphs vs brute force over the
-    // vec_id % 5 = 0 sample, in integer micro-units
+    // fixed-size (count-derived modulus) sample, in integer micro-units
     "knn_graph_nnd" -> (kmeansCteAuto() +
-      """, knn0 AS (
+      """, sm AS (SELECT GREATEST(1, COUNT(*) // 500) AS m FROM embeddings),
+        |knn0 AS (
         |  SELECT a.vec_id AS v, x.vec_id AS u,
         |         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
         |                                      CAST(ex.embedding AS DOUBLE[])), 4)
@@ -7017,7 +7024,7 @@ object SparkEntry {
         |          CAST(SUM(xa.v * xb.v) AS BIGINT) AS dot
         |        FROM xm xa JOIN xm xb
         |          ON xb.i = xa.i AND xb.vec_id != xa.vec_id
-        |        WHERE xa.vec_id % 5 = 0 GROUP BY 1, 2),
+        |        WHERE xa.vec_id % (SELECT m FROM sm) = 0 GROUP BY 1, 2),
         |bfs AS (SELECT d.query_id, d.neighbor_id,
         |          CASE WHEN nq.n2 = 0 OR nc.n2 = 0 THEN CAST(0 AS BIGINT)
         |               ELSE CAST(FLOOR(CAST(d.dot AS DOUBLE) * 1000000 /
@@ -7031,7 +7038,7 @@ object SparkEntry {
         |           ORDER BY s DESC, neighbor_id) AS rank
         |  FROM bfs) WHERE rank <= 3),
         |ns AS (SELECT COUNT(*) * 3 AS possible FROM embeddings
-        |       WHERE vec_id % 5 = 0),
+        |       WHERE vec_id % (SELECT m FROM sm) = 0),
         |hi AS (SELECT COUNT(*) AS hits FROM bf
         |       JOIN ivf ON bf.query_id = ivf.v AND bf.neighbor_id = ivf.u),
         |hn AS (SELECT COUNT(*) AS hits FROM bf

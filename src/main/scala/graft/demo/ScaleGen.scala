@@ -151,7 +151,46 @@ object ScaleBench {
     "fuzzy_exact", "fuzzy_link", "fuzzy_exact_incr", "fuzzy_link_incr",
     "fuzzy_names", "fuzzy_sorted")
 
+  /** `--gate` mode: re-evaluate the attribution gate from an existing
+    * scale_sf1.json + bench-independent attribution file, no Spark —
+    * so fixing an attribution line doesn't cost a 40-minute re-sweep. */
+  private def gateOnly(): Unit = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("scale_sf1.json")), "UTF-8")
+    val row = """"([^"]+)":\{"sf01":([0-9.eE+-]+),"sf1":([0-9.eE+-]+)\}""".r
+    val out = row.findAllMatchIn(txt)
+      .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+    val attrib = readAttrib()
+    val over = out.collect {
+      case (n, b, w) if b > 0.05 && w / b > 10 => (n, w / b)
+    }
+    over.foreach { case (n, r) =>
+      attrib.get(n) match {
+        case Some(why) =>
+          println(f"[scale-gate] attributed   $n%-24s $r%5.1fx — $why")
+        case None =>
+          System.err.println(f"[scale-gate] FAIL $n%-24s $r%5.1fx sf0.1→sf1 " +
+            "without attribution — measure the cause and add a line to " +
+            "tools/scale_attribution.tsv")
+      }
+    }
+    if (over.exists { case (n, _) => !attrib.contains(n) }) sys.exit(1)
+    else println("[scale-gate] OK: every >10x row is attributed")
+  }
+
+  private def readAttrib(): Map[String, String] =
+    try {
+      val src = scala.io.Source.fromFile("tools/scale_attribution.tsv")
+      try src.getLines()
+        .filterNot(l => l.isEmpty || l.startsWith("#"))
+        .flatMap { l => l.split("\t", 2) match {
+          case Array(q, r) => Some(q -> r); case _ => None } }
+        .toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--gate")) { gateOnly(); return }
     val dir = args(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -205,16 +244,7 @@ object ScaleBench {
     // without a line fails the sweep, so scale regressions cannot land
     // silently between rounds.
     if (heaviest) {
-      val attrib: Map[String, String] =
-        try {
-          val src = scala.io.Source.fromFile("tools/scale_attribution.tsv")
-          try src.getLines()
-            .filterNot(l => l.isEmpty || l.startsWith("#"))
-            .flatMap { l => l.split("\t", 2) match {
-              case Array(q, r) => Some(q -> r); case _ => None } }
-            .toMap
-          finally src.close()
-        } catch { case _: Throwable => Map.empty }
+      val attrib = readAttrib()
       val over = out.collect {
         case (n, w) if baseline.get(n).exists(b => b > 0.05 && w / b > 10) =>
           (n, w / baseline(n))
