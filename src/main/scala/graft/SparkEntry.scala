@@ -1360,6 +1360,18 @@ object SparkEntry {
       Curation.packContexts(T(s, dir, "documents"), 128)
         .orderBy(col("example_id"))),
 
+    // --- the composed dataloader: pack the SAME 128-token contexts in
+    // the mixture-weighted epoch order (src0 4x, src1 2x) instead of id
+    // order — what batch N of training actually contains under the
+    // sampling policy ---
+    "pack_mixture" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ordered = Curation.epochOrder(docs, Seq("src0" -> 4, "src1" -> 2))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      Curation.packContexts(ordered, 128, orderCol = "pos")
+        .orderBy(col("example_id"))
+    }),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
@@ -5150,6 +5162,48 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       MIN(doc_id) AS first_doc,
         |       MAX(doc_id) AS last_doc,
+        |       CAST(SUM(LEAST(st + n, (e + 1) * 128)
+        |                - GREATEST(st, e * 128)) AS BIGINT) AS n_tokens,
+        |       CAST(128 - SUM(LEAST(st + n, (e + 1) * 128)
+        |                      - GREATEST(st, e * 128)) AS BIGINT) AS n_pad
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // epoch_order's smooth weighted round-robin as the stream order,
+    // then the same cumsum + generate_series pack; first/last doc are
+    // arg-min/-max by stream position
+    "pack_mixture" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, r,
+        |         r * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |              ELSE 4 END) AS key
+        |  FROM r),
+        |o AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, source, r) - 1
+        |           AS BIGINT) AS pos, doc_id
+        |  FROM k),
+        |t AS (
+        |  SELECT o.pos, o.doc_id,
+        |         CAST(len(regexp_split_to_array(trim(d.text), ' +')) AS BIGINT)
+        |           AS n
+        |  FROM o JOIN documents d USING (doc_id)),
+        |c AS (
+        |  SELECT pos, doc_id, n,
+        |         CAST(COALESCE(SUM(n) OVER (ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS st
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, pos, n, st,
+        |         UNNEST(generate_series(st // 128, (st + n - 1) // 128)) AS e
+        |  FROM c WHERE n > 0)
+        |SELECT e AS example_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       ARG_MIN(doc_id, pos) AS first_doc,
+        |       ARG_MAX(doc_id, pos) AS last_doc,
         |       CAST(SUM(LEAST(st + n, (e + 1) * 128)
         |                - GREATEST(st, e * 128)) AS BIGINT) AS n_tokens,
         |       CAST(128 - SUM(LEAST(st + n, (e + 1) * 128)

@@ -521,37 +521,41 @@ object Curation {
     * one keyed agg builds the report. No single-partition window, no
     * driver-side row data; 100 TB of text never concatenates
     * physically — only the token COUNTS flow. */
+  /** `orderCol` (default: `idCol`) is the STREAM order — pass e.g. the
+    * [[epochOrder]] position to pack in mixture order instead of id
+    * order; `first_doc`/`last_doc` always report the ids at the stream
+    * boundaries (arg-min/-max by the order key). */
   def packContexts(docs: DataFrame, seqLen: Int, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   orderCol: String = null): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     val spark = docs.sparkSession
+    val ord = Option(orderCol).getOrElse(idCol)
     val base = docs
-      .select(col(idCol), size(TextOps.tokens(col(textCol)))
-        .cast("long").as("__n"))
-      .orderBy(col(idCol))
+      .select(col(idCol).cast("long").as("__id"),
+        col(ord).cast("long").as("__ord"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
+      .orderBy(col("__ord"))
     val rdd = base.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // distributed prefix sum: per-partition totals (one Long each) are
     // the only thing collected; offsets broadcast back with the closure
     val partSums = rdd
       .mapPartitionsWithIndex { case (pi, it) =>
-        Iterator((pi, it.map(_.getLong(1)).sum))
+        Iterator((pi, it.map(_.getLong(2)).sum))
       }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val withStart = rdd.mapPartitionsWithIndex { case (pi, it) =>
       var cum = offsets(pi)
       it.map { r =>
-        val start = cum; cum += r.getLong(1)
-        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), start)
+        val start = cum; cum += r.getLong(2)
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), start)
       }
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(idCol,
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("__n",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("__start",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("__id", "__ord", "__n", "__start").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(withStart, schema)
       .filter(col("__n") > 0)
       .withColumn("example_id", explode(sequence(
@@ -562,8 +566,8 @@ object Curation {
           greatest(col("__start"), col("example_id") * seqLen))
       .groupBy(col("example_id"))
       .agg(count(lit(1)).as("n_docs"),
-        min(col(idCol)).as("first_doc"),
-        max(col(idCol)).as("last_doc"),
+        min_by(col("__id"), col("__ord")).as("first_doc"),
+        max_by(col("__id"), col("__ord")).as("last_doc"),
         sum(col("__fill")).as("n_tokens"))
       .withColumn("n_pad", lit(seqLen.toLong) - col("n_tokens"))
   }

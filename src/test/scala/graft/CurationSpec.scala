@@ -476,6 +476,25 @@ class CurationSpec extends SparkSpec {
       (2L, 1L, 3L, 3L, 3L, 1L)))
   }
 
+  test("packContexts: orderCol repacks the same tokens in stream order") {
+    // stream order REVERSES the ids: doc3 (5) doc2 (1) doc1 (2) doc0 (3)
+    // seqLen 4: e0 = doc3[0,4) fill 4; e1 = doc3(1) + doc2(1) + doc1(2)
+    // fill 4; e2 = doc0(3) fill 3 pad 1 — first/last report ids at the
+    // STREAM boundaries (arg-min/max by pos), not numeric min/max
+    val d = Seq((0L, "a b c", 3L), (1L, "d e", 2L), (2L, "f", 1L),
+      (3L, "g h i j k", 0L)).toDF("doc_id", "text", "pos")
+    val got = Curation.packContexts(d, 4, orderCol = "pos")
+      .orderBy(col("example_id"))
+      .collect().map(r => (r.getAs[Long]("example_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_pad")))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 3L, 3L, 4L, 0L),
+      (1L, 3L, 3L, 1L, 4L, 0L),
+      (2L, 1L, 0L, 0L, 3L, 1L)))
+  }
+
   test("packContexts: total fill equals the corpus token count at any width") {
     val d = Seq((0L, "a b c"), (1L, "d e"), (2L, "f"), (3L, "g h i j k"))
       .toDF("doc_id", "text")
