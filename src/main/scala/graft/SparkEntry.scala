@@ -213,6 +213,11 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** Test hook: on-disk stored-index paths currently held for `s` —
+    * EntrySmokeSpec proves clearCaches removes the scratch dirs. */
+  private[graft] def storedIndexLivePaths(s: SparkSession): Seq[String] =
+    storedIndexPaths.collect { case ((ss, _, _), p) if ss == s => p }.toSeq
+
   /** Test hook: number of memoized artifacts currently held for `s`. */
   private[graft] def cachedEntryCount(s: SparkSession): Int =
     enrichedCache.keys.count(_._1 == s) + dfCache.keys.count(_._1 == s) +

@@ -495,6 +495,19 @@ class CurationSpec extends SparkSpec {
       (2L, 1L, 0L, 0L, 3L, 1L)))
   }
 
+  test("packContexts: result is invariant to the input's physical partitioning") {
+    // the distributed prefix sum must not depend on how rows land in
+    // partitions — range-sort first, offsets per sorted partition
+    val d = (0L until 200L).map(i => (i, ("tok " * (1 + (i % 7).toInt)).trim))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Curation.packContexts(df, 32).collect().map(_.toString).sorted.toSeq
+    val base = rows(d.coalesce(1))
+    assert(rows(d.repartition(13)) == base)
+    assert(rows(d.repartition(3, col("text"))) == base)
+    assert(base.nonEmpty)
+  }
+
   test("packContexts: total fill equals the corpus token count at any width") {
     val d = Seq((0L, "a b c"), (1L, "d e"), (2L, "f"), (3L, "g h i j k"))
       .toDF("doc_id", "text")

@@ -29,6 +29,20 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.queries("trace_depth")(spark, "/root/testdata/sf0.001").count() > 0)
   }
 
+  test("clearCaches deletes the on-disk stored-index scratch directories") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // a day-2 query builds its index via IndexStore save/load on scratch
+    val df = SparkEntry.queries("cdc_dedup_incr")(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val paths = SparkEntry.storedIndexLivePaths(spark)
+    assert(paths.nonEmpty)
+    paths.foreach(p => assert(new java.io.File(p).isDirectory, p))
+    SparkEntry.clearCaches(spark)
+    assert(SparkEntry.storedIndexLivePaths(spark).isEmpty)
+    paths.foreach(p => assert(!new java.io.File(p).exists(),
+      s"scratch dir leaked: $p"))
+  }
+
   test("attr promotion lifts map keys to typed columns (comm ops ready)") {
     val events = Seq(
       (0L, 10L, Instant, "MpiSend", 0, Map("receiver" -> "3", "msg_length" -> "1024")),
