@@ -61,6 +61,24 @@ class QuickstartSpec extends SparkSpec {
     assert(s12 == 1)
   }
 
+  test("context-packing snippet: id-order and mixture-order packing") {
+    val docs = Seq(
+      (0L, "a b c d e", "src0"), (1L, "f g h", "src0"),
+      (2L, "i j k l", "src1"), (3L, "m n", "src1")
+    ).toDF("doc_id", "text", "source")
+    val packed = graft.scale.Curation.packContexts(docs, seqLen = 512)
+    // 14 tokens, one 512-wide example: fill 14, pad 498
+    val r = packed.collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_tokens") == 14L &&
+      r(0).getAs[Long]("n_pad") == 498L)
+    val ordered = graft.scale.Curation
+      .epochOrder(docs, Seq("src0" -> 4, "src1" -> 2))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val byMix = graft.scale.Curation
+      .packContexts(ordered, seqLen = 512, orderCol = "pos")
+    assert(byMix.collect().map(_.getAs[Long]("n_tokens")).sum == 14L)
+  }
+
   test("day-2 contract table: every build/probe pair runs as documented") {
     val hist = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
