@@ -37,7 +37,9 @@ import org.apache.spark.sql.SparkSession
   * re-materializing an evicted shared artifact (r7's trace_sample_calls:
   * single standalone 28.6 s vs in-sweep 15.3 s), so a single re-run is
   * NOT warm; the median of 3 is. Triage runs never touch `failed`.
-  * `regressions` reports {prev, in_sweep, standalone} per query — a flat
+  * `regressions` reports {prev, in_sweep, standalone, triage_failures}
+  * per query (failed triage samples are excluded from the standalone
+  * median and counted instead of silently averaged in) — a flat
   * standalone number says "sweep/cache contention, plan fine" while a
   * regressed standalone number says "the plan itself got slower"; the
   * `storage` map (snapshotted between sweeps and triage) carries the
@@ -197,11 +199,18 @@ object Bench {
     // an evicted shared artifact (observed r7: trace_sample_calls
     // standalone 28.6 s vs in-sweep 15.3 s — the opposite of "warm").
     // Run 1 re-warms whatever was evicted; the median of 3 sheds it.
+    // Failed triage runs are EXCLUDED from the standalone median (a fast
+    // crash would otherwise read as "plan fine") and surfaced as a
+    // per-query triage_failures count in the JSON; if all three fail the
+    // time-until-failure median is reported but the count flags it.
     val regressions = regressed.map { case (name, p, med, _) =>
-      val samples = (1 to 3).map { i =>
-        time(queryFns(name), name, s"triage$i", record = false)._1
+      val runs = (1 to 3).map { i =>
+        time(queryFns(name), name, s"triage$i", record = false)
       }
-      name -> (p, med, median(samples))
+      val ok = runs.filter(_._2).map(_._1)
+      val standalone =
+        if (ok.nonEmpty) median(ok) else median(runs.map(_._1))
+      name -> (p, med, standalone, runs.count(!_._2))
     }
 
     // Shared-artifact builds, measured inside the memoization layer.
@@ -228,9 +237,9 @@ object Bench {
     val fullBreakdown = breakdown
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    def regJson(rs: Seq[(String, (Double, Double, Double))]): String = rs
-      .map { case (k, (p, m, st)) =>
-        "\"" + k + s"""":{"prev":${fmt(p)},"in_sweep":${fmt(m)},"standalone":${fmt(st)}}""" }
+    def regJson(rs: Seq[(String, (Double, Double, Double, Int))]): String = rs
+      .map { case (k, (p, m, st, nf)) =>
+        "\"" + k + s"""":{"prev":${fmt(p)},"in_sweep":${fmt(m)},"standalone":${fmt(st)},"triage_failures":$nf}""" }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"setup":$setupTotal,"setup_breakdown":$fullBreakdown,"setup_io":$setupIo,"sum_medians":$sumMedians,"runs_per_query":3,"aggregation":"median","regressions":${regJson(regressions)},"storage":$storage,"queries":$fullQs,"failed":$fl,"sf":"$sfDir"}"""

@@ -467,6 +467,30 @@ object SparkEntry {
       storedIndexPaths((s, dir, key)) = path
       graft.scale.IndexStore.load(s, path)
     })
+  /** Memoized day-3 index per (session, sfDir, key): day-1 state is
+    * built and `save`d, then the day-2 batch is absorbed through
+    * [[graft.scale.IndexStore.append]] — load(v1) → append → save(v2) →
+    * load(v2), the operational day-N maintenance contract — and the
+    * `*_day3` queries probe the RELOADED v2 handle. Their oracles are
+    * their `*_incr` siblings' SQL verbatim: the probe after append must
+    * be pair-set-identical to the probe against a from-scratch build of
+    * day-1 ∪ day-2, which is exactly what the sibling row runs. */
+  private def storedAppendedIndex(s: SparkSession, dir: String, key: String)
+      (buildDay1: => graft.scale.IndexStore.DedupIndex)
+      (day2: => DataFrame): graft.scale.IndexStore.DedupIndex =
+    storedIndexCache.getOrElseUpdate((s, dir, key), timedArtifact(s, key) {
+      registerCleanup(s)
+      ivfShutdownHook
+      val dirTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val base = s"$scratchRoot/graft_idx_${key}_${dirTag}_" +
+        s"${ProcessHandle.current.pid}_${System.identityHashCode(s)}"
+      buildDay1.save(base)
+      storedIndexPaths((s, dir, key + "__v1")) = base
+      val grown = graft.scale.IndexStore.append(s, base, day2, base + "_v2")
+      storedIndexPaths((s, dir, key)) = base + "_v2"
+      grown
+    })
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate((s, dir), timedArtifact(s, "ivf_disk_index") {
       registerCleanup(s)
@@ -3566,6 +3590,125 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ================= day-3: INDEX MAINTENANCE =================
+    // The `*_day3` rows close the loop the `*_incr` rows leave open:
+    // day-1 state is built and saved, the day-2 batch is ABSORBED via
+    // IndexStore.append (load v1 → append → save v2 → reload), and the
+    // same batch the sibling row probes now probes the APPENDED store.
+    // Each oracle is its sibling's SQL verbatim — the green row proves
+    // probe-after-append == probe-after-full-rebuild of day-1 ∪ day-2.
+    "minhash_day3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      storedAppendedIndex(s, dir, "idx_minhash_day3")(
+          graft.scale.IndexStore.buildMinhashLsh(
+            docs.filter(col("doc_id") < 350)))(
+          docs.filter(col("doc_id") >= 350 && col("doc_id") < 400))
+        .probe(docs.filter(col("doc_id") >= 400))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- frozen-order family: day-2 prefixes rank under the day-1 df
+    // order (batch df extends it for unseen shingles) and the appended
+    // dfTab carries exactly that extension, so day-3 shares a total
+    // order with every indexed doc — the losslessness precondition ---
+    "jaccard_prefix_day3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      storedAppendedIndex(s, dir, "idx_jp_day3")({
+          val (dfT, dI) = Dedup.jaccardPrefixIndex(
+            docs.filter(col("doc_id") % 10 >= 2), 3, 1, 5)
+          graft.scale.IndexStore.JaccardPrefixIndex(dfT, dI, 3, 1, 5,
+            "text", "doc_id")
+        })(docs.filter(col("doc_id") % 10 === 1))
+        .probe(docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- the Ed-Join twin of jaccard_prefix_day3: tagged-gram df
+    // extension, same shared-total-order argument ---
+    "fuzzy_exact_day3" -> ((s, dir) => {
+      val part = T(s, dir, "part")
+      storedAppendedIndex(s, dir, "idx_editdist_day3")(
+          graft.scale.IndexStore.buildEditDistance(
+            part.filter(col("p_partkey") % 10 >= 2), maxDist = 2,
+            textCol = "p_name", idCol = "p_partkey"))(
+          part.filter(col("p_partkey") % 10 === 1))
+        .probe(part.filter(col("p_partkey") % 10 === 0))
+        .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- per-doc fingerprints: append = union; the maxFpDf cap stays
+    // probe-time over the GROWN combined counts ---
+    "winnow_pairs_day3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      storedAppendedIndex(s, dir, "idx_winnow_day3")(
+          graft.scale.IndexStore.WinnowIndex(
+            winnowFp(s, dir).filter(col("doc_id") % 10 >= 2)
+              .select(col("doc_id"), col("fingerprint")).distinct(),
+            minShared = 2, k = 3, w = 4, maxFpDf = 100, "text", "doc_id"))(
+          docs.filter(col("doc_id") % 10 === 1))
+        .probe(docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- chunk-hash SET: append = union + distinct ---
+    "cdc_dedup_day3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      storedAppendedIndex(s, dir, "idx_cdc_day3")(
+          graft.scale.IndexStore.CdcIndex(
+            TextOps.cdcIndex(docs.filter(col("doc_id") % 10 >= 2)), 8, 6,
+            "text", "doc_id"))(
+          docs.filter(col("doc_id") % 10 === 1))
+        .probe(docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- shingle SET: append = union + distinct ---
+    "dup_spans_removed_day3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      storedAppendedIndex(s, dir, "idx_shingle_day3")(
+          graft.scale.IndexStore.ShingleIndex(
+            Dedup.shingleIndex(docs.filter(col("doc_id") % 10 >= 2)), 3,
+            "text", "doc_id"))(
+          docs.filter(col("doc_id") % 10 === 1))
+        .probe(docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Hamming day-3: history splits at doc_id 250 so every day-1 id
+    // precedes every day-2 id, and only the batch's INDEX-NOVEL
+    // fingerprints append (the dedup-ingest policy the store documents)
+    // — together those make appended reps equal the full-history uniq's
+    // (min over day-1 occurrences IS the global min when day-2 ids are
+    // all larger), so the appended store is row-identical to the
+    // sibling's full-history build ---
+    "image_neardup_day3" -> ((s, dir) => {
+      val hashed = neardupHashes(s, dir)
+      def uniq(side: org.apache.spark.sql.DataFrame) =
+        side.groupBy("ahash_hi", "ahash_lo")
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      val hist = hashed.filter(col("doc_id") % 10 =!= 0)
+      val day1 = hist.filter(col("doc_id") < 250)
+      val day2new = uniq(hist.filter(col("doc_id") >= 250))
+        .join(day1.select(col("ahash_hi"), col("ahash_lo")).distinct(),
+          Seq("ahash_hi", "ahash_lo"), "left_anti")
+      val fresh = uniq(hashed.filter(col("doc_id") % 10 === 0))
+      val pairs = storedAppendedIndex(s, dir, "idx_image_hamming_day3")(
+          graft.scale.IndexStore.buildHamming(uniq(day1), radius = 6,
+            bands = 8, idCol = "rep_id", hiCol = "ahash_hi",
+            loCol = "ahash_lo"))(day2new)
+        .probe(fresh)
+      val nodes = uniq(hist).unionByName(fresh)
+      pairs
+        .join(nodes.select(col("rep_id").as("a"), col("n_docs").as("n_docs_a")),
+          Seq("a"))
+        .join(nodes.select(col("rep_id").as("b"), col("n_docs").as("n_docs_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("hamming"),
+          col("n_docs_a"), col("n_docs_b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- deterministic mixture-weighted epoch schedule (smooth weighted
     // round-robin): src0 4×, src1 2×, everything else 1× — exact
     // integer fraction ordering, global position via the distributed
@@ -3768,7 +3911,26 @@ object SparkEntry {
   private val callCte = TraceGen.callTraceSqlCte
   private val commCte = TraceGen.commTraceSqlCte
 
-  def oracleSql: Map[String, String] = Map(
+  /** The `*_day3` rows' oracles are their `*_incr` siblings' SQL
+    * VERBATIM: both probe the same batch against the same effective
+    * history (day-1 ∪ day-2) — the sibling via a from-scratch index
+    * build, the day-3 row via IndexStore.append — so an identical
+    * hash-checked result is precisely the probe-after-append ==
+    * probe-after-rebuild property. */
+  private val day3OracleTwin = Map(
+    "minhash_day3" -> "minhash_incremental",
+    "jaccard_prefix_day3" -> "jaccard_prefix_incr",
+    "fuzzy_exact_day3" -> "fuzzy_exact_incr",
+    "winnow_pairs_day3" -> "winnow_pairs_incr",
+    "cdc_dedup_day3" -> "cdc_dedup_incr",
+    "dup_spans_removed_day3" -> "dup_spans_removed_incr",
+    "image_neardup_day3" -> "image_neardup_incr")
+
+  def oracleSql: Map[String, String] =
+    oracleSqlBase ++
+      day3OracleTwin.map { case (d3, sib) => d3 -> oracleSqlBase(sib) }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "trace_match" -> (callCte +
       """SELECT * FROM (
         |  SELECT t0 AS event_id, t1 AS matching_event_id, t1 AS matching_ts FROM ord

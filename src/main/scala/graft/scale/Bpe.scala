@@ -57,14 +57,22 @@ object Bpe {
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    // limit(n+1): if fewer than n+1 rows come back, that WAS the whole
-    // vocabulary — one job decides the gate and feeds the local loop
-    val head = words.select(col("word"), col("freq"))
-      .limit(localVocabMax + 1).collect()
-    if (head.length <= localVocabMax)
-      learnMergesLocal(spark,
-        head.map(r => (r.getString(0), r.getLong(1))), nMerges)
-    else learnMergesDistributed(words, nMerges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Gate with a cheap cardinality probe (limit(n+1).count() over the
+    // persisted agg), and only collect when the vocabulary is under the
+    // cap — an over-cap corpus must never pull localVocabMax rows of
+    // driver heap just to discard them. The persist keeps the word agg
+    // single-computed across probe + whichever path runs (both paths
+    // are eager, so the unpersist below is safe).
+    val overCap = words.limit(localVocabMax + 1).count() > localVocabMax
+    val out =
+      if (!overCap) {
+        val head = words.select(col("word"), col("freq")).collect()
+        learnMergesLocal(spark,
+          head.map(r => (r.getString(0), r.getLong(1))), nMerges)
+      } else learnMergesDistributed(words, nMerges)
+    words.unpersist()
+    out
   }
 
   /** Driver-local greedy merge loop over a collected vocabulary —

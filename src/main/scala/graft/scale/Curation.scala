@@ -524,7 +524,10 @@ object Curation {
   /** `orderCol` (default: `idCol`) is the STREAM order — pass e.g. the
     * [[epochOrder]] position to pack in mixture order instead of id
     * order; `first_doc`/`last_doc` always report the ids at the stream
-    * boundaries (arg-min/-max by the order key). */
+    * boundaries (arg-min/-max by the order key). Duplicate `orderCol`
+    * values break ties on `idCol` — both the prefix-sum range sort and
+    * the boundary arg-min/-max use the composite (order, id) key, so
+    * packing is deterministic for any input (not just unique keys). */
   def packContexts(docs: DataFrame, seqLen: Int, textCol: String = "text",
                    idCol: String = "doc_id",
                    orderCol: String = null): DataFrame = {
@@ -535,7 +538,7 @@ object Curation {
       .select(col(idCol).cast("long").as("__id"),
         col(ord).cast("long").as("__ord"),
         size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
-      .orderBy(col("__ord"))
+      .orderBy(col("__ord"), col("__id"))
     val rdd = base.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // distributed prefix sum: per-partition totals (one Long each) are
@@ -566,8 +569,8 @@ object Curation {
           greatest(col("__start"), col("example_id") * seqLen))
       .groupBy(col("example_id"))
       .agg(count(lit(1)).as("n_docs"),
-        min_by(col("__id"), col("__ord")).as("first_doc"),
-        max_by(col("__id"), col("__ord")).as("last_doc"),
+        min_by(col("__id"), struct(col("__ord"), col("__id"))).as("first_doc"),
+        max_by(col("__id"), struct(col("__ord"), col("__id"))).as("last_doc"),
         sum(col("__fill")).as("n_tokens"))
       .withColumn("n_pad", lit(seqLen.toLong) - col("n_tokens"))
   }

@@ -901,6 +901,56 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"))
   }
 
+  /** Absorb a (probed) batch into a persisted [[jaccardPrefixIndex]] —
+    * the day-N maintenance step between [[jaccardPrefixIncremental]]
+    * probes. Returns the grown (dfTab, docIndex):
+    *  - batch documents rank their prefixes under the SAME order the
+    *    incremental probe used (index df first, batch df for
+    *    index-unseen shingles, hash tie-break), so the stored prefixes
+    *    equal what the probe reasoned about;
+    *  - dfTab extends with exactly the (shingle → batch df) entries
+    *    that ranking used, so the NEXT batch ranks index-seen shingles
+    *    by the same key this batch did.
+    * Every (a, b) side of a future pair therefore shares a total order
+    * — day-1↔day-N prefixes coexist consistently — which is the
+    * losslessness precondition ([[jaccardPrefixIncremental]]'s scaladoc);
+    * verification stays exact, so a probe against the appended index is
+    * pair-set-identical to a probe against a from-scratch rebuild of
+    * day-1 ∪ batch (the `jaccard_prefix_day3` oracle row pins this).
+    * Batch ids must be disjoint from indexed ids. */
+  def jaccardPrefixIndexAppend(batch: DataFrame, dfTab: DataFrame,
+                               docIndex: DataFrame, shingleK: Int = 3,
+                               tauNum: Int = 1, tauDen: Int = 5,
+                               textCol: String = "text",
+                               idCol: String = "doc_id")
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1]: $tauNum/$tauDen")
+    val sh = Shingles.wordShingles(batch, shingleK, textCol, idCol)
+      .select(col(idCol), TextOps.md5Hash60(col("shingle"), 0).as("h"))
+      .distinct()
+      .localCheckpoint() // consumers: batch df, ranking, dfTab extension
+    val batchDf = sh.groupBy(col("h")).agg(count(lit(1)).as("bdf"))
+    val ranked = sh.join(dfTab, Seq("h"), "left")
+      .join(batchDf, Seq("h"))
+      .withColumn("df0", coalesce(col("df"), col("bdf")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("r", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("df0"), col("h"))))
+      .withColumn("in_prefix", col("r") <=
+        col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
+    val batchIndex = ranked.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("h"))).as("set"),
+        count(lit(1)).as("sz"),
+        sort_array(collect_list(when(col("in_prefix"), col("h"))))
+          .as("prefix"))
+    val dfExt = dfTab.unionByName(
+      batchDf.join(dfTab, Seq("h"), "left_anti")
+        .select(col("h"), col("bdf").as("df")))
+    (dfExt, docIndex.unionByName(batchIndex))
+  }
+
   /** Shared inverted-index pair pipeline: distinct (doc, shingle) rows,
     * optional df cap, then the sparse self-join on the shingle key,
     * aggregated to one row per co-shingled pair (a < b) carrying the
@@ -1456,6 +1506,59 @@ object Dedup {
           expr("CAST(array() AS array<struct<g: string, k: int>>)"))
           .as("prefix"))
     (dfTab, strIndex, base.select(col("id"), col("s")))
+  }
+
+  /** Absorb a (probed) batch into a persisted [[editDistanceIndex]] —
+    * the day-N maintenance step of the Ed-Join family, the exact twin of
+    * [[jaccardPrefixIndexAppend]] over occurrence-tagged q-grams:
+    * batch strings rank their prefixes under (index df, batch df for
+    * index-unseen (g, k), gram tie-break) — the same order the
+    * incremental probe used — and dfTab extends with exactly those
+    * batch-df entries, so future batches share a total order with every
+    * indexed string. Batch strings already present in the index keep
+    * their day-1 entry (their grams are all index-seen, so the old
+    * prefix is ranked identically under the extension); `idMap` gains
+    * the new ids either way. Probe-after-append is pair-set-identical
+    * to a rebuild over day-1 ∪ batch (the `fuzzy_exact_day3` oracle row
+    * pins this). Batch ids must be disjoint from indexed ids. */
+  def editDistanceIndexAppend(batch: DataFrame, dfTab: DataFrame,
+                              strIndex: DataFrame, idMap: DataFrame,
+                              maxDist: Int = 2, q: Int = 2,
+                              textCol: String = "text",
+                              idCol: String = "doc_id")
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val prefLen = q * maxDist + 1
+    val baseN = edBase(batch, textCol, idCol)
+    val dsN = baseN.select(col("s"), col("len")).distinct().localCheckpoint()
+    val taggedN = edGrams(dsN, q, Int.MaxValue)
+      .select(col("s"), col("len"), col("g"),
+        explode(expr("sequence(1, CAST(cnt AS INT))")).as("k"))
+    val batchDf = taggedN.groupBy(col("g"), col("k"))
+      .agg(count(lit(1)).as("bdf"))
+    val prefN = taggedN
+      .join(dfTab.select(col("g"), col("k"), col("df")), Seq("g", "k"), "left")
+      .join(batchDf, Seq("g", "k"))
+      .withColumn("df0", coalesce(col("df"), col("bdf")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("df0"), col("g"), col("k"))))
+      .filter(col("__rn") <= prefLen)
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("g"), col("k")))).as("prefix"))
+    val strNew = dsN
+      .join(strIndex.select(col("s")), Seq("s"), "left_anti")
+      .join(prefN, Seq("s"), "left")
+      .select(col("s"), col("len"),
+        coalesce(col("prefix"),
+          expr("CAST(array() AS array<struct<g: string, k: int>>)"))
+          .as("prefix"))
+    val dfExt = dfTab.unionByName(
+      batchDf.join(dfTab, Seq("g", "k"), "left_anti")
+        .select(col("g"), col("k"), col("bdf").as("df")))
+    (dfExt, strIndex.unionByName(strNew),
+      idMap.unionByName(baseN.select(col("id"), col("s"))))
   }
 
   /** Day-2 member of the edit-distance family — a NEW batch joins the

@@ -24,7 +24,18 @@ import org.apache.spark.sql.functions._
   * must be disjoint from indexed ids for the self-join families
   * (see [[graft.scale.Dedup.jaccardPrefixIncremental]] et al.). */
 object IndexStore {
-  private val Version = "1"
+  /** Format version written with every new store. Bumped 1 → 2 when
+    * winnow meta gained the probe-time `maxFpDf` key: a version-1-era
+    * reader must fail LOUDLY on a version-2 store rather than silently
+    * probe uncapped (the silent-parameter-mismatch class the store
+    * exists to prevent). Version-1 stores remain readable — the only
+    * delta is an additive key with a safe default (`getOrElse` below). */
+  private val Version = "2"
+  private val ReadableVersions = Set("1", "2")
+  private def checkVersion(m: Map[String, String], path: String): Unit =
+    require(ReadableVersions.contains(m.getOrElse("version", "")),
+      s"index store version ${m.get("version")} not in readable set " +
+        s"$ReadableVersions at $path")
 
   private def writeMeta(spark: SparkSession, path: String,
                         family: String, params: Map[String, String]): Unit = {
@@ -39,18 +50,52 @@ object IndexStore {
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** A persisted index handle: `save` it, `probe` new batches with the
-    * parameters it was built with. */
+    * parameters it was built with, `append` an absorbed batch to get the
+    * handle a day-3 probe runs against. */
   sealed trait DedupIndex {
     def save(path: String): Unit
     def probe(batch: DataFrame): DataFrame
+    /** Absorb `batch` into the index — the day-N maintenance step: after
+      * a batch has been probed (its new pairs emitted), it becomes part
+      * of history, and the NEXT batch must probe against day-1 ∪ day-2
+      * without a from-scratch rebuild. The returned handle's `probe` is
+      * pair-set-identical to a full rebuild over the combined corpus
+      * (the `*_day3` oracle rows + the append property specs pin this):
+      * the per-item families (bands, fingerprints, chunk/shingle sets,
+      * cluster assignments) append by construction, and the frozen-order
+      * families (jaccard_prefix, edit_distance) extend their df order
+      * consistently — see each override. Batch ids must be disjoint
+      * from indexed ids (same contract as `probe`). The result is
+      * in-memory: `save` it (to a NEW path — see [[IndexStore.append]])
+      * to persist day-2 state. */
+    def append(batch: DataFrame): DedupIndex
+  }
+
+  /** Load the store at `srcPath`, absorb `batch`, persist the grown
+    * index at `dstPath` and hand back the reloaded handle — the
+    * operational day-N maintenance contract (build → save → load →
+    * probe → APPEND → save → probe …). `dstPath` must differ from
+    * `srcPath`: the artifacts at `srcPath` are inputs of the appended
+    * plan, and Spark cannot overwrite a parquet directory it is reading
+    * (and a concurrent day-2 reader of `srcPath` must keep a consistent
+    * snapshot — supersede, then retire the old version once its readers
+    * drain; see docs/QUICKSTART.md for the retention contract). */
+  def append(spark: SparkSession, srcPath: String, batch: DataFrame,
+             dstPath: String): DedupIndex = {
+    require(srcPath != dstPath,
+      "append must write a NEW store version: srcPath == dstPath would " +
+        "overwrite parquet inputs mid-read (and yank the snapshot from " +
+        "under concurrent readers)")
+    val grown = load(spark, srcPath).append(batch)
+    grown.save(dstPath)
+    load(spark, dstPath)
   }
 
   /** Load whichever family was saved at `path` — the family tag and all
     * parameters come from the store itself. */
   def load(spark: SparkSession, path: String): DedupIndex = {
     val m = readMeta(spark, path)
-    require(m.getOrElse("version", "") == Version,
-      s"index store version ${m.get("version")} != $Version at $path")
+    checkVersion(m, path)
     def rd(sub: String) = spark.read.parquet(s"$path/$sub")
     m("family") match {
       case "minhash_lsh" => MinhashLshIndex(rd("bands"),
@@ -104,6 +149,12 @@ object IndexStore {
       Dedup.minhashLshPairsIncremental(
         Dedup.minhashSignatures(batch, numHashes, shingleK, textCol, idCol),
         bands, rowsPerBand, idCol)
+    /** Band rows are per-document (signed with the frozen hash family),
+      * so absorbing a batch is a union — identical to a rebuild. */
+    def append(batch: DataFrame): MinhashLshIndex =
+      copy(bands = bands.unionByName(Dedup.bandTable(
+        Dedup.minhashSignatures(batch, numHashes, shingleK, textCol, idCol),
+        rowsPerBand, idCol)))
   }
   def buildMinhashLsh(docs: DataFrame, numHashes: Int = 16,
                       shingleK: Int = 3, rowsPerBand: Int = 4,
@@ -129,6 +180,15 @@ object IndexStore {
     def probe(batch: DataFrame): DataFrame =
       Dedup.jaccardPrefixIncremental(batch, dfTab, docIndex, shingleK,
         tauNum, tauDen, textCol, idCol)
+    /** Frozen-order absorption — see [[Dedup.jaccardPrefixIndexAppend]]:
+      * batch prefixes rank under the order the probe used; dfTab extends
+      * with exactly those keys, keeping every future pair side on one
+      * shared total order (the losslessness precondition). */
+    def append(batch: DataFrame): JaccardPrefixIndex = {
+      val (df2, docs2) = Dedup.jaccardPrefixIndexAppend(batch, dfTab,
+        docIndex, shingleK, tauNum, tauDen, textCol, idCol)
+      copy(dfTab = df2, docIndex = docs2)
+    }
   }
   def buildJaccardPrefix(docs: DataFrame, shingleK: Int = 3,
                          tauNum: Int = 1, tauDen: Int = 5,
@@ -160,6 +220,13 @@ object IndexStore {
     def probeLink(batch: DataFrame): DataFrame =
       Dedup.editDistanceLinkIncremental(batch, dfTab, strIndex, idMap,
         maxDist, q, textCol, idCol)
+    /** Frozen-order absorption over occurrence-tagged q-grams — see
+      * [[Dedup.editDistanceIndexAppend]]. */
+    def append(batch: DataFrame): EditDistanceIndex = {
+      val (df2, str2, ids2) = Dedup.editDistanceIndexAppend(batch, dfTab,
+        strIndex, idMap, maxDist, q, textCol, idCol)
+      copy(dfTab = df2, strIndex = str2, idMap = ids2)
+    }
   }
   def buildEditDistance(docs: DataFrame, maxDist: Int = 2, q: Int = 2,
                         textCol: String = "text",
@@ -181,6 +248,11 @@ object IndexStore {
     def probe(batch: DataFrame): DataFrame =
       Dedup.dupSpansRemovedIncremental(batch, shingles,
         shingleK = shingleK, textCol = textCol, idCol = idCol)
+    /** The index is a shingle SET: absorption is union + distinct —
+      * identical to a rebuild over the combined corpus. */
+    def append(batch: DataFrame): ShingleIndex =
+      copy(shingles = shingles.unionByName(
+        Dedup.shingleIndex(batch, shingleK, textCol, idCol)).distinct())
   }
   def buildShingle(docs: DataFrame, shingleK: Int = 3,
                    textCol: String = "text",
@@ -202,6 +274,14 @@ object IndexStore {
     def probe(batch: DataFrame): DataFrame =
       TextOps.winnowPairsIncremental(batch, fingerprints, minShared, k, w,
         maxFpDf, textCol = textCol, idCol = idCol)
+    /** Winnowing is per-document-local, fingerprints are stored
+      * UNcapped, and batch ids are disjoint from indexed ids, so
+      * absorption is a plain union — identical to a rebuild (the
+      * `maxFpDf` cap stays probe-time, evaluated over the grown
+      * combined counts exactly as before). */
+    def append(batch: DataFrame): WinnowIndex =
+      copy(fingerprints = fingerprints.unionByName(
+        TextOps.winnowIndex(batch, k, w, textCol, idCol)))
   }
   /** Persist UNcapped fingerprints (`maxFpDf` is a probe-TIME policy:
     * the cap must evaluate on combined history+batch counts — see
@@ -225,6 +305,11 @@ object IndexStore {
     }
     def probe(batch: DataFrame): DataFrame =
       TextOps.cdcDedupIncremental(batch, chunks, w, maskBits, textCol, idCol)
+    /** The chunk store is a hash SET: absorption is union + distinct —
+      * identical to re-chunking the combined corpus. */
+    def append(batch: DataFrame): CdcIndex =
+      copy(chunks = chunks.unionByName(
+        TextOps.cdcIndex(batch, w, maskBits, textCol, idCol)).distinct())
   }
   def buildCdc(docs: DataFrame, w: Int = 8, maskBits: Int = 6,
                textCol: String = "text",
@@ -246,6 +331,14 @@ object IndexStore {
     def probe(batch: DataFrame): DataFrame =
       Dedup.hammingBandPairsIncremental(batch, bandTable, radius, bands,
         idCol, hiCol, loCol)
+    /** Band rows are per-item: absorption is a union — identical to a
+      * rebuild. When the store holds one representative per DISTINCT
+      * fingerprint (the near-dup queries' shape), feed `append` only the
+      * batch's index-novel fingerprints, or the grown store carries two
+      * reps per shared hash and future probes pair against both. */
+    def append(batch: DataFrame): HammingIndex =
+      copy(bandTable = bandTable.unionByName(
+        Dedup.hammingBandTable(batch, bands, idCol, hiCol, loCol)))
   }
   def buildHamming(hashes: DataFrame, radius: Int = 6, bands: Int = 8,
                    idCol: String = "doc_id", hiCol: String = "ahash_hi",
@@ -283,6 +376,15 @@ object IndexStore {
       Similarity.cosinePairsIncremental(
         Similarity.withCluster(batch, centroids, vecCol),
         assigned, threshold, idCol, vecCol)
+    /** The batch joins history under the SAME frozen quantizer (the
+      * invariant this store exists to hold), so absorption is assigning
+      * the batch with the stored centroids and unioning — identical to
+      * a rebuild with those centroids. Re-fitting the quantizer as the
+      * corpus drifts is a REBUILD (buildClusterCosine with new
+      * centroids), never an append. */
+    def append(batch: DataFrame): ClusterCosineIndex =
+      copy(assigned = assigned.unionByName(
+        Similarity.withCluster(batch, centroids, vecCol)))
   }
   def buildClusterCosine(emb: DataFrame, centroids: Array[Array[Double]],
                          threshold: Double = 0.9,
@@ -306,6 +408,17 @@ object IndexStore {
     def probe(srcEmb: DataFrame): DataFrame =
       Bitext.mineAgainstIndex(srcEmb, index, k, thresholdMicro,
         idCol, vecCol)
+    /** Unsupported by design: the index is corpus-GLOBAL dst-side k-NN
+      * margin statistics — one new dst document shifts the k-NN
+      * averages of its whole neighborhood, so there is no sound union.
+      * New src batches need no index change (probe is src-side); absorb
+      * new dst docs by rebuilding ([[buildBitext]]) on the index-refresh
+      * cadence. */
+    def append(batch: DataFrame): DedupIndex =
+      throw new UnsupportedOperationException(
+        "bitext index stats are corpus-global dst-side k-NN margins — " +
+          "rebuild with buildBitext to absorb new dst docs; src batches " +
+          "probe without any index change")
   }
   def buildBitext(emb: DataFrame, docs: DataFrame, srcLang: String,
                   dstLang: String, k: Int = 4,
@@ -350,8 +463,7 @@ object IndexStore {
   }
   def loadIvf(spark: SparkSession, path: String): IvfIndex = {
     val m = readMeta(spark, path)
-    require(m.getOrElse("version", "") == Version,
-      s"index store version ${m.get("version")} != $Version at $path")
+    checkVersion(m, path)
     require(m.getOrElse("family", "") == "ivf",
       s"not an IVF store at $path: family=${m.get("family")}")
     val centroids = spark.read.parquet(s"$path/_centroids")
