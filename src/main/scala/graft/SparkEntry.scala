@@ -1401,6 +1401,32 @@ object SparkEntry {
         .orderBy(col("example_id"))
     }),
 
+    // --- the attention/loss-mask sidecar of pack_contexts: for every
+    // document that STARTS inside a 128-token example, the example and
+    // in-example offset of its first token (+ whether it spills into the
+    // next example) — what a document-masking dataloader turns into the
+    // per-example block-diagonal attention mask ---
+    "pack_boundaries" -> ((s, dir) =>
+      Curation.packBoundaries(T(s, dir, "documents"), 128)
+        .orderBy(col("example_id"), col("start_offset"))),
+
+    // --- best-fit-decreasing whole-item packing: documents chunked to
+    // <=128 tokens, then BFD-packed per source (the bounded sequential
+    // group) — items never split across examples, tail padding near
+    // zero; the padding-averse twin of pack_contexts ---
+    "pack_bestfit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val chunks = Curation.chunkDocs(docs, 128, 128)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"),
+          (col("doc_id") * 1024 + col("chunk_id")).as("chunk_key"),
+          (col("tok_end") - col("tok_start") + 1).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      Curation.packBestFit(chunks, 128, idCol = "chunk_key",
+          groupCol = "source")
+        .orderBy(col("source"), col("bin_id"), col("chunk_key"))
+    }),
+
     "text_quality" -> ((s, dir) => TextOps.qualityScore(T(s, dir, "documents"))
       .orderBy(col("doc_id"))),
 
@@ -5376,6 +5402,82 @@ object SparkEntry {
         |       CAST(128 - SUM(LEAST(st + n, (e + 1) * 128)
         |                      - GREATEST(st, e * 128)) AS BIGINT) AS n_pad
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same prefix sum as pack_contexts; a boundary row per document
+    // start, positioned inside its example
+    "pack_boundaries" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+        |           AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS st
+        |  FROM t)
+        |SELECT st // 128 AS example_id,
+        |       st % 128 AS start_offset,
+        |       doc_id,
+        |       st + n > (st // 128 + 1) * 128 AS spans_next
+        |FROM c WHERE n > 0 ORDER BY 1, 2""".stripMargin,
+
+    // best-fit-decreasing replayed as a recursive CTE: per source, items
+    // in (n DESC, id) order; the state row carries the open-bin
+    // remainder list — tightest fit = list_min of the fitting
+    // remainders, lowest bin id on ties = first list position; a full
+    // bin stays in the list (keeps creation-order ids) but a 0 remainder
+    // can never fit an item again
+    "pack_bestfit" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+        |           AS nt
+        |  FROM documents),
+        |ch0 AS (
+        |  SELECT source, doc_id, nt,
+        |         UNNEST(generate_series(0,
+        |           (GREATEST(nt - 128, 0) + 127) // 128)) AS chunk_id
+        |  FROM t WHERE nt > 0),
+        |ch AS (
+        |  SELECT source, doc_id * 1024 + chunk_id AS chunk_key,
+        |         LEAST((chunk_id + 1) * 128, nt) - chunk_id * 128 AS n
+        |  FROM ch0),
+        |r AS (
+        |  SELECT source, chunk_key, n,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY n DESC, chunk_key) AS rn
+        |  FROM ch),
+        |st AS (
+        |  SELECT source, CAST(0 AS BIGINT) AS rn,
+        |         CAST(NULL AS BIGINT) AS chunk_key,
+        |         CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS bin_id,
+        |         CAST([] AS BIGINT[]) AS rems
+        |  FROM (SELECT DISTINCT source FROM ch)
+        |  UNION ALL
+        |  SELECT s.source, r.rn, r.chunk_key, r.n,
+        |         CAST(CASE WHEN list_min(list_filter(s.rems, x -> x >= r.n))
+        |                     IS NULL
+        |              THEN len(s.rems)
+        |              ELSE list_position(s.rems,
+        |                     list_min(list_filter(s.rems, x -> x >= r.n))) - 1
+        |              END AS BIGINT) AS bin_id,
+        |         CASE WHEN list_min(list_filter(s.rems, x -> x >= r.n))
+        |                IS NULL
+        |              THEN list_append(s.rems, 128 - r.n)
+        |              ELSE s.rems[1:list_position(s.rems,
+        |                       list_min(list_filter(s.rems, x -> x >= r.n)))
+        |                     - 1]
+        |                   || [list_min(list_filter(s.rems, x -> x >= r.n))
+        |                       - r.n]
+        |                   || s.rems[list_position(s.rems,
+        |                       list_min(list_filter(s.rems, x -> x >= r.n)))
+        |                     + 1:]
+        |              END AS rems
+        |  FROM st s JOIN r ON r.source = s.source AND r.rn = s.rn + 1)
+        |SELECT source, chunk_key, n AS n_tokens, bin_id
+        |FROM st WHERE rn > 0 ORDER BY source, bin_id, chunk_key""".stripMargin,
 
     "text_langid" ->
       """WITH grams AS (

@@ -532,6 +532,31 @@ object Curation {
                    idCol: String = "doc_id",
                    orderCol: String = null): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    tokenStarts(docs, textCol, idCol, orderCol)
+      .filter(col("__n") > 0)
+      .withColumn("example_id", explode(sequence(
+        expr(s"__start div $seqLen"),
+        expr(s"(__start + __n - 1) div $seqLen"))))
+      .withColumn("__fill",
+        least(col("__start") + col("__n"), (col("example_id") + 1) * seqLen) -
+          greatest(col("__start"), col("example_id") * seqLen))
+      .groupBy(col("example_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("__id"), struct(col("__ord"), col("__id"))).as("first_doc"),
+        max_by(col("__id"), struct(col("__ord"), col("__id"))).as("last_doc"),
+        sum(col("__fill")).as("n_tokens"))
+      .withColumn("n_pad", lit(seqLen.toLong) - col("n_tokens"))
+  }
+
+  /** The token stream's per-document start positions — the shared core
+    * of the packing family: each document of the corpus, in (`orderCol`,
+    * `idCol`) stream order, with its whitespace-token count (`__n`) and
+    * the global position of its first token (`__start`). The prefix sum
+    * is distributed: per-partition token totals (ONE Long each) are the
+    * only collect; offsets broadcast back inside the closure, so 100 TB
+    * of text contributes exactly numPartitions longs to the driver. */
+  private def tokenStarts(docs: DataFrame, textCol: String, idCol: String,
+                          orderCol: String): DataFrame = {
     val spark = docs.sparkSession
     val ord = Option(orderCol).getOrElse(idCol)
     val base = docs
@@ -560,19 +585,94 @@ object Curation {
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(withStart, schema)
+  }
+
+  /** The attention/loss-mask metadata a dataloader emits NEXT TO
+    * [[packContexts]]' packed examples: for every document that STARTS
+    * inside an example, the example and the in-example token offset of
+    * its first token — exactly the boundary list a document-masking
+    * dataloader (block-diagonal attention à la "document masking" in
+    * GPT-3/LLaMA-style pretraining) turns into the per-example attention
+    * mask, and a loss-masking loader uses to zero the first-token loss
+    * across concatenation seams. `spans_next` marks a document that
+    * continues past the example's end (its mask block carries into
+    * example+1). An example absent from the output (no starts inside it)
+    * is entirely mid-document — one attention block, no seams.
+    *
+    * Same distributed prefix sum as [[packContexts]] — one extra
+    * projection, nothing new shuffles. Flat rows (one per boundary)
+    * rather than a per-example array so the artifact stays columnar,
+    * mergeable, and engine-comparable. */
+  def packBoundaries(docs: DataFrame, seqLen: Int, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     orderCol: String = null): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    tokenStarts(docs, textCol, idCol, orderCol)
       .filter(col("__n") > 0)
-      .withColumn("example_id", explode(sequence(
-        expr(s"__start div $seqLen"),
-        expr(s"(__start + __n - 1) div $seqLen"))))
-      .withColumn("__fill",
-        least(col("__start") + col("__n"), (col("example_id") + 1) * seqLen) -
-          greatest(col("__start"), col("example_id") * seqLen))
-      .groupBy(col("example_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        min_by(col("__id"), struct(col("__ord"), col("__id"))).as("first_doc"),
-        max_by(col("__id"), struct(col("__ord"), col("__id"))).as("last_doc"),
-        sum(col("__fill")).as("n_tokens"))
-      .withColumn("n_pad", lit(seqLen.toLong) - col("n_tokens"))
+      .select(expr(s"__start div $seqLen").as("example_id"),
+        expr(s"__start % $seqLen").as("start_offset"),
+        col("__id").as(idCol),
+        (col("__start") + col("__n") >
+          (expr(s"__start div $seqLen") + 1L) * seqLen).as("spans_next"))
+  }
+
+  /** Best-fit-decreasing WHOLE-ITEM bin packing — the padding-averse
+    * alternative to [[packContexts]]' concat-and-chunk: items (documents,
+    * or [[chunkDocs]] pieces ≤ `seqLen`) are never split across training
+    * examples; instead each group's items, largest first, go into the
+    * open bin with the LEAST remaining capacity that still fits (ties:
+    * lowest bin id), opening a new bin when none fits. BFD is the
+    * classic 11/9·OPT+1 guarantee — tail padding drops to near zero
+    * without the cross-document attention contamination of packing by
+    * concatenation.
+    *
+    * Scale shape: bin packing is inherently sequential IN ITS BIN STATE,
+    * so the unit of sequential work is the `groupCol` group (a shard, a
+    * source, a day — the same bounded unit [[budgetedShards]] emits), and
+    * groups pack independently in parallel: one keyed exchange, then a
+    * per-group in-memory BFD over (id, count) PAIRS — group size is
+    * bounded by the sharding contract (docsPerShard-scale), and only the
+    * counts are held, never text. Within a group the best-fit bin lookup
+    * is a TreeSet ceiling query, O(n log n) per group. Deterministic:
+    * items sort by (count DESC, id ASC); `groupCol = null` packs the
+    * whole input as one group (oracle scale; the 100 TB path ALWAYS
+    * passes a group). Output: one row per item with its assigned
+    * `bin_id`, dense per group in bin-open order. */
+  def packBestFit(items: DataFrame, seqLen: Int, nCol: String = "n_tokens",
+                  idCol: String = "doc_id",
+                  groupCol: String = null): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val grp = Option(groupCol).map(c => col(c).cast("string"))
+      .getOrElse(lit("")).as("__grp")
+    val base = items
+      .select(grp, col(idCol).cast("long").as("__id"),
+        col(nCol).cast("long").as("__n"))
+      .as[(String, Long, Long)]
+    val packed = base.groupByKey(_._1).flatMapGroups { (g, it) =>
+      val arr = it.toArray.sortBy(t => (-t._3, t._2))
+      // open bins: remaining capacity, ordered so rangeFrom((n, MinValue))
+      // yields the tightest fit, lowest bin id on capacity ties
+      val open = scala.collection.mutable.TreeSet.empty[(Long, Int)]
+      var nBins = 0
+      arr.iterator.map { case (_, id, n) =>
+        require(n > 0 && n <= seqLen,
+          s"item $id has $n tokens, outside [1, $seqLen] — chunk first")
+        val bin = open.rangeFrom((n, Int.MinValue)).headOption match {
+          case Some(hit @ (r, b)) =>
+            open.remove(hit); if (r - n > 0) open.add((r - n, b)); b
+          case None =>
+            val b = nBins; nBins += 1
+            if (seqLen - n > 0) open.add((seqLen - n, b)); b
+        }
+        (g, id, n, bin.toLong)
+      }
+    }.toDF("__grp", idCol, nCol, "bin_id")
+    Option(groupCol) match {
+      case Some(c) => packed.withColumnRenamed("__grp", c)
+      case None    => packed.drop("__grp")
+    }
   }
 
   /** Per-source TOKEN-BUDGET truncation — "this domain gets at most B

@@ -508,6 +508,80 @@ class CurationSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("packBoundaries: offsets, ids and spill flags by hand") {
+    // stream: doc0 [0,3) doc1 [3,5) doc2 [5,6) doc3 [6,11) — seqLen 4:
+    // doc0 starts e0@0 (stays), doc1 e0@3 (spills into e1), doc2 e1@1,
+    // doc3 e1@2 (spills into e2)
+    val d = Seq((0L, "a b c"), (1L, "d e"), (2L, "f"), (3L, "g h i j k"))
+      .toDF("doc_id", "text")
+    val got = Curation.packBoundaries(d, 4)
+      .orderBy(col("example_id"), col("start_offset"))
+      .collect().map(r => (r.getAs[Long]("example_id"),
+        r.getAs[Long]("start_offset"), r.getAs[Long]("doc_id"),
+        r.getAs[Boolean]("spans_next")))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, false), (0L, 3L, 1L, true),
+      (1L, 1L, 2L, false), (1L, 2L, 3L, true)))
+  }
+
+  test("packBoundaries agrees with packContexts: starts + carry-in = n_docs") {
+    // exactly ONE document contains any given token position, so the
+    // carry-in to example e is 1 iff e > 0 and no document starts at
+    // offset 0 of e (the straddling doc), else 0 — and every doc
+    // packContexts counts either starts in e or carries in
+    val d = (0L until 150L).map(i => (i, ("w " * (1 + (i % 9).toInt)).trim))
+      .toDF("doc_id", "text")
+    val ctx = Curation.packContexts(d, 16).collect()
+      .map(r => r.getAs[Long]("example_id") -> r.getAs[Long]("n_docs")).toMap
+    val bnd = Curation.packBoundaries(d, 16).collect()
+    val starts = bnd.groupBy(_.getAs[Long]("example_id"))
+      .view.mapValues(_.length.toLong).toMap
+    val hasZeroOffset = bnd.filter(_.getAs[Long]("start_offset") == 0L)
+      .map(_.getAs[Long]("example_id")).toSet
+    for ((e, n) <- ctx) {
+      val carryIn = if (e > 0 && !hasZeroOffset(e)) 1L else 0L
+      assert(starts.getOrElse(e, 0L) + carryIn == n, s"example $e")
+    }
+    assert(bnd.exists(_.getAs[Boolean]("spans_next")))
+  }
+
+  test("packBestFit: hand-computed BFD — tightest fit, lowest bin on ties") {
+    // capacity 10, sizes desc: 7(a) 6(b) 5(c) 4(d) 3(e) 2(f).
+    // a→bin0(rem3) b→bin1(rem4) c→bin2(rem5) d→bin1(rem0)
+    // e→bin0(rem0) f→bin2(rem3)
+    val items = Seq(("a", 7L), ("b", 6L), ("c", 5L), ("d", 4L),
+      ("e", 3L), ("f", 2L)).zipWithIndex
+      .map { case ((_, n), i) => (i.toLong, n) }.toDF("doc_id", "n_tokens")
+    val got = Curation.packBestFit(items, 10)
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_id")).toSeq
+    assert(got == Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L,
+      4L -> 0L, 5L -> 2L))
+  }
+
+  test("packBestFit: groups pack independently; capacity never exceeded") {
+    val items = (0L until 300L)
+      .map(i => (i, 1L + i % 97, s"g${i % 4}"))
+      .toDF("doc_id", "n_tokens", "grp")
+    val got = Curation.packBestFit(items, 100, groupCol = "grp")
+    assert(got.count() == 300)
+    val fills = got.groupBy(col("grp"), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("fill")).collect()
+    assert(fills.forall(_.getAs[Long]("fill") <= 100L))
+    // BFD can never use more bins than one-item-per-bin, and for this
+    // size mix must beat it by a wide margin (fill rate > 75%)
+    val nBins = got.select(col("grp"), col("bin_id")).distinct().count()
+    val tok = (0L until 300L).map(i => 1L + i % 97).sum
+    assert(nBins * 100L < tok * 4 / 3, s"fill rate too low: $nBins bins")
+  }
+
+  test("packBestFit rejects oversize and non-positive items") {
+    val items = Seq((1L, 11L)).toDF("doc_id", "n_tokens")
+    intercept[Exception] { Curation.packBestFit(items, 10).collect() }
+    val zero = Seq((1L, 0L)).toDF("doc_id", "n_tokens")
+    intercept[Exception] { Curation.packBestFit(zero, 10).collect() }
+  }
+
   test("packContexts: total fill equals the corpus token count at any width") {
     val d = Seq((0L, "a b c"), (1L, "d e"), (2L, "f"), (3L, "g h i j k"))
       .toDF("doc_id", "text")
