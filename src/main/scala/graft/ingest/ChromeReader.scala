@@ -40,9 +40,14 @@ object ChromeReader {
     StructField("tid", LongType)))
 
   /** Read a Chrome-trace JSON-lines directory/file (as [[ChromeWriter.write]]
-    * or a profiler emits). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    fromRecords(spark.read.schema(schema).json(path))
+    * or a profiler emits — gzip part files decompress by extension).
+    * `assignIds = false` skips the dense-id sort (a full-data sort +
+    * cache) for consumers that key on (process, timestamp_ns). */
+  def read(spark: SparkSession, path: String,
+           assignIds: Boolean = true): DataFrame = {
+    val records = spark.read.schema(schema).json(path)
+    if (assignIds) fromRecords(records) else normalize(records)
+  }
 
   /** Streaming ingest of a Chrome-trace JSON-lines directory — live
     * profiler output tailed as it lands. Same phase normalization as

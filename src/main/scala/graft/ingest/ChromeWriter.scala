@@ -32,7 +32,15 @@ object ChromeWriter {
   }
 
   /** Write as a JSON-lines directory (Spark-native). For a single
-    * Perfetto-openable file, coalesce(1) or post-concatenate. */
-  def write(events: DataFrame, path: String): Unit =
-    project(events).write.mode("overwrite").json(path)
+    * Perfetto-openable file, coalesce(1) or post-concatenate.
+    * `codec` (e.g. `Some("gzip")`) compresses each part file — Chrome
+    * trace JSON is highly redundant text (~10x with gzip), so the codec
+    * is what makes the export viable as a stored interchange artifact at
+    * scale; Perfetto/Chrome and [[ChromeReader]] both ingest .json.gz
+    * directly (Spark decompresses by file extension). */
+  def write(events: DataFrame, path: String,
+            codec: Option[String] = None): Unit = {
+    val w = project(events).write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
 }
