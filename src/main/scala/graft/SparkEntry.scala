@@ -3553,6 +3553,44 @@ object SparkEntry {
     // total order (seq, op, v) picks the same winner as the streaming
     // state machine; stale = rows that lost to an already-applied
     // change (duplicates of an applied tuple) ---
+    // --- the streaming guarded matcher (flatMapGroupsWithState over
+    // (trigger, blocker, target) event streams) in batch mode: one
+    // matched verdict per target event; the oracle replays the state
+    // machine as two strictly-past windows ---
+    "stream_guarded_endstate" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir).select(
+        col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+      graft.streaming.StreamingOps.guardedMatch(ev, target = "purchase",
+          trigger = "click", blocker = "error", windowUs = 3600000000L,
+          tsCol = "t_us")
+        .select(col("k").as("user_id"), col("t").as("t_us"), col("matched"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
+    // --- the streaming rolling-contribution emitter in batch mode: per
+    // user one 'dau' row per distinct active day plus one 'rolling' row
+    // per day covered by any trailing-7-day window, each exactly once
+    // (the O(1)-state high-water contract); the oracle is the distinct
+    // union of the per-day ranges ---
+    "stream_rolling_endstate" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("t_us"))
+      graft.streaming.StreamingOps.rollingContributions(ev)
+        .select(col("k").as("user_id"), col("day"), col("kind"),
+          col("in_order"))
+        .orderBy(col("user_id"), col("day"), col("kind"))
+    }),
+
+    // --- the streaming subtree sampler in batch mode: same md5 tree-key
+    // keep rule as the batch operator, so its oracle is
+    // trace_sample_calls' SQL verbatim (registered as a twin) ---
+    "stream_sample_endstate" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sampledCalls(TraceGen.callTrace(s, dir),
+          2, 5)
+        .select(col(TimestampNs), col(EventType), col(Name), col(Process))
+        .orderBy(col(TimestampNs), col(EventType), col(Name), col(Process))),
+
     "stream_cdc_endstate" -> ((s, dir) => {
       val changes = T(s, dir, "events").select(
         col("user_id"),
@@ -3980,9 +4018,17 @@ object SparkEntry {
     "dup_spans_removed_day3" -> "dup_spans_removed_incr",
     "image_neardup_day3" -> "image_neardup_incr")
 
+  /** The streaming subtree sampler's batch-mode oracle is the batch
+    * operator's SQL VERBATIM: both apply the identical md5 tree-key keep
+    * rule to the identical canonical event set, so a hash-identical
+    * result pins streaming/batch parity against the external engine. */
+  private val streamOracleTwin = Map(
+    "stream_sample_endstate" -> "trace_sample_calls")
+
   def oracleSql: Map[String, String] =
     oracleSqlBase ++
-      day3OracleTwin.map { case (d3, sib) => d3 -> oracleSqlBase(sib) }
+      (day3OracleTwin ++ streamOracleTwin).map {
+        case (k, sib) => k -> oracleSqlBase(sib) }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "trace_match" -> (callCte +
@@ -9090,6 +9136,47 @@ object SparkEntry {
     // the streaming cdc state machine applies changes in (seq, op, v)
     // order, keeping strict ascents: end state = max tuple, stale =
     // duplicates of an applied tuple
+    // the guard state machine replayed as two strictly-past windows:
+    // lt/lb = latest trigger/blocker before the target in (t, id) order
+    "stream_guarded_endstate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, t,
+        |         MAX(CASE WHEN event_type = 'click' THEN t END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS lt,
+        |         MAX(CASE WHEN event_type = 'error' THEN t END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS lb
+        |  FROM e)
+        |SELECT user_id, t AS t_us,
+        |       lt IS NOT NULL AND t - lt <= 3600000000
+        |         AND (lb IS NULL OR lb <= lt) AS matched
+        |FROM w WHERE event_type = 'purchase' ORDER BY 1, 2""".stripMargin,
+
+    // the high-water emitter's output set: one dau row per distinct
+    // active day, one rolling row per day covered by any trailing-7-day
+    // range (distinct union of the per-day ranges); in-order batch
+    // replay produces no late rows
+    "stream_rolling_endstate" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |roll AS (
+        |  SELECT DISTINCT user_id, d AS day
+        |  FROM (SELECT user_id,
+        |               UNNEST(generate_series(day, day + 6)) AS d
+        |        FROM e))
+        |SELECT user_id, day, 'dau' AS kind, TRUE AS in_order FROM e
+        |UNION ALL
+        |SELECT user_id, day, 'rolling' AS kind, TRUE AS in_order FROM roll
+        |ORDER BY 1, 2, 3""".stripMargin,
+
     "stream_cdc_endstate" ->
       """WITH ch AS (
         |  SELECT user_id AS k, event_id // 20 AS seq,
