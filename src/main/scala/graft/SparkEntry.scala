@@ -2742,7 +2742,11 @@ object SparkEntry {
             Seq("query_id", "neighbor_id"), "leftsemi")
           .agg(count(lit(1)).as("hits"))
           .select(lit(nm).as("method"), col("hits"))
+      // checkpoint the bounded (3 edges/node) cluster graph: it is
+      // consumed twice (its own recall score + the NN-descent seed) and
+      // would otherwise replay the Σ|c|² self-join per consumer
       val base = Similarity.knnGraph(emb, 3, nc, centroids = Some(cents))
+        .localCheckpoint()
       val nnd = Similarity.knnGraphDescent(emb, 3, rounds = 1, nc,
         centroids = Some(cents), base = Some(base))
       scored("ivf", base).unionByName(scored("nnd1", nnd))

@@ -7,8 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names to run (local
-    // iteration); the driver always passes two args → full run
-    val only = args.lift(2).map(_.split(",").toSet)
+    // iteration), or ^name1,name2 to run the COMPLEMENT (the sf0.1 gate
+    // dumps everything-except-heavy against the full dir and the heavy
+    // list against a sliced dir); the driver always passes two args →
+    // full run
+    val only: Option[String => Boolean] = args.lift(2).map { a =>
+      if (a.startsWith("^")) {
+        val ex = a.drop(1).split(",").toSet; (n: String) => !ex(n)
+      } else { val in = a.split(",").toSet; (n: String) => in(n) }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +26,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.forall(_.contains(name))) {
+      if (only.forall(_(name))) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

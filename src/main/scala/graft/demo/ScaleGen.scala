@@ -48,6 +48,9 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
+    // optional third arg: tile count (default 10 = sf1; 100 = the ×100
+    // "does the attribution cause extrapolate" tiling)
+    val nTiles = args.lift(2).map(_.toInt).getOrElse(Tiles)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -55,7 +58,7 @@ object ScaleGen {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String) =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-    val tiles = spark.range(0, Tiles).select(col("id").cast("int").as("tile"))
+    val tiles = spark.range(0, nTiles).select(col("id").cast("int").as("tile"))
 
     // dimensions: single copy
     wr(rd("region"), "region"); wr(rd("nation"), "nation")
@@ -209,16 +212,22 @@ object ScaleBench {
             && graft.SparkEntry.queries.contains(q) => q }
           .take(n)
       } else args(1).split(",").toSeq
+    // SCALEBENCH_RUNS=2 → one cold + one warm (the x100 tiling, where a
+    // third run buys nothing but wall-clock); default cold + 2 warm
+    val nRuns = sys.env.getOrElse("SCALEBENCH_RUNS", "3").toInt max 2
+    val rowCounts = scala.collection.mutable.Map[String, Long]()
     val out = names.map { n =>
       val fn = graft.SparkEntry.queries(n)
       def run(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        rowCounts(n) = fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val cold = run(); val w1 = run(); val w2 = run()
-      val warm = (w1 + w2) / 2
-      println(f"[scalebench] $n%-24s cold $cold%7.2f  warm $warm%7.2f")
+      val cold = run()
+      val warms = (1 until nRuns).map(_ => run())
+      val warm = warms.sum / warms.size
+      println(f"[scalebench] $n%-24s cold $cold%7.2f  warm $warm%7.2f  " +
+        f"rows ${rowCounts(n)}%d")
       n -> warm
     }
     if (heaviest) {
@@ -234,7 +243,8 @@ object ScaleBench {
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] dump failed: ${e.getMessage}") }
     }
-    println("{" + out.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    println("{" + out.map { case (k, v) =>
+      "\"" + k + f"""\":{"secs":$v%.3f,"rows":${rowCounts(k)}%d}""" }
       .mkString(",") + "}")
     spark.stop()
     // Scale GATE (round 8): a >10x sf0.1→sf1 row is only acceptable when

@@ -786,7 +786,14 @@ object Similarity {
     val rev = fwd.select(col("u").as("v"), col("v").as("u"), col("sim"))
       .withColumn("r", row_number().over(wRev)).filter(col("r") <= maxReverse)
       .drop("r")
+    // materialize the bounded undirected edge list (≤ n·(k+maxReverse)
+    // long pairs) before fanning out: it feeds BOTH sides of the 2-hop
+    // self-join plus the candidate union, and without the checkpoint
+    // each consumer replays the whole upstream graph build (the
+    // Σ|c|² cluster self-join) from scratch — the dominant cost of a
+    // refine round at scale, same reuse shape as GraphOps.triangles
     val und = fwd.select("v", "u").unionByName(rev.select("v", "u")).distinct()
+      .localCheckpoint()
     val hop2 = und.select(col("v"), col("u").as("m"))
       .join(und.select(col("v").as("m"), col("u")), Seq("m"))
       .select("v", "u")
@@ -843,8 +850,11 @@ object Similarity {
     val randScored = rand.join(va, Seq("v")).join(vb, Seq("u"))
       .select(col("v").as(idCol), col("u").as("neighbor_id"),
         round(cosine(col("va"), col("vb")), 4).as("sim"))
+    // bounded (n·2k scored edges): checkpoint so the refine round's
+    // forward/reverse/candidate consumers don't each replay the cluster
+    // self-join + bridge scoring upstream
     var g = cluster.select(col(idCol), col("neighbor_id"), col("sim"))
-      .unionByName(randScored).distinct()
+      .unionByName(randScored).distinct().localCheckpoint()
     for (_ <- 0 until rounds)
       g = knnGraphRefine(vectors, g, k, k, idCol, vecCol)
     g

@@ -77,6 +77,16 @@ class QuickstartSpec extends SparkSpec {
     val byMix = graft.scale.Curation
       .packContexts(ordered, seqLen = 512, orderCol = "pos")
     assert(byMix.collect().map(_.getAs[Long]("n_tokens")).sum == 14L)
+    // boundary sidecar: all four docs start inside the single example
+    val bounds = graft.scale.Curation.packBoundaries(docs, seqLen = 512)
+    assert(bounds.count() == 4L &&
+      bounds.filter(col("spans_next")).count() == 0L)
+    // best-fit twin, as in the doc snippet (whole docs fit at 512)
+    val bins = graft.scale.Curation.packBestFit(
+      docs.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_tokens")),
+      seqLen = 512, groupCol = "source")
+    assert(bins.select("source", "bin_id").distinct().count() == 2L)
   }
 
   test("day-2 contract table: every build/probe pair runs as documented") {

@@ -9,8 +9,18 @@ import pandas as pd
 import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
-only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+only, exclude = None, None
+if len(sys.argv) > 3:
+    if sys.argv[3].startswith("^"):       # run the COMPLEMENT (gate mode)
+        exclude = set(sys.argv[3][1:].split(","))
+    else:
+        only = sys.argv[3].split(",")
 con = duckdb.connect()
+# the iterative-CTE oracles thrash at high thread counts (sys time ~=
+# user time at 32 threads); the sf0.1 gate caps them (2.2x less CPU for
+# ~17% wall on the heaviest row)
+if os.environ.get("GRAFT_ORACLE_THREADS"):
+    con.execute(f"SET threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sfdir}/{t}.parquet"
     if os.path.isdir(p):  # Spark directory layout (e.g. SeedGen output)
@@ -19,14 +29,19 @@ for t in "region nation customer supplier part orders lineitem events documents 
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 results = {}
+oracle_secs = {}
+import time
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
+    if exclude and name in exclude: continue
     pdir = f"{outdir}/{name}"
     if not os.path.isdir(pdir):
         results[name] = "MISSING_SPARK_OUTPUT"; continue
     try:
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{pdir}/*.parquet"))])
+        t0 = time.time()
         duck_df = con.execute(sql).fetchdf()
+        oracle_secs[name] = time.time() - t0
     except Exception as e:
         results[name] = f"ERROR: {str(e)[:200]}"; continue
     s = spark_df.reindex(sorted(spark_df.columns), axis=1)
@@ -55,9 +70,17 @@ for name, sql in sorted(oracle.items()):
             ok = False; break
     if ok:
         results[name] = f"OK ({len(s)} rows)"
+    print(f"[progress] {name}: {results[name]}"
+          + (f" [{oracle_secs[name]:.1f}s oracle]" if name in oracle_secs else ""),
+          flush=True)
 
 width = max(len(k) for k in results)
 nok = sum(1 for v in results.values() if v.startswith("OK"))
 for k, v in sorted(results.items()):
     print(f"{k:<{width}}  {v}")
 print(f"\n{nok}/{len(results)} OK")
+if oracle_secs:
+    total = sum(oracle_secs.values())
+    print(f"\noracle wall total: {total:.1f} s; 15 heaviest:")
+    for k, v in sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {k:<{width}}  {v:7.1f} s")
