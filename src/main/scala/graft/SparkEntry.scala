@@ -512,10 +512,6 @@ object SparkEntry {
       path
     })
 
-  /** On-disk OTF2 export per (session, sfDir): the call trace written
-    * once as a real OTF2 archive ([[graft.ingest.Otf2Writer]]), which
-    * `trace_otf2_roundtrip` then re-ingests through the binary reader —
-    * the full write→bytes→read interchange loop under the oracle gate. */
   /** Gzip Chrome-JSONL export of the call trace, written once per
     * (session, sf) — the stored interchange artifact the round-trip
     * query re-ingests. Gzip cuts the dominant cost of the text format
@@ -538,6 +534,10 @@ object SparkEntry {
       path
     })
 
+  /** On-disk OTF2 export per (session, sfDir): the call trace written
+    * once as a real OTF2 archive ([[graft.ingest.Otf2Writer]]), which
+    * `trace_otf2_roundtrip` then re-ingests through the binary reader —
+    * the full write→bytes→read interchange loop under the oracle gate. */
   private val otf2ExportCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
   private def otf2ExportPath(s: SparkSession, dir: String): String =
@@ -1441,13 +1441,22 @@ object SparkEntry {
     // --- best-fit-decreasing whole-item packing: documents chunked to
     // <=128 tokens, then BFD-packed per source (the bounded sequential
     // group) — items never split across examples, tail padding near
-    // zero; the padding-averse twin of pack_contexts ---
+    // zero; the padding-averse twin of pack_contexts. chunk_key packs
+    // (doc_id, chunk_id) into one BIGINT with a 2^20 chunk bound
+    // (134M tokens/doc); a doc over the bound errors loudly in BOTH
+    // engines instead of silently colliding keys and making the
+    // (n DESC, chunk_key) tie-break nondeterministic ---
     "pack_bestfit" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
+      val chunkCap = 1048576L // 2^20 chunks = 134M tokens at 128/chunk
       val chunks = Curation.chunkDocs(docs, 128, 128)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"),
-          (col("doc_id") * 1024 + col("chunk_id")).as("chunk_key"),
+          coalesce(
+            when(col("chunk_id") < chunkCap,
+              col("doc_id") * chunkCap + col("chunk_id")),
+            raise_error(concat(lit("pack_bestfit: chunk_id >= 2^20 for doc_id="),
+              col("doc_id"))).cast("long")).as("chunk_key"),
           (col("tok_end") - col("tok_start") + 1).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
       Curation.packBestFit(chunks, 128, idCol = "chunk_key",
@@ -5519,7 +5528,11 @@ object SparkEntry {
         |           (GREATEST(nt - 128, 0) + 127) // 128)) AS chunk_id
         |  FROM t WHERE nt > 0),
         |ch AS (
-        |  SELECT source, doc_id * 1024 + chunk_id AS chunk_key,
+        |  SELECT source,
+        |         CASE WHEN chunk_id < 1048576
+        |              THEN doc_id * 1048576 + chunk_id
+        |              ELSE CAST(error('pack_bestfit: chunk_id >= 2^20')
+        |                        AS BIGINT) END AS chunk_key,
         |         LEAST((chunk_id + 1) * 128, nt) - chunk_id * 128 AS n
         |  FROM ch0),
         |r AS (

@@ -637,11 +637,19 @@ object Curation {
     * items sort by (count DESC, id ASC); `groupCol = null` packs the
     * whole input as one group (oracle scale; the 100 TB path ALWAYS
     * passes a group). Output: one row per item with its assigned
-    * `bin_id`, dense per group in bin-open order. */
+    * `bin_id`, dense per group in bin-open order.
+    *
+    * `maxGroupItems` ENFORCES the sharding contract the sequential unit
+    * relies on: a group buffers (id, count) pairs in one task, so a group
+    * past the bound (e.g. `groupCol = null` over a 100 TB corpus) fails
+    * loudly with guidance instead of a task OOM. Raise it only if your
+    * executors are sized for the larger buffer (~32 bytes per item). */
   def packBestFit(items: DataFrame, seqLen: Int, nCol: String = "n_tokens",
                   idCol: String = "doc_id",
-                  groupCol: String = null): DataFrame = {
+                  groupCol: String = null,
+                  maxGroupItems: Int = 4194304): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(maxGroupItems > 0, s"maxGroupItems must be positive: $maxGroupItems")
     val spark = items.sparkSession
     import spark.implicits._
     val grp = Option(groupCol).map(c => col(c).cast("string"))
@@ -650,8 +658,20 @@ object Curation {
       .select(grp, col(idCol).cast("long").as("__id"),
         col(nCol).cast("long").as("__n"))
       .as[(String, Long, Long)]
+    val cap = maxGroupItems
+    val grpDesc = Option(groupCol).getOrElse("<whole input: groupCol = null>")
     val packed = base.groupByKey(_._1).flatMapGroups { (g, it) =>
-      val arr = it.toArray.sortBy(t => (-t._3, t._2))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      while (it.hasNext) {
+        if (buf.length >= cap) throw new IllegalArgumentException(
+          s"packBestFit: group '$g' of $grpDesc exceeds maxGroupItems=$cap. " +
+            "Bin state is sequential per group, so each group buffers its " +
+            "(id, count) pairs in one task — pass a bounded groupCol (a " +
+            "shard / source / day, docsPerShard-scale) or raise " +
+            "maxGroupItems if executors are sized for it.")
+        buf += it.next()
+      }
+      val arr = buf.toArray.sortBy(t => (-t._3, t._2))
       // open bins: remaining capacity, ordered so rangeFrom((n, MinValue))
       // yields the tightest fit, lowest bin id on capacity ties
       val open = scala.collection.mutable.TreeSet.empty[(Long, Int)]

@@ -582,6 +582,22 @@ class CurationSpec extends SparkSpec {
     intercept[Exception] { Curation.packBestFit(zero, 10).collect() }
   }
 
+  test("packBestFit enforces the group-size contract loudly, not via OOM") {
+    val items = (0L until 50L).map(i => (i, 1L + i % 9))
+      .toDF("doc_id", "n_tokens")
+    // a group over maxGroupItems fails with guidance naming the contract
+    val e = intercept[org.apache.spark.SparkException] {
+      Curation.packBestFit(items, 10, maxGroupItems = 10).collect()
+    }
+    assert(e.getMessage.contains("maxGroupItems") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxGroupItems")))
+    // exactly at the bound is fine
+    assert(Curation.packBestFit(items, 10, maxGroupItems = 50).count() == 50)
+    intercept[IllegalArgumentException] {
+      Curation.packBestFit(items, 10, maxGroupItems = 0)
+    }
+  }
+
   test("packContexts: total fill equals the corpus token count at any width") {
     val d = Seq((0L, "a b c"), (1L, "d e"), (2L, "f"), (3L, "g h i j k"))
       .toDF("doc_id", "text")

@@ -36,14 +36,18 @@ for name, sql in sorted(oracle.items()):
     if exclude and name in exclude: continue
     pdir = f"{outdir}/{name}"
     if not os.path.isdir(pdir):
-        results[name] = "MISSING_SPARK_OUTPUT"; continue
+        results[name] = "MISSING_SPARK_OUTPUT"
+        print(f"[progress] {name}: {results[name]}", flush=True)
+        continue
     try:
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{pdir}/*.parquet"))])
         t0 = time.time()
         duck_df = con.execute(sql).fetchdf()
         oracle_secs[name] = time.time() - t0
     except Exception as e:
-        results[name] = f"ERROR: {str(e)[:200]}"; continue
+        results[name] = f"ERROR: {str(e)[:200]}"
+        print(f"[progress] {name}: {results[name]}", flush=True)
+        continue
     s = spark_df.reindex(sorted(spark_df.columns), axis=1)
     d = duck_df.reindex(sorted(duck_df.columns), axis=1)
     if list(s.columns) != list(d.columns):
@@ -79,8 +83,14 @@ nok = sum(1 for v in results.values() if v.startswith("OK"))
 for k, v in sorted(results.items()):
     print(f"{k:<{width}}  {v}")
 print(f"\n{nok}/{len(results)} OK")
+if nok < len(results):
+    print("\nNON-OK ROWS:")
+    for k, v in sorted(results.items()):
+        if not v.startswith("OK"):
+            print(f"  {k:<{width}}  {v}")
 if oracle_secs:
     total = sum(oracle_secs.values())
     print(f"\noracle wall total: {total:.1f} s; 15 heaviest:")
     for k, v in sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:15]:
         print(f"  {k:<{width}}  {v:7.1f} s")
+sys.exit(0 if nok == len(results) else 1)

@@ -13,7 +13,7 @@
 # Usage: tools/sf01_gate.sh [SFDIR] [OUTDIR]   (defaults: driver sf0.1)
 # A SeedGen dir works too:  sbt "runMain graft.demo.SeedGen 0.1 101 /tmp/s101"
 #                           tools/sf01_gate.sh /tmp/s101
-set -e
+set -e -o pipefail
 SF=${1:-/root/testdata/sf0.1}
 OUT=${2:-/tmp/gate_sf01}
 SLICE=$OUT/slice
@@ -29,11 +29,21 @@ python3 tools/make_slice.py "$SF" "$SLICE" 4
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF $OUT/full ^$HEAVY"
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SLICE $OUT/heavy $HEAVY"
 
-# oracle compare (bash `time` per half: user+sys = the gate's CPU cost)
+# oracle compare (bash `time` per half: user+sys = the gate's CPU cost).
+# check_oracle.py exits non-zero on any non-OK row (set -e -o pipefail
+# propagates it); the full per-row logs are kept on disk and the summary
+# shows counts + every non-OK row explicitly, never tail-truncated away.
 export GRAFT_ORACLE_THREADS=8
+fail=0
 echo "[gate] full-dir oracles:"
-time python3 tools/check_oracle.py "$SF" "$OUT/full" "^$HEAVY" 2>&1 \
-  | grep -vE "^\[progress\]" | tail -30
+time python3 tools/check_oracle.py "$SF" "$OUT/full" "^$HEAVY" \
+  > "$OUT/oracle_full.log" 2>&1 || fail=1
+grep -E "^[0-9]+/[0-9]+ OK" "$OUT/oracle_full.log"
+grep -A1000 "^NON-OK ROWS:" "$OUT/oracle_full.log" || true
 echo "[gate] sliced heavy oracles:"
-time python3 tools/check_oracle.py "$SLICE" "$OUT/heavy" "$HEAVY" 2>&1 \
-  | grep -vE "^\[progress\]" | tail -40
+time python3 tools/check_oracle.py "$SLICE" "$OUT/heavy" "$HEAVY" \
+  > "$OUT/oracle_heavy.log" 2>&1 || fail=1
+grep -E "^[0-9]+/[0-9]+ OK" "$OUT/oracle_heavy.log"
+grep -A1000 "^NON-OK ROWS:" "$OUT/oracle_heavy.log" || true
+if [ "$fail" -ne 0 ]; then echo "[gate] FAIL — see $OUT/oracle_*.log"; exit 1; fi
+echo "[gate] PASS ($SF)"
