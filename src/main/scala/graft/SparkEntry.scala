@@ -3635,6 +3635,43 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_us"))
     }),
 
+    // --- the streaming FIFO channel matcher (flatMapGroupsWithState
+    // keyed by (src, dst); state = pending unmatched queue + next rank)
+    // in batch mode: one closed micro-batch with empty initial state
+    // pairs the k-th send with the k-th receive of each channel exactly
+    // like the batch operator; the oracle replays the rank pairing as
+    // two ROW_NUMBER windows ---
+    "stream_match_endstate" -> ((s, dir) =>
+      graft.streaming.StreamingComm.matchMessages(TraceGen.commTrace(s, dir))
+        .orderBy(col("src"), col("dst"), col("k"))),
+
+    // --- the stream-static MinHash-LSH candidate join (dedup-at-ingest
+    // of new docs against the persisted batch band index — stateless,
+    // no watermark) in batch mode: %10==0 docs are the stream, the rest
+    // the index; one row per matching (band, band_key) ---
+    "stream_lsh_endstate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.streaming.StreamingLsh.candidatesAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0),
+          Dedup.bandTable(
+            Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0))))
+        .orderBy(col("doc_id"), col("index_id"), col("band"))
+    }),
+
+    // --- the stream-static Hamming candidate join (image dedup-at-ingest
+    // against the persisted band table, VERIFIED in the same projection)
+    // in batch mode: %10==0 image hashes stream against the index of the
+    // rest; one verified row per shared band ---
+    "stream_hamming_endstate" -> ((s, dir) => {
+      val hashed = neardupHashes(s, dir)
+      graft.streaming.StreamingLsh.hammingAgainstIndex(
+          hashed.filter(col("doc_id") % 10 === 0),
+          Dedup.hammingBandTable(hashed.filter(col("doc_id") % 10 =!= 0),
+            bands = 8),
+          radius = 6, bands = 8)
+        .orderBy(col("doc_id"), col("index_id"), col("band"))
+    }),
+
     // --- windowed TV drift vs a uniform reference histogram, through
     // the streaming operator's own binning/agg code path ---
     "stream_drift_tv" -> ((s, dir) => {
@@ -9149,6 +9186,86 @@ object SparkEntry {
         |  FROM contrib c JOIN days d USING (day) GROUP BY 1)
         |SELECT day, dau, rolling_active
         |FROM dau JOIN roll USING (day) ORDER BY day""".stripMargin,
+
+    // the streaming FIFO channel matcher replayed as two ranked windows:
+    // in one closed micro-batch each side orders by (ts, id) per channel
+    // and pairs positionally — the k-th send with the k-th receive
+    "stream_match_endstate" -> (commCte +
+      """, sends AS (
+        |  SELECT CAST(process AS BIGINT) AS src,
+        |         CAST(attr_receiver AS BIGINT) AS dst,
+        |         timestamp_ns AS send_ts, event_id AS send_event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiSend', 'MpiIsend')),
+        |recvs AS (
+        |  SELECT CAST(process AS BIGINT) AS dst,
+        |         CAST(attr_receiver AS BIGINT) AS src,
+        |         timestamp_ns AS recv_ts, event_id AS recv_event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY process, attr_receiver
+        |           ORDER BY timestamp_ns, event_id) AS k
+        |  FROM comm WHERE name IN ('MpiRecv', 'MpiIrecv'))
+        |SELECT s.src, s.dst, CAST(s.k AS BIGINT) AS k,
+        |       s.send_event_id, r.recv_event_id, s.send_ts, r.recv_ts,
+        |       CAST(r.recv_ts - s.send_ts AS BIGINT) AS latency_ns
+        |FROM sends s
+        |JOIN recvs r ON s.src = r.src AND s.dst = r.dst AND s.k = r.k
+        |ORDER BY s.src, s.dst, k""".stripMargin),
+
+    // the stream-static LSH join: new-doc band keys against the batch
+    // band index — one row per matching (band, band_key)
+    "stream_lsh_endstate" -> (shinglesCte + lshPairsCte +
+      """SELECT x.doc_id AS doc_id, y.doc_id AS index_id,
+        |       CAST(x.band AS INT) AS band
+        |FROM band x JOIN band y
+        |  ON x.band = y.band AND x.band_key = y.band_key
+        |WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 != 0
+        |ORDER BY doc_id, index_id, band""".stripMargin),
+
+    // the stream-static Hamming join: new image hashes band-join the
+    // batch band table and verify in the same projection (radius 6 of
+    // 8 bands) — one verified row per shared band
+    "stream_hamming_endstate" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 50 AS seed, (doc_id // 50) % 2 AS variant,
+        |         8 + (doc_id % 50) % 5 AS w, 6 + (doc_id % 50) % 4 AS h
+        |  FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, (y.i * 8 + x.i) AS j,
+        |         CASE WHEN d.variant = 1
+        |                   AND (y.i * d.h // 8) * d.w + (x.i * d.w // 8) = 0
+        |              THEN (d.seed * 31 + 128) % 256
+        |              ELSE (d.seed * 31 +
+        |                    ((y.i * d.h // 8) * d.w + (x.i * d.w // 8)) * 7)
+        |                   % 256 END AS v
+        |  FROM dims d, generate_series(0, 7) x(i), generate_series(0, 7) y(i)),
+        |m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM samp GROUP BY 1),
+        |bits AS (
+        |  SELECT s.doc_id, s.j, CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS b
+        |  FROM samp s JOIN m USING (doc_id)),
+        |hashes AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN j >= 32
+        |              THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |           AS BIGINT) AS ahash_hi,
+        |         CAST(SUM(CASE WHEN j < 32
+        |              THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |           AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1),
+        |bnd AS (
+        |  SELECT doc_id, ahash_hi, ahash_lo, b.i AS band,
+        |         CASE WHEN b.i < 4 THEN (ahash_lo >> (b.i * 8)) & 255
+        |              ELSE (ahash_hi >> (b.i * 8 - 32)) & 255 END AS band_key
+        |  FROM hashes, generate_series(0, 7) b(i))
+        |SELECT n.doc_id AS doc_id, h.doc_id AS index_id,
+        |       CAST(n.band AS INT) AS band,
+        |       CAST(bit_count(xor(n.ahash_hi, h.ahash_hi)) +
+        |            bit_count(xor(n.ahash_lo, h.ahash_lo)) AS INT) AS hamming
+        |FROM bnd n JOIN bnd h ON n.band = h.band AND n.band_key = h.band_key
+        |WHERE n.doc_id % 10 = 0 AND h.doc_id % 10 != 0
+        |  AND bit_count(xor(n.ahash_hi, h.ahash_hi)) +
+        |      bit_count(xor(n.ahash_lo, h.ahash_lo)) <= 6
+        |ORDER BY doc_id, index_id, band""".stripMargin,
 
     // the streaming cdc state machine applies changes in (seq, op, v)
     // order, keeping strict ascents: end state = max tuple, stale =

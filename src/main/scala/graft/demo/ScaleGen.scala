@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   *  - embeddings: per-tile component jitter (±0.01) keeps cluster
   *    geometry while separating exact duplicates.
   *  - region/nation: dimensions, single copy.
+  *
+  * ZIPF MODE (4th arg `zipf`): the per-tile remap above provably cannot
+  * grow the vocabulary — every tile draws from sf0.1's token set, so at
+  * high tile counts the shingle space saturates and the TRUE near-dup
+  * answer grows quadratically with tiles (an output property the x100
+  * tiling measured at ×398 rows per ×10 docs, NOTES_r12). A real corpus
+  * is not like that: vocabulary grows with corpus size (Heaps' law,
+  * V ∝ n^0.5) and token frequencies are Zipfian, so frequent-shingle
+  * collisions are exactly what df-caps/prefix filters discard and rare
+  * shingles stay rare. Zipf mode remaps EVERY tile's tokens (tile 0
+  * included) onto a synthetic token space of V = V0·√nTiles ranks drawn
+  * Zipf(s=1) via the log-uniform inverse CDF (rank = ⌊V^u⌋, u =
+  * hash(tile, token) uniform): within-tile dup structure is preserved
+  * (deterministic per-tile map), cross-tile overlap happens only
+  * through the Zipfian head — the realistic regime the "near-linear on
+  * a real corpus" claim is about.
+  *
+  * Usage: ScaleGen [src] [out] [nTiles] [tables|all] [zipf]
+  *   tables = comma list (e.g. `documents` or `lineitem`) to generate a
+  *   partial dir for targeted scale runs without paying the full tiling.
   */
 object ScaleGen {
   val Tiles = 10
@@ -45,12 +65,38 @@ object ScaleGen {
       })
   }
 
+  /** Zipf(s=1) token remap over a vocab of `vTotal` ranks: u uniform in
+    * [0,1) from a (tile, token) hash, rank = ⌊vTotal^u⌋ — P(rank=r) ∝
+    * 1/r truncated at vTotal (the standard log-uniform inverse CDF). */
+  private def zipfRemapUdf(vTotal: Long) = {
+    val v = vTotal.toDouble
+    udf((text: String, tile: Int) => {
+      val sb = new StringBuilder
+      var first = true
+      for (t <- text.trim.split(" +")) {
+        if (!first) sb.append(' ')
+        first = false
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(tile.toString + ":" + t)
+        val u = (h & 0x7fffffff).toDouble / (Int.MaxValue.toDouble + 1)
+        val rank = math.max(1L, math.pow(v, u).toLong)
+        sb.append('z').append(rank)
+      }
+      sb.toString
+    })
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
     // optional third arg: tile count (default 10 = sf1; 100 = the ×100
     // "does the attribution cause extrapolate" tiling)
     val nTiles = args.lift(2).map(_.toInt).getOrElse(Tiles)
+    val tableSel: String => Boolean = args.lift(3) match {
+      case None | Some("all") => _ => true
+      case Some(list)         => list.split(",").toSet
+    }
+    val zipfMode = args.lift(4).contains("zipf")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -59,69 +105,85 @@ object ScaleGen {
     def wr(df: DataFrame, t: String) =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
     val tiles = spark.range(0, nTiles).select(col("id").cast("int").as("tile"))
+    val wanted = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .filter(tableSel)
 
     // dimensions: single copy
-    wr(rd("region"), "region"); wr(rd("nation"), "nation")
+    if (tableSel("region")) wr(rd("region"), "region")
+    if (tableSel("nation")) wr(rd("nation"), "nation")
 
     def off(t: String) = rd(t).agg(max(col(t match {
       case "customer" => "c_custkey"; case "orders" => "o_orderkey"
       case "part" => "p_partkey"; case "supplier" => "s_suppkey"
       case _ => sys.error(t)
     })) + 1).head.getLong(0)
-    val (cOff, oOff, pOff, sOff) =
-      (off("customer"), off("orders"), off("part"), off("supplier"))
 
-    wr(rd("customer").crossJoin(tiles)
-      .withColumn("c_custkey", col("c_custkey") + col("tile") * cOff)
+    if (tableSel("customer")) wr(rd("customer").crossJoin(tiles)
+      .withColumn("c_custkey", col("c_custkey") + col("tile") * off("customer"))
       .drop("tile"), "customer")
-    wr(rd("supplier").crossJoin(tiles)
-      .withColumn("s_suppkey", col("s_suppkey") + col("tile") * sOff)
+    if (tableSel("supplier")) wr(rd("supplier").crossJoin(tiles)
+      .withColumn("s_suppkey", col("s_suppkey") + col("tile") * off("supplier"))
       .drop("tile"), "supplier")
-    wr(rd("part").crossJoin(tiles)
-      .withColumn("p_partkey", col("p_partkey") + col("tile") * pOff)
+    if (tableSel("part")) wr(rd("part").crossJoin(tiles)
+      .withColumn("p_partkey", col("p_partkey") + col("tile") * off("part"))
       .drop("tile"), "part")
-    wr(rd("orders").crossJoin(tiles)
-      .withColumn("o_orderkey", col("o_orderkey") + col("tile") * oOff)
-      .withColumn("o_custkey", col("o_custkey") + col("tile") * cOff)
+    if (tableSel("orders")) wr(rd("orders").crossJoin(tiles)
+      .withColumn("o_orderkey", col("o_orderkey") + col("tile") * off("orders"))
+      .withColumn("o_custkey", col("o_custkey") + col("tile") * off("customer"))
       .drop("tile"), "orders")
-    wr(rd("lineitem").crossJoin(tiles)
-      .withColumn("l_orderkey", col("l_orderkey") + col("tile") * oOff)
-      .withColumn("l_partkey", col("l_partkey") + col("tile") * pOff)
-      .withColumn("l_suppkey", col("l_suppkey") + col("tile") * sOff)
+    if (tableSel("lineitem")) wr(rd("lineitem").crossJoin(tiles)
+      .withColumn("l_orderkey", col("l_orderkey") + col("tile") * off("orders"))
+      .withColumn("l_partkey", col("l_partkey") + col("tile") * off("part"))
+      .withColumn("l_suppkey", col("l_suppkey") + col("tile") * off("supplier"))
       .drop("tile"), "lineitem")
 
-    val ev = rd("events")
-    val (eOff, uOff) = (ev.agg(max(col("event_id")) + 1).head.getLong(0),
-      ev.agg(max(col("user_id")) + 1).head.getLong(0))
-    wr(ev.crossJoin(tiles)
-      .withColumn("event_id", col("event_id") + col("tile") * eOff)
-      .withColumn("user_id", col("user_id") + col("tile") * uOff)
-      .withColumn("ts", col("ts") + col("tile") * expr("INTERVAL 1 DAY"))
-      .drop("tile"), "events")
+    if (tableSel("events")) {
+      val ev = rd("events")
+      val (eOff, uOff) = (ev.agg(max(col("event_id")) + 1).head.getLong(0),
+        ev.agg(max(col("user_id")) + 1).head.getLong(0))
+      wr(ev.crossJoin(tiles)
+        .withColumn("event_id", col("event_id") + col("tile") * eOff)
+        .withColumn("user_id", col("user_id") + col("tile") * uOff)
+        .withColumn("ts", col("ts") + col("tile") * expr("INTERVAL 1 DAY"))
+        .drop("tile"), "events")
+    }
 
-    val docs = rd("documents")
-    val dOff = docs.agg(max(col("doc_id")) + 1).head.getLong(0)
-    val vocab = docs.select(explode(split(trim(col("text")), " +")))
-      .distinct().collect().map(_.getString(0)).sorted
-    println(s"[scalegen] doc vocab: ${vocab.length} tokens")
-    val remap = remapTokensUdf(vocab)
-    wr(docs.crossJoin(tiles)
-      .withColumn("doc_id", col("doc_id") + col("tile") * dOff)
-      .withColumn("text", remap(col("text"), col("tile")))
-      .withColumn("n_chars", length(col("text")))
-      .drop("tile"), "documents")
+    if (tableSel("documents")) {
+      val docs = rd("documents")
+      val dOff = docs.agg(max(col("doc_id")) + 1).head.getLong(0)
+      val v0 = docs.select(explode(split(trim(col("text")), " +")))
+        .distinct().count()
+      val remap = if (zipfMode) {
+        val vTotal = math.max(v0, math.round(v0 * math.sqrt(nTiles.toDouble)))
+        println(s"[scalegen] zipf mode: V0=$v0 -> V=$vTotal ranks " +
+          s"(Heaps beta=0.5 at $nTiles tiles)")
+        zipfRemapUdf(vTotal)
+      } else {
+        val vocab = docs.select(explode(split(trim(col("text")), " +")))
+          .distinct().collect().map(_.getString(0)).sorted
+        println(s"[scalegen] doc vocab: ${vocab.length} tokens")
+        remapTokensUdf(vocab)
+      }
+      wr(docs.crossJoin(tiles)
+        .withColumn("doc_id", col("doc_id") + col("tile") * dOff)
+        .withColumn("text", remap(col("text"), col("tile")))
+        .withColumn("n_chars", length(col("text")))
+        .drop("tile"), "documents")
+    }
 
-    val emb = rd("embeddings")
-    val vOff = emb.agg(max(col("vec_id")) + 1).head.getLong(0)
-    wr(emb.crossJoin(tiles)
-      .withColumn("vec_id", col("vec_id") + col("tile") * vOff)
-      .withColumn("embedding", transform(col("embedding"), (x, i) =>
-        (x + (pmod(hash(col("tile"), col("vec_id"), i), lit(21)) - 10)
-          .cast("float") * lit(0.001f)).cast("float")))
-      .drop("tile"), "embeddings")
+    if (tableSel("embeddings")) {
+      val emb = rd("embeddings")
+      val vOff = emb.agg(max(col("vec_id")) + 1).head.getLong(0)
+      wr(emb.crossJoin(tiles)
+        .withColumn("vec_id", col("vec_id") + col("tile") * vOff)
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          (x + (pmod(hash(col("tile"), col("vec_id"), i), lit(21)) - 10)
+            .cast("float") * lit(0.001f)).cast("float")))
+        .drop("tile"), "embeddings")
+    }
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings"))
+    for (t <- wanted)
       println(s"[scalegen] $t: " +
         spark.read.parquet(s"$out/$t.parquet").count())
     spark.stop()
@@ -195,10 +257,16 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--gate")) { gateOnly(); return }
     val dir = args(0)
+    // shuffle parallelism follows input size (graft.Bench's derivation):
+    // at x10 the 32-core floor still wins, at x100 it grows like a
+    // production conf would — the fix for the graph_kcore x100 per-task
+    // spill at a fixed 32 (NOTES_r12)
+    val parts = graft.Bench.scaledShufflePartitions(dir, 32)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"[scalebench] shuffle partitions: $parts (input-scaled)")
     val heaviest = args(1) == "--heaviest"
     val baseline: Map[String, Double] =
       if (heaviest) graft.Bench.previousMedians() else Map.empty

@@ -91,6 +91,75 @@ object IndexStore {
     load(spark, dstPath)
   }
 
+  // --- compaction + version GC (the retention contract, implemented) ---
+
+  /** Rewrite the newest version of an append chain as ONE canonical
+    * store at `dstPath`. Every [[append]] writes a complete superset
+    * store at a new versioned path, so the newest version already holds
+    * all the data — what a long chain accumulates is FILES: each
+    * union-then-save hop appends task-count parquet files per artifact,
+    * and each [[IvfIndex.append]] drops one file per batch into every
+    * touched list directory. `compact` reads each artifact of the store
+    * at `srcPath` and rewrites it with right-sized files
+    * (~`targetFileBytes` per file), preserving the IVF family's
+    * Hive-partitioned list layout (one file per inverted list), then
+    * carries the meta over unchanged — the canonical store loads with
+    * the same family and parameters and is content-identical (the
+    * compaction spec pins probe equality).
+    *
+    * Older versions are untouched — snapshot isolation here IS
+    * immutability: a reader holding `_v1` keeps its exact view while
+    * the chain grows and compacts. Pass superseded paths to [[retire]]
+    * once their readers drain (docs/QUICKSTART.md retention contract).
+    * Load the result with [[load]] (dedup families) or [[loadIvf]]. */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+              targetFileBytes: Long = 64L << 20): Unit = {
+    require(srcPath != dstPath,
+      "compact writes a NEW canonical path: srcPath == dstPath would " +
+        "overwrite parquet inputs mid-read")
+    require(targetFileBytes > 0, s"targetFileBytes: $targetFileBytes")
+    val m = readMeta(spark, srcPath)
+    checkVersion(m, srcPath)
+    val hconf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hconf)
+    val isIvf = m.getOrElse("family", "") == "ivf"
+    for (st <- fs.listStatus(src) if st.isDirectory
+         if st.getPath.getName != "_meta") {
+      val name = st.getPath.getName
+      val bytes = fs.getContentSummary(st.getPath).getLength
+      val nFiles =
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val df = spark.read.parquet(st.getPath.toString)
+      if (isIvf && name == "lists")
+        // each list's rows land in one task → one right-sized file per
+        // list directory; the partition-pruned probe layout is preserved
+        df.repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$dstPath/$name")
+      else
+        df.repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$dstPath/$name")
+    }
+    writeMeta(spark, dstPath, m("family"), m - "family" - "version")
+  }
+
+  /** Delete a SUPERSEDED store version — the final step of the
+    * retention contract (docs/QUICKSTART.md): call only after a newer
+    * version (an [[append]] target or a [[compact]] canonical store) is
+    * published AND every reader holding this version has drained.
+    * Refuses to delete anything that is not a readable index store: a
+    * typo'd path must not turn into a recursive delete of arbitrary
+    * data. */
+  def retire(spark: SparkSession, path: String): Unit = {
+    val m = readMeta(spark, path) // throws if there is no store here
+    checkVersion(m, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+
   /** Load whichever family was saved at `path` — the family tag and all
     * parameters come from the store itself. */
   def load(spark: SparkSession, path: String): DedupIndex = {

@@ -203,6 +203,89 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("loadIvf"))
   }
 
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("compact: canonical store is content-identical, fewer files; " +
+      "a reader holding the old version keeps a consistent snapshot") {
+    val root = tmp()
+    val (v1, v2, canon) = (s"$root/v1", s"$root/v2", s"$root/canonical")
+    IndexStore.buildJaccardPrefix(hist, shingleK = 2, tauNum = 1, tauDen = 3)
+      .save(v1)
+    val reader1 = IndexStore.load(spark, v1) // concurrent day-2 reader
+    val probe1Before = rows(reader1.probe(batch))
+    // the chain grows: v1 + batch -> v2, then compaction -> canonical
+    val day3 = Seq((20L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    IndexStore.append(spark, v1, batch, v2)
+    IndexStore.compact(spark, v2, canon)
+    // canonical loads with the same family/params and probes identically
+    val fromV2 = rows(IndexStore.load(spark, v2).probe(day3))
+    val fromCanon = rows(IndexStore.load(spark, canon).probe(day3))
+    assert(fromCanon == fromV2 && fromCanon.nonEmpty)
+    // re-layout, never re-derive: artifact content identical row-for-row
+    for (sub <- Seq("df", "docs"))
+      assert(rows(spark.read.parquet(s"$v2/$sub")) ==
+        rows(spark.read.parquet(s"$canon/$sub")))
+    // right-sized files: tiny store -> one file per artifact (v2 carries
+    // the union-then-save hop's task-count files)
+    assert(parquetFiles(s"$canon/df").size <= parquetFiles(s"$v2/df").size)
+    assert(parquetFiles(s"$canon/df").size == 1)
+    // snapshot isolation: the v1 reader's view never moved while the
+    // chain grew and compacted
+    assert(rows(reader1.probe(batch)) == probe1Before)
+    // drain-then-retire: superseded versions GC'd, canonical unaffected
+    IndexStore.retire(spark, v1)
+    IndexStore.retire(spark, v2)
+    assert(!new java.io.File(v1).exists && !new java.io.File(v2).exists)
+    assert(rows(IndexStore.load(spark, canon).probe(day3)) == fromCanon)
+  }
+
+  test("compact preserves the IVF partition-pruned layout: one file per " +
+      "list after N appends; search identical") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val root = tmp()
+    val (dir, canon) = (s"$root/ivf", s"$root/ivf_canonical")
+    val store = IndexStore.writeIvf(emb, dir, centroids, k = 3)
+    // day-2/3/4 appends: each drops one more file into touched lists
+    for (i <- 10L to 12L)
+      store.append(Seq((i, Array(0.95f, 0.05f))).toDF("vec_id", "embedding"))
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val before = rows(store.search(q))
+    IndexStore.compact(spark, dir, canon)
+    val loaded = IndexStore.loadIvf(spark, canon)
+    assert(loaded.centroids.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq)
+    assert(rows(loaded.search(q)) == before)
+    // the list directories survive (partition pruning intact) and each
+    // holds exactly one compacted file (was 1 + appends for list 0)
+    val lists = new java.io.File(s"$canon/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(lists.length == 2)
+    assert(parquetFiles(s"$dir/lists/cluster=0").size > 1)
+    for (l <- lists) assert(parquetFiles(l.toString).size == 1)
+  }
+
+  test("retire refuses to delete a path that is not an index store") {
+    val dir = tmp()
+    new java.io.File(s"$dir/precious.txt") // not a store
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/precious.txt"), "data".getBytes)
+    intercept[Exception] { IndexStore.retire(spark, dir) }
+    assert(new java.io.File(s"$dir/precious.txt").exists)
+    // and compact refuses src == dst
+    intercept[IllegalArgumentException] {
+      IndexStore.compact(spark, dir, dir)
+    }
+  }
+
   test("load rejects unknown/missing stores loudly") {
     val dir = tmp()
     intercept[Exception] { IndexStore.load(spark, dir) }

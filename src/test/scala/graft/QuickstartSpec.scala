@@ -163,6 +163,29 @@ class QuickstartSpec extends SparkSpec {
     assert(pairs.filter(col("a") === 1L && col("b") === 10L).count() == 1)
   }
 
+  test("compaction + retention snippet: compact → load canonical → retire") {
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "unrelated words fill this second document entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val root = tmp("qsgc")
+    graft.scale.IndexStore.buildJaccardPrefix(history).save(s"$root/v1")
+    graft.scale.IndexStore.append(spark, s"$root/v1", batch, s"$root/v2")
+    // snippet: compact the newest version, load canonical, retire old
+    graft.scale.IndexStore.compact(spark, s"$root/v2", s"$root/canonical")
+    val idx = graft.scale.IndexStore.load(spark, s"$root/canonical")
+    graft.scale.IndexStore.retire(spark, s"$root/v1")
+    graft.scale.IndexStore.retire(spark, s"$root/v2")
+    val day3 = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    assert(idx.probe(day3)
+      .filter(col("b") === 20L).count() >= 1)
+    assert(!new java.io.File(s"$root/v1").exists)
+  }
+
   test("day-2 contract table: bitext and IVF rows") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
