@@ -3672,6 +3672,62 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("index_id"), col("band"))
     }),
 
+    // --- the streaming backward as-of join (flatMapGroupsWithState;
+    // state = ONE right row per key) in batch mode: every purchase
+    // enriched with the latest view at or before it; the oracle replays
+    // the inclusive/tie rules (right before left at equal ts, right
+    // ties resolve to the highest id) as a ROW_NUMBER window ---
+    "stream_asof_endstate" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir)
+        .withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+      graft.streaming.StreamingOps.asOfLatest(purchases, views,
+          keyCol = "user_id", tsCol = "t_us", idCol = "event_id",
+          valCol = "value")
+        .select(col("k").as("user_id"), col("id").as("event_id"),
+          col("t").as("t_us"), col("r_id").as("view_event_id"),
+          col("r_t").as("view_t_us"), round(col("r_v"), 4).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- the streaming funnel state machine (flatMapGroupsWithState;
+    // state = times of the steps reached so far) in batch mode: per
+    // user the first click, the first view STRICTLY after it, the
+    // first purchase strictly after that — the oracle replays the
+    // strict-progression rule as three nested min-aggregations ---
+    "stream_funnel_endstate" -> ((s, dir) => {
+      val ev = TraceGen.eventsTable(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_id"), col("event_type"))
+      graft.streaming.StreamingOps.funnel(ev,
+          Seq("click", "view", "purchase"),
+          keyCol = "user_id", tsCol = "t_us", idCol = "event_id")
+        .select(col("k").as("user_id"), col("depth"), col("t").as("t_us"))
+        .orderBy(col("user_id"), col("depth"))
+    }),
+
+    // --- the streaming concurrency segmenter (flatMapGroupsWithState;
+    // state = (last tick, open-span level) per process) in batch mode
+    // over the call trace's item+ship interval deltas: each tick closes
+    // the previous constant-level segment; the oracle replays the sweep
+    // as a net-per-tick running sum + LEAD window ---
+    "stream_conc_endstate" -> ((s, dir) => {
+      val iv = TraceGen.callIntervals(s, dir)
+      val deltas = iv.select(col("process"),
+          explode(array(
+            struct(col("start").as("t"), lit(1L).as("delta")),
+            struct(col("end").as("t"), lit(-1L).as("delta")))).as("d"))
+        .select(col("process"), col("d.t").as("t"), col("d.delta").as("delta"))
+      graft.streaming.StreamingOps.concurrency(deltas, keyCol = "process",
+          tsCol = "t", deltaCol = "delta")
+        .select(col("k").as("process"), col("level"), col("t0"), col("t1"),
+          col("in_order"))
+        .orderBy(col("process"), col("t0"))
+    }),
+
     // --- windowed TV drift vs a uniform reference histogram, through
     // the streaming operator's own binning/agg code path ---
     "stream_drift_tv" -> ((s, dir) => {
@@ -9349,6 +9405,64 @@ object SparkEntry {
         |       CAST(SUM(c) AS BIGINT) AS volume
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, start_us""".stripMargin,
+
+    // the as-of state machine's batch replay: latest view at or before
+    // each purchase (inclusive), right ties to the highest event id
+    "stream_asof_endstate" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id AS pid, v.event_id AS vid, v.t AS vt,
+        |             v.value AS vv,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |               ORDER BY v.t DESC, v.event_id DESC) AS rn
+        |      FROM p JOIN v ON p.user_id = v.user_id AND v.t <= p.t)
+        |SELECT p.user_id, p.event_id, p.t AS t_us,
+        |       CAST(j.vid AS BIGINT) AS view_event_id,
+        |       CAST(j.vt AS BIGINT) AS view_t_us,
+        |       ROUND(j.vv, 4) AS view_value
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  ON p.event_id = j.pid
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the funnel state machine's strict progression: first click, first
+    // view strictly after it, first purchase strictly after that
+    "stream_funnel_endstate" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t FROM e
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.t) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t
+        |       WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.t) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT user_id, 1 AS depth, t AS t_us FROM s1
+        |UNION ALL SELECT user_id, 2, t FROM s2
+        |UNION ALL SELECT user_id, 3, t FROM s3
+        |ORDER BY user_id, depth""".stripMargin,
+
+    // the concurrency segmenter's sweep: net delta per (process, tick),
+    // running-sum level, each tick closing the segment it opens at LEAD
+    "stream_conc_endstate" -> (callCte +
+      """, d AS (
+        |  SELECT process, t0 AS t, 1 AS delta FROM item
+        |  UNION ALL SELECT process, t1, -1 FROM item
+        |  UNION ALL SELECT process, s0, 1 FROM item
+        |  UNION ALL SELECT process, s1, -1 FROM item),
+        |ticks AS (SELECT process, t, SUM(delta) AS net
+        |          FROM d GROUP BY process, t),
+        |lev AS (SELECT process, t,
+        |          SUM(net) OVER (PARTITION BY process ORDER BY t) AS level,
+        |          LEAD(t) OVER (PARTITION BY process ORDER BY t) AS t1
+        |        FROM ticks)
+        |SELECT CAST(process AS BIGINT) AS process,
+        |       CAST(level AS BIGINT) AS level, t AS t0, t1,
+        |       TRUE AS in_order
+        |FROM lev WHERE t1 IS NOT NULL
+        |ORDER BY process, t0""".stripMargin),
 
     "stream_drift_tv" ->
       """WITH e AS (
