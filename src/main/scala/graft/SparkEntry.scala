@@ -3728,6 +3728,46 @@ object SparkEntry {
         .orderBy(col("process"), col("t0"))
     }),
 
+    // --- the streaming call matcher (flatMapGroupsWithState keyed by
+    // process; state = the open-frame stack, O(depth)) in batch mode:
+    // one closed micro-batch with empty initial state matches every
+    // Enter/Leave of the balanced synthetic trace exactly like the batch
+    // EventMatcher, including depth and inc/exc attribution; the oracle
+    // is the trace's closed form (order spans 999000 ns, item spans
+    // qty*1000-10, ship subs qty*500-100; exc = inc minus children) ---
+    "stream_calls_endstate" -> ((s, dir) =>
+      graft.streaming.StreamingMatcher.completedCalls(
+          TraceGen.callTrace(s, dir))
+        .orderBy(col("process"), col("enter_id"))),
+
+    // --- the streaming Markov-transition state machine (one (t, id,
+    // state) triple of state per key) in batch mode: per user, one
+    // (from, to) step row per event after the first, all in order —
+    // the oracle replays the rule as a LAG window in (t, id) order ---
+    "stream_trans_endstate" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t_us"),
+        col("event_id"), col("event_type"))
+      graft.streaming.StreamingOps.transitions(ev, tsCol = "t_us")
+        .orderBy(col("k"), col("t"), col("from_state"), col("to_state"))
+    }),
+
+    // --- the streaming interval-union state machine (one open island
+    // per key) in batch mode: spans sorted per key, an island closes on
+    // a strict gap; the final OPEN island per key never emits in batch
+    // (in a stream it is unknowable until key timeout) — the oracle is
+    // gaps-and-islands minus each key's last island ---
+    "stream_interval_endstate" -> ((s, dir) => {
+      val t_us = unix_micros(col("ts").cast("timestamp"))
+      val sp = T(s, dir, "events").select(
+        col("user_id").as("key"),
+        t_us.as("start"),
+        (t_us + floor(col("value") * 1000).cast("long") + 1).as("end"))
+      graft.streaming.StreamingOps.intervalUnion(sp)
+        .orderBy(col("k"), col("start"))
+    }),
+
     // --- windowed TV drift vs a uniform reference histogram, through
     // the streaming operator's own binning/agg code path ---
     "stream_drift_tv" -> ((s, dir) => {
@@ -9463,6 +9503,69 @@ object SparkEntry {
         |       TRUE AS in_order
         |FROM lev WHERE t1 IS NOT NULL
         |ORDER BY process, t0""".stripMargin),
+
+    // the streaming call matcher's batch replay against the synthetic
+    // trace's closed form: event ids double as timestamps (callCte),
+    // item exc = inc - sub inc = qty*500 + 90, order exc = 999000 minus
+    // the sum of its items' incs
+    "stream_calls_endstate" -> (callCte +
+      """, kids AS (
+        |  SELECT ok, SUM(qty * 1000 - 10) AS inc_sum FROM item GROUP BY ok)
+        |SELECT * FROM (
+        |  SELECT o.process, o.name, o.t0 AS enter_id, o.t1 AS leave_id,
+        |         o.t0 AS enter_ts, o.t1 AS leave_ts, CAST(0 AS INT) AS depth,
+        |         CAST(999000 AS BIGINT) AS time_inc,
+        |         CAST(999000 - COALESCE(k.inc_sum, 0) AS BIGINT) AS time_exc
+        |  FROM ord o LEFT JOIN kids k ON o.ok = k.ok
+        |  UNION ALL
+        |  SELECT process, name, t0, t1, t0, t1, 1,
+        |         qty * 1000 - 10, qty * 500 + 90 FROM item
+        |  UNION ALL
+        |  SELECT process, ship_name, s0, s1, s0, s1, 2,
+        |         qty * 500 - 100, qty * 500 - 100 FROM item
+        |) ORDER BY process, enter_id""".stripMargin),
+
+    // the transition state machine's batch replay: LAG in (t, id) order
+    // per key; in-order replay emits no disordered steps
+    "stream_trans_endstate" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS id,
+        |         event_type AS s
+        |  FROM events),
+        |w AS (
+        |  SELECT k, t, s,
+        |         lag(s) OVER (PARTITION BY k ORDER BY t, id) AS prev
+        |  FROM e)
+        |SELECT k, prev AS from_state, s AS to_state, t, TRUE AS in_order
+        |FROM w WHERE prev IS NOT NULL
+        |ORDER BY k, t, from_state, to_state""".stripMargin,
+
+    // the interval-union state machine's batch replay: gaps-and-islands
+    // (strict gap closes, running-max end) MINUS each key's final island
+    // — in batch the open island never emits (no key timeout fires)
+    "stream_interval_endstate" ->
+      """WITH sp AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(floor(value * 1000) AS BIGINT) + 1 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT k, s, e,
+        |         CASE WHEN s > MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS ni
+        |  FROM sp),
+        |isl AS (
+        |  SELECT k, s, e, SUM(ni) OVER (PARTITION BY k ORDER BY s, e
+        |           ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM m),
+        |agg AS (
+        |  SELECT k, g, MIN(s) AS "start", MAX(e) AS "end",
+        |         CAST(COUNT(*) AS BIGINT) AS n_spans
+        |  FROM isl GROUP BY k, g)
+        |SELECT k, "start", "end", n_spans, TRUE AS in_order
+        |FROM (SELECT *, MAX(g) OVER (PARTITION BY k) AS mg FROM agg)
+        |WHERE g < mg
+        |ORDER BY k, "start"""".stripMargin,
 
     "stream_drift_tv" ->
       """WITH e AS (
