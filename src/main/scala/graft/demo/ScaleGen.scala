@@ -261,7 +261,12 @@ object ScaleBench {
     // at x10 the 32-core floor still wins, at x100 it grows like a
     // production conf would — the fix for the graph_kcore x100 per-task
     // spill at a fixed 32 (NOTES_r12)
-    val parts = graft.Bench.scaledShufflePartitions(dir, 32)
+    // SCALEBENCH_PARTS overrides the derivation — the knob for fixtures
+    // whose INTERMEDIATE volume dwarfs their input bytes (a doc-only dir
+    // whose candidate explode is 1000x its parquet size), same as a
+    // production conf sizing shuffle partitions to the hot exchange
+    val parts = sys.env.get("SCALEBENCH_PARTS").map(_.toInt)
+      .getOrElse(graft.Bench.scaledShufflePartitions(dir, 32))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
