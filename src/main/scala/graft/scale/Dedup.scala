@@ -379,6 +379,10 @@ object Dedup {
       val nextCount = next.count()
       done = nextCount == eCount &&
         next.unionByName(e).distinct().count() == eCount
+      // both fixpoint jobs over the superseded edge set have run — free
+      // its checkpoint blocks now instead of waiting for driver GC
+      // (same round-snapshot pile-up as GraphOps.kcore at x100)
+      GraphOps.releaseCheckpoint(e)
       e = next
       eCount = nextCount
       iter += 1

@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Eagerly release the block store behind a `localCheckpoint`ed
+    * DataFrame. The checkpoint blocks are otherwise reference-tracked
+    * and freed by the ContextCleaner only when the driver GCs the RDD
+    * handle — correct, but in a tight iterative loop the superseded
+    * rounds' snapshots pile up faster than any GC runs (measured: the
+    * x100 kcore carries ~10 GB per round and OOMs a 48 GB heap on
+    * round snapshots that have no remaining consumer). Callers MUST
+    * only release a round after its successor is materialized:
+    * localCheckpoint truncates lineage, so released blocks are
+    * unrecoverable. No-op on plans that are not checkpoint scans. */
+  private[scale] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Fixed-iteration PageRank in FIXED-POINT integer arithmetic:
     * ranks are micro-units (init = `scale`), each superstep computes
     * pr ← (100−d)·scale/100 + (d · Σ_in (pr DIV deg)) DIV 100 with
@@ -49,6 +66,7 @@ object GraphOps {
       val contrib = ed.join(pr, ed(srcCol) === pr(idCol))
         .select(col(dstCol).as(idCol), expr("pr DIV deg").as("c"))
         .groupBy(col(idCol)).agg(sum(col("c")).as("sc"))
+      val prev = pr
       pr = nodes.select(col(idCol)).join(contrib, Seq(idCol), "left")
         .select(col(idCol), (lit(teleport) +
           expr(s"($dampingPct * coalesce(sc, 0L)) DIV 100")).as("pr"))
@@ -58,6 +76,9 @@ object GraphOps {
         // cost grows per iteration and a failure would recompute the
         // whole chain. Standard iterative-algorithm checkpointing.
         .localCheckpoint()
+      // the new superstep is materialized (eager checkpoint): the
+      // previous rank snapshot has no consumer left — free it now
+      releaseCheckpoint(prev)
     }
     // materialize the final rank vector (small: one row per node, two
     // columns) so the persisted edge table can be released NOW instead of
@@ -118,7 +139,11 @@ object GraphOps {
         .join(keep.select(col("n").as("s")), Seq("s"), "leftsemi")
         .join(keep.select(col("n").as("d")), Seq("d"), "leftsemi")
         .localCheckpoint(false)
-      val c = next.count()
+      val c = next.count() // materializes next's checkpoint
+      // the superseded round's edge snapshot (~|E| rows) has no
+      // consumer left — free it instead of waiting for driver GC (at
+      // x100 the 8 rounds' ~10 GB snapshots otherwise OOM a 48g heap)
+      releaseCheckpoint(sym)
       sym = next
       round = if (c == prev) maxRounds else round + 1 // fixpoint → done
       prev = c
