@@ -20,14 +20,20 @@ import os
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
+def rd(table):
+    # Spark directory layout (e.g. a SeedGen dir) vs the driver's
+    # single-file layout — same handling as check_oracle.py
+    p = f"{src}/{table}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
 def cut(table, key):
     return con.execute(
-        f"SELECT (MAX({key}) + 1) // {frac} FROM '{src}/{table}.parquet'"
+        f"SELECT (MAX({key}) + 1) // {frac} FROM '{rd(table)}'"
     ).fetchone()[0]
 
 def copy(table, where=""):
     con.execute(
-        f"COPY (SELECT * FROM '{src}/{table}.parquet' {where}) "
+        f"COPY (SELECT * FROM '{rd(table)}' {where}) "
         f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT COUNT(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
     print(f"[slice] {table}: {n} rows {where}")
