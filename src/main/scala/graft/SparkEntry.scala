@@ -3768,6 +3768,34 @@ object SparkEntry {
         .orderBy(col("k"), col("start"))
     }),
 
+    // --- the streaming windowed top-k (chained watermarked aggs + the
+    // k-bounded native heap aggregate) in batch mode: the oracle
+    // replays the heap's (weight DESC, key DESC) order as ROW_NUMBER ---
+    "stream_topk_endstate" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(
+        col("user_id"),
+        col("ts").cast("timestamp").as("event_time"),
+        floor(col("value")).cast("long").as("weight"))
+      graft.streaming.StreamingSketches.windowTopK(ev, k = 5,
+          window = "6 hours", watermark = "0 seconds")
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("rank"), col("key"), col("weight"))
+        .orderBy(col("window_start"), col("rank"))
+    }),
+
+    // --- the streaming DAU counter (dropDuplicatesWithinWatermark on
+    // (user, window) chained into a windowed count — state one row per
+    // ACTIVE pair, watermark-pruned) in batch mode: plain per-window
+    // COUNT(DISTINCT) ---
+    "stream_active_endstate" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(
+        col("user_id"), col("ts").cast("timestamp").as("event_time"))
+      graft.streaming.StreamingOps.windowedActive(ev, window = "1 day")
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("active"))
+        .orderBy(col("window_start"))
+    }),
+
     // --- windowed TV drift vs a uniform reference histogram, through
     // the streaming operator's own binning/agg code path ---
     "stream_drift_tv" -> ((s, dir) => {
@@ -9566,6 +9594,30 @@ object SparkEntry {
         |FROM (SELECT *, MAX(g) OVER (PARTITION BY k) AS mg FROM agg)
         |WHERE g < mg
         |ORDER BY k, "start"""".stripMargin,
+
+    // the streaming windowed top-k heap's batch replay: weight rollup
+    // per (6h window, key), rank by (weight DESC, key DESC) — the
+    // native heap aggregate's deterministic tie order (q_topk_agg)
+    "stream_topk_endstate" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 1000000 // 21600 * 21600 AS wb,
+        |         user_id AS key, CAST(floor(value) AS BIGINT) AS w0
+        |  FROM events),
+        |g AS (SELECT wb, key, SUM(w0) AS w FROM e GROUP BY 1, 2),
+        |r AS (SELECT wb, key, w,
+        |        ROW_NUMBER() OVER (PARTITION BY wb
+        |          ORDER BY w DESC, key DESC) AS rn
+        |      FROM g)
+        |SELECT wb AS window_start, CAST(rn AS INT) AS rank, key,
+        |       w AS weight
+        |FROM r WHERE rn <= 5
+        |ORDER BY window_start, rank""".stripMargin,
+
+    // the streaming DAU counter's batch replay
+    "stream_active_endstate" ->
+      """SELECT epoch_us(ts) // 1000000 // 86400 * 86400 AS window_start,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_drift_tv" ->
       """WITH e AS (
