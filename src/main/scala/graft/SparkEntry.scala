@@ -3796,6 +3796,51 @@ object SparkEntry {
         .orderBy(col("window_start"))
     }),
 
+    // --- the streaming per-window count-min cells (O(depth·width) state
+    // per in-flight window, watermark-expired) in batch mode: doc feed
+    // with event_time = to_timestamp(doc_id), 10-minute windows; the
+    // oracle recomputes the identical md5 cells per window bucket ---
+    "stream_cms_endstate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(
+        to_timestamp(col("doc_id")).as("event_time"), col("text"))
+      graft.streaming.StreamingSketches.cmsCells(docs,
+          window = "10 minutes", watermark = "0 seconds")
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("seed").cast("long").as("seed"), col("bucket"), col("cell"))
+        .orderBy(col("window_start"), col("seed"), col("bucket"))
+    }),
+
+    // --- the streaming per-window distinct-count registers (64 registers
+    // per (lang, window), merged by MAX — lossless) in batch mode: same
+    // doc feed; the oracle recomputes register = max rho per bucket ---
+    "stream_hll_endstate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(
+        to_timestamp(col("doc_id")).as("event_time"),
+        col("lang"), col("text"))
+      graft.streaming.StreamingSketches.hllRegisters(docs,
+          window = "10 minutes", watermark = "0 seconds")
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("lang"), col("bucket"),
+          col("reg").cast("long").as("reg"))
+        .orderBy(col("window_start"), col("lang"), col("bucket"))
+    }),
+
+    // --- the streaming PER-KEY windowed TV-drift monitor (one O(bins)
+    // row of state per (key, window), watermark-expired) in batch mode:
+    // per event_type vs the uniform reference, same integer TV numerator
+    // as stream_drift_tv ---
+    "stream_kdrift_endstate" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("ts"), col("event_type"),
+        floor(col("value")).cast("long").as("v"))
+      graft.streaming.StreamingOps.keyedWindowedDrift(ev, "event_type",
+          Seq(1L, 1L, 1L, 1L), window = "6 hours", watermark = "0 seconds",
+          lo = 0L, width = 200L, timeCol = "ts")
+        .select(col("event_type"),
+          unix_timestamp(col("window_start")).as("window_start"),
+          col("n_obs"), col("tv_num"))
+        .orderBy(col("event_type"), col("window_start"))
+    }),
+
     // --- windowed TV drift vs a uniform reference histogram, through
     // the streaming operator's own binning/agg code path ---
     "stream_drift_tv" -> ((s, dir) => {
@@ -9618,6 +9663,62 @@ object SparkEntry {
       """SELECT epoch_us(ts) // 1000000 // 86400 * 86400 AS window_start,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the streaming per-window CMS cells' batch replay: identical md5
+    // cell arithmetic to cms_topk, bucketed into 10-minute windows of
+    // the doc_id-derived event time
+    "stream_cms_endstate" ->
+      """WITH d AS (
+        |  SELECT doc_id // 600 * 600 AS wb,
+        |         unnest(regexp_split_to_array(trim(text), ' +')) AS token
+        |  FROM documents),
+        |seeded AS (
+        |  SELECT wb, g.seed,
+        |         CAST(concat('0x', substr(md5(g.seed || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |  FROM d, generate_series(0, 3) g(seed))
+        |SELECT wb AS window_start, CAST(seed AS BIGINT) AS seed, bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS cell
+        |FROM seeded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the streaming per-window distinct-count registers' batch replay:
+    // identical md5 register arithmetic to hll_distinct, per window
+    "stream_hll_endstate" ->
+      """WITH d AS (
+        |  SELECT doc_id // 600 * 600 AS wb, lang,
+        |         unnest(regexp_split_to_array(trim(text), ' +')) AS token
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT wb, lang,
+        |         CAST(concat('0x', substr(md5('h:' || token), 1, 15)) AS BIGINT) AS h
+        |  FROM d)
+        |SELECT wb AS window_start, lang, h % 64 AS bucket,
+        |       CAST(MAX(CASE WHEN h // 64 = 0 THEN 55
+        |                ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END)
+        |            AS BIGINT) AS reg
+        |FROM hashed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the streaming per-key windowed TV drift's batch replay: per
+    // event_type, same uniform-reference integer numerator as
+    // stream_drift_tv
+    "stream_kdrift_endstate" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 1000000 // 21600 * 21600 AS wb,
+        |         least(greatest(CAST(floor(value) AS BIGINT) * 4 // 200, 0), 3)
+        |           AS bin
+        |  FROM events),
+        |g AS (SELECT event_type, wb,
+        |        CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |        CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |        CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        |      FROM e GROUP BY 1, 2)
+        |SELECT event_type, wb AS window_start, c0 + c1 + c2 + c3 AS n_obs,
+        |       abs(c0 * 4 - (c0 + c1 + c2 + c3)) +
+        |       abs(c1 * 4 - (c0 + c1 + c2 + c3)) +
+        |       abs(c2 * 4 - (c0 + c1 + c2 + c3)) +
+        |       abs(c3 * 4 - (c0 + c1 + c2 + c3)) AS tv_num
+        |FROM g ORDER BY event_type, window_start""".stripMargin,
 
     "stream_drift_tv" ->
       """WITH e AS (

@@ -347,11 +347,12 @@ object Dedup {
     val nodes = pairs.select(col(aCol).as("node"))
       .union(pairs.select(col(bCol).as("node"))).distinct()
       .localCheckpoint(false)
-    var e = pairs
+    // DISK_ONLY round snapshots: see GraphOps.roundSnapshot (x100
+    // storage-unroll OOM rationale)
+    var e = GraphOps.roundSnapshot(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(false)
+      .filter(col("u") =!= col("v")).distinct())
     var eCount = e.count()
     var iter = 0
     var done = false
@@ -366,13 +367,12 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
       // small-star: u and its smaller neighbors hook onto the minimum
       val mS = e1.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = e1.join(mS, Seq("u"))
+      val next = GraphOps.roundSnapshot(e1.join(mS, Seq("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .union(mS.select(col("u").as("a"), col("m").as("b")))
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(false)
+        .filter(col("u") =!= col("v")).distinct())
       // EXACT set-equality fixpoint: same cardinality and no new edges
       // in the union (both counts also materialize the checkpoint); the
       // second job only runs once the counts agree — the final rounds

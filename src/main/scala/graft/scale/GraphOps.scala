@@ -23,13 +23,33 @@ object GraphOps {
     * round snapshots that have no remaining consumer). Callers MUST
     * only release a round after its successor is materialized:
     * localCheckpoint truncates lineage, so released blocks are
-    * unrecoverable. No-op on plans that are not checkpoint scans. */
+    * unrecoverable. Matches ONLY the plan ROOT — a checkpoint scan is
+    * exactly a root LogicalRDD, whereas traversing the whole plan would
+    * also unpersist LogicalRDDs nested under caller-derived projections
+    * (e.g. a caller's cached/localCheckpointed input on the first
+    * iteration), blocks the caller still needs and, for localCheckpoint,
+    * cannot recompute. No-op on plans that are not checkpoint scans. */
   private[scale] def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Lazy localCheckpoint at DISK_ONLY for ITERATIVE round snapshots
+    * (the k-core / star-contraction per-round edge sets). Rationale
+    * measured at x100 (NOTES_r13): the default MEMORY_AND_DISK level
+    * unrolls each ~365 MB block in storage memory first — 32 concurrent
+    * unrolls plus the round's semi-join execution memory OOM'd a 48 GB
+    * heap even with superseded rounds eagerly released. DISK_ONLY
+    * streams blocks straight to the local store: zero storage-memory
+    * contention, execution keeps the whole unified pool, and each
+    * snapshot is read exactly once (the next round) sequentially — the
+    * access pattern disk serves at full bandwidth. At bench SF the
+    * snapshots are a few MB, so the extra write is noise. */
+  private[scale] def roundSnapshot(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false,
+      storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   /** Fixed-iteration PageRank in FIXED-POINT integer arithmetic:
     * ranks are micro-units (init = `scale`), each superstep computes
@@ -127,18 +147,16 @@ object GraphOps {
     // LAZY localCheckpoints: each round's count() action materializes the
     // round's checkpoint blocks — one Spark job per round, not two (see
     // Dedup.connectedComponents for the rationale).
-    var sym = und.select(col("u").as("s"), col("v").as("d"))
-      .unionByName(und.select(col("v").as("s"), col("u").as("d")))
-      .localCheckpoint(false)
+    var sym = roundSnapshot(und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d"))))
     var prev = sym.count()
     var round = 0
     while (round < maxRounds && prev > 0) {
       val keep = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("s").as("n"))
-      val next = sym
+      val next = roundSnapshot(sym
         .join(keep.select(col("n").as("s")), Seq("s"), "leftsemi")
-        .join(keep.select(col("n").as("d")), Seq("d"), "leftsemi")
-        .localCheckpoint(false)
+        .join(keep.select(col("n").as("d")), Seq("d"), "leftsemi"))
       val c = next.count() // materializes next's checkpoint
       // the superseded round's edge snapshot (~|E| rows) has no
       // consumer left — free it instead of waiting for driver GC (at

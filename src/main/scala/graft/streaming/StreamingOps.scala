@@ -998,13 +998,20 @@ object StreamingOps {
                      watermark: String = "0 seconds",
                      timeCol: String = "event_time"): DataFrame = {
     import org.apache.spark.sql.functions.{window => windowFn}
-    events.withWatermark(timeCol, watermark)
+    val tagged = events.withWatermark(timeCol, watermark)
       // dedup key = the window START as a plain LONG: aliasing the
       // window STRUCT itself would tag a second event-time column and
       // fail analysis ("at most one event time column per stream")
       .withColumn("__wb",
         unix_millis(windowFn(col(timeCol), window).getField("start")))
-      .dropDuplicatesWithinWatermark(Seq(keyCol, "__wb"))
+    // dropDuplicatesWithinWatermark is a STREAMING-ONLY operator (batch
+    // analysis throws); in batch replay there is no late data, so plain
+    // dropDuplicates on the same (key, window) pair is semantically
+    // identical — same rows survive, same downstream count
+    val deduped =
+      if (events.isStreaming) tagged.dropDuplicatesWithinWatermark(Seq(keyCol, "__wb"))
+      else tagged.dropDuplicates(keyCol, "__wb")
+    deduped
       .groupBy(windowFn(col(timeCol), window))
       .agg(count(lit(1)).as("active"))
       .select(col("window.start").as("window_start"), col("active"))

@@ -99,4 +99,67 @@ class StreamingSketchesSpec extends SparkSpec {
       assert(!got.exists(r => r._1 == 0L && r._3 == 3L)) // u3 cut by k=2
     } finally q.stop()
   }
+
+  test("windowTopK batch replay equals the row_number formulation on ties") {
+    // tie-heavy: many (user, weight) pairs share the same per-window
+    // total, so the ranking is decided by the heap's (w DESC, key DESC)
+    // tie order — the exact convention the DuckDB oracle replays. 40
+    // users x 4 windows, weights collide by construction (u % 7).
+    val ev = (0 until 400).map { i =>
+      (i % 40L, (i % 7L) + 1L, (i % 4) * 10000L + (i % 10) * 100L)
+    }.toDF("user_id", "weight", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val got = StreamingSketches.windowTopK(ev, k = 5,
+        window = "10 seconds", watermark = "0 seconds")
+      .select(unix_millis(col("window_start")).as("ws"), col("rank"),
+        col("key"), col("weight"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = ev
+      .groupBy(window(col("event_time"), "10 seconds").as("w"),
+        col("user_id").as("key"))
+      .agg(sum("weight").as("wt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w")).orderBy(col("wt").desc, col("key").desc)))
+      .filter(col("rank") <= 5)
+      .select(unix_millis(col("w.start")), col("rank"), col("key"), col("wt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected && got.size == 20) // 4 windows x top-5
+  }
+
+  test("windowedActive is batch-legal and matches its streaming run") {
+    val rows = Seq((1L, 1000L), (1L, 2000L), (2L, 3000L), // win 0: 2 active
+      (1L, 12000L), (3L, 13000L), (3L, 14000L),           // win 1: 2 active
+      (9L, 40000L))                                       // win 3: 1 active
+    // batch path (dropDuplicates branch) — this is the oracle replay
+    // shape that r10 shipped broken (streaming-only API in batch plan)
+    val batch = rows.toDF("user_id", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val got = graft.streaming.StreamingOps.windowedActive(
+        batch, window = "10 seconds")
+      .select(unix_millis(col("window_start")), col("active"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 2L, 10000L -> 2L, 40000L -> 1L))
+    // streaming path (dropDuplicatesWithinWatermark branch)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val ev = stream.toDF().toDF("user_id", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+    val q = graft.streaming.StreamingOps.windowedActive(
+        ev, window = "10 seconds")
+      .writeStream.format("memory").queryName("wact")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.dropRight(1): _*)
+      stream.addData(rows.last) // advances the watermark past win 0/1
+      q.processAllAvailable()
+      val streamed = spark.table("wact")
+        .select(unix_millis(col("window_start")), col("active"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // the final window stays open in append mode; closed ones match
+      assert(streamed == Map(0L -> 2L, 10000L -> 2L))
+    } finally q.stop()
+  }
 }

@@ -34,7 +34,8 @@ fams = [
 out = ['# Operator / query index', '',
  'Generated from `SparkEntry.queries` registration comments — one row per',
  'driver query; every one is DuckDB-oracle-checked (see README',
- '"Correctness gate"). Regenerate with `tools/gen_operators_md.py`.', '']
+ '"Correctness gate"). Regenerate with `tools/gen_operators_md.py`.', '',
+ f'Registry size: **{len(entries)} queries**.', '']
 used = set()
 for fam, pred in fams:
     rows = [(n, c) for n, c in entries if n not in used and pred(n)]
