@@ -272,6 +272,13 @@ object ScaleBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[scalebench] shuffle partitions: $parts (input-scaled)")
+    // single-box payload cap for the exact-Jaccard verify stage (the
+    // x100 local-disk bound; see GraftConfig's key scaladoc) — set e.g.
+    // GRAFT_JACCARD_BATCH_BYTES=30000000000 for a 30 GB in-flight cap
+    sys.env.get("GRAFT_JACCARD_BATCH_BYTES").foreach { b =>
+      graft.util.GraftConfig.setOption("jaccard_verify_batch_bytes", b.toLong)
+      println(s"[scalebench] jaccard verify batch bytes: $b")
+    }
     val heaviest = args(1) == "--heaviest"
     val baseline: Map[String, Double] =
       if (heaviest) graft.Bench.previousMedians() else Map.empty

@@ -761,21 +761,39 @@ object Dedup {
       .withColumn("r", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("df"), col("h"))))
     // prefix length |X| − ⌈τ|X|⌉ + 1 with ⌈p·sz/q⌉ as (p·sz+q−1) div q —
-    // integer-exact, no binary-fraction ceil trap
+    // integer-exact, no binary-fraction ceil trap. Rows carry (r, sz)
+    // for the positional filter below.
     val prefix = ranked.filter(col("r") <=
         col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col(idCol), col("h"))
+      .select(col(idCol), col("h"), col("r"), col("sz"))
     // true self-join (renames above the shared subtree) so the prefix
-    // scan+exchange canonicalizes identically and is computed once
+    // scan+exchange canonicalizes identically and is computed once.
+    //
+    // POSITIONAL FILTER (PPJoin, Xiao et al. 2008 §3.2) on each
+    // generating token: both sets are sorted by the same global
+    // canonical order, so every shared token sits at rank ≥ the FIRST
+    // shared token's rank in each set — hence
+    // inter ≤ min(sza − ra, szb − rb) + 1 at that first shared token,
+    // and J ≥ τ needs inter·(τn+τd) ≥ τn·(sza+szb). The first shared
+    // token of a qualifying pair is always inside both prefixes (it has
+    // the lowest rank of the shared tokens, and prefix filtering
+    // guarantees SOME shared token in both prefixes), so dropping
+    // generating rows that fail the bound is LOSSLESS: the qualifying
+    // pair survives via its first shared token's row. This prunes the
+    // near-threshold candidate mass BEFORE the verify join ships each
+    // pair's full sorted-set payload — the term that measured ~700 GB
+    // at x100 (NOTES_r13) — while the verified pair set is unchanged.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
+        col(s"x.$idCol") < col(s"y.$idCol") &&
+        (least(col("x.sz") - col("x.r"), col("y.sz") - col("y.r")) + 1) *
+          lit(tauNum + tauDen) >= (col("x.sz") + col("y.sz")) * lit(tauNum))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
     val sets = sh.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("h"))).as("set"),
         count(lit(1)).as("sz"))
-    cand
+    def verify(c: DataFrame): DataFrame = c
       .join(sets.select(col(idCol).as("a"), col("set").as("set_a"),
         col("sz").as("sza")), Seq("a"))
       .join(sets.select(col(idCol).as("b"), col("set").as("set_b"),
@@ -785,6 +803,55 @@ object Dedup {
       .filter(col("inter") * tauDen >=
         (col("sza") + col("szb") - col("inter")) * tauNum)
       .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"))
+    val batchBytes = graft.util.GraftConfig
+      .getOption("jaccard_verify_batch_bytes").asInstanceOf[Long]
+    if (batchBytes <= 0L) verify(cand)
+    else {
+      // PAYLOAD-CAPPED VERIFY (single-box escape hatch; see the config
+      // key's scaladoc): the verify exchange carries each candidate
+      // pair's two sorted-set arrays, so its volume is
+      // ~pairs × (sz_a + sz_b) × 8 B — measured ~700 GB at the x100
+      // Zipf corpus, over LOCAL shuffle disk. Partition candidates by
+      // pair hash into the fewest batches that keep each batch's
+      // payload under the budget and verify them SEQUENTIALLY; each
+      // batch's result (verified pairs only — tiny) is materialized
+      // before the next starts, so in-flight shuffle never exceeds the
+      // budget. The union over batches is exactly verify(cand) for any
+      // batch count (the hash partitions the candidate set).
+      val c = cand.localCheckpoint()
+      val nPairs = c.count()
+      val avgSz = sets.agg(avg(col("sz"))).head match {
+        case row if row.isNullAt(0) => 0.0
+        case row => row.getDouble(0)
+      }
+      val n = math.max(1L,
+        math.ceil(nPairs * 2.0 * avgSz * 8.0 / batchBytes).toLong).toInt
+      if (n == 1) verify(c)
+      else {
+        val setsC = sets.localCheckpoint() // reused by every batch
+        def verifyC(cc: DataFrame): DataFrame = cc
+          .join(setsC.select(col(idCol).as("a"), col("set").as("set_a"),
+            col("sz").as("sza")), Seq("a"))
+          .join(setsC.select(col(idCol).as("b"), col("set").as("set_b"),
+            col("sz").as("szb")), Seq("b"))
+          .withColumn("inter", graft.functions.VecMath.sortedIntersectCount(
+            col("set_a"), col("set_b")))
+          .filter(col("inter") * tauDen >=
+            (col("sza") + col("szb") - col("inter")) * tauNum)
+          .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"))
+        val parts = (0 until n).map { i =>
+          val part = verifyC(c.filter(
+            pmod(xxhash64(col("a"), col("b")), lit(n)) === i))
+            .localCheckpoint() // materializes this batch's verification
+          // the batch's verify-shuffle files are unreachable now;
+          // ContextCleaner frees them on driver GC — nudge it so disk
+          // is reclaimed BEFORE the next batch writes its own
+          System.gc()
+          part
+        }
+        parts.reduce(_.unionByName(_))
+      }
+    }
   }
 
   /** Persistable prefix-filter index for [[jaccardPrefixPairs]] — the

@@ -14,7 +14,17 @@ object GraftConfig {
     // O(events of the largest location)). "bounded": O(stack-depth) state
     // with pair-record emission + join-back — survives pathological
     // single-location traces at the cost of two extra shuffles.
-    "matcher_mode" -> Opt("buffered", v => Seq("buffered", "bounded").contains(v))
+    "matcher_mode" -> Opt("buffered", v => Seq("buffered", "bounded").contains(v)),
+    // 0 = single verify plan (default). > 0 = cap the exact-Jaccard
+    // verify join's in-flight sorted-set payload at ~this many bytes by
+    // running the verification in sequential pair-hash batches — the
+    // single-box escape hatch for corpora whose verify payload exceeds
+    // LOCAL shuffle disk (measured ~700 GB at the x100 Zipf corpus vs
+    // ~60 GB free; a 1000-executor cluster absorbs the same volume at
+    // ~0.7 GB/node, so leave this off there). Result set is identical
+    // for any value: batches partition the candidate set by pair hash.
+    "jaccard_verify_batch_bytes" -> Opt(0L,
+      v => v.isInstanceOf[Long] && v.asInstanceOf[Long] >= 0L)
   )
 
   private val current = scala.collection.concurrent.TrieMap[String, Any]()

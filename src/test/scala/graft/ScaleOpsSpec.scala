@@ -433,6 +433,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("payload-capped verify batches return exactly the single-plan pairs") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docsN = (0 until 40).map { i =>
+      val toks = (0 until 12).map(j =>
+        words(((i % 20) * 5 + j * (1 + (i % 20) % 3)) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }
+    val d = docsN.toDF("doc_id", "text")
+    def collectPairs() = Dedup.jaccardPrefixPairs(d, 3, 1, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val single = collectPairs()
+    // a 1 KB budget forces many sequential batches on this corpus
+    graft.util.GraftConfig.setOption("jaccard_verify_batch_bytes", 1024L)
+    try {
+      val batched = collectPairs()
+      assert(single.nonEmpty && batched == single)
+    } finally graft.util.GraftConfig.resetOption("jaccard_verify_batch_bytes")
+  }
+
   test("incremental prefix-jaccard == the full run's pairs touching a " +
       "new doc, through a parquet round-trip of the index") {
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
