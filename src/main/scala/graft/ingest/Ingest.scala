@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types._
 
 /** Shared ingest utilities. */
@@ -16,11 +16,24 @@ object Ingest {
     * count-per-partition job and adds broadcast partition offsets, keeping
     * parallelism equal to the number of sort partitions.
     *
+    * The whole pass stays in Tungsten binary format (r11, guide §4.1):
+    * the former `.rdd` + `Row.fromSeq` + `createDataFrame(RDD[Row])`
+    * formulation deserialized every row to external objects and
+    * converted them all back through a reflective per-field converter —
+    * measured at ~100 µs/row on the OTF2 reader's map-typed rows, the
+    * single largest CPU sink of the bench. Now: `toInternalRdd`
+    * (UnsafeRows straight from the executed sort), zipWithIndex, and an
+    * `UnsafeProjection` that appends the ordinal — no external object is
+    * ever built, and the persisted intermediate holds compact UnsafeRow
+    * copies instead of object graphs.
+    *
     * The ids are identical to what the global window would produce
     * (dense, 0-based, ordered by `sortCols`); callers must pass a total
     * order (include a tiebreak column) for deterministic assignment.
     */
   def assignDenseIds(df: DataFrame, idCol: String, sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
     val spark = df.sparkSession
     val sorted = df.orderBy(sortCols: _*)
     val schema = StructType(
@@ -28,12 +41,22 @@ object Ingest {
     // persist the sorted rows: zipWithIndex's partition-count job and the
     // materializing job would otherwise EACH run the reduce-side sort
     // (doubling the ingest sort stage); the cache is LRU-evicted, and
-    // callers persist/write the reader output anyway
-    val sortedRdd = sorted.rdd
+    // callers persist/write the reader output anyway. The scan reuses the
+    // row object per partition — copy() before caching.
+    val sortedRdd = org.apache.spark.sql.graftbridge.RddBridge
+      .toInternalRdd(sorted).map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = sortedRdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rows, schema)
+    val rows: org.apache.spark.rdd.RDD[InternalRow] =
+      sortedRdd.zipWithIndex().mapPartitions { it =>
+        val joined = new JoinedRow
+        val ord = new GenericInternalRow(1)
+        val proj = UnsafeProjection.create(schema)
+        it.map { case (r, i) =>
+          ord.update(0, i)
+          proj(joined(r, ord)): InternalRow
+        }
+      }
+    org.apache.spark.sql.graftbridge.RddBridge
+      .fromInternalRdd(spark, rows, schema)
   }
 }

@@ -189,7 +189,7 @@ object Otf2Reader {
   }
 
   private[ingest] def parseEvents(meta: Otf2Meta, bytes: Array[Byte],
-                                  loc: Long, process: Int, thread: Int): Iterator[Row] = {
+                                  loc: Long, process: Int, thread: Int): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     // EXACT tick→ns conversion. The naive double formula
     // ((ticks−off)·1e9/res).toLong loses 1 ns whenever the product needs
     // more than 53 mantissa bits and rounds DOWN (at res = 1e9 this hits
@@ -217,17 +217,68 @@ object Otf2Reader {
     // (otf2_reader.py:246-275)
     var pendTicks = Long.MinValue
     var pend: Array[Any] = null
-    val nanRow: Seq[Any] = Seq.fill(nMetrics)(Double.NaN)
-    def row(et: String, nm: String, attrs: Map[String, String] = null,
-            recv: Integer = null, msgLen: java.lang.Long = null): Row = {
-      seq += 1
-      val metrics =
-        if (nMetrics == 0) Nil
-        else if (pend != null && pendTicks == ts) { val m = pend.toSeq; pend = null; m }
-        else { pend = null; nanRow }
-      Row.fromSeq(Seq(loc, seq, toNs(ts), et, nm, process, thread,
-        attrs, recv, msgLen) ++ metrics)
+    // Rows are emitted as InternalRow (r11, guide §4.1): the former
+    // external-Row + reflective-converter path cost ~100 µs/event at the
+    // sf0.1 archive (2.7M events — the bench's single largest CPU sink).
+    // Strings are interned to UTF8String once per task, the per-region
+    // attribute bag is converted to catalyst MapData once per region,
+    // and every emitted row is a fresh GenericInternalRow (no reuse), so
+    // downstream operators may buffer them without copying.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val utf8 = new java.util.HashMap[String, UTF8String]()
+    def u8(s: String): UTF8String = {
+      var v = utf8.get(s)
+      if (v == null) { v = UTF8String.fromString(s); if (utf8.size < (1 << 16)) utf8.put(s, v) }
+      v
     }
+    def mapData(m: Map[String, String]): Any =
+      if (m == null) null
+      else org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        m, (k: Any) => u8(k.asInstanceOf[String]),
+        (v: Any) => u8(v.asInstanceOf[String]))
+    val regionAttrCache = new java.util.HashMap[Long, Any]()
+    def regionAttr(ref: Long): Any = {
+      var v = regionAttrCache.get(ref)
+      if (v == null) {
+        v = mapData(Map("region" -> s"Region $ref")); regionAttrCache.put(ref, v)
+      }
+      v
+    }
+    val regionName = new java.util.HashMap[Long, UTF8String]()
+    def regName(ref: Long): UTF8String = {
+      var v = regionName.get(ref)
+      if (v == null) {
+        v = UTF8String.fromString(meta.regionNames.getOrElse(ref, "unknown"))
+        regionName.put(ref, v)
+      }
+      v
+    }
+    def row(et: UTF8String, nm: UTF8String, attrs: Any = null,
+            recv: Any = null, msgLen: Any = null): InternalRow = {
+      seq += 1
+      val vals = new Array[Any](10 + nMetrics)
+      vals(0) = loc; vals(1) = seq; vals(2) = toNs(ts)
+      vals(3) = et; vals(4) = nm; vals(5) = process; vals(6) = thread
+      vals(7) = attrs; vals(8) = recv; vals(9) = msgLen
+      if (nMetrics > 0) {
+        if (pend != null && pendTicks == ts) {
+          var i = 0
+          while (i < nMetrics) { vals(10 + i) = pend(i); i += 1 }
+          pend = null
+        } else {
+          pend = null
+          var i = 0
+          while (i < nMetrics) { vals(10 + i) = Double.NaN; i += 1 }
+        }
+      }
+      new GenericInternalRow(vals)
+    }
+    val enterU8 = u8(Enter); val leaveU8 = u8(Leave); val instantU8 = u8(Instant)
+    def rowS(et: UTF8String, nm: String, attrs: Map[String, String] = null,
+             recv: Any = null, msgLen: Any = null): InternalRow =
+      row(et, u8(nm), mapData(attrs), recv, msgLen)
     records(bytes, isEvt = true).flatMap { case (t, p) =>
       t match {
         case 0x05 =>
@@ -237,16 +288,15 @@ object Otf2Reader {
           // Enter rows carry the attribute bag; Leave rows stay null so a
           // pair's attributes aren't duplicated (otf2_reader.py:306-326)
           val ref = regionRef(p)
-          Seq(row(Enter, meta.regionNames.getOrElse(ref, "unknown"),
-            Map("region" -> s"Region $ref")))
+          Seq(row(enterU8, regName(ref), regionAttr(ref)))
         case 0x0d =>
-          Seq(row(Leave, meta.regionNames.getOrElse(regionRef(p), "unknown")))
+          Seq(row(leaveU8, regName(regionRef(p))))
         case 0x0e => // MpiSend: [receiver][communicator][tag][length]
           val (recv, j0) = compressed(p, 0)
           val (comm, j1) = compressed(p, j0)
           val (tag, j2) = compressed(p, j1)
           val (len, _) = compressed(p, j2)
-          Seq(row(Instant, "MpiSend",
+          Seq(rowS(instantU8, "MpiSend",
             Map("receiver" -> recv.toString, "communicator" -> s"Comm $comm",
               "msg_tag" -> tag.toString, "msg_length" -> len.toString),
             Int.box(recv.toInt), Long.box(len)))
@@ -255,7 +305,7 @@ object Otf2Reader {
           val (comm, j1) = compressed(p, j0)
           val (tag, j2) = compressed(p, j1)
           val (len, _) = compressed(p, j2)
-          Seq(row(Instant, "MpiRecv",
+          Seq(rowS(instantU8, "MpiRecv",
             Map("sender" -> send.toString, "communicator" -> s"Comm $comm",
               "msg_tag" -> tag.toString, "msg_length" -> len.toString),
             null, Long.box(len)))
@@ -265,7 +315,7 @@ object Otf2Reader {
           val (tag, j2) = compressed(p, j1)
           val (len, j3) = compressed(p, j2)
           val (req, _) = compressed(p, j3)
-          Seq(row(Instant, "MpiIsend",
+          Seq(rowS(instantU8, "MpiIsend",
             Map("receiver" -> recv.toString, "communicator" -> s"Comm $comm",
               "msg_tag" -> tag.toString, "msg_length" -> len.toString,
               "request_id" -> req.toString),
@@ -276,26 +326,26 @@ object Otf2Reader {
           val (tag, j2) = compressed(p, j1)
           val (len, j3) = compressed(p, j2)
           val (req, _) = compressed(p, j3)
-          Seq(row(Instant, "MpiIrecv",
+          Seq(rowS(instantU8, "MpiIrecv",
             Map("sender" -> send.toString, "communicator" -> s"Comm $comm",
               "msg_tag" -> tag.toString, "msg_length" -> len.toString,
               "request_id" -> req.toString),
             null, Long.box(len)))
         case 0x10 => // MpiIsendComplete: [requestID]
           val (req, _) = compressed(p, 0)
-          Seq(row(Instant, "MpiIsendComplete", Map("request_id" -> req.toString)))
+          Seq(rowS(instantU8, "MpiIsendComplete", Map("request_id" -> req.toString)))
         case 0x11 => // MpiIrecvRequest: [requestID]
           val (req, _) = compressed(p, 0)
-          Seq(row(Instant, "MpiIrecvRequest", Map("request_id" -> req.toString)))
+          Seq(rowS(instantU8, "MpiIrecvRequest", Map("request_id" -> req.toString)))
         case 0x16 => // MpiCollectiveBegin (no payload fields)
-          Seq(row(Instant, "MpiCollectiveBegin"))
+          Seq(rowS(instantU8, "MpiCollectiveBegin"))
         case 0x17 => // MpiCollectiveEnd: [collectiveOp u8][communicator][root][sizeSent][sizeReceived]
           val op = p(0) & 0xff
           val (comm, j1) = compressed(p, 1)
           val (root, j2) = compressed(p, j1)
           val (sent, j3) = compressed(p, j2)
           val (recvd, _) = compressed(p, j3)
-          Seq(row(Instant, "MpiCollectiveEnd",
+          Seq(rowS(instantU8, "MpiCollectiveEnd",
             Map("collective_op" -> op.toString, "communicator" -> s"Comm $comm",
               "root" -> root.toString, "size_sent" -> sent.toString,
               "size_received" -> recvd.toString)))
@@ -317,9 +367,9 @@ object Otf2Reader {
           pend = vals; pendTicks = ts
           Nil
         case 0x53 => // ProgramBegin: [name][#args][args...]
-          Seq(row(Instant, "ProgramBegin"))
+          Seq(rowS(instantU8, "ProgramBegin"))
         case 0x54 => // ProgramEnd: [exitStatus]
-          Seq(row(Instant, "ProgramEnd"))
+          Seq(rowS(instantU8, "ProgramEnd"))
         case _ => Nil // non-event records (buffer markers, measurement state)
       }
     }
@@ -456,7 +506,9 @@ object Otf2Reader {
         parseEvents(metaBc.value, bytes, loc, proc, thr)
       }
 
-    Ingest.assignDenseIds(spark.createDataFrame(rows, outSchema(meta.metricNames)),
+    Ingest.assignDenseIds(
+        org.apache.spark.sql.graftbridge.RddBridge.fromInternalRdd(
+          spark, rows, outSchema(meta.metricNames)),
         EventId, col(TimestampNs), col("loc"), col("seq"))
       .select((Seq(EventId, TimestampNs, EventType, Name,
         Process, Thread, Attributes, AttrReceiver, AttrMsgLength) ++

@@ -49,10 +49,22 @@ object Dedup {
     val hashed = sh.select(col(idCol),
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h1"),
       conv(substring(md5(col("shingle")), 17, 14), 16, 10).cast("long").as("h2"))
-    hashed.select(col(idCol), col("h1"), col("h2"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(col("h1") + col("seed") * col("h2")).as("minhash"))
+    // numHashes min-aggregates over ONE pass of the shingle stream, then
+    // unpivot to the long form — NOT an explode(sequence(0, n-1)) before
+    // the aggregation, which amplifies the shingle stream numHashes×
+    // through the map-side combine (the dominant term: shingles ≫ docs).
+    // min(h1 + seed·h2) per seed is computed on identical values either
+    // way, so the signature table is bit-identical.
+    val mins = (0 until numHashes).map { i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")
+    }
+    val stackExpr = s"stack($numHashes, " +
+      (0 until numHashes).map(i => s"${i}L, m$i").mkString(", ") +
+      ") as (seed, minhash)"
+    hashed.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), expr(stackExpr))
+      .select(col(idCol), col("seed").cast("int").as("seed"), col("minhash"))
   }
 
   /** LSH banding over minhash signatures → candidate near-duplicate pairs
@@ -341,7 +353,8 @@ object Dedup {
     *
     * Returns (node, component) for every node that appears in a pair. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-                          bCol: String = "b", maxIter: Int = 30): DataFrame = {
+                          bCol: String = "b", maxIter: Int = 30,
+                          maxLocalEdges: Long = 2000000L): DataFrame = {
     // canonical big -> small directed edges; self-pairs drop out of the
     // contraction and are restored as singleton labels at the end
     val nodes = pairs.select(col(aCol).as("node"))
@@ -354,6 +367,47 @@ object Dedup {
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct())
     var eCount = e.count()
+    // Size-gated driver union-find — the same bounded-collect policy as
+    // [[componentsIncremental]] (and broadcast thresholds): below
+    // `maxLocalEdges` DISTINCT edges the distributed star contraction
+    // pays ~3 jobs per round of pure scheduling overhead on a graph the
+    // driver solves in milliseconds (measured: the bench's 161-edge LSH
+    // graph cost ~15 s through the fixpoint). Labels are the component
+    // MINIMUM on both paths, so the result is identical — spec-pinned.
+    // The collect is bounded by the gate (~32 MB at the 2M default);
+    // beyond it the unbounded distributed fixpoint below runs unchanged.
+    if (eCount <= maxLocalEdges) {
+      val uf = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (uf.getOrElse(r, r) != r) r = uf.getOrElse(r, r)
+        var c = x
+        while (uf.getOrElse(c, c) != c) { val n = uf(c); uf(c) = r; c = n }
+        r
+      }
+      val touched = scala.collection.mutable.ArrayBuffer[Long]()
+      e.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        touched += a; touched += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      GraphOps.releaseCheckpoint(e)
+      val minOf = scala.collection.mutable.HashMap[Long, Long]()
+      touched.foreach { n =>
+        val r = find(n)
+        minOf(r) = math.min(minOf.getOrElse(r, n), n)
+      }
+      val rows = touched.distinct.map(n => (n, minOf(find(n))))
+      val labels = pairs.sparkSession.createDataFrame(rows.toSeq)
+        .toDF("node", "component")
+      // nodes includes self-pair-only ids, which carry no edge: label
+      // them with themselves exactly like the distributed path's final
+      // left join
+      return nodes.join(labels, Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node"))
+          .as("component"))
+    }
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -489,8 +543,9 @@ object Dedup {
     * aggregation reduces each partition to one 60-counter row per doc. */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
+    val tok = graft.util.ScanParallelism
+      .fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col(idCol), TextOps.md5Hash60(col("tok"), 0).as("h"))
     val bitSums = (0 until 60).map { j =>
       sum(expr(s"(shiftright(h, $j) & CAST(1 AS BIGINT)) * 2 - 1")).as(s"s$j")

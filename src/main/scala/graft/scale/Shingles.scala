@@ -9,7 +9,11 @@ object Shingles {
   def wordShingles(docs: DataFrame, k: Int = 3, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    docs.select(col(idCol), toks.as("toks"))
+    // fanOut: tokenize+shingle CPU dominates one pass of text
+    // serialization — restore core-count parallelism when the input
+    // layout under-splits (r11; no-op on any real multi-file table)
+    graft.util.ScanParallelism.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("toks"))
       .select(col(idCol),
         explode(transform(sequence(lit(1), greatest(size(col("toks")) - (k - 1), lit(1))),
           i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("shingle"))
@@ -24,7 +28,8 @@ object Shingles {
   def wordShinglesPos(docs: DataFrame, k: Int = 3, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    docs.select(col(idCol), toks.as("toks"))
+    graft.util.ScanParallelism.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("toks"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(1), greatest(size(col("toks")) - (k - 1), lit(1))),
           i => concat_ws(" ", slice(col("toks"), i, lit(k)))))

@@ -530,7 +530,9 @@ object TextOps {
     // unmaterialized split() re-tokenizes the document inside every
     // element_at — O(tokens²) per doc (the StreamingLsh.hashedShingles
     // lesson; this was half the bigram-LM query's cost)
-    val withToks = df.withColumn("_toks", tokens(col(textCol)))
+    val withToks = graft.util.ScanParallelism
+      .fanOut(df.select(id.map(col).toSeq :+ col(textCol): _*))
+      .withColumn("_toks", tokens(col(textCol)))
       .filter(size(col("_toks")) >= 2)
     withToks.select(id.map(col).toSeq :+ explode(transform(
         sequence(lit(1), size(col("_toks")) - 1),
@@ -549,7 +551,9 @@ object TextOps {
     * is shared and results stay bit-comparable. */
   private[graft] def hashedBigramRows(df: DataFrame, id: Option[String],
                                       textCol: String): DataFrame = {
-    val withHt = df.withColumn("_toks", tokens(col(textCol)))
+    val withHt = graft.util.ScanParallelism
+      .fanOut(df.select(id.map(col).toSeq :+ col(textCol): _*))
+      .withColumn("_toks", tokens(col(textCol)))
       .filter(size(col("_toks")) >= 2)
       .withColumn("_ht", transform(col("_toks"), t => md5Hash60(t, 0)))
     withHt.select(id.map(col).toSeq :+ explode(transform(
@@ -578,7 +582,8 @@ object TextOps {
     * vocabulary-sized and persist well. */
   def bigramModel(train: DataFrame,
                   textCol: String = "text"): (DataFrame, DataFrame) = {
-    val uni = train.select(explode(tokens(col(textCol))).as("w1"))
+    val uni = graft.util.ScanParallelism.fanOut(train.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val bi = bigramRows(train, None, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
@@ -866,12 +871,15 @@ object TextOps {
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // dl rides along through the explode, so tf+dl come out of ONE
     // groupBy(doc, term) — no per-doc length join or window afterwards
-    val toks = docs.select(col(idCol), size(tokens(col(textCol))).as("dl"),
-      explode(tokens(col(textCol))).as("term"))
+    val toks = graft.util.ScanParallelism
+      .fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), size(tokens(col(textCol))).as("dl"),
+        explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n"),
-      avg(size(tokens(col(textCol)))).as("avgdl"))
+    val stats = graft.util.ScanParallelism.fanOut(docs.select(col(textCol)))
+      .agg(count(lit(1)).as("n"),
+        avg(size(tokens(col(textCol)))).as("avgdl"))
     val qterms = queries
       .select(col(idCol).as("query_id"), explode(tokens(col(textCol))).as("term"))
       .distinct()

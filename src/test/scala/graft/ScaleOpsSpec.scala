@@ -161,6 +161,52 @@ class ScaleOpsSpec extends SparkSpec {
       s"unconverged labels: ${cc.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("connected components: size-gated local union-find == distributed " +
+      "star contraction on a random multi-component graph") {
+    // r11: below maxLocalEdges the driver union-find answers instead of
+    // the distributed fixpoint (pure scheduling overhead on tiny graphs);
+    // both paths must label every node with its component MINIMUM.
+    // Deterministic pseudo-random edges over 3 planted clusters + noise
+    // singles + a self-pair (exercises the nodes-left-join path).
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 120).map { _ =>
+      val c = rnd.nextInt(3) * 1000L
+      (c + rnd.nextInt(40), c + rnd.nextInt(40))
+    } ++ Seq((5000L, 5000L))
+    val pairs = edges.toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.connectedComponents(pairs, maxLocalEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == dist, s"local/distributed label mismatch: " +
+      s"${(local diff dist).take(5)} vs ${(dist diff local).take(5)}")
+    assert(local.exists(_ == (5000L, 5000L)), "self-pair singleton kept")
+  }
+
+  test("minhash signatures: aggregate-unpivot formulation == the explicit " +
+      "per-seed explode") {
+    // r11: the signature build computes numHashes min-aggregates in one
+    // pass and stacks, instead of exploding the shingle stream numHashes×
+    // first; the table must be bit-identical to the direct formulation.
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fast = Dedup.minhashSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sh = graft.scale.Shingles.wordShingles(docs, 3, "text", "doc_id")
+    val hashed = sh.select(col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("shingle")), 17, 14), 16, 10).cast("long").as("h2"))
+    val ref = hashed.select(col("doc_id"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(15))).as("seed"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h1") + col("seed") * col("h2")).as("minhash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fast == ref)
+    assert(fast.size == 4 * 16)
+  }
+
   test("connected components: an empty pair set yields an empty labeling") {
     // regression: the convergence checksum read sum(null) with getLong
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
