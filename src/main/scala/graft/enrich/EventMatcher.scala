@@ -117,18 +117,32 @@ object EventMatcher {
       .repartition(locCols: _*)
       .sortWithinPartitions(locCols ++ Seq(col(TimestampNs), col(EventId)): _*)
 
-    sorted.mapPartitions { iter =>
-      new Iterator[Row] {
-        private var out: Iterator[Row] = Iterator.empty
-        private var pending: Row = null
+    // The pass runs over InternalRow (r11, guide §4.1): the former
+    // Dataset.mapPartitions(...)(Encoders.row) shape paid the RowEncoder
+    // round trip — every input deserialized to an external Row, every
+    // output re-serialized — which dominated the matcher's cost (the
+    // matching itself is integer array walks). Input rows are copied
+    // when buffered (toRdd reuses the row per iterator step); each
+    // output is a fresh JoinedRow(input, enrichment) so no reuse hazard.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    val spark = events.sparkSession
+    val enterU8 = org.apache.spark.unsafe.types.UTF8String.fromString(Enter)
+    val leaveU8 = org.apache.spark.unsafe.types.UTF8String.fromString(Leave)
 
-        private def locKey(r: Row): (Int, Int) = {
+    val outRdd = org.apache.spark.sql.graftbridge.RddBridge
+      .toInternalRdd(sorted).mapPartitions { iter =>
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var pending: InternalRow = null
+
+        private def locKey(r: InternalRow): (Int, Int) = {
           val p = r.getInt(procIdx)
           val t = if (thrIdx >= 0 && !r.isNullAt(thrIdx)) r.getInt(thrIdx) else -1
           (p, t)
         }
 
-        private def processGroup(rows: ArrayBuffer[Row]): Iterator[Row] = {
+        private def processGroup(rows: ArrayBuffer[InternalRow]): Iterator[InternalRow] = {
           val n = rows.length
           val matchId = new Array[Long](n)
           val matchTs = new Array[Long](n)
@@ -146,13 +160,13 @@ object EventMatcher {
           var i = 0
           while (i < n) {
             val r = rows(i)
-            val et = r.getString(typeIdx)
-            if (et == Enter) {
+            val et = r.getUTF8String(typeIdx)
+            if (et == enterU8) {
               stack += i
-            } else if (et == Leave) {
-              val nm = r.getString(nameIdx)
+            } else if (et == leaveU8) {
+              val nm = r.getUTF8String(nameIdx)
               var j = stack.length - 1
-              while (j >= 0 && rows(stack(j)).getString(nameIdx) != nm) j -= 1
+              while (j >= 0 && rows(stack(j)).getUTF8String(nameIdx) != nm) j -= 1
               if (j >= 0) {
                 val e = stack.remove(j)
                 matched(e) = true; matched(i) = true
@@ -173,8 +187,8 @@ object EventMatcher {
           i = 0
           while (i < n) {
             if (matched(i)) {
-              val et = rows(i).getString(typeIdx)
-              if (et == Enter) {
+              val et = rows(i).getUTF8String(typeIdx)
+              if (et == enterU8) {
                 depthArr(i) = stack.length
                 hasDepth(i) = true
                 val inc = matchTs(i) - rows(i).getLong(tsIdx)
@@ -186,7 +200,8 @@ object EventMatcher {
                 }
                 val parentHash = if (pathStack.isEmpty) RootHash else pathStack.last
                 if (pathStack.nonEmpty) { parentPathArr(i) = parentHash; hasParentPath(i) = true }
-                pathArr(i) = mix(parentHash, fnv1a64(rows(i).getString(nameIdx)))
+                pathArr(i) = mix(parentHash,
+                  fnv1a64(rows(i).getUTF8String(nameIdx).toString))
                 stack += i
                 pathStack += pathArr(i)
               } else { // Leave pops unconditionally (matched stream is balanced)
@@ -197,37 +212,34 @@ object EventMatcher {
           }
 
           rows.iterator.zipWithIndex.map { case (r, k) =>
-            val vals = new Array[Any](outSchema.length)
-            var c = 0
-            while (c < schema.length) { vals(c) = r.get(c); c += 1 }
-            val b = schema.length
+            val vals = new Array[Any](enrichmentColumns.length)
             if (matched(k)) {
-              vals(b) = matchId(k)
-              vals(b + 1) = matchTs(k)
-              val isEnter = r.getString(typeIdx) == Enter
-              vals(b + 2) = if (hasDepth(k)) Int.box(depthArr(k)) else null
-              vals(b + 3) = if (hasParent(k)) Long.box(parentArr(k)) else null
-              vals(b + 4) = if (isEnter) Long.box(pathArr(k)) else null
-              vals(b + 5) = if (isEnter && hasParentPath(k)) Long.box(parentPathArr(k)) else null
+              vals(0) = matchId(k)
+              vals(1) = matchTs(k)
+              val isEnter = r.getUTF8String(typeIdx) == enterU8
+              vals(2) = if (hasDepth(k)) Int.box(depthArr(k)) else null
+              vals(3) = if (hasParent(k)) Long.box(parentArr(k)) else null
+              vals(4) = if (isEnter) Long.box(pathArr(k)) else null
+              vals(5) = if (isEnter && hasParentPath(k)) Long.box(parentPathArr(k)) else null
               if (isEnter) {
                 val inc = matchTs(k) - r.getLong(tsIdx)
-                vals(b + 6) = Long.box(inc)
-                vals(b + 7) = Long.box(inc - childIncSum(k))
+                vals(6) = Long.box(inc)
+                vals(7) = Long.box(inc - childIncSum(k))
               }
             }
-            new GenericRowWithSchema(vals, outSchema): Row
+            new JoinedRow(r, new GenericInternalRow(vals)): InternalRow
           }
         }
 
         private def advance(): Unit = {
           if (out.hasNext) return
           if (pending == null && !iter.hasNext) return
-          val buf = new ArrayBuffer[Row]()
+          val buf = new ArrayBuffer[InternalRow]()
           if (pending != null) { buf += pending; pending = null }
           var key = if (buf.nonEmpty) locKey(buf(0)) else null
           var done = false
           while (!done && iter.hasNext) {
-            val r = iter.next()
+            val r = iter.next().copy() // toRdd reuses the row object
             if (key == null) { key = locKey(r); buf += r }
             else if (locKey(r) == key) buf += r
             else { pending = r; done = true }
@@ -236,9 +248,11 @@ object EventMatcher {
         }
 
         override def hasNext: Boolean = { advance(); out.hasNext }
-        override def next(): Row = { advance(); out.next() }
+        override def next(): InternalRow = { advance(); out.next() }
       }
-    }(Encoders.row(outSchema))
+    }
+    org.apache.spark.sql.graftbridge.RddBridge
+      .fromInternalRdd(spark, outRdd, outSchema)
   }
 
   /** Bounded-memory enrichment: identical output to the buffered path, but

@@ -53,7 +53,7 @@ object Bpe {
                   nMerges: Int = 8,
                   localVocabMax: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
-    val words = docs
+    val words = graft.util.ScanParallelism.fanOut(docs.select(col(textCol)))
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))

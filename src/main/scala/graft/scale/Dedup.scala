@@ -1084,7 +1084,16 @@ object Dedup {
   private def shinglePairStats(docs: DataFrame, shingleK: Int,
                                textCol: String, idCol: String,
                                maxShingleDf: Int): DataFrame = {
+    // 60-bit hashed shingles (md5Hash60, same construction as the
+    // jaccard_prefix family): every downstream exchange — the distinct,
+    // the df cap, the doc-size window, and the inverted-index self-join —
+    // carries an 8-byte long instead of a ~20-40 byte string, and the
+    // join compares integers (guide §2.3 "narrower types"). Set sizes and
+    // intersections count hashed-distinct shingles, identical to
+    // string-distinct counts absent a 60-bit collision (~n²/2⁶¹; the
+    // oracle computes over strings, so the gate would catch one).
     val sh = Shingles.wordShingles(docs, shingleK, textCol, idCol)
+      .select(col(idCol), TextOps.md5Hash60(col("shingle"), 0).as("shingle"))
       .distinct()
     val kept =
       if (maxShingleDf == Int.MaxValue) sh

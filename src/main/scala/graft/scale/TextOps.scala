@@ -282,8 +282,9 @@ object TextOps {
     * explode + aggregation. */
   def languageId(docs: DataFrame, profiles: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = docs.select(col(idCol),
-      explode(charTrigrams(col(textCol))).as("gram"))
+    val grams = graft.util.ScanParallelism
+      .fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
     val scored = grams.join(broadcast(profiles), Seq("gram"))
       .groupBy(col(idCol), col("lang")).agg(sum("weight").as("score"))
     import org.apache.spark.sql.expressions.Window
@@ -300,7 +301,8 @@ object TextOps {
                             textCol: String = "text",
                             langCol: String = "lang"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = labeled
+    val counts = graft.util.ScanParallelism
+      .fanOut(labeled.select(col(langCol), col(textCol)))
       .select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("gram"))
       .groupBy("lang", "gram").count()
     val w = Window.partitionBy("lang").orderBy(col("count").desc, col("gram"))
@@ -720,7 +722,9 @@ object TextOps {
     // functions evaluate interpreted, so an unmaterialized split() inside
     // the lambda re-tokenizes the document once per element — O(tokens²)
     // per doc (measured 6× slower at sf0.1)
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val base = graft.util.ScanParallelism
+      .fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
     val nSh = greatest(size(col("_toks")) - (k - 1), lit(1))
     val sh = base.select(col(idCol), nSh.as("nsh"),
         posexplode(transform(sequence(lit(1), nSh),
@@ -997,6 +1001,12 @@ object TextOps {
                      srcCol: String = "source", textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be positive: $ns")
+    // one shared fan-out below all three n branches: the tokenize +
+    // gram explode is the whole cost and ran serially on the bench's
+    // single-split corpus layout; the identical repartition subtree is
+    // exchange-reused across branches
+    val base = graft.util.ScanParallelism
+      .fanOut(docs.select(col(srcCol), col(textCol)))
     val per = ns.map { n =>
       val toks = tokens(col(textCol))
       // docs shorter than n contribute NOTHING at that n — a floored
@@ -1004,8 +1014,8 @@ object TextOps {
       // and inflate exactly the short-doc-heavy sources this diversity
       // audit exists to flag
       val grams =
-        if (n == 1) docs.select(col(srcCol), explode(toks).as("gram"))
-        else docs.filter(size(toks) >= n).select(col(srcCol),
+        if (n == 1) base.select(col(srcCol), explode(toks).as("gram"))
+        else base.filter(size(toks) >= n).select(col(srcCol),
           explode(transform(
             sequence(lit(1), size(toks) - (n - 1)),
             i => concat_ws(" ", slice(toks, i, lit(n))))).as("gram"))
