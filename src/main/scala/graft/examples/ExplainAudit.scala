@@ -19,7 +19,7 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    for (name <- args.drop(1).headOption.map(Seq(_)).getOrElse(
+    for (name <- args.drop(1).headOption.map(_.split(",").toSeq).getOrElse(
         Seq("q1_pricing", "q3_topk", "comm_matrix", "trace_flat_profile",
             "ann_topk", "minhash_sig", "trace_time_profile",
             "knn_graph", "bm25_topk", "dsir_weights", "dup_spans",

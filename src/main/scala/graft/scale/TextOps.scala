@@ -69,7 +69,7 @@ object TextOps {
     // materialized once: the vocab count, both xent join sides, and both
     // totals branches read this — without it the full-corpus tokenize +
     // count aggregation re-runs ~5× for one query
-    val counts = docs
+    val counts = graft.util.ScanParallelism.fanOut(docs.select(col(groupCol), col(textCol)))
       .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -109,7 +109,7 @@ object TextOps {
   def zipfFit(docs: DataFrame, groupCol: String = "source",
               textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs
+    val counts = graft.util.ScanParallelism.fanOut(docs.select(col(groupCol), col(textCol)))
       .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
     val xy = counts
@@ -262,7 +262,8 @@ object TextOps {
     // N stays inside the lazy plan (broadcast one-row aggregate) — a
     // driver-side docs.count() here would be a second full corpus scan
     val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
-    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = graft.util.ScanParallelism.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val scored = tf.crossJoin(broadcast(nDocs))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
@@ -331,7 +332,7 @@ object TextOps {
     * replicates the decomposition (the oracle does). */
   def naiveBayesModel(labeled: DataFrame, labelCol: String = "lang",
                       textCol: String = "text"): (DataFrame, DataFrame) = {
-    val tokCnt = labeled
+    val tokCnt = graft.util.ScanParallelism.fanOut(labeled.select(col(labelCol), col(textCol)))
       .select(col(labelCol).as("cls"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("c"))
     val vocab = tokCnt.agg(count_distinct(col("tok")).as("v"))
@@ -359,7 +360,7 @@ object TextOps {
   def naiveBayesClassify(docs: DataFrame, tokDelta: DataFrame,
                          classStats: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
-    val docToks = docs
+    val docToks = graft.util.ScanParallelism.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
     val docTot = docToks.groupBy(col(idCol)).agg(sum(col("cnt")).as("t"))
@@ -454,10 +455,12 @@ object TextOps {
     * nothing driver-side, scales with corpus size. */
   def unigramLogProb(docs: DataFrame, train: DataFrame,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val freq = train.select(explode(tokens(col(textCol))).as("tok"))
+    val freq = graft.util.ScanParallelism.fanOut(train.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val totals = freq.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val toks = graft.util.ScanParallelism.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     toks.join(freq, Seq("tok"), "left")
       .crossJoin(broadcast(totals))
       .select(col(idCol),
@@ -483,10 +486,11 @@ object TextOps {
   def ccnetBuckets(docs: DataFrame, train: DataFrame,
                    langCol: String = "lang", textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val freq = train.select(explode(tokens(col(textCol))).as("tok"))
+    val freq = graft.util.ScanParallelism.fanOut(train.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val totals = freq.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val scored = docs
+    val scored = graft.util.ScanParallelism.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .join(freq, Seq("tok"), "left")
       .crossJoin(broadcast(totals))
@@ -498,6 +502,10 @@ object TextOps {
         sum(col("nm")).as("sum_nll"))
       .withColumn("mean_nll_micro", expr("sum_nll div n_tokens"))
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      // materialized once: both the quantile-bounds branch and the final
+      // bucket join read the scored table — without it the token join
+      // pipeline runs twice (r11)
+      .localCheckpoint(false)
     val bounds = Sketches
       .histQuantilesByKey(scored, langCol, "mean_nll_micro",
         bins = 64, perMille = Seq(333, 667))
