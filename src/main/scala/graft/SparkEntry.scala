@@ -285,6 +285,28 @@ object SparkEntry {
     cachedDf(s, dir, "lsh_components_hist")(
       Dedup.connectedComponents(lshPairsAll(s, dir)
         .filter(col("a") % 10 =!= 0 && col("b") % 10 =!= 0)))
+  /** Shared shingle-pair statistics (r11): the inverted-index pair join
+    * with per-pair (inter, sza, szb) that both `ngram_jaccard` and
+    * `dedup_containment` threshold differently — one expensive build,
+    * two cheap consumers. */
+  private def shinglePairStats(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "shingle_pair_stats")(
+      Dedup.shinglePairStats(T(s, dir, "documents"), 3, "text", "doc_id",
+        maxShingleDf = 1000))
+
+  /** Shared basket-analysis intermediates (r11): the distinct
+    * (basket, item) table and the frequent-pair support table are the
+    * expensive aggregations both `q_basket_rules` and `basket_itemsets`
+    * start from — compute once per (session, sf), share (the
+    * minhash_sigs / bm25_scores convention). */
+  private def basketBi(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "basket_bi")(
+      graft.analysis.Basket.basketItems(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey"))
+  private def basketPairSup(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "basket_pair_sup")(
+      graft.analysis.Basket.pairSupports(basketBi(s, dir), minSupport = 2L))
+
   private def bitextScored(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "bitext_scored")(
       Bitext.scoredPairs(T(s, dir, "embeddings"), T(s, dir, "documents"),
@@ -1360,7 +1382,9 @@ object SparkEntry {
     // micro-unit confidence/lift ---
     "q_basket_rules" -> ((s, dir) =>
       graft.analysis.Basket.pairRules(T(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", minSupport = 2L)
+          "l_orderkey", "l_partkey", minSupport = 2L,
+          biIn = Some(basketBi(s, dir)),
+          pairSupIn = Some(basketPairSup(s, dir)))
         .orderBy(col("a"), col("b"))),
 
     // --- frequent TRIPLES via Apriori level-wise pruning; the oracle
@@ -1368,7 +1392,9 @@ object SparkEntry {
     // proves the pruning lossless ---
     "basket_itemsets" -> ((s, dir) =>
       graft.analysis.Basket.frequentTriples(T(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", minSupport = 2L)
+          "l_orderkey", "l_partkey", minSupport = 2L,
+          biIn = Some(basketBi(s, dir)),
+          pairSupIn = Some(basketPairSup(s, dir)))
         .orderBy(col("a"), col("b"), col("c"))),
 
     // --- cohort LTV: per (acquisition cohort, age) revenue + running
@@ -1652,12 +1678,14 @@ object SparkEntry {
       .orderBy(col("source"))),
 
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.1, maxShingleDf = 1000)
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.1, maxShingleDf = 1000,
+          statsIn = Some(shinglePairStats(s, dir)))
         .orderBy(col("a"), col("b"))),
 
     // --- asymmetric containment: subset/quote near-dups Jaccard misses ---
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(T(s, dir, "documents"), 3, 0.5, maxShingleDf = 1000)
+      Dedup.containmentPairs(T(s, dir, "documents"), 3, 0.5, maxShingleDf = 1000,
+          statsIn = Some(shinglePairStats(s, dir)))
         .orderBy(col("a"), col("b"))),
 
     // --- EXACT threshold-Jaccard join, lossless prefix filtering

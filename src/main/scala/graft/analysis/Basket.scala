@@ -19,12 +19,42 @@ import org.apache.spark.sql.functions._
   * the rollup. */
 object Basket {
 
+  /** The distinct (basket, item) table both basket operators start from
+    * — exposed so a caller can compute it once and pass it to
+    * [[pairRules]] and [[frequentTriples]] via `biIn` (the shared-
+    * artifact convention of minhash signatures / bm25 scores). */
+  def basketItems(rows: DataFrame, basketCol: String,
+                  itemCol: String): DataFrame =
+    rows.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+
+  /** Frequent-pair supports over the (deduped, size-capped) basket table:
+    * (a, b, sup_ab) for every co-occurring pair with
+    * sup_ab ≥ minSupport. This is the ONE expensive aggregation of the
+    * basket family (the in-basket pair self-join) — [[pairRules]] and
+    * [[frequentTriples]] both consume it, so compute it once and share. */
+  def pairSupports(bi: DataFrame, minSupport: Long = 2L,
+                   maxBasketSize: Int = Int.MaxValue): DataFrame = {
+    require(minSupport >= 1L, s"minSupport must be >= 1: $minSupport")
+    val sized =
+      if (maxBasketSize == Int.MaxValue) bi
+      else bi.join(
+        bi.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") <= maxBasketSize).select(col("b")),
+        Seq("b"), "leftsemi")
+    sized.as("x").join(sized.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSupport)
+  }
+
   def pairRules(rows: DataFrame, basketCol: String, itemCol: String,
                 minSupport: Long = 2L,
-                maxBasketSize: Int = Int.MaxValue): DataFrame = {
+                maxBasketSize: Int = Int.MaxValue,
+                biIn: Option[DataFrame] = None,
+                pairSupIn: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1L, s"minSupport must be >= 1: $minSupport")
-    val bi = rows.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
+    val bi = biIn.getOrElse(basketItems(rows, basketCol, itemCol))
     val sized =
       if (maxBasketSize == Int.MaxValue) bi
       else bi.join(
@@ -38,11 +68,8 @@ object Basket {
     val nb = sized.select(col("b")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemSup = sized.groupBy(col("i")).agg(count(lit(1)).as("sup"))
-    val pairSup = sized.as("x").join(sized.as("y"),
-        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
-      .agg(count(lit(1)).as("sup_ab"))
-      .filter(col("sup_ab") >= minSupport)
+    val pairSup = pairSupIn
+      .getOrElse(pairSupports(bi, minSupport, maxBasketSize))
     pairSup
       .join(itemSup.select(col("i").as("a"), col("sup").as("sup_a")), Seq("a"))
       .join(itemSup.select(col("i").as("b"), col("sup").as("sup_b")), Seq("b"))
@@ -73,27 +100,41 @@ object Basket {
     * units via integral division. */
   def frequentTriples(rows: DataFrame, basketCol: String, itemCol: String,
                       minSupport: Long = 2L,
-                      maxBasketSize: Int = Int.MaxValue): DataFrame = {
+                      maxBasketSize: Int = Int.MaxValue,
+                      biIn: Option[DataFrame] = None,
+                      pairSupIn: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1L, s"minSupport must be >= 1: $minSupport")
-    val bi0 = rows.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
+    val bi0 = biIn.getOrElse(basketItems(rows, basketCol, itemCol))
     val sized =
       if (maxBasketSize == Int.MaxValue) bi0
       else bi0.join(
         bi0.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
           .filter(col("__sz") <= maxBasketSize).select(col("b")),
         Seq("b"), "leftsemi")
-    // L1: frequent items; prune the basket table down to them
-    val l1 = sized.groupBy(col("i")).agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= minSupport).select(col("i"))
-    val bi = sized.join(l1, Seq("i"), "leftsemi")
-    // L2: frequent ordered pairs over the pruned table
+    // L2: frequent pairs — the family's one expensive aggregation,
+    // shareable via pairSupIn. (A pair with sup ≥ minSupport necessarily
+    // has both items at sup ≥ minSupport, so the former explicit L1 item
+    // prune before the pair count changed nothing about L2 — the pair
+    // table is computed over the full basket table and L1 falls out of
+    // it. The L1 prune the triples need is the STRONGER l2-items prune
+    // below.)
+    val l2 = pairSupIn
+      .getOrElse(pairSupports(bi0, minSupport, maxBasketSize))
+      .select(col("a").as("i1"), col("b").as("i2"), col("sup_ab"))
+    // r11 Apriori strengthening: every item of a qualifying triple
+    // appears in some L2 pair — (i1,i2), (i1,i3), (i2,i3) must ALL be
+    // L2-frequent — so the basket table is pruned to L2 ITEMS before
+    // any triple enumeration. The candidate join then runs over the
+    // (usually tiny) L2-supported slice of the corpus instead of the
+    // full basket table; the leftsemi checks below are unchanged, so
+    // the result is identical (the prune can only drop rows those
+    // checks reject).
+    val l2Items = l2.select(col("i1").as("i"))
+      .unionByName(l2.select(col("i2").as("i"))).distinct()
+    val bi = sized.join(l2Items, Seq("i"), "leftsemi")
     val pairsInBasket = bi.as("x").join(bi.as("y"),
         col("x.b") === col("y.b") && col("x.i") < col("y.i"))
       .select(col("x.b").as("b"), col("x.i").as("i1"), col("y.i").as("i2"))
-    val l2 = pairsInBasket.groupBy(col("i1"), col("i2"))
-      .agg(count(lit(1)).as("sup_ab"))
-      .filter(col("sup_ab") >= minSupport)
     // enumerate third items only off L2-frequent in-basket pairs, and
     // require the two new pairs (i1,i3), (i2,i3) frequent too before
     // counting — full Apriori candidate pruning, all keyed joins

@@ -63,21 +63,31 @@ object Concurrency {
                    startCol: String = "start", endCol: String = "end")
       : DataFrame = {
     val relevant = intervals.filter(col(classCol).isin(classA, classB))
-    val deltas = relevant.select(col(keyCol), col(classCol),
-        col(startCol).as("t"), lit(1L).as("delta"))
-      .unionByName(relevant.select(col(keyCol), col(classCol),
-        col(endCol).as("t"), lit(-1L).as("delta")))
-    val net = deltas.groupBy(col(keyCol), col("t"))
-      .agg(sum(when(col(classCol) === classA, col("delta"))
-        .otherwise(0L)).as("net_a"),
-        sum(when(col(classCol) === classB, col("delta"))
-          .otherwise(0L)).as("net_b"))
+    // ONE exchange (r11): the former groupBy(key, t) netting pass
+    // shuffled the full delta stream once for the aggregation and again
+    // for the key window — and (key, t) keys are nearly unique, so the
+    // map-side combine reduced nothing. Instead the running sums use a
+    // RANGE frame (inclusive of all peers at the same t, which IS the
+    // post-t net state), and the per-t collapse falls out of the
+    // `nxt > t` filter: among rows sharing a t only the last in window
+    // order has lead(t) ≠ t, its frame-inclusive sums equal the netted
+    // state, and the others would contribute zero-length segments the
+    // old formulation never saw. The class tag is also resolved to
+    // integer deltas BEFORE the exchange — no strings in the shuffle.
+    val da = when(col(classCol) === classA, lit(1L)).otherwise(lit(0L))
+    val db = when(col(classCol) === classB, lit(1L)).otherwise(lit(0L))
+    val deltas = relevant.select(col(keyCol),
+        col(startCol).as("t"), da.as("da"), db.as("db"))
+      .unionByName(relevant.select(col(keyCol),
+        col(endCol).as("t"), (-da).as("da"), (-db).as("db")))
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("t"))
-    net
-      .withColumn("open_a", sum(col("net_a")).over(w))
-      .withColumn("open_b", sum(col("net_b")).over(w))
+    deltas
+      .withColumn("open_a", sum(col("da")).over(wr))
+      .withColumn("open_b", sum(col("db")).over(wr))
       .withColumn("nxt", lead(col("t"), 1).over(w))
-      .filter(col("nxt").isNotNull &&
+      .filter(col("nxt").isNotNull && col("nxt") > col("t") &&
         col("open_a") > 0 && col("open_b") > 0)
       .groupBy(col(keyCol))
       .agg(sum(col("nxt") - col("t")).as("overlap_total"),

@@ -731,8 +731,10 @@ object Dedup {
     * non-duplicates. Default (Int.MaxValue) disables the cap. */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, minJaccard: Double = 0.2,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxShingleDf: Int = Int.MaxValue): DataFrame =
-    shinglePairStats(docs, shingleK, textCol, idCol, maxShingleDf)
+                        maxShingleDf: Int = Int.MaxValue,
+                        statsIn: Option[DataFrame] = None): DataFrame =
+    statsIn.getOrElse(
+        shinglePairStats(docs, shingleK, textCol, idCol, maxShingleDf))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
@@ -754,8 +756,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame, shingleK: Int = 3,
                        minContainment: Double = 0.8,
                        textCol: String = "text", idCol: String = "doc_id",
-                       maxShingleDf: Int = Int.MaxValue): DataFrame =
-    shinglePairStats(docs, shingleK, textCol, idCol, maxShingleDf)
+                       maxShingleDf: Int = Int.MaxValue,
+                       statsIn: Option[DataFrame] = None): DataFrame =
+    statsIn.getOrElse(
+        shinglePairStats(docs, shingleK, textCol, idCol, maxShingleDf))
       .withColumn("cont_a", round(col("inter").cast("double") / col("sza"), 4))
       .withColumn("cont_b", round(col("inter").cast("double") / col("szb"), 4))
       .filter(col("cont_a") >= minContainment || col("cont_b") >= minContainment)
@@ -1081,9 +1085,14 @@ object Dedup {
     * optional df cap, then the sparse self-join on the shingle key,
     * aggregated to one row per co-shingled pair (a < b) carrying the
     * intersection size and both set sizes. */
-  private def shinglePairStats(docs: DataFrame, shingleK: Int,
-                               textCol: String, idCol: String,
-                               maxShingleDf: Int): DataFrame = {
+  /** (a, b, inter, sza, szb) for every doc pair sharing ≥ 1 admitted
+    * shingle — the shared intermediate behind [[ngramJaccardPairs]] and
+    * [[containmentPairs]]; compute once per corpus snapshot and pass via
+    * their `statsIn` (same shared-artifact convention as minhash
+    * signatures). */
+  def shinglePairStats(docs: DataFrame, shingleK: Int,
+                       textCol: String, idCol: String,
+                       maxShingleDf: Int): DataFrame = {
     // 60-bit hashed shingles (md5Hash60, same construction as the
     // jaccard_prefix family): every downstream exchange — the distinct,
     // the df cap, the doc-size window, and the inverted-index self-join —
