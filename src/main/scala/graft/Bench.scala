@@ -119,6 +119,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         scaledShufflePartitions(sfDir, cpus.toInt).toString)
+      // serialized RDD blocks (the iterative ops' DISK_ONLY round
+      // snapshots) compress ~5x for long-pair edge lists: write-once
+      // read-once sequential IO trades cheap CPU for the disk pass, and
+      // at the x100 tilings the snapshots are GB-scale (r11, guide §6)
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

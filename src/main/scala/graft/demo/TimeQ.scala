@@ -22,6 +22,7 @@ object TimeQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         graft.Bench.scaledShufflePartitions(sfDir, cpus.toInt).toString)
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -156,8 +156,11 @@ object GraphOps {
     var prev = half.count()
     var round = 0
     while (round < maxRounds && prev > 0) {
-      val keep = half.select(col("u").as("n"))
-        .unionByName(half.select(col("v").as("n")))
+      // explode, not a 2-branch union: one scan of the round snapshot
+      // for the degree view instead of two (the snapshot read is the
+      // round's dominant IO)
+      val keep = half
+        .select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("n"))
       val next = roundSnapshot(half
@@ -172,8 +175,7 @@ object GraphOps {
       round = if (c == prev) maxRounds else round + 1 // fixpoint → done
       prev = c
     }
-    half.select(col("u").as("node"))
-      .unionByName(half.select(col("v").as("node")))
+    half.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
   }
 

@@ -614,14 +614,17 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding",
                keep: Seq[String] = Nil): DataFrame = {
     val sub = codebooks(0)(0).length
+    // one fused argmin per subspace (r11): the former least(256 structs)
+    // composition planned ~2k expression nodes per row; VecNearestCluster
+    // is the identical math (same Σc² fold order, same left-to-right
+    // dot, ties → lowest code) as one codegen'd loop with the codebook
+    // as a reference object — the clusterExpr/kmeansAssign convention.
     val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
       val sv = slice(col(vecCol), s * sub + 1, sub)
-      val structs = cb.zipWithIndex.map { case (c, j) =>
-        val dist = lit(c.map(x => x * x).sum) -
-          lit(2.0) * graft.functions.VecMath.dot(sv, array(c.map(lit).toIndexedSeq: _*))
-        struct(dist.as("d"), lit(j).as("j"))
-      }
-      least(structs.toIndexedSeq: _*).getField("j").as(s"code$s")
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.VecNearestCluster(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(sv), cb))
+        .as(s"code$s")
     }
     vectors.select(col(idCol) +: keep.map(col) ++: codeCols.toIndexedSeq: _*)
   }

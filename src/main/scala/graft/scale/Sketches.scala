@@ -32,13 +32,22 @@ object Sketches {
   def cmsHeavyHitters(docs: DataFrame, k: Int = 20, depth: Int = 4,
                       width: Int = 1024,
                       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+    // ONE tokenize + term-frequency aggregation feeds both the sketch
+    // cells and the exact top-k (identical subtree → exchange reused),
+    // and the per-seed hash explode runs over DISTINCT tokens weighted
+    // by their counts instead of the raw token stream — depth× fewer
+    // md5s by the stream/vocabulary ratio, identical cell values
+    // (count of occurrences = Σ over distinct tokens of tf) (r11)
+    val tf = graft.util.ScanParallelism.fanOut(docs.select(col(textCol)))
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__tf"))
     val seeds = array((0 until depth).map(lit(_)): _*)
-    val cells = toks
-      .select(col("token"), explode(seeds).as("seed"))
-      .select(col("seed"), (tokenHash(col("seed"), col("token")) % width).as("bucket"))
-      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cell"))
-    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+    val cells = tf
+      .select(col("token"), col("__tf"), explode(seeds).as("seed"))
+      .select(col("seed"), col("__tf"),
+        (tokenHash(col("seed"), col("token")) % width).as("bucket"))
+      .groupBy(col("seed"), col("bucket")).agg(sum(col("__tf")).as("cell"))
+    val top = tf.withColumnRenamed("__tf", "exact_count")
       .orderBy(col("exact_count").desc, col("token")).limit(k)
     val probes = top.select(col("token"), col("exact_count"),
         explode(seeds).as("seed"))
@@ -69,8 +78,14 @@ object Sketches {
     // same fixed-point trick the PageRank oracle uses. The α·m²·2^55
     // numerator and final division are single double ops on identical
     // operands, deterministic under IEEE.
-    val toks = docs
+    // distinct (group, token) ONCE, shared by the register build and the
+    // exact side: max(ρ) over a bucket is unchanged by duplicates, so
+    // hashing the deduped stream is identical and the exact-distinct
+    // branch reuses the same exchange (r11)
+    val toks = graft.util.ScanParallelism
+      .fanOut(docs.select(col(groupCol), col(textCol)))
       .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .distinct()
     val regs = toks
       .select(col(groupCol), tokenHash(lit("h"), col("token")).as("h"))
       .select(col(groupCol), expr(s"h % $m").as("bucket"),
@@ -89,7 +104,7 @@ object Sketches {
         round(lit((0.709 * (m * m)) * (1L << 55).toDouble) /
           (col("s") + (lit(m.toLong) - col("nb")) * lit(1L << 55)).cast("double"), 4)
           .as("hll_estimate"))
-    val exact = toks.select(col(groupCol), col("token")).distinct()
+    val exact = toks
       .groupBy(col(groupCol)).agg(count(lit(1)).as("exact_distinct"))
     exact.join(est, Seq(groupCol))
   }
