@@ -43,7 +43,10 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    // fanOut: the corpus side of the broadcast nested loop carries all
+    // the dot-product CPU; a single-split scan serializes it (r11)
+    val c = graft.util.ScanParallelism.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
@@ -73,8 +76,9 @@ object Similarity {
     import graft.functions.VecMath.{dotMicro, norm2Micro}
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm2Micro(col(vecCol)).as("na2"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      norm2Micro(col(vecCol)).as("nb2"))
+    val c = graft.util.ScanParallelism.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        norm2Micro(col(vecCol)).as("nb2")))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"),
         when(col("na2") === 0L || col("nb2") === 0L, lit(0L))
@@ -104,7 +108,8 @@ object Similarity {
                excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VecMath
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val c = graft.util.ScanParallelism.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("ip", VecMath.dot(col("qvec"), col("cvec")))
