@@ -124,6 +124,18 @@ object Bench {
       // read-once sequential IO trades cheap CPU for the disk pass, and
       // at the x100 tilings the snapshots are GB-scale (r11, guide §6)
       .config("spark.rdd.compress", "true")
+      // The generated-code class cache defaults to 100 entries; 317
+      // distinct queries x several codegen units each meant EVERY query
+      // re-ran Janino compilation on EVERY sweep visit — measured
+      // (r12, TimeQ interleaved A/B over a 20-query cycle): trace_chrome
+      // 0.35 -> 0.11 s, trace_gaps 0.52 -> 0.19, trace_pareto
+      // 0.57 -> 0.20 with the cache sized to the workload. This was the
+      // "in-sweep median 3-5x over standalone" pathology of the r11
+      // verdict (standalone triage re-runs back-to-back, so it alone hit
+      // a warm cache). Caches compiled CODE only — never data or results
+      // — and a long-lived production driver serving this many distinct
+      // queries sizes it the same way at any SF.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.rdd.compress", "true") // see Bench: snapshot IO
+      // see Bench: 317 distinct queries thrash the default 100-entry
+      // generated-class cache (code cache, never results)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

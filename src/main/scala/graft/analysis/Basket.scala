@@ -48,6 +48,14 @@ object Basket {
       .filter(col("sup_ab") >= minSupport)
   }
 
+  /** INVARIANT for the shared-artifact inputs: `biIn` must be
+    * `basketItems(rows, basketCol, itemCol)` for THESE arguments, and
+    * `pairSupIn` must be `pairSupports(biIn, minSupport, maxBasketSize)`
+    * for THESE `minSupport`/`maxBasketSize` — a precomputed table built
+    * with different parameters is silently wrong (the parameters cannot
+    * be recovered from a DataFrame to `require` on). SparkEntry's
+    * artifact layer passes matching builds; external callers own the
+    * same obligation. */
   def pairRules(rows: DataFrame, basketCol: String, itemCol: String,
                 minSupport: Long = 2L,
                 maxBasketSize: Int = Int.MaxValue,

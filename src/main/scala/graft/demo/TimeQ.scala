@@ -18,12 +18,19 @@ object TimeQ {
     val n = args(1).toInt
     val names = args(2).split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // TIMEQ_CONF="k1=v1;k2=v2" injects extra session confs (dev-only —
+    // e.g. A/B of spark.sql.codegen.cache.maxEntries)
+    val extra = sys.env.getOrElse("TIMEQ_CONF", "").split(";")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         graft.Bench.scaledShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(b0)((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-stage metrics listener: the headless stand-in for the UI's
@@ -54,18 +61,34 @@ object TimeQ {
               f"inB=${m.inputMetrics.bytesRead}%10d  ${si.name.takeWhile(_ != '\n').take(70)}")
         }
       })
+    // TIMEQ_INTERLEAVE=1 reproduces the bench's sweep shape: run the
+    // whole name list round-robin n times (every visit to a query is
+    // separated by all the others — a cold codegen cache if the list is
+    // long), instead of n back-to-back runs per name (warm cache).
+    val interleave = sys.env.get("TIMEQ_INTERLEAVE").contains("1")
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                i: Int): (Double, Double, Long, Long) = {
+      spark.sparkContext.setJobDescription(s"$name run$i")
+      if (verbose && i == n) stages.clear()
+      val (c0, b0, s0) = (cpuNs.get, shufB.get, nStages.get)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let stage-completed events drain
+      (wall, (cpuNs.get - c0) / 1e9, shufB.get - b0, nStages.get - s0)
+    }
+    val sweepStats: Map[String, Seq[(Double, Double, Long, Long)]] =
+      if (interleave)
+        (1 to n).flatMap(i => names.map(name =>
+          name -> timeOne(name, graft.SparkEntry.queries(name), i)))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      else Map.empty
     for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
-      val stats = (1 to n).map { i =>
-        spark.sparkContext.setJobDescription(s"$name run$i")
-        if (verbose && i == n) stages.clear()
-        val (c0, b0, s0) = (cpuNs.get, shufB.get, nStages.get)
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(200) // let stage-completed events drain
-        (wall, (cpuNs.get - c0) / 1e9, shufB.get - b0, nStages.get - s0)
-      }
+      val stats =
+        if (interleave) sweepStats(name)
+        else (1 to n).map(i => timeOne(name, fn, i))
       val ts = stats.map(_._1)
       val med = ts.sorted.apply(ts.size / 2)
       val cpuMed = stats.map(_._2).sorted.apply(n / 2)

@@ -374,8 +374,12 @@ object Dedup {
     // driver solves in milliseconds (measured: the bench's 161-edge LSH
     // graph cost ~15 s through the fixpoint). Labels are the component
     // MINIMUM on both paths, so the result is identical — spec-pinned.
-    // The collect is bounded by the gate (~32 MB at the 2M default);
-    // beyond it the unbounded distributed fixpoint below runs unchanged.
+    // The collect pulls PRIMITIVE long pairs from the internal RDD (one
+    // packed Array[Long] per partition — a DataFrame.collect() of
+    // external Rows would cost ~100+ B/edge in transient driver objects,
+    // ~10× the data), so the driver footprint is 16 B/edge = 32 MB at
+    // the 2M gate; beyond it the unbounded distributed fixpoint below
+    // runs unchanged.
     if (eCount <= maxLocalEdges) {
       val uf = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -386,11 +390,19 @@ object Dedup {
         r
       }
       val touched = scala.collection.mutable.ArrayBuffer[Long]()
-      e.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        touched += a; touched += b
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+      org.apache.spark.sql.graftbridge.RddBridge.toInternalRdd(e)
+        .mapPartitions { it =>
+          val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+          Iterator.single(buf.result())
+        }.collect().foreach { arr =>
+        var i = 0
+        while (i < arr.length) {
+          val a = arr(i); val b = arr(i + 1); i += 2
+          touched += a; touched += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+        }
       }
       GraphOps.releaseCheckpoint(e)
       val minOf = scala.collection.mutable.HashMap[Long, Long]()
@@ -728,7 +740,12 @@ object Dedup {
     * — set sizes and intersections both exclude stop-level shingles, so
     * identical documents still score 1.0. Recall is lost only for pairs
     * whose ONLY shared shingles are stop-level, which are overwhelmingly
-    * non-duplicates. Default (Int.MaxValue) disables the cap. */
+    * non-duplicates. Default (Int.MaxValue) disables the cap.
+    *
+    * INVARIANT: a supplied `statsIn` must be
+    * `shinglePairStats(docs, shingleK, textCol, idCol, maxShingleDf)`
+    * for THESE arguments — the other parameters are ignored when it is
+    * given, and a table built with different ones is silently wrong. */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, minJaccard: Double = 0.2,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxShingleDf: Int = Int.MaxValue,
@@ -752,7 +769,11 @@ object Dedup {
     * Same inverted-index shape and shingle-df cap as
     * [[ngramJaccardPairs]] — sparse, never all-pairs; with a cap, both
     * set sizes and intersections are over the capped shingle universe,
-    * so a full verbatim inclusion still scores 1.0. */
+    * so a full verbatim inclusion still scores 1.0.
+    *
+    * INVARIANT: a supplied `statsIn` must be
+    * `shinglePairStats(docs, shingleK, textCol, idCol, maxShingleDf)`
+    * for THESE arguments (see [[ngramJaccardPairs]]). */
   def containmentPairs(docs: DataFrame, shingleK: Int = 3,
                        minContainment: Double = 0.8,
                        textCol: String = "text", idCol: String = "doc_id",
@@ -1089,7 +1110,19 @@ object Dedup {
     * shingle — the shared intermediate behind [[ngramJaccardPairs]] and
     * [[containmentPairs]]; compute once per corpus snapshot and pass via
     * their `statsIn` (same shared-artifact convention as minhash
-    * signatures). */
+    * signatures).
+    *
+    * COLLISION BOUND (the counts are over 60-bit hashed shingles, not
+    * strings — callers cannot see this from the signature): two distinct
+    * shingles colliding inflates an intersection / deflates a set size
+    * by 1. Expected colliding pairs ≈ n²/2⁶¹ for n distinct shingles
+    * corpus-wide: ~4×10⁻⁷ at n = 10⁶ (sf0.1), ~0.05 at n = 10⁷·√20
+    * ≈ 4.5×10⁷ (the x100 tiling), and reaches 1 expected collision only
+    * near n ≈ 1.5×10⁹ distinct shingles (~peta-scale corpora). The
+    * sf-scale oracle computes over strings, so a collision there would
+    * fail the gate; past n ≈ 10⁹, switch the final pair-verify stage to
+    * a 120-bit key (two md5Hash60 seeds) — the exchanges stay narrow
+    * either way. */
   def shinglePairStats(docs: DataFrame, shingleK: Int,
                        textCol: String, idCol: String,
                        maxShingleDf: Int): DataFrame = {

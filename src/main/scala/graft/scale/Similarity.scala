@@ -20,6 +20,18 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
+  /** Size gate for fanning out the corpus side of the brute-force
+    * scans: a dot product per (row, query) is cheap relative to moving
+    * the row, so below one scan-split's worth of corpus (~64 MB, half
+    * the default `spark.sql.files.maxPartitionBytes`) the round-robin
+    * exchange is pure tax — r11's driver sweep measured the
+    * unconditional fan-out at 0.60×/0.73× on ann_topk/ann_ivf over the
+    * 0.8 MB sf0.1 corpus. Any corpus past this gate arrives multi-split
+    * on a production layout, so the partition-count gate already makes
+    * fanOut a no-op there; this constant only suppresses the
+    * small-corpus tax. */
+  private[scale] val BruteForceFanOutMinBytes: Long = 64L << 20
+
   /** Embedding dimension of `vecCol`: the explicit `dim` if given, else
     * the size of the first non-null vector, else 0 (empty or all-null
     * input — callers return an empty result instead of crashing). */
@@ -46,7 +58,8 @@ object Similarity {
     // fanOut: the corpus side of the broadcast nested loop carries all
     // the dot-product CPU; a single-split scan serializes it (r11)
     val c = graft.util.ScanParallelism.fanOut(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      minBytes = BruteForceFanOutMinBytes)
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
@@ -78,7 +91,8 @@ object Similarity {
       norm2Micro(col(vecCol)).as("na2"))
     val c = graft.util.ScanParallelism.fanOut(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        norm2Micro(col(vecCol)).as("nb2")))
+        norm2Micro(col(vecCol)).as("nb2")),
+      minBytes = BruteForceFanOutMinBytes)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"),
         when(col("na2") === 0L || col("nb2") === 0L, lit(0L))
@@ -109,7 +123,8 @@ object Similarity {
     import graft.functions.VecMath
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = graft.util.ScanParallelism.fanOut(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      minBytes = BruteForceFanOutMinBytes)
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("ip", VecMath.dot(col("qvec"), col("cvec")))

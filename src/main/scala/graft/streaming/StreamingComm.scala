@@ -56,14 +56,27 @@ object StreamingComm {
         lit(1).as("side"), col(TimestampNs).cast("long").as("ts"),
         col(EventId).cast("long").as("id"))
       .select(col("src"), col("dst"), col("side"), col("ts"), col("id"))
-    sends.union(recvs).as[CommIn]
-      .groupByKey(r => (r.src, r.dst))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        fifoGroup(idleTimeout))(
-        Encoders.product[CommState], Encoders.product[MatchedMsg])
-      .toDF()
+    val in = sends.union(recvs)
+    if (in.isStreaming)
+      in.as[CommIn]
+        .groupByKey(r => (r.src, r.dst))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          fifoGroup(idleTimeout))(
+          Encoders.product[CommState], Encoders.product[MatchedMsg])
+        .toDF()
+    else
+      BatchReplay.replay[(Long, Long), CommIn](in, Seq("src", "dst"),
+        r => (r.getLong(0), r.getLong(1)),
+        r => CommIn(r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4)),
+        Encoders.product[MatchedMsg].schema,
+        (k, rows) => fifoGroup(idleTimeout)(k, rows,
+          new BatchReplay.ReplayState[CommState]).map(o =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](o.src, o.dst, o.k, o.send_event_id, o.recv_event_id,
+              o.send_ts, o.recv_ts, o.latency_ns))))
   }
 
   case class CommIn(src: Long, dst: Long, side: Int, ts: Long, id: Long)

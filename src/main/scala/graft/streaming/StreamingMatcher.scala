@@ -63,18 +63,30 @@ object StreamingMatcher {
   def completedCalls(events: DataFrame,
                      allowedLatenessNs: Long = Long.MaxValue): DataFrame = {
     import events.sparkSession.implicits._
-    val typed = events.select(
+    val in = events.select(
       col(Process).cast("int").as("process"),
       col(EventId).cast("long").as("event_id"),
       col(TimestampNs).cast("long").as("timestamp_ns"),
       col(EventType).as("event_type"),
-      col(Name).as("name")).as[InEvent]
-
-    typed.groupByKey(_.process)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        processGroup(allowedLatenessNs))(
-        Encoders.product[MatchState], Encoders.product[CompletedCall])
-      .toDF()
+      col(Name).as("name"))
+    if (in.isStreaming)
+      in.as[InEvent].groupByKey(_.process)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          processGroup(allowedLatenessNs))(
+          Encoders.product[MatchState], Encoders.product[CompletedCall])
+        .toDF()
+    else {
+      import graft.streaming.BatchReplay.{str, utf8}
+      BatchReplay.replay[Int, InEvent](in, Seq("process"), _.getInt(0),
+        r => InEvent(r.getInt(0), r.getLong(1), r.getLong(2), str(r, 3),
+          str(r, 4)),
+        Encoders.product[CompletedCall].schema,
+        (k, rows) => processGroup(allowedLatenessNs)(k, rows,
+          new BatchReplay.ReplayState[MatchState]).map(o =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](o.process, utf8(o.name), o.enter_id, o.leave_id,
+              o.enter_ts, o.leave_ts, o.depth, o.time_inc, o.time_exc))))
+    }
   }
 
   private[streaming] def processGroup(allowedLatenessNs: Long)(

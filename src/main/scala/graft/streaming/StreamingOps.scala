@@ -1,9 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas._
+import graft.streaming.BatchReplay.{str, utf8, ReplayState}
 
 /** Structured Streaming counterparts of the batch analyses (SURVEY §1.4
   * noted streaming as the natural extension; pipit itself is batch-only —
@@ -413,15 +415,27 @@ object StreamingOps {
     def tag(df: DataFrame, side: Int) = df.select(
       col(keyCol).cast("long").as("k"), col(tsCol).cast("long").as("t"),
       lit(side).as("side"), col(idCol).cast("long").as("id"),
-      col(valCol).cast("double").as("v")).as[AsOfIn]
-    tag(left, 1).union(tag(right, 0))
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        asOfGroup(idleTimeout))(
-        Encoders.product[AsOfState], Encoders.product[AsOfOut])
-      .toDF()
+      col(valCol).cast("double").as("v"))
+    val in = tag(left, 1).union(tag(right, 0))
+    if (in.isStreaming)
+      in.as[AsOfIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          asOfGroup(idleTimeout))(
+          Encoders.product[AsOfState], Encoders.product[AsOfOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, AsOfIn](in, Seq("k"), _.getLong(0),
+        r => AsOfIn(r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4)),
+        Encoders.product[AsOfOut].schema,
+        (k, rows) => asOfGroup(idleTimeout)(k, rows,
+          new ReplayState[AsOfState]).map(o =>
+          new GenericInternalRow(
+            Array[Any](o.k, o.id, o.t, o.r_id.map(Long.box).orNull,
+              o.r_t.map(Long.box).orNull, o.r_v.map(Double.box).orNull))))
   }
 
   case class AsOfIn(k: Long, t: Long, side: Int, id: Long, v: Double)
@@ -471,16 +485,25 @@ object StreamingOps {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import deltas.sparkSession.implicits._
-    deltas.select(col(keyCol).cast("long").as("k"),
-        col(tsCol).cast("long").as("t"),
-        col(deltaCol).cast("long").as("d")).as[ConcIn]
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        concGroup(idleTimeout))(
-        Encoders.product[ConcState], Encoders.product[ConcOut])
-      .toDF()
+    val in = deltas.select(col(keyCol).cast("long").as("k"),
+      col(tsCol).cast("long").as("t"),
+      col(deltaCol).cast("long").as("d"))
+    if (in.isStreaming)
+      in.as[ConcIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          concGroup(idleTimeout))(
+          Encoders.product[ConcState], Encoders.product[ConcOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, ConcIn](in, Seq("k"), _.getLong(0),
+        r => ConcIn(r.getLong(0), r.getLong(1), r.getLong(2)),
+        Encoders.product[ConcOut].schema,
+        (k, rows) => concGroup(idleTimeout)(k, rows,
+          new ReplayState[ConcState]).map(o => new GenericInternalRow(
+          Array[Any](o.k, o.level, o.t0, o.t1, o.in_order))))
   }
 
   case class ConcIn(k: Long, t: Long, d: Long)
@@ -537,16 +560,26 @@ object StreamingOps {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
-    events.select(col(keyCol).cast("long").as("k"),
-        col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
-        col(stateCol).cast("string").as("s")).as[TransIn]
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        transGroup(idleTimeout))(
-        Encoders.product[TransState], Encoders.product[TransOut])
-      .toDF()
+    val in = events.select(col(keyCol).cast("long").as("k"),
+      col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
+      col(stateCol).cast("string").as("s"))
+    if (in.isStreaming)
+      in.as[TransIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          transGroup(idleTimeout))(
+          Encoders.product[TransState], Encoders.product[TransOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, TransIn](in, Seq("k"), _.getLong(0),
+        r => TransIn(r.getLong(0), r.getLong(1), r.getLong(2), str(r, 3)),
+        Encoders.product[TransOut].schema,
+        (k, rows) => transGroup(idleTimeout)(k, rows,
+          new ReplayState[TransState]).map(o => new GenericInternalRow(
+          Array[Any](o.k, utf8(o.from_state), utf8(o.to_state), o.t,
+            o.in_order))))
   }
 
   /** Streaming twin of `Sessionize.guardedMatch` — CEP-lite "target
@@ -566,16 +599,26 @@ object StreamingOps {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
-    events.select(col(keyCol).cast("long").as("k"),
-        col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
-        col(typeCol).cast("string").as("s")).as[TransIn]
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        guardGroup(target, trigger, blocker, windowUs, idleTimeout))(
-        Encoders.product[GuardState], Encoders.product[GuardOut])
-      .toDF()
+    val in = events.select(col(keyCol).cast("long").as("k"),
+      col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
+      col(typeCol).cast("string").as("s"))
+    if (in.isStreaming)
+      in.as[TransIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          guardGroup(target, trigger, blocker, windowUs, idleTimeout))(
+          Encoders.product[GuardState], Encoders.product[GuardOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, TransIn](in, Seq("k"), _.getLong(0),
+        r => TransIn(r.getLong(0), r.getLong(1), r.getLong(2), str(r, 3)),
+        Encoders.product[GuardOut].schema,
+        (k, rows) => guardGroup(target, trigger, blocker, windowUs,
+          idleTimeout)(k, rows, new ReplayState[GuardState])
+          .map(o => new GenericInternalRow(
+            Array[Any](o.k, o.t, o.matched))))
   }
 
   case class GuardState(lt: Long, lb: Long) // -1 = unseen
@@ -653,16 +696,25 @@ object StreamingOps {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     val stepList = steps.toList
-    events.select(col(keyCol).cast("long").as("k"),
-        col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
-        col(stepCol).as("step")).as[FunnelIn]
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        funnelGroup(stepList, idleTimeout))(
-        Encoders.product[FunnelState], Encoders.product[FunnelOut])
-      .toDF()
+    val in = events.select(col(keyCol).cast("long").as("k"),
+      col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("id"),
+      col(stepCol).as("step"))
+    if (in.isStreaming)
+      in.as[FunnelIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          funnelGroup(stepList, idleTimeout))(
+          Encoders.product[FunnelState], Encoders.product[FunnelOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, FunnelIn](in, Seq("k"), _.getLong(0),
+        r => FunnelIn(r.getLong(0), r.getLong(1), r.getLong(2), str(r, 3)),
+        Encoders.product[FunnelOut].schema,
+        (k, rows) => funnelGroup(stepList, idleTimeout)(k, rows,
+          new ReplayState[FunnelState]).map(o => new GenericInternalRow(
+          Array[Any](o.k, o.depth, o.t))))
   }
 
   case class FunnelIn(k: Long, t: Long, id: Long, step: String)
@@ -714,15 +766,24 @@ object StreamingOps {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
-    events.select(col(keyCol).cast("long").as("k"),
-        expr(s"$tsCol div $dayMicros").as("day")).as[CohortIn]
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        cohortGroup(horizonDays, idleTimeout))(
-        Encoders.product[CohortState], Encoders.product[CohortOut])
-      .toDF()
+    val in = events.select(col(keyCol).cast("long").as("k"),
+      expr(s"$tsCol div $dayMicros").as("day"))
+    if (in.isStreaming)
+      in.as[CohortIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          cohortGroup(horizonDays, idleTimeout))(
+          Encoders.product[CohortState], Encoders.product[CohortOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, CohortIn](in, Seq("k"), _.getLong(0),
+        r => CohortIn(r.getLong(0), r.getLong(1)),
+        Encoders.product[CohortOut].schema,
+        (k, rows) => cohortGroup(horizonDays, idleTimeout)(k, rows,
+          new ReplayState[CohortState]).map(o => new GenericInternalRow(
+          Array[Any](o.k, o.cohort_day, o.day_offset))))
   }
 
   /** Streaming twin of [[graft.analysis.TraceSample.sampleCalls]]:
@@ -742,16 +803,27 @@ object StreamingOps {
     import events.sparkSession.implicits._
     require(den > 0 && num >= 0 && num <= den,
       s"sample fraction must be a rational in [0, 1]: $num/$den")
-    events.select(col(Process).cast("int").as("p"),
-        col(TimestampNs).cast("long").as("ts"),
-        col(EventType).as("et"), col(Name).as("nm")).as[SampIn]
-      .groupByKey(_.p)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        sampGroup(num, den, seed, idleTimeout))(
-        Encoders.product[SampState], Encoders.product[SampOut])
-      .toDF()
+    val in = events.select(col(Process).cast("int").as("p"),
+      col(TimestampNs).cast("long").as("ts"),
+      col(EventType).as("et"), col(Name).as("nm"))
+    val sampled =
+      if (in.isStreaming)
+        in.as[SampIn]
+          .groupByKey(_.p)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+            else GroupStateTimeout.NoTimeout())(
+            sampGroup(num, den, seed, idleTimeout))(
+            Encoders.product[SampState], Encoders.product[SampOut])
+          .toDF()
+      else
+        BatchReplay.replay[Int, SampIn](in, Seq("p"), _.getInt(0),
+          r => SampIn(r.getInt(0), r.getLong(1), str(r, 2), str(r, 3)),
+          Encoders.product[SampOut].schema,
+          (k, rows) => sampGroup(num, den, seed, idleTimeout)(k, rows,
+            new ReplayState[SampState]).map(o => new GenericInternalRow(
+            Array[Any](o.p, o.ts, utf8(o.et), utf8(o.nm), o.in_order))))
+    sampled
       .withColumnRenamed("p", Process).withColumnRenamed("ts", TimestampNs)
       .withColumnRenamed("et", EventType).withColumnRenamed("nm", Name)
   }
@@ -761,12 +833,26 @@ object StreamingOps {
   case class SampOut(p: Int, ts: Long, et: String, nm: String,
                      in_order: Boolean)
 
-  /** 60-bit md5 hash, identical to TextOps.md5Hash60 on the same key. */
+  /** 60-bit md5 hash, identical to TextOps.md5Hash60 on the same key.
+    * Hot path (once per sampled-stream event): the digest instance is
+    * reused per thread and the value is read straight from the digest
+    * bytes — the first 15 hex chars of the digest are exactly the
+    * big-endian first 8 bytes shifted right one nibble, so no
+    * hex-string round trip is needed (r12; the naive form cost ~10 µs
+    * per event in per-call MessageDigest.getInstance + per-byte
+    * format strings, the dominant CPU of stream_sample_endstate). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   private def md5Hash60Jvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(
-      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   private[streaming] def sampGroup(num: Int, den: Int, seed: Int,
@@ -826,15 +912,24 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     require(window > 0, s"window must be positive: $window")
-    events.select(col(keyCol).cast("long").as("k"),
-        expr(s"$tsCol div $dayMicros").as("day")).as[CohortIn]
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        rollGroup(window, idleTimeout))(
-        Encoders.product[RollState], Encoders.product[RollOut])
-      .toDF()
+    val in = events.select(col(keyCol).cast("long").as("k"),
+      expr(s"$tsCol div $dayMicros").as("day"))
+    if (in.isStreaming)
+      in.as[CohortIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          rollGroup(window, idleTimeout))(
+          Encoders.product[RollState], Encoders.product[RollOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, CohortIn](in, Seq("k"), _.getLong(0),
+        r => CohortIn(r.getLong(0), r.getLong(1)),
+        Encoders.product[RollOut].schema,
+        (k, rows) => rollGroup(window, idleTimeout)(k, rows,
+          new ReplayState[RollState]).map(o => new GenericInternalRow(
+          Array[Any](o.k, o.day, utf8(o.kind), o.in_order))))
   }
 
   case class RollState(lastDay: Long, lastEmitted: Long)
@@ -925,16 +1020,25 @@ object StreamingOps {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spans.sparkSession.implicits._
-    spans.select(col(keyCol).cast("long").as("k"),
-        col(startCol).cast("long").as("s"),
-        col(endCol).cast("long").as("e")).as[IvIn]
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        ivGroup(idleTimeout))(
-        Encoders.product[IvState], Encoders.product[IvOut])
-      .toDF()
+    val in = spans.select(col(keyCol).cast("long").as("k"),
+      col(startCol).cast("long").as("s"),
+      col(endCol).cast("long").as("e"))
+    if (in.isStreaming)
+      in.as[IvIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          ivGroup(idleTimeout))(
+          Encoders.product[IvState], Encoders.product[IvOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, IvIn](in, Seq("k"), _.getLong(0),
+        r => IvIn(r.getLong(0), r.getLong(1), r.getLong(2)),
+        Encoders.product[IvOut].schema,
+        (k, rows) => ivGroup(idleTimeout)(k, rows,
+          new ReplayState[IvState]).map(o => new GenericInternalRow(
+          Array[Any](o.k, o.start, o.end, o.n_spans, o.in_order))))
   }
 
   /** Streaming twin of [[graft.analysis.MergeApply.applyCdc]]: keyed
@@ -958,17 +1062,26 @@ object StreamingOps {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import changes.sparkSession.implicits._
-    changes.select(col(keyCol).cast("long").as("k"),
-        col(seqCol).cast("long").as("seq"),
-        col(opCol).cast("string").as("op"),
-        col(valCol).cast("long").as("v")).as[CdcIn]
-      .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-        else GroupStateTimeout.NoTimeout())(
-        cdcGroup(idleTimeout))(
-        Encoders.product[CdcState], Encoders.product[CdcOut])
-      .toDF()
+    val in = changes.select(col(keyCol).cast("long").as("k"),
+      col(seqCol).cast("long").as("seq"),
+      col(opCol).cast("string").as("op"),
+      col(valCol).cast("long").as("v"))
+    if (in.isStreaming)
+      in.as[CdcIn]
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+          else GroupStateTimeout.NoTimeout())(
+          cdcGroup(idleTimeout))(
+          Encoders.product[CdcState], Encoders.product[CdcOut])
+        .toDF()
+    else
+      BatchReplay.replay[Long, CdcIn](in, Seq("k"), _.getLong(0),
+        r => CdcIn(r.getLong(0), r.getLong(1), str(r, 2), r.getLong(3)),
+        Encoders.product[CdcOut].schema,
+        (k, rows) => cdcGroup(idleTimeout)(k, rows,
+          new ReplayState[CdcState]).map(o => new GenericInternalRow(
+          Array[Any](o.k, o.seq, utf8(o.op), o.v, o.deleted, o.n_stale))))
   }
 
   /** Exactly-once-EFFECT ingest from an at-least-once source: drop

@@ -39,8 +39,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * equality across core counts, the oracle gate across engines).
   */
 object ScanParallelism {
-  def fanOut(df: DataFrame): DataFrame = {
+  /** `minBytes` additionally gates the fan-out on the input's estimated
+    * size (catalyst plan statistics — file bytes for a scan projection,
+    * no job): below it the exchange costs more than the per-row work it
+    * spreads. Use it for operators whose per-row CPU is LOW relative to
+    * row width (the brute-force ANN dot products: r11 measured the
+    * unconditional fan-out at 0.60×/0.73× on ann_topk/ann_ivf over a
+    * 0.8 MB corpus); leave it 0 for tokenize/shingle/decode pipelines
+    * whose per-row CPU dwarfs the exchange at any size. At production
+    * layouts a corpus past `minBytes` is multi-split anyway, so both
+    * gates keep this a no-op at scale.
+    *
+    * fanOut must wrap scan-level projections only (its sole use): the
+    * gates read `queryExecution.toRdd` partitioning — which, unlike
+    * `df.rdd`, builds no external-Row deserializer — and plan stats;
+    * on an input containing an exchange, AQE's toRdd materialization
+    * could eagerly execute upstream stages. */
+  def fanOut(df: DataFrame, minBytes: Long = 0L): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (minBytes > 0L &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
+    else if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 }

@@ -17,8 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `fromInternalRdd` wraps an RDD[InternalRow] back without conversion.
   *
   * CONTRACT: rows from `toInternalRdd` are reused per-partition by the
-  * scan — `copy()` before buffering/persisting them, and only hand
-  * `fromInternalRdd` UnsafeRow-backed rows matching `schema`. */
+  * scan — `copy()` (or extract the values) before buffering/persisting
+  * them. `fromInternalRdd` accepts ANY InternalRow holding catalyst-typed
+  * values matching `schema` (UTF8String for strings, MapData/ArrayData
+  * for collections, boxed primitives in GenericInternalRow) — the scan
+  * node re-projects every row to UnsafeRow, so UnsafeRow-backed input is
+  * an optimization, not a requirement (Otf2Reader hands it
+  * GenericInternalRow, EventMatcher JoinedRow). */
 object RddBridge {
   def toInternalRdd(df: DataFrame): RDD[InternalRow] =
     df.queryExecution.toRdd

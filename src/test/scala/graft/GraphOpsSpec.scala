@@ -77,4 +77,26 @@ class GraphOpsSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     assert(GraphOps.kcore(edges, k = 3, maxRounds = 4).count() == 0)
   }
+
+  test("kcore: size-gated local peeling == distributed rounds, including " +
+      "the round cap") {
+    // r12: below maxLocalEdges the driver peels locally instead of the
+    // per-round snapshot/count fixpoint (pure scheduling overhead on
+    // small graphs). Both paths must agree on the surviving subgraph's
+    // degrees for EVERY round budget — the cap, not convergence, defines
+    // the contract ("the graph after exactly N rounds").
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.toDF("src", "dst")
+    for (mr <- Seq(0, 1, 2, 8)) {
+      val local = GraphOps.kcore(edges, k = 4, maxRounds = mr).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dist = GraphOps.kcore(edges, k = 4, maxRounds = mr,
+          maxLocalEdges = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == dist, s"maxRounds=$mr: " +
+        s"${(local diff dist).take(5)} vs ${(dist diff local).take(5)}")
+    }
+  }
 }
