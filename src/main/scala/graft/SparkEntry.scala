@@ -2767,8 +2767,15 @@ object SparkEntry {
       val sample = emb.filter(col("vec_id") % mod === 0)
       // ground truth via the map-side-bounded heap aggregate in micro
       // ints — k rows per (query, partition) cross the exchange, never
-      // the sample x corpus pair table through a window sort
-      val bf = Similarity.bruteForceTopKMicro(emb, sample, 3)
+      // the sample x corpus pair table through a window sort.
+      // fanOutMinBytes = 0: unlike the k-query ann_* audits (whose tiny
+      // query sets made the corpus fan-out pure exchange tax, r12), this
+      // audit scans ~500 broadcast queries per corpus row — ~500 dots
+      // ≫ one row's exchange cost at ANY corpus size, so an
+      // under-partitioned scan should always spread (measured: a single
+      // 1.5 s one-task stage at sf0.1 with the byte gate on)
+      val bf = Similarity.bruteForceTopKMicro(emb, sample, 3,
+          fanOutMinBytes = 0L)
         .select(col("query_id"), col("neighbor_id"))
       // auto-k quantizer by default: the fixed-k fit was the 36x
       // sf0.1→sf1 row (denser clusters ⇒ ~quadratic within-cluster

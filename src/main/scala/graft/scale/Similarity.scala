@@ -85,14 +85,16 @@ object Similarity {
     * −id. Returns (query_id, neighbor_id, s_micro), top-k per query. */
   def bruteForceTopKMicro(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          fanOutMinBytes: Long = BruteForceFanOutMinBytes)
+      : DataFrame = {
     import graft.functions.VecMath.{dotMicro, norm2Micro}
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm2Micro(col(vecCol)).as("na2"))
     val c = graft.util.ScanParallelism.fanOut(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         norm2Micro(col(vecCol)).as("nb2")),
-      minBytes = BruteForceFanOutMinBytes)
+      minBytes = fanOutMinBytes)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"),
         when(col("na2") === 0L || col("nb2") === 0L, lit(0L))
